@@ -1,0 +1,168 @@
+"""Material definitions and the label -> linear-attenuation LUT builder.
+
+The reference maps uint8 voxel labels to materials through a CSV
+(``matcomp_filename``, /root/reference/input/params.txt:9, used by
+``VoxelPhantom`` at plots.py:124-126).  The CSV format is not in the
+snapshot; this module fixes it as::
+
+    label,name,density,matcomp
+    0,air,0.001205,N(75.5)O(23.2)Ar(1.3)
+    1,water,1.0,H(11.2)O(88.8)
+    ...
+
+Hardcoded basis/reference materials reproduce the reference constants
+(/root/reference/matdecomp.py:12-17 tissue/bone; plots.py:140 water;
+plots.py:487-498 implant alloys).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import io
+import os
+
+import numpy as np
+
+from . import xcom
+
+__all__ = [
+    "Material",
+    "MaterialTable",
+    "TISSUE",
+    "BONE",
+    "WATER",
+    "AIR",
+    "BUILTIN_MATERIALS",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    name: str
+    density: float  # [g/cm^3]
+    matcomp: str  # composition string, e.g. 'H(11.2)O(88.8)'
+
+    def mass_atten(self, energy_keV):
+        """mu/rho [cm^2/g] on ``energy_keV``."""
+        return xcom.mixatten(self.matcomp, energy_keV)
+
+    def linear_atten(self, energy_keV):
+        """mu [1/cm] on ``energy_keV``."""
+        return self.density * self.mass_atten(energy_keV)
+
+
+# Reference-pinned materials (matdecomp.py:12-17, plots.py:140, 487-498).
+TISSUE = Material(
+    "ICRU tissue",
+    1.06,
+    "H(10.2)C(14.3)N(3.4)O(70.8)Na(0.2)P(0.3)S(0.3)Cl(0.2)K(0.3)",
+)
+BONE = Material(
+    "ICRU bone",
+    1.92,
+    "H(3.4)C(15.5)N(4.2)O(43.5)Na(0.1)Mg(0.2)P(10.3)S(0.3)Ca(22.5)",
+)
+WATER = Material("water", 1.0, "H(11.2)O(88.8)")
+AIR = Material("air", 0.001205, "N(75.5)O(23.2)Ar(1.3)")
+
+TITANIUM = Material("titanium", 4.5, "Ti(100.0)")
+TI_6AL_4V = Material("Ti-6Al-4V", 4.43, "Al(6)Ti(90)V(4)")
+STEEL_316L = Material(
+    "steel 316L",
+    8.0,
+    "C(0.5)N(0.1)P(0.0025)S(0.01)Fe(64.335)Cr(17.0)Ni(13.0)Mo(2.25)"
+    "Mn(2.0)Si(0.75)Cu(0.5)",
+)
+COCRMO = Material("Co-28Cr-6Mo", 8.5, "Co(66)Cr(28)Mo(6)")
+ADIPOSE = Material(
+    "adipose", 0.95, "H(11.4)C(59.8)N(0.7)O(27.8)Na(0.1)S(0.1)Cl(0.1)"
+)
+MUSCLE = Material(
+    "muscle", 1.05,
+    "H(10.2)C(14.3)N(3.4)O(71.0)Na(0.1)P(0.2)S(0.3)Cl(0.1)K(0.4)",
+)
+
+BUILTIN_MATERIALS = {
+    m.name: m
+    for m in [AIR, WATER, TISSUE, BONE, TITANIUM, TI_6AL_4V, STEEL_316L,
+              COCRMO, ADIPOSE, MUSCLE]
+}
+
+
+class MaterialTable:
+    """Ordered label -> Material mapping (label i = row i)."""
+
+    def __init__(self, materials):
+        self.materials = list(materials)
+        if not self.materials:
+            raise ValueError("empty material table")
+
+    def __len__(self):
+        return len(self.materials)
+
+    def __getitem__(self, label):
+        return self.materials[label]
+
+    def __iter__(self):
+        return iter(self.materials)
+
+    @property
+    def names(self):
+        return [m.name for m in self.materials]
+
+    @property
+    def densities(self):
+        return np.array([m.density for m in self.materials])
+
+    def mu_table(self, energy_keV):
+        """Linear attenuation LUT mu[label, energy] [1/cm] (float64).
+
+        This is the array that becomes a device-resident LUT: the forward
+        model contracts material path lengths against it on the MXU
+        (SURVEY.md §7 step 1).
+        """
+        e = np.asarray(energy_keV, dtype=np.float64)
+        return np.stack([m.linear_atten(e) for m in self.materials])
+
+    def mass_atten_table(self, energy_keV):
+        """Mass attenuation LUT (mu/rho)[label, energy] [cm^2/g]."""
+        e = np.asarray(energy_keV, dtype=np.float64)
+        return np.stack([m.mass_atten(e) for m in self.materials])
+
+    # -- CSV round trip ------------------------------------------------------
+    @classmethod
+    def from_csv(cls, fname_or_text):
+        """Load a materials CSV (path or literal CSV text).
+
+        Columns: ``label,name,density,matcomp``; labels must be the
+        contiguous range 0..N-1 (rows may appear in any order).
+        """
+        if os.path.exists(str(fname_or_text)):
+            with open(fname_or_text, newline="") as f:
+                rows = list(csv.DictReader(f))
+        else:
+            rows = list(csv.DictReader(io.StringIO(str(fname_or_text))))
+        if not rows:
+            raise ValueError("empty materials CSV")
+        by_label = {}
+        for r in rows:
+            label = int(r["label"])
+            if label in by_label:
+                raise ValueError(f"duplicate label {label} in materials CSV")
+            by_label[label] = Material(
+                r["name"].strip(), float(r["density"]), r["matcomp"].strip()
+            )
+        n = len(by_label)
+        if sorted(by_label) != list(range(n)):
+            raise ValueError(
+                f"labels must be contiguous 0..{n - 1}, got {sorted(by_label)}"
+            )
+        return cls([by_label[i] for i in range(n)])
+
+    def to_csv(self, fname):
+        with open(fname, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["label", "name", "density", "matcomp"])
+            for i, m in enumerate(self.materials):
+                w.writerow([i, m.name, m.density, m.matcomp])

@@ -1,0 +1,338 @@
+"""Elemental x-ray mass-attenuation tables and the mixture rule.
+
+TPU-native replacement for the reference's vendored ``xcompy`` package
+(imported at /root/reference/matdecomp.py:7 and plots.py:16; the package
+itself lives in the missing ``xtomosim`` submodule).  The public entry point
+``mixatten(matcomp, energy_keV)`` reproduces the reference call signature
+(/root/reference/matdecomp.py:158, plots.py:138-140, plots.py:514): it maps a
+composition string like ``'H(11.2)O(88.8)'`` (element symbols with
+weight-percents) and an energy grid in keV to the mass attenuation
+coefficient mu/rho in cm^2/g of the mixture.
+
+Because no NIST XCOM dataset ships with this environment, the elemental
+tables are synthesized from an analytic, water-anchored physics model:
+
+* **Incoherent (Compton)**: exact Klein-Nishina total cross-section per
+  electron, scaled by Z/A.  This is exact physics (no tabulated data needed)
+  and dominates the 60 keV - 2 MeV range that CT spectra occupy.
+* **Hydrogen and oxygen**: pinned to hardcoded NIST-grid anchor tables for H
+  and liquid water (the two best-known curves in the field); oxygen is
+  recovered from water = 0.1119 H + 0.8881 O by mass.  These two elements are
+  therefore accurate to the anchor data (~1-2%) over 1 keV - 10 MeV.
+* **Photoelectric + coherent for other elements**: the non-Compton part of
+  oxygen's curve, scaled in Z by ``exp(n(E) ln(Z/8) + q ln^2(Z/8))`` with
+  n(E), q calibrated against Fe and Pb anchors at 30/100 keV, plus a K-edge
+  jump at ``E_K(Z) = 0.01409 (Z - 3.75)^2`` keV (Moseley fit).
+* **Pair production**: oxygen's high-energy non-Compton residual scaled by
+  Z(Z+1)/72.
+
+Fidelity: water/tissue-like mixtures ~1-2%; mid-Z (Ca, Ti, Fe) ~5-20% at
+diagnostic energies; high-Z metals are physically shaped but only
+order-of-magnitude calibrated below ~50 keV.  The framework is internally
+self-consistent: simulation and decomposition share these tables, so basis
+material recovery is exact regardless of absolute table fidelity.  To swap in
+true NIST tables, override :func:`element_mu_table` via
+:func:`register_element_table`.
+
+All computation here is host-side float64 NumPy: attenuation lookup tables
+are built once at setup time and only the resulting per-material LUT arrays
+enter jitted TPU code.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "mixatten",
+    "parse_matcomp",
+    "element_mu",
+    "element_symbols",
+    "ELEMENT_Z",
+    "ATOMIC_WEIGHT",
+    "ENERGY_GRID_KEV",
+    "register_element_table",
+]
+
+# ---------------------------------------------------------------------------
+# Element identity data (exact, public constants)
+# ---------------------------------------------------------------------------
+
+_SYMBOLS = (
+    "H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca "
+    "Sc Ti V Cr Mn Fe Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr "
+    "Nb Mo Tc Ru Rh Pd Ag Cd In Sn Sb Te I Xe Cs Ba La Ce Pr Nd "
+    "Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W Re Os Ir Pt Au Hg "
+    "Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U"
+).split()
+
+ELEMENT_Z = {s: i + 1 for i, s in enumerate(_SYMBOLS)}
+
+ATOMIC_WEIGHT = dict(
+    zip(
+        _SYMBOLS,
+        [
+            1.008, 4.0026, 6.94, 9.0122, 10.81, 12.011, 14.007, 15.999,
+            18.998, 20.180, 22.990, 24.305, 26.982, 28.085, 30.974, 32.06,
+            35.45, 39.948, 39.098, 40.078, 44.956, 47.867, 50.942, 51.996,
+            54.938, 55.845, 58.933, 58.693, 63.546, 65.38, 69.723, 72.630,
+            74.922, 78.971, 79.904, 83.798, 85.468, 87.62, 88.906, 91.224,
+            92.906, 95.95, 98.0, 101.07, 102.91, 106.42, 107.87, 112.41,
+            114.82, 118.71, 121.76, 127.60, 126.90, 131.29, 132.91, 137.33,
+            138.91, 140.12, 140.91, 144.24, 145.0, 150.36, 151.96, 157.25,
+            158.93, 162.50, 164.93, 167.26, 168.93, 173.05, 174.97, 178.49,
+            180.95, 183.84, 186.21, 190.23, 192.22, 195.08, 196.97, 200.59,
+            204.38, 207.2, 208.98, 209.0, 210.0, 222.0, 223.0, 226.0, 227.0,
+            232.04, 231.04, 238.03,
+        ],
+    )
+)
+
+AVOGADRO = 6.02214076e23  # 1/mol
+ELECTRON_RADIUS_CM = 2.8179403262e-13  # classical electron radius [cm]
+ELECTRON_REST_KEV = 510.99895  # m_e c^2 [keV]
+PAIR_THRESHOLD_KEV = 2.0 * ELECTRON_REST_KEV
+
+
+def element_symbols():
+    """Ordered element symbols Z=1..92."""
+    return list(_SYMBOLS)
+
+
+# ---------------------------------------------------------------------------
+# Anchor tables: NIST standard grid, mu/rho [cm^2/g]
+# ---------------------------------------------------------------------------
+
+# Standard XCOM grid energies [keV]
+_ANCHOR_E = np.array(
+    [1.0, 1.5, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 10.0, 15.0, 20.0, 30.0, 40.0,
+     50.0, 60.0, 80.0, 100.0, 150.0, 200.0, 300.0, 400.0, 500.0, 600.0,
+     800.0, 1000.0, 1250.0, 1500.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0,
+     8000.0, 10000.0]
+)
+
+# Liquid water, mu/rho [cm^2/g]
+_WATER_MU = np.array(
+    [4078.0, 1376.0, 617.3, 192.9, 82.78, 42.58, 24.64, 10.37, 5.329, 1.673,
+     0.8096, 0.3756, 0.2683, 0.2269, 0.2059, 0.1837, 0.1707, 0.1505, 0.1370,
+     0.1186, 0.1061, 0.09687, 0.08956, 0.07865, 0.07072, 0.06323, 0.05754,
+     0.04942, 0.03969, 0.03403, 0.03031, 0.02770, 0.02429, 0.02219]
+)
+
+# Hydrogen, mu/rho [cm^2/g]
+_H_MU = np.array(
+    [7.217, 2.148, 1.059, 0.5612, 0.4546, 0.4193, 0.4042, 0.3914, 0.3854,
+     0.3764, 0.3695, 0.3570, 0.3458, 0.3355, 0.3260, 0.3091, 0.2944, 0.2651,
+     0.2429, 0.2112, 0.1893, 0.1729, 0.1599, 0.1405, 0.1263, 0.1129, 0.1027,
+     0.08769, 0.06921, 0.05806, 0.05049, 0.04498, 0.03746, 0.03254]
+)
+
+# Mass fractions of H/O in water used to recover the oxygen curve.
+_WATER_H_FRACTION = 0.1119
+_WATER_O_FRACTION = 0.8881
+
+# Photoelectric(+coherent) Z-scaling calibration (see module docstring):
+#   ln lp(Z, E) = ln lp_O(E) + n(E) (lnZ - ln8) + q (lnZ - ln8)^2
+# with n(E) = n100 + slope * ln(E/100 keV).  Least-squares fit against NIST
+# anchors Al/Fe @ 30 keV and Al/Fe/Pb @ 100 keV (residuals < 6%).
+_PE_Q = -0.0559
+_PE_N100 = 4.1063  # n at 100 keV
+_PE_N_SLOPE = -0.1365  # d n / d ln(E)
+_PE_N_MIN, _PE_N_MAX = 3.5, 5.0
+_K_EDGE_JUMP = 8.2  # typical K-shell absorption jump ratio
+
+
+def k_edge_keV(Z):
+    """Approximate K absorption edge energy [keV] (Moseley-law fit to
+    Cu 8.98 / Fe 7.11 / Mo 20.0 / Pb 88.0 keV)."""
+    Z = np.asarray(Z, dtype=np.float64)
+    return 0.01409 * (Z - 3.75) ** 2
+
+
+def klein_nishina_cross_section(energy_keV):
+    """Exact Klein-Nishina total cross-section per electron [cm^2]."""
+    k = np.asarray(energy_keV, dtype=np.float64) / ELECTRON_REST_KEV
+    one_p_2k = 1.0 + 2.0 * k
+    log_term = np.log1p(2.0 * k)
+    t1 = (1.0 + k) / k**2 * (2.0 * (1.0 + k) / one_p_2k - log_term / k)
+    t2 = log_term / (2.0 * k)
+    t3 = (1.0 + 3.0 * k) / one_p_2k**2
+    return 2.0 * np.pi * ELECTRON_RADIUS_CM**2 * (t1 + t2 - t3)
+
+
+# ---------------------------------------------------------------------------
+# Internal model: build elemental tables on a dense log grid
+# ---------------------------------------------------------------------------
+
+# Dense internal energy grid [keV]
+ENERGY_GRID_KEV = np.logspace(0.0, 4.0, 512)
+
+
+def _loglog_interp(e, e_ref, mu_ref):
+    """Log-log linear interpolation, clamped at the grid ends."""
+    le = np.log(np.clip(e, e_ref[0], e_ref[-1]))
+    return np.exp(np.interp(le, np.log(e_ref), np.log(mu_ref)))
+
+
+@lru_cache(maxsize=1)
+def _model_components():
+    """Precompute per-grid-point model ingredients (all float64).
+
+    Returns dict with, on ENERGY_GRID_KEV:
+      h_mu        : hydrogen mu/rho table
+      o_mu        : oxygen mu/rho table (derived from water anchor)
+      kn_sigma    : Klein-Nishina sigma per electron [cm^2]
+      lp_atom_o   : oxygen per-atom photoelectric+coherent cross-sec [cm^2]
+      pair_atom_o : oxygen per-atom pair-production cross-sec [cm^2]
+    """
+    e = ENERGY_GRID_KEV
+    h_mu = _loglog_interp(e, _ANCHOR_E, _H_MU)
+    water_mu = _loglog_interp(e, _ANCHOR_E, _WATER_MU)
+    o_mu = (water_mu - _WATER_H_FRACTION * h_mu) / _WATER_O_FRACTION
+
+    kn_sigma = klein_nishina_cross_section(e)
+    a_o = ATOMIC_WEIGHT["O"]
+    mu_kn_o = AVOGADRO * 8.0 / a_o * kn_sigma
+
+    # Non-Compton remainder of oxygen, as a per-atom cross-section [cm^2].
+    non_kn_atom = np.clip(o_mu - mu_kn_o, 1e-40, None) * a_o / AVOGADRO
+
+    # Split photo+coherent (low E) from pair production (E > 1.022 MeV):
+    # extrapolate the low-energy part as a power law fitted at 100-300 keV.
+    fit_lo = np.searchsorted(e, 100.0)
+    fit_hi = np.searchsorted(e, 300.0)
+    sl = slice(fit_lo, fit_hi)
+    coeffs = np.polyfit(np.log(e[sl]), np.log(non_kn_atom[sl]), 1)
+    lp_extrap = np.exp(np.polyval(coeffs, np.log(e)))
+    above = e > PAIR_THRESHOLD_KEV
+    lp_atom_o = np.where(above, np.minimum(non_kn_atom, lp_extrap), non_kn_atom)
+    pair_atom_o = np.clip(non_kn_atom - lp_atom_o, 0.0, None) * above
+
+    return {
+        "h_mu": h_mu,
+        "o_mu": o_mu,
+        "kn_sigma": kn_sigma,
+        "lp_atom_o": lp_atom_o,
+        "pair_atom_o": pair_atom_o,
+    }
+
+
+# User-registered exact tables (e.g. real NIST data), keyed by symbol.
+_REGISTERED: dict = {}
+
+
+def register_element_table(symbol, energy_keV, mu_over_rho):
+    """Override the model for one element with an exact (E, mu/rho) table."""
+    if symbol not in ELEMENT_Z:
+        raise ValueError(f"unknown element symbol: {symbol!r}")
+    e = np.asarray(energy_keV, dtype=np.float64)
+    m = np.asarray(mu_over_rho, dtype=np.float64)
+    if e.ndim != 1 or e.shape != m.shape or len(e) < 2:
+        raise ValueError("expected matching 1-D energy/mu arrays")
+    _REGISTERED[symbol] = (e, m)
+    _element_table_cached.cache_clear()
+
+
+@lru_cache(maxsize=None)
+def _element_table_cached(symbol):
+    """mu/rho [cm^2/g] for one element on ENERGY_GRID_KEV (float64)."""
+    if symbol in _REGISTERED:
+        e_ref, mu_ref = _REGISTERED[symbol]
+        return _loglog_interp(ENERGY_GRID_KEV, e_ref, mu_ref)
+
+    comp = _model_components()
+    if symbol == "H":
+        return comp["h_mu"].copy()
+    if symbol == "O":
+        return comp["o_mu"].copy()
+
+    Z = ELEMENT_Z[symbol]
+    A = ATOMIC_WEIGHT[symbol]
+    e = ENERGY_GRID_KEV
+
+    # Incoherent: exact Klein-Nishina.
+    sigma_incoh = Z * comp["kn_sigma"]
+
+    # Photoelectric + coherent: oxygen curve scaled in Z (log-quadratic),
+    # with a K-edge drop below E_K.
+    dlnz = np.log(Z / 8.0)
+    n_e = np.clip(
+        _PE_N100 + _PE_N_SLOPE * np.log(e / 100.0), _PE_N_MIN, _PE_N_MAX
+    )
+    scale = np.exp(n_e * dlnz + _PE_Q * dlnz**2)
+    lp = comp["lp_atom_o"] * scale
+    lp = np.where(e < k_edge_keV(Z), lp / _K_EDGE_JUMP, lp)
+
+    # Pair production: Z(Z+1) scaling from the oxygen residual.
+    pair = comp["pair_atom_o"] * (Z * (Z + 1.0)) / 72.0
+
+    return AVOGADRO / A * (sigma_incoh + lp + pair)
+
+
+def element_mu(symbol, energy_keV):
+    """Mass attenuation mu/rho [cm^2/g] of one element at ``energy_keV``."""
+    table = _element_table_cached(symbol)
+    return _loglog_interp(
+        np.asarray(energy_keV, dtype=np.float64), ENERGY_GRID_KEV, table
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composition strings and the mixture rule
+# ---------------------------------------------------------------------------
+
+_MATCOMP_RE = re.compile(r"([A-Z][a-z]?)\(([-+0-9.eE]+)\)")
+
+
+def parse_matcomp(matcomp):
+    """Parse ``'H(10.2)C(14.3)...'`` into ``[(symbol, weight_fraction)]``.
+
+    Weight values are percents that are renormalized to sum to 1, matching
+    the reference's composition-string convention
+    (/root/reference/matdecomp.py:13-16, plots.py:487-498).
+    """
+    pairs = _MATCOMP_RE.findall(matcomp)
+    if not pairs:
+        raise ValueError(f"unparseable material composition: {matcomp!r}")
+    leftover = _MATCOMP_RE.sub("", matcomp).strip()
+    if leftover:
+        raise ValueError(
+            f"unparseable fragment {leftover!r} in composition {matcomp!r}"
+        )
+    symbols, weights = zip(*pairs)
+    for s in symbols:
+        if s not in ELEMENT_Z:
+            raise ValueError(f"unknown element {s!r} in {matcomp!r}")
+    w = np.asarray(weights, dtype=np.float64)
+    if np.any(w < 0.0) or w.sum() <= 0.0:
+        raise ValueError(f"invalid weights in composition {matcomp!r}")
+    w = w / w.sum()
+    return list(zip(symbols, w))
+
+
+def mixatten(matcomp, energy_keV):
+    """Mass attenuation mu/rho [cm^2/g] of a mixture.
+
+    Drop-in equivalent of the reference's ``xcompy.mixatten``
+    (/root/reference/matdecomp.py:158: mass attenuation, multiplied by
+    density at call sites to obtain linear attenuation, plots.py:514).
+
+    Parameters
+    ----------
+    matcomp : str
+        Composition string, e.g. ``'H(11.2)O(88.8)'``.
+    energy_keV : array_like
+        Photon energies [keV]; values are clamped to [1, 10000] keV.
+
+    Returns
+    -------
+    ndarray (float64) of mu/rho [cm^2/g], same shape as ``energy_keV``.
+    """
+    e = np.asarray(energy_keV, dtype=np.float64)
+    out = np.zeros_like(e)
+    for symbol, w in parse_matcomp(matcomp):
+        out = out + w * element_mu(symbol, e)
+    return out

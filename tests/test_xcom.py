@@ -1,0 +1,148 @@
+"""Known-value physics tests for the xcom attenuation module.
+
+Mirrors SURVEY.md §4 item 2: mu/rho mixtures vs anchor values, spectrum
+integral conventions, composition-string parsing.
+"""
+
+import numpy as np
+import pytest
+
+from dexct_tpu.physics import xcom
+from dexct_tpu.physics.materials import BONE, TISSUE, WATER
+
+
+WATER_ANCHORS = {  # NIST liquid-water grid values [keV] -> [cm^2/g]
+    10.0: 5.329, 20.0: 0.8096, 30.0: 0.3756, 40.0: 0.2683, 50.0: 0.2269,
+    60.0: 0.2059, 80.0: 0.1837, 100.0: 0.1707, 150.0: 0.1505, 200.0: 0.1370,
+    300.0: 0.1186, 500.0: 0.09687, 1000.0: 0.07072, 2000.0: 0.04942,
+    6000.0: 0.02770,
+}
+
+
+class TestParse:
+    def test_simple(self):
+        out = xcom.parse_matcomp("H(11.2)O(88.8)")
+        assert [s for s, _ in out] == ["H", "O"]
+        np.testing.assert_allclose([w for _, w in out], [0.112, 0.888])
+
+    def test_reference_tissue_string(self):
+        # /root/reference/matdecomp.py:13
+        out = xcom.parse_matcomp(
+            "H(10.2)C(14.3)N(3.4)O(70.8)Na(0.2)P(0.3)S(0.3)Cl(0.2)K(0.3)"
+        )
+        assert len(out) == 9
+        assert abs(sum(w for _, w in out) - 1.0) < 1e-12
+
+    def test_two_letter_symbols(self):
+        out = xcom.parse_matcomp("Ti(90)Al(6)V(4)")
+        assert [s for s, _ in out] == ["Ti", "Al", "V"]
+
+    def test_rejects_junk(self):
+        with pytest.raises(ValueError):
+            xcom.parse_matcomp("not a composition")
+        with pytest.raises(ValueError):
+            xcom.parse_matcomp("H(50)Xx(50)")
+        with pytest.raises(ValueError):
+            xcom.parse_matcomp("H(50) garbage O(50)")
+
+
+class TestWaterAnchors:
+    def test_water_matches_nist_grid(self):
+        e = np.array(sorted(WATER_ANCHORS))
+        ref = np.array([WATER_ANCHORS[x] for x in e])
+        got = xcom.mixatten("H(11.2)O(88.8)", e)
+        # Water is anchored by construction; the only slack is the 11.2/88.8
+        # vs 11.19/88.81 mass split and grid interpolation.
+        np.testing.assert_allclose(got, ref, rtol=0.02)
+
+    def test_scalar_and_shape(self):
+        v = xcom.mixatten("H(11.2)O(88.8)", 60.0)
+        assert v.shape == ()
+        assert abs(float(v) - 0.2059) / 0.2059 < 0.02
+        grid = xcom.mixatten("H(11.2)O(88.8)", np.ones((3, 4)) * 60.0)
+        assert grid.shape == (3, 4)
+
+    def test_float64_output(self):
+        assert xcom.mixatten("O(100)", np.array([60.0])).dtype == np.float64
+
+
+class TestPhysicsShape:
+    def test_monotone_decreasing_diagnostic_range(self):
+        e = np.linspace(10.0, 200.0, 50)
+        for mat in ["H(11.2)O(88.8)", TISSUE.matcomp, BONE.matcomp, "Fe(100)"]:
+            mu = xcom.mixatten(mat, e)
+            assert np.all(np.diff(mu) < 0.0), mat
+
+    def test_bone_exceeds_tissue(self):
+        e = np.array([40.0, 60.0, 80.0, 100.0, 150.0])
+        bone = BONE.linear_atten(e)
+        tissue = TISSUE.linear_atten(e)
+        assert np.all(bone > tissue)
+        # photoelectric Z-dependence: ratio larger at low energy
+        ratio = bone / tissue
+        assert ratio[0] > ratio[-1] > 1.0
+
+    def test_klein_nishina_thomson_limit(self):
+        sigma = xcom.klein_nishina_cross_section(np.array([0.01]))
+        thomson = 8.0 * np.pi / 3.0 * xcom.ELECTRON_RADIUS_CM**2
+        np.testing.assert_allclose(sigma, thomson, rtol=1e-3)
+
+    def test_klein_nishina_100keV(self):
+        sigma = float(xcom.klein_nishina_cross_section(100.0))
+        assert abs(sigma - 4.927e-25) / 4.927e-25 < 0.05
+
+    def test_iron_anchor(self):
+        # Fe @ 100 keV was a calibration anchor (~0.372 cm^2/g).
+        got = float(xcom.element_mu("Fe", 100.0))
+        assert abs(got - 0.372) / 0.372 < 0.15
+
+    def test_tungsten_k_edge_jump(self):
+        ek = float(xcom.k_edge_keV(74))
+        assert 65.0 < ek < 74.0
+        below = float(xcom.element_mu("W", ek - 2.0))
+        above = float(xcom.element_mu("W", ek + 2.0))
+        assert above / below > 2.0
+
+    def test_pair_production_rise_high_z(self):
+        # Pair production makes high-Z mu/rho rise again above a few MeV.
+        pb = xcom.element_mu("Pb", np.array([3000.0, 6000.0, 10000.0]))
+        assert pb[2] > pb[0]
+        w = xcom.mixatten("H(11.2)O(88.8)", np.array([3000.0, 10000.0]))
+        assert w[1] < w[0]  # water keeps falling
+
+    def test_cortical_bone_vs_nist(self):
+        # ICRU-44 cortical bone: the hardest mixture the reference pipeline
+        # depends on (basis material 2, matdecomp.py:15-17).
+        e = np.array([30.0, 40.0, 50.0, 60.0, 80.0, 100.0, 150.0])
+        nist = np.array([1.331, 0.6655, 0.4242, 0.3148, 0.2229, 0.186, 0.148])
+        got = BONE.mass_atten(e)
+        np.testing.assert_allclose(got, nist, rtol=0.06)
+
+    def test_soft_tissue_vs_nist(self):
+        got = float(TISSUE.mass_atten(np.array([60.0]))[0])
+        assert abs(got - 0.2048) / 0.2048 < 0.02
+
+    def test_mixture_rule_linearity(self):
+        e = np.linspace(20.0, 150.0, 20)
+        mix = xcom.mixatten("O(50)Ca(50)", e)
+        manual = 0.5 * xcom.element_mu("O", e) + 0.5 * xcom.element_mu("Ca", e)
+        np.testing.assert_allclose(mix, manual, rtol=1e-12)
+
+
+class TestRegistry:
+    def test_register_override(self):
+        e = np.array([1.0, 10000.0])
+        try:
+            xcom.register_element_table("Be", e, np.array([7.0, 7.0]))
+            np.testing.assert_allclose(
+                xcom.element_mu("Be", np.array([50.0, 500.0])), 7.0
+            )
+        finally:
+            xcom._REGISTERED.clear()
+            xcom._element_table_cached.cache_clear()
+
+    def test_register_rejects_bad(self):
+        with pytest.raises(ValueError):
+            xcom.register_element_table("Xx", [1, 2], [1, 2])
+        with pytest.raises(ValueError):
+            xcom.register_element_table("Be", [1, 2, 3], [1, 2])
