@@ -1,0 +1,23 @@
+"""System models: scanner geometry, voxel phantoms, run configuration."""
+
+from .config import RunConfig, read_parameter_file
+from .geometry import FanBeamGeometry, GEOMETRY_REGISTRY, ParallelBeamGeometry, ScannerGeometry
+from .phantom import (
+    VoxelPhantom,
+    contrast_rods_phantom,
+    pelvis_phantom,
+    water_cylinder_phantom,
+)
+
+__all__ = [
+    "RunConfig",
+    "read_parameter_file",
+    "ScannerGeometry",
+    "FanBeamGeometry",
+    "ParallelBeamGeometry",
+    "GEOMETRY_REGISTRY",
+    "VoxelPhantom",
+    "water_cylinder_phantom",
+    "contrast_rods_phantom",
+    "pelvis_phantom",
+]

@@ -1,0 +1,151 @@
+"""Run configuration: JSON params files -> typed run configs.
+
+Rebuild of the reference's ``read_parameter_file``
+(/root/reference/main.py:19, main.py:89-94).  The params file is a JSON
+object (input/params.txt:1-37) or a JSON list of such objects; the return
+value is a list of :class:`RunConfig`, each of which ALSO unpacks like the
+reference's 9-tuple::
+
+    run_id, do_fp, do_bp = params[:3]     # main.py:91
+    ct, phantom, spectrum = params[3:6]   # main.py:92
+    N_matrix, FOV, ramp = params[6:9]     # main.py:93-94
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from ..physics.spectrum import Spectrum
+from .geometry import GEOMETRY_REGISTRY, ScannerGeometry
+from .phantom import VoxelPhantom
+
+__all__ = ["RunConfig", "read_parameter_file"]
+
+
+@dataclasses.dataclass
+class RunConfig:
+    run_id: str
+    do_forward_projection: bool
+    do_back_projection: bool
+    ct: ScannerGeometry
+    phantom: VoxelPhantom
+    spectrum: Spectrum | None
+    N_matrix: int
+    FOV: float
+    ramp: float
+    raw: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def _as_tuple(self):
+        return (
+            self.run_id,
+            self.do_forward_projection,
+            self.do_back_projection,
+            self.ct,
+            self.phantom,
+            self.spectrum,
+            self.N_matrix,
+            self.FOV,
+            self.ramp,
+        )
+
+    def __getitem__(self, idx):
+        return self._as_tuple()[idx]
+
+    def __iter__(self):
+        return iter(self._as_tuple())
+
+    def __len__(self):
+        return 9
+
+
+def _na(value):
+    return value is None or (isinstance(value, str) and value.upper() == "NA")
+
+
+def _build_geometry(cfg):
+    kind = cfg.get("scanner_geometry", "fan_beam")
+    if kind not in GEOMETRY_REGISTRY:
+        raise ValueError(
+            f"unknown scanner_geometry {kind!r}; known: "
+            f"{sorted(GEOMETRY_REGISTRY)}"
+        )
+    common = dict(
+        N_channels=int(cfg.get("N_channels", 800)),
+        N_proj=int(cfg.get("N_projections", 1200)),
+        rotation_total=float(cfg.get("rotation_angle_total", 2.0 * np.pi)),
+        h_iso=float(cfg.get("detector_px_height", 1.0)),
+        eid=str(cfg.get("detector_mode", "eid")).lower() == "eid",
+        detector_file=(None if _na(cfg.get("detector_filename"))
+                       else cfg.get("detector_filename")),
+    )
+    if kind == "fan_beam":
+        return GEOMETRY_REGISTRY[kind](
+            SID=float(cfg.get("SID", 60.0)),
+            SDD=float(cfg.get("SDD", 100.0)),
+            gamma_fan=float(cfg.get("fan_angle_total", 0.8230337)),
+            **common,
+        )
+    return GEOMETRY_REGISTRY[kind](
+        detector_width=float(cfg.get("detector_width", 50.0)), **common
+    )
+
+
+def _build_phantom(cfg):
+    if cfg.get("phantom_type", "voxel") != "voxel":
+        raise ValueError(f"unknown phantom_type {cfg.get('phantom_type')!r}")
+    return VoxelPhantom.from_file(
+        name=cfg.get("phantom_id", "phantom"),
+        filename=cfg["phantom_filename"],
+        matcomp_csv=cfg["matcomp_filename"],
+        Nx=int(cfg["Nx"]),
+        Ny=int(cfg["Ny"]),
+        Nz=int(cfg.get("Nz", 1)),
+        dx=float(cfg.get("dx", 0.1)),
+        dy=float(cfg.get("dy", 0.1)),
+        dz=float(cfg.get("dz", 0.1)),
+        z_index=int(cfg.get("z_index", 0)),
+    )
+
+
+def _build_spectrum(cfg):
+    fname = cfg.get("spectrum_filename")
+    if _na(fname):
+        return None  # assigned later by the DECT driver (main.py:92)
+    spec = Spectrum.from_file(fname, cfg.get("spectrum_id", ""))
+    counts = cfg.get("N_photons_per_cm2_per_scan")
+    if not _na(counts):
+        spec.rescale_counts(float(counts) / max(spec.total_counts, 1e-300))
+    return spec
+
+
+def parse_config_dict(cfg):
+    """One JSON object -> RunConfig."""
+    return RunConfig(
+        run_id=str(cfg.get("RUN_ID", "run")),
+        do_forward_projection=bool(cfg.get("forward_project", True)),
+        do_back_projection=bool(cfg.get("back_project", True)),
+        ct=_build_geometry(cfg),
+        phantom=_build_phantom(cfg),
+        spectrum=_build_spectrum(cfg),
+        N_matrix=int(cfg.get("N_recon_matrix", 512)),
+        FOV=float(cfg.get("FOV_recon", 50.0)),
+        ramp=float(cfg.get("ramp_filter_percent_Nyquist", 0.8)),
+        raw=dict(cfg),
+    )
+
+
+def read_parameter_file(path):
+    """JSON params file -> list of RunConfig (main.py:89-90 contract).
+
+    Relative paths inside the file resolve against the process CWD, matching
+    the reference's ``./input/...`` convention (params.txt:8-9,28).
+    """
+    with open(os.fspath(path)) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = [data]
+    return [parse_config_dict(cfg) for cfg in data]

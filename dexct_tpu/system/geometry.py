@@ -1,0 +1,162 @@
+"""Scanner geometry models.
+
+Rebuild of the reference's (missing) ``xtomosim.system`` geometry class —
+README.md:14 calls it "ScannerGeometry", the analysis script constructs
+``FanBeamGeometry(N_channels=800, N_proj=1200, gamma_fan=0.8230337, SID=60.0,
+SDD=100.0, h_iso=1.0, eid=True, detector_file=...)``
+(/root/reference/plots.py:109-111).  Attribute surface pinned by call sites:
+``.A_iso``/``.N_proj`` (main.py:68), ``.det_E``/``.det_eta_E``/``.eid``
+(matdecomp.py:146-148).
+
+Coordinate conventions (self-consistent across projector, backprojector and
+phantom; SURVEY.md §3.3):
+
+* World (x, y) in cm, isocenter at the origin.  Array index ``[iy, ix]``
+  maps to ``x = (ix + 0.5 - Nx/2) dx``, ``y = (iy + 0.5 - Ny/2) dy``.
+* Source at view angle beta: ``p_src = SID (cos beta, sin beta)``.
+* Channel c has fan angle ``gamma_c = (c + 0.5 - N_channels/2) dgamma`` with
+  ``dgamma = gamma_fan / N_channels``; its unit ray direction is
+  ``-(cos(beta + gamma), sin(beta + gamma))``.
+* ``A_iso = (SID dgamma) h_iso`` — effective channel area at isocenter used
+  for the dose -> counts conversion (main.py:68; SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..physics.detector import DetectorResponse
+
+__all__ = ["ScannerGeometry", "FanBeamGeometry", "ParallelBeamGeometry",
+           "GEOMETRY_REGISTRY"]
+
+
+@dataclasses.dataclass
+class ScannerGeometry:
+    """Base CT acquisition geometry (shared channel/view bookkeeping)."""
+
+    N_channels: int = 800
+    N_proj: int = 1200
+    rotation_total: float = 2.0 * np.pi  # JSON rotation_angle_total
+    h_iso: float = 1.0  # detector row height at isocenter [cm]
+    eid: bool = True  # energy-integrating (True) vs photon-counting
+    detector_file: str | None = None
+    detector: DetectorResponse | None = None
+
+    def __post_init__(self):
+        if self.detector is None:
+            if self.detector_file:
+                self.detector = DetectorResponse.from_file(self.detector_file)
+            else:
+                self.detector = DetectorResponse.ideal()
+
+    # -- reference-compatible detector attributes (matdecomp.py:146) --------
+    @property
+    def det_E(self):
+        return self.detector.E
+
+    @property
+    def det_eta_E(self):
+        return self.detector.eta
+
+    @property
+    def betas(self):
+        """View angles [rad], shape [N_proj]."""
+        return (np.arange(self.N_proj) * self.rotation_total / self.N_proj)
+
+    def detector_response(self, energy_keV):
+        """eta(E) including EID energy weighting (matdecomp.py:146-148)."""
+        return self.detector.response(energy_keV, eid=self.eid)
+
+
+@dataclasses.dataclass
+class FanBeamGeometry(ScannerGeometry):
+    """Equiangular fan-beam geometry (params.txt:18-28)."""
+
+    SID: float = 60.0  # source-isocenter distance [cm]
+    SDD: float = 100.0  # source-detector distance [cm]
+    gamma_fan: float = 0.8230337  # total fan angle [rad]
+
+    @property
+    def dgamma(self):
+        return self.gamma_fan / self.N_channels
+
+    @property
+    def gammas(self):
+        """Channel fan angles [rad], shape [N_channels]."""
+        return (np.arange(self.N_channels) + 0.5
+                - self.N_channels / 2.0) * self.dgamma
+
+    @property
+    def A_iso(self):
+        """Effective channel area at isocenter [cm^2] (SURVEY.md §2.3)."""
+        return self.SID * self.dgamma * self.h_iso
+
+    @property
+    def fov_radius(self):
+        """Radius of the fully-sampled field of view [cm]."""
+        return self.SID * np.sin(self.gamma_fan / 2.0)
+
+    def ray_geometry(self):
+        """All source points and unit ray directions.
+
+        Returns ``(src, dirs)``, both shaped [N_proj, N_channels, 2]
+        (float64) — the uniform contract shared by all geometries.
+        """
+        betas = self.betas
+        src = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+        src = np.broadcast_to(
+            src[:, None, :], (self.N_proj, self.N_channels, 2)
+        ).copy()
+        ang = betas[:, None] + self.gammas[None, :]
+        dirs = -np.stack([np.cos(ang), np.sin(ang)], -1)
+        return src, dirs
+
+
+@dataclasses.dataclass
+class ParallelBeamGeometry(ScannerGeometry):
+    """Parallel-beam geometry (extension; not in the reference snapshot).
+
+    Channels are uniformly spaced detector positions spanning
+    ``detector_width`` at the isocenter; all rays of a view share direction.
+    """
+
+    detector_width: float = 50.0  # [cm]
+    source_radius: float = 100.0  # ray start offset [cm], outside any phantom
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.rotation_total == 2.0 * np.pi:
+            # parallel data is 180-degree complete; default accordingly
+            self.rotation_total = np.pi
+
+    @property
+    def ds(self):
+        return self.detector_width / self.N_channels
+
+    @property
+    def s_positions(self):
+        """Lateral channel offsets [cm], shape [N_channels]."""
+        return (np.arange(self.N_channels) + 0.5
+                - self.N_channels / 2.0) * self.ds
+
+    @property
+    def A_iso(self):
+        return self.ds * self.h_iso
+
+    def ray_geometry(self):
+        betas = self.betas
+        n = np.stack([np.cos(betas), np.sin(betas)], -1)  # toward source
+        t = np.stack([-np.sin(betas), np.cos(betas)], -1)  # lateral
+        src = (self.source_radius * n[:, None, :]
+               + self.s_positions[None, :, None] * t[:, None, :])
+        dirs = np.broadcast_to(-n[:, None, :], src.shape).copy()
+        return src, dirs
+
+
+GEOMETRY_REGISTRY = {
+    "fan_beam": FanBeamGeometry,
+    "parallel_beam": ParallelBeamGeometry,
+}

@@ -1,0 +1,246 @@
+"""Voxel phantoms: label volumes + material tables + analytic generators.
+
+Rebuild of the reference's (missing) ``xtomosim.system.VoxelPhantom``
+(constructed at /root/reference/plots.py:124-126 as
+``VoxelPhantom(name, filename, matcomp_csv, Nx, Ny, Nz, z_index=0)``; JSON
+keys incl. voxel sizes at params.txt:6-16).  The voxel file is a uint8
+material-label volume (filename convention ``*_uint8_512_512_1_1mm.bin``,
+SURVEY.md §2.4) whose labels index a materials CSV
+(:mod:`dexct_tpu.physics.materials`).
+
+The reference's XCAT pelvis phantoms are not in the snapshot (SURVEY.md
+§0.2); the generators at the bottom of this module synthesize equivalent
+anthropomorphic and calibration phantoms from analytic shapes.
+
+``M_mono(E0)`` is the analytic monoenergetic ground-truth HU image used as
+the test oracle (plots.py:252, 290-301; SURVEY.md §4 item 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..physics import xcom
+from ..physics.materials import (
+    ADIPOSE,
+    AIR,
+    BONE,
+    Material,
+    MaterialTable,
+    MUSCLE,
+    STEEL_316L,
+    TISSUE,
+    TITANIUM,
+    WATER,
+)
+
+__all__ = [
+    "VoxelPhantom",
+    "water_cylinder_phantom",
+    "pelvis_phantom",
+    "contrast_rods_phantom",
+]
+
+
+@dataclasses.dataclass
+class VoxelPhantom:
+    """A voxelized object: uint8 labels [Nz, Ny, Nx] + material table.
+
+    ``dx, dy, dz`` are voxel sizes in cm (params.txt:11-15); the grid is
+    centered on the isocenter (geometry.py conventions).
+    """
+
+    name: str
+    labels: np.ndarray  # uint8 [Nz, Ny, Nx]
+    materials: MaterialTable
+    dx: float = 0.1
+    dy: float = 0.1
+    dz: float = 0.1
+    z_index: int = 0
+
+    def __post_init__(self):
+        self.labels = np.asarray(self.labels)
+        if self.labels.ndim == 2:
+            self.labels = self.labels[None]
+        if self.labels.ndim != 3:
+            raise ValueError("labels must be [Nz, Ny, Nx] or [Ny, Nx]")
+        if self.labels.dtype != np.uint8:
+            if self.labels.max(initial=0) > 255 or self.labels.min(initial=0) < 0:
+                raise ValueError("labels out of uint8 range")
+            self.labels = self.labels.astype(np.uint8)
+        if int(self.labels.max()) >= len(self.materials):
+            raise ValueError(
+                f"label {int(self.labels.max())} exceeds material table size "
+                f"{len(self.materials)}"
+            )
+
+    # -- shape properties ----------------------------------------------------
+    @property
+    def Nz(self):
+        return self.labels.shape[0]
+
+    @property
+    def Ny(self):
+        return self.labels.shape[1]
+
+    @property
+    def Nx(self):
+        return self.labels.shape[2]
+
+    @property
+    def n_materials(self):
+        return len(self.materials)
+
+    def slice_labels(self, z_index=None):
+        """The working 2-D label slice [Ny, Nx] (params.txt:16 z_index)."""
+        z = self.z_index if z_index is None else z_index
+        return self.labels[z]
+
+    # -- physics -------------------------------------------------------------
+    def mu_image(self, energy_keV, z_index=None):
+        """Linear attenuation image(s) [1/cm].
+
+        Scalar energy -> [Ny, Nx]; energy grid of length E -> [E, Ny, Nx].
+        """
+        e = np.atleast_1d(np.asarray(energy_keV, dtype=np.float64))
+        lut = self.materials.mu_table(e)  # [n_mat, E]
+        img = lut.T[:, self.slice_labels(z_index)]  # [E, Ny, Nx]
+        return img[0] if np.isscalar(energy_keV) or np.ndim(energy_keV) == 0 else img
+
+    def M_mono(self, E0, z_index=None):
+        """Monoenergetic ground-truth HU image at energy ``E0`` keV.
+
+        The analytic oracle of the reference (plots.py:252; air-mask
+        threshold -900 HU at plots.py:226-231 confirms HU units).
+        """
+        mu = self.mu_image(float(E0), z_index)
+        mu_w = float(xcom.mixatten("H(11.2)O(88.8)", float(E0)))
+        return 1000.0 * (mu - mu_w) / mu_w
+
+    def density_image(self, z_index=None):
+        """Mass density image [g/cm^3]."""
+        return self.materials.densities[self.slice_labels(z_index)]
+
+    # -- IO (reference binary contract, SURVEY.md §2.4) ----------------------
+    @classmethod
+    def from_file(cls, name, filename, matcomp_csv, Nx, Ny, Nz=1,
+                  dx=0.1, dy=0.1, dz=0.1, z_index=0):
+        """Reference-compatible constructor (plots.py:124-126)."""
+        labels = np.fromfile(os.fspath(filename), dtype=np.uint8)
+        if labels.size != Nx * Ny * Nz:
+            raise ValueError(
+                f"{filename}: got {labels.size} voxels, expected "
+                f"{Nx}*{Ny}*{Nz}"
+            )
+        labels = labels.reshape(Nz, Ny, Nx)
+        materials = MaterialTable.from_csv(matcomp_csv)
+        return cls(name, labels, materials, dx, dy, dz, z_index)
+
+    def to_file(self, filename, matcomp_csv=None):
+        self.labels.astype(np.uint8).tofile(os.fspath(filename))
+        if matcomp_csv:
+            self.materials.to_csv(matcomp_csv)
+
+
+# ---------------------------------------------------------------------------
+# Analytic generators (fill the missing input/phantom/ gap, SURVEY.md §0.2)
+# ---------------------------------------------------------------------------
+
+def _grid(N, d):
+    """Pixel-center world coordinates for an N-wide axis."""
+    return (np.arange(N) + 0.5 - N / 2.0) * d
+
+
+def _ellipse_mask(N, d, cx, cy, rx, ry, angle=0.0):
+    x = _grid(N, d)[None, :] - cx
+    y = _grid(N, d)[:, None] - cy
+    c, s = np.cos(angle), np.sin(angle)
+    xr = c * x + s * y
+    yr = -s * x + c * y
+    return (xr / rx) ** 2 + (yr / ry) ** 2 <= 1.0
+
+
+def water_cylinder_phantom(N=128, dx=0.1, radius_cm=None, name="water_cyl"):
+    """Uniform water cylinder in air — the config-1 calibration phantom
+    (BASELINE.json configs[0])."""
+    radius = radius_cm if radius_cm is not None else 0.4 * N * dx
+    labels = _ellipse_mask(N, dx, 0.0, 0.0, radius, radius).astype(np.uint8)
+    return VoxelPhantom(name, labels, MaterialTable([AIR, WATER]),
+                        dx, dx, dx)
+
+
+def contrast_rods_phantom(N=256, dx=0.1, name="contrast_rods"):
+    """Water cylinder with tissue/bone/adipose rod inserts — a CT
+    quality-assurance style phantom for contrast/CNR studies."""
+    body_r = 0.42 * N * dx
+    rod_r = 0.07 * N * dx
+    ring_r = 0.25 * N * dx
+    labels = _ellipse_mask(N, dx, 0, 0, body_r, body_r).astype(np.uint8)
+    rods = [TISSUE, BONE, ADIPOSE, MUSCLE]
+    for i, _ in enumerate(rods):
+        ang = 2.0 * np.pi * i / len(rods)
+        cx, cy = ring_r * np.cos(ang), ring_r * np.sin(ang)
+        labels[_ellipse_mask(N, dx, cx, cy, rod_r, rod_r)] = i + 2
+    return VoxelPhantom(
+        name, labels, MaterialTable([AIR, WATER] + rods), dx, dx, dx
+    )
+
+
+def pelvis_phantom(N=512, dx=0.1, implant=None, name=None):
+    """Synthetic anthropomorphic pelvis slice.
+
+    Replaces the reference's absent XCAT pelvis phantoms
+    (``xcat_pelvis*_uint8_512_512_1_1mm.bin``, plots.py:120-127).  Label map:
+    0 air, 1 adipose (subcutaneous), 2 soft tissue, 3 muscle, 4 bone,
+    5 water (bladder), and optionally 6 = metal implant
+    (``implant in {'titanium', 'steel'}`` mirrors the pelvis_titanium /
+    pelvis_steel variants at plots.py:124-127).
+    """
+    half = N * dx / 2.0
+    body_rx, body_ry = 0.82 * half, 0.58 * half
+    labels = np.zeros((N, N), dtype=np.uint8)
+
+    labels[_ellipse_mask(N, dx, 0, 0, body_rx, body_ry)] = 1  # adipose shell
+    labels[_ellipse_mask(N, dx, 0, 0, 0.92 * body_rx, 0.88 * body_ry)] = 2
+
+    # gluteal / paraspinal muscle masses
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.45 * body_rx, -0.35 * body_ry,
+                             0.30 * body_rx, 0.38 * body_ry,
+                             angle=sx * 0.3)] = 3
+
+    # bladder
+    labels[_ellipse_mask(N, dx, 0.0, 0.12 * body_ry, 0.22 * body_rx,
+                         0.30 * body_ry)] = 5
+
+    # iliac wings
+    for sx in (-1, 1):
+        wing = _ellipse_mask(N, dx, sx * 0.52 * body_rx, 0.18 * body_ry,
+                             0.16 * body_rx, 0.42 * body_ry,
+                             angle=-sx * 0.5)
+        inner = _ellipse_mask(N, dx, sx * 0.52 * body_rx, 0.18 * body_ry,
+                              0.10 * body_rx, 0.34 * body_ry,
+                              angle=-sx * 0.5)
+        labels[wing & ~inner] = 4
+    # sacrum
+    labels[_ellipse_mask(N, dx, 0.0, -0.52 * body_ry, 0.18 * body_rx,
+                         0.22 * body_ry)] = 4
+    # femoral heads
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.62 * body_rx, -0.30 * body_ry,
+                             0.085 * body_rx, 0.12 * body_ry)] = 4
+
+    mats = [AIR, ADIPOSE, TISSUE, MUSCLE, BONE, WATER]
+    if implant:
+        metal = {"titanium": TITANIUM, "steel": STEEL_316L}[implant]
+        mats.append(metal)
+        # implant replaces the right femoral head
+        labels[_ellipse_mask(N, dx, 0.62 * body_rx, -0.30 * body_ry,
+                             0.06 * body_rx, 0.09 * body_ry)] = 6
+
+    default_name = "pelvis" + (f"_{implant}" if implant else "")
+    return VoxelPhantom(name or default_name, labels, MaterialTable(mats),
+                        dx, dx, dx)
