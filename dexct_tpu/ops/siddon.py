@@ -1,0 +1,173 @@
+"""Exact Siddon ray tracing as a TPU-friendly XLA program.
+
+Rebuild of the reference's (missing) ``xtomosim.forward_project`` hot loop
+(interface pinned at /root/reference/main.py:120; algorithm per README.md:28
+and Siddon 1985).  The TPU-native design differs from a CUDA port in two
+fundamental ways (SURVEY.md §2.7, §7):
+
+1. **Material-path formulation**: instead of marching each ray once per
+   energy bin, the kernel accumulates the exact intersection length of each
+   ray with each *material label*: ``paths[view, channel, material]``.  The
+   polyenergetic forward model then becomes two MXU matmuls
+   (:mod:`dexct_tpu.ops.spectral`), turning the 140-240x energy axis from a
+   marching loop into systolic-array work.
+
+2. **Bounded static traversal**: Siddon's variable-length voxel walk becomes
+   a fixed-trip-count ``lax.scan`` of Nx+Ny+1 DDA steps (the maximum number
+   of cells a 2-D ray can cross), vmapped over all rays.  No data-dependent
+   shapes, so XLA compiles a single fused kernel; inactive steps contribute
+   zero-length segments.
+
+The traversal is *exact* (not interpolated): per-cell segment lengths are
+differences of consecutive parametric plane crossings, identical to Siddon's
+alpha-merging formulation (validated against an independent float64
+sort-based oracle in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["material_path_sinogram", "mono_sinogram", "trace_paths"]
+
+_BIG = 1e30
+
+
+def _ray_setup(labels_shape, src, dirs, dx, dy, dtype):
+    """Entry/exit parameters and DDA state for a batch of rays.
+
+    src, dirs: [..., 2] world-space origins and unit directions.
+    Grid: Ny x Nx cells of size (dx, dy) centered on the origin.
+    """
+    ny, nx = labels_shape
+    x0 = -0.5 * nx * dx
+    y0 = -0.5 * ny * dy
+
+    px, py = src[..., 0], src[..., 1]
+    dxr, dyr = dirs[..., 0], dirs[..., 1]
+
+    def axis_setup(p, d, g0, cell, n):
+        ok = jnp.abs(d) > 1e-12
+        safe_d = jnp.where(ok, d, 1.0)
+        t_lo = (g0 - p) / safe_d
+        t_hi = (g0 + n * cell - p) / safe_d
+        # axis-parallel rays: inside the slab -> unbounded, outside -> miss
+        inside = (p >= g0) & (p <= g0 + n * cell)
+        tmin = jnp.where(ok, jnp.minimum(t_lo, t_hi),
+                         jnp.where(inside, -_BIG, _BIG))
+        tmax = jnp.where(ok, jnp.maximum(t_lo, t_hi),
+                         jnp.where(inside, _BIG, -_BIG))
+        return ok, safe_d, tmin, tmax
+
+    okx, sdx, txmin, txmax = axis_setup(px, dxr, x0, dx, nx)
+    oky, sdy, tymin, tymax = axis_setup(py, dyr, y0, dy, ny)
+
+    t_in = jnp.maximum(jnp.maximum(txmin, tymin), 0.0)
+    t_out = jnp.minimum(txmax, tymax)
+    hit = t_in < t_out
+    t_out = jnp.where(hit, t_out, t_in)  # zero-length traversal on miss
+
+    # Entry cell (nudged inside to break boundary ties).
+    eps = 1e-6 * (dx + dy)
+    ex = px + (t_in + eps) * dxr
+    ey = py + (t_in + eps) * dyr
+    ix = jnp.clip(jnp.floor((ex - x0) / dx), 0, nx - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor((ey - y0) / dy), 0, ny - 1).astype(jnp.int32)
+
+    # Next-crossing parameters and per-step increments.
+    def next_crossing(p, d, ok, safe_d, g0, cell, idx):
+        plane = g0 + (idx + (d > 0)) * cell
+        t_next = jnp.where(ok, (plane - p) / safe_d, _BIG)
+        dt = jnp.where(ok, cell / jnp.abs(safe_d), _BIG)
+        step = jnp.where(ok, jnp.sign(d), 0.0).astype(jnp.int32)
+        return t_next, dt, step
+
+    tnx, dtx, sx = next_crossing(px, dxr, okx, sdx, x0, dx, ix)
+    tny, dty, sy = next_crossing(py, dyr, oky, sdy, y0, dy, iy)
+
+    as_t = lambda a: a.astype(dtype)
+    return (as_t(t_in), as_t(t_out), ix, iy, as_t(tnx), as_t(tny),
+            as_t(dtx), as_t(dty), sx, sy)
+
+
+@functools.partial(jax.jit, static_argnames=("n_materials", "n_steps"))
+def trace_paths(labels, src, dirs, dx, dy, *, n_materials, n_steps=None):
+    """Exact per-material radiological paths for a batch of rays.
+
+    Parameters
+    ----------
+    labels : int array [Ny, Nx] — material label per cell.
+    src, dirs : float arrays [..., 2] — ray origins / unit directions.
+    dx, dy : cell sizes [cm].
+    n_materials : static — number of material labels.
+    n_steps : static — traversal trip count; default Nx+Ny+1 (exact bound).
+
+    Returns
+    -------
+    paths : float array [..., n_materials] — intersection length [cm] of
+        each ray with cells of each material.  ``paths.sum(-1)`` equals the
+        in-grid chord length of the ray.
+    """
+    ny, nx = labels.shape
+    k = n_steps if n_steps is not None else nx + ny + 1
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    flat_labels = labels.reshape(-1).astype(jnp.int32)
+
+    batch_shape = src.shape[:-1]
+    src2 = src.reshape(-1, 2).astype(dtype)
+    dirs2 = dirs.reshape(-1, 2).astype(dtype)
+
+    (t, t_out, ix, iy, tnx, tny, dtx, dty, sx, sy) = _ray_setup(
+        (ny, nx), src2, dirs2, dx, dy, dtype
+    )
+    n_rays = src2.shape[0]
+    acc = jnp.zeros((n_rays, n_materials), dtype)
+
+    def step(carry, _):
+        t, ix, iy, tnx, tny, acc = carry
+        # clamp into [t, t_out] so misses and exhausted rays stay inert
+        t_next = jnp.maximum(jnp.minimum(jnp.minimum(tnx, tny), t_out), t)
+        seg = t_next - t
+        lab = flat_labels[iy * nx + ix]
+        acc = acc + seg[:, None] * jax.nn.one_hot(lab, n_materials,
+                                                  dtype=dtype)
+        take_x = tnx <= tny
+        ix = jnp.clip(jnp.where(take_x, ix + sx, ix), 0, nx - 1)
+        iy = jnp.clip(jnp.where(take_x, iy, iy + sy), 0, ny - 1)
+        tnx = jnp.where(take_x, tnx + dtx, tnx)
+        tny = jnp.where(take_x, tny, tny + dty)
+        return (t_next, ix, iy, tnx, tny, acc), None
+
+    (_, _, _, _, _, acc), _ = jax.lax.scan(
+        step, (t, ix, iy, tnx, tny, acc), None, length=k
+    )
+    return acc.reshape(*batch_shape, n_materials)
+
+
+def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32):
+    """Full material-path sinogram [N_proj, N_channels, n_materials].
+
+    Host-side convenience wrapper: derives ray geometry from the
+    :class:`~dexct_tpu.system.geometry.ScannerGeometry` and traces on
+    device.  The jit boundary is :func:`trace_paths`.
+    """
+    src, dirs = geometry.ray_geometry()
+    labels = jnp.asarray(phantom.slice_labels())
+    return trace_paths(
+        labels,
+        jnp.asarray(src, dtype),
+        jnp.asarray(dirs, dtype),
+        float(phantom.dx),
+        float(phantom.dy),
+        n_materials=phantom.n_materials,
+    )
+
+
+def mono_sinogram(paths, mu_per_material):
+    """Monoenergetic line-integral sinogram: paths contracted with a
+    per-material linear attenuation vector [1/cm]."""
+    mu = jnp.asarray(mu_per_material, paths.dtype)
+    return paths @ mu

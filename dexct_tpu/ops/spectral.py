@@ -1,0 +1,106 @@
+"""Polyenergetic forward model: material paths -> detected counts.
+
+The second half of the reference's ``get_sino`` (/root/reference/main.py:120;
+physics form pinned by the decomposition solver's identical forward model,
+matdecomp.py:116-118 and 144-151):
+
+    counts(ray) = sum_E I0(E) eta(E) [E if eid] dE * exp(-sum_m l_m mu_m(E))
+
+On TPU this is two MXU matmuls over the material-path sinogram produced by
+:mod:`dexct_tpu.ops.siddon`:
+
+    L[rays, E]   = paths[rays, mats] @ mu[mats, E]
+    counts[rays] = exp(-L) @ i0_eff[E]
+
+plus optional Poisson noise (an explicit, seedable stage — the reference's
+noise behavior is not observable in the snapshot, SURVEY.md §2.3 decision).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "effective_fluence",
+    "counts_from_paths",
+    "log_sinogram",
+    "sample_noise",
+    "forward_counts",
+]
+
+
+def effective_fluence(spec, geometry):
+    """Detector-weighted fluence per energy bin: i0_eff[E] (host, float64).
+
+    ``I0(E) * eta(E) * [E if eid] * dE`` with dE[0] = E[0] — exactly the
+    construction the GN decomposition applies on its union grid
+    (matdecomp.py:146-151), evaluated here on the spectrum's own grid.
+    """
+    resp = geometry.detector_response(spec.E)
+    return spec.I0 * resp * spec.bin_widths()
+
+
+@functools.partial(jax.jit, static_argnames=())
+def counts_from_paths(paths, mu_table, i0_eff):
+    """Detected signal per ray.
+
+    paths:    [..., n_mats] material path lengths [cm]
+    mu_table: [n_mats, E] linear attenuation of each material [1/cm]
+    i0_eff:   [E] effective fluence per bin
+    Returns [...] detected counts (energy-weighted signal for EID).
+    """
+    dtype = paths.dtype
+    L = paths @ mu_table.astype(dtype)  # [..., E]
+    # clip mirrors the reference solver's exp-range guard (matdecomp.py:116)
+    atten = jnp.exp(jnp.clip(-L, -700.0, 700.0))
+    return atten @ i0_eff.astype(dtype)
+
+
+def log_sinogram(counts, air_counts):
+    """Log-normalized line-integral sinogram: -ln(counts / air)."""
+    c = jnp.maximum(counts, 1e-30)
+    return -jnp.log(c / air_counts)
+
+
+def sample_noise(key, counts, mode="poisson", var_scale=1.0):
+    """Seedable detector-noise stage.
+
+    mode='poisson': Poisson counting statistics on the detected signal —
+        consistent with the decomposition's Poisson-MLE model
+        (matdecomp.py:28-30).
+    mode='gaussian': Normal approximation with variance ``var_scale *
+        counts`` — models compound (energy-weighted) statistics for EID
+        where the signal is not strictly Poisson.
+    mode='none': pass-through.
+    """
+    if mode == "none":
+        return counts
+    if mode == "poisson":
+        return jax.random.poisson(key, counts).astype(counts.dtype)
+    if mode == "gaussian":
+        sigma = jnp.sqrt(jnp.maximum(counts * var_scale, 0.0))
+        return counts + sigma * jax.random.normal(key, counts.shape,
+                                                  counts.dtype)
+    raise ValueError(f"unknown noise mode {mode!r}")
+
+
+def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
+                   dtype=jnp.float32):
+    """paths -> (counts, log_sino): the get_sino back half.
+
+    Returns device arrays shaped like ``paths[..., 0]``.
+    """
+    e = spec.E
+    mu_table = jnp.asarray(phantom.materials.mu_table(e), dtype)
+    i0 = jnp.asarray(effective_fluence(spec, geometry), dtype)
+    counts = counts_from_paths(paths.astype(dtype), mu_table, i0)
+    air = float(np.sum(effective_fluence(spec, geometry)))
+    if noise != "none":
+        if key is None:
+            raise ValueError("noise sampling requires a PRNG key")
+        counts = sample_noise(key, counts, noise)
+    return counts, log_sinogram(counts, air)

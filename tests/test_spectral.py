@@ -1,0 +1,117 @@
+"""Tests for the polyenergetic forward model (counts, log sino, noise)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexct_tpu.ops.siddon import material_path_sinogram
+from dexct_tpu.ops.spectral import (
+    counts_from_paths,
+    effective_fluence,
+    forward_counts,
+    log_sinogram,
+    sample_noise,
+)
+from dexct_tpu.physics import kramers_spectrum
+from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+
+def small_setup():
+    ph = water_cylinder_phantom(N=64, dx=0.2)
+    ct = FanBeamGeometry(N_channels=64, N_proj=24, gamma_fan=0.5,
+                         SID=40.0, SDD=70.0, eid=True)
+    spec = kramers_spectrum(120.0)
+    spec.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+    return ph, ct, spec
+
+
+class TestEffectiveFluence:
+    def test_eid_weighting_and_de(self):
+        ph, ct, spec = small_setup()
+        i0 = effective_fluence(spec, ct)
+        assert i0.shape == spec.E.shape
+        # EID: weighted by E and the ideal detector -> i0 = I0 * E * dE
+        np.testing.assert_allclose(
+            i0, spec.I0 * spec.E * spec.bin_widths(), rtol=1e-12
+        )
+
+    def test_counts_magnitude_reference_protocol(self):
+        """80kV @ 1 mGy, reference geometry: I0 per channel-view ~ 4e7
+        photons (decoded spectrum integral x A_iso x dose / N_proj,
+        SURVEY.md §2.4)."""
+        ct = FanBeamGeometry()
+        spec = kramers_spectrum(80.0)
+        spec.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        assert abs(spec.total_counts - 7.8e11 * ct.A_iso / 1200.0) < 1e5
+
+
+class TestForwardModel:
+    def test_air_ray_zero_log(self):
+        ph, ct, spec = small_setup()
+        paths = material_path_sinogram(ph, ct)
+        counts, slog = forward_counts(paths, ph, spec, ct)
+        slog = np.asarray(slog)
+        # corner channels miss the 5 cm cylinder -> log sino ~ 0 (air ~ 0
+        # attenuation but not exactly zero: air material in table)
+        assert abs(slog[0, 0]) < 1e-3
+        # central channels strongly attenuated
+        assert slog[:, 32].min() > 1.0
+
+    def test_counts_monotone_in_path(self):
+        mu = jnp.array([[0.2]])
+        i0 = jnp.array([1000.0])
+        paths = jnp.array([[0.0], [5.0], [10.0]])
+        c = np.asarray(counts_from_paths(paths, mu, i0))
+        assert c[0] == 1000.0
+        np.testing.assert_allclose(c[1], 1000.0 * np.exp(-1.0), rtol=1e-5)
+        assert c[0] > c[1] > c[2]
+
+    def test_beam_hardening_signature(self):
+        """Polyenergetic log sino grows sub-linearly with path length."""
+        ph, ct, spec = small_setup()
+        mu_table = jnp.asarray(ph.materials.mu_table(spec.E), jnp.float32)
+        i0 = jnp.asarray(effective_fluence(spec, ct), jnp.float32)
+        paths = jnp.stack(
+            [jnp.zeros(3), jnp.array([5.0, 10.0, 20.0])], -1
+        )
+        c = counts_from_paths(paths, mu_table, i0)
+        slog = np.asarray(log_sinogram(c, float(i0.sum())))
+        mu_eff_5 = slog[0] / 5.0
+        mu_eff_20 = slog[2] / 20.0
+        assert mu_eff_20 < mu_eff_5  # hardened beam attenuates less
+
+    def test_log_sinogram_roundtrip(self):
+        air = 1e6
+        c = jnp.array([1e6, 1e5, 1e3])
+        s = np.asarray(log_sinogram(c, air))
+        np.testing.assert_allclose(s, [0.0, np.log(10.0), np.log(1000.0)],
+                                   rtol=1e-5)
+
+
+class TestNoise:
+    def test_poisson_seeded_deterministic(self):
+        key = jax.random.PRNGKey(7)
+        c = jnp.full((64, 64), 1e4)
+        a = np.asarray(sample_noise(key, c, "poisson"))
+        b = np.asarray(sample_noise(key, c, "poisson"))
+        np.testing.assert_array_equal(a, b)
+        assert a.std() > 50.0  # ~sqrt(1e4)=100
+
+    def test_poisson_statistics(self):
+        key = jax.random.PRNGKey(3)
+        lam = 5e3
+        c = jnp.full((200, 200), lam)
+        s = np.asarray(sample_noise(key, c, "poisson"))
+        assert abs(s.mean() - lam) / lam < 0.01
+        assert abs(s.var() - lam) / lam < 0.05
+
+    def test_gaussian_mode(self):
+        key = jax.random.PRNGKey(3)
+        c = jnp.full((100, 100), 1e4)
+        s = np.asarray(sample_noise(key, c, "gaussian", var_scale=2.0))
+        assert abs(s.var() - 2e4) / 2e4 < 0.1
+
+    def test_none_mode_passthrough(self):
+        c = jnp.array([1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(sample_noise(None, c, "none")),
+                                      [1.0, 2.0])
