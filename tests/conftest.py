@@ -1,14 +1,25 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware via JAX's forced host
-platform device count (SURVEY.md §4 item 5).  Must run before jax imports.
+platform device count (SURVEY.md §4 item 5).  Note: this environment's TPU
+plugin prepends itself to JAX_PLATFORMS, so the env var alone does not force
+CPU — we also override the config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"
