@@ -58,7 +58,9 @@ def siddon_paths_numpy(labels, src, dirs, dx, dy, n_materials):
     return out
 
 
-def gauss_newton_decompose_numpy(counts, i0, mus, n_iters, eps_init=1e-6):
+def gauss_newton_decompose_numpy(counts, i0, mus, n_iters, eps_init=1e-6,
+                                 step_max=5.0, a_bounds=(-20.0, 500.0),
+                                 method="gn"):
     """Float64 vectorized Gauss-Newton basis decomposition oracle.
 
     Implements the Poisson-MLE Newton iteration of the reference solver
@@ -80,18 +82,25 @@ def gauss_newton_decompose_numpy(counts, i0, mus, n_iters, eps_init=1e-6):
     a = np.full((P, n_mats), eps_init)
     for _ in range(n_iters):
         L = a @ mus  # [P, E]
-        atten = np.exp(np.clip(-L, -700.0, 700.0))
+        atten = np.exp(np.clip(-L, -700.0, 20.0))
         nu = atten @ i0.T  # [P, n_meas]
         # d nu_m / d a_i = -sum_E i0_m mus_i atten
         grad = -np.einsum("pe,me,ie->pmi", atten, i0, mus)
         hess = np.einsum("pe,me,ie,je->pmij", atten, i0, mus, mus)
         r = counts.T / nu - 1.0  # [P, m]
+        yv2 = counts.T / nu**2
         dF = -np.einsum("pm,pmi->pi", r, grad)
-        H = -(np.einsum("pm,pmij->pij", r, hess)
-              - np.einsum("pm,pmi,pmj->pij", counts.T / nu**2, grad, grad))
+        if method == "newton":
+            H = -(np.einsum("pm,pmij->pij", r, hess)
+                  - np.einsum("pm,pmi,pmj->pij", yv2, grad, grad))
+        else:  # Gauss-Newton / Fisher scoring (PSD)
+            H = np.einsum("pm,pmi,pmj->pij", yv2, grad, grad)
         det = H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]
         det = np.where(np.abs(det) < 1e-300, 1e-300, det)
         dx0 = (H[:, 1, 1] * dF[:, 0] - H[:, 0, 1] * dF[:, 1]) / det
         dx1 = (H[:, 0, 0] * dF[:, 1] - H[:, 1, 0] * dF[:, 0]) / det
-        a = a - np.stack([dx0, dx1], -1)
+        step = np.stack([dx0, dx1], -1)
+        norm = np.linalg.norm(step, axis=-1, keepdims=True)
+        step = step * np.minimum(1.0, step_max / np.maximum(norm, 1e-30))
+        a = np.clip(a - step, a_bounds[0], a_bounds[1])
     return a

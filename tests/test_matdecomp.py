@@ -1,0 +1,157 @@
+"""Gauss-Newton decomposition tests: known-value recovery and
+device-vs-host float parity (SURVEY.md §4 item 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops.matdecomp import (
+    air_mask,
+    decompose_sinograms,
+    gauss_newton_solve,
+    prepare_decomposition,
+)
+from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+from dexct_tpu.system import FanBeamGeometry
+from dexct_tpu.utils.testing import gauss_newton_decompose_numpy
+
+
+@pytest.fixture(scope="module")
+def de_setup():
+    """Reference DE protocol: detunedMV @ 9 mGy + 80 kV @ 1 mGy
+    (main.py:101)."""
+    ct = FanBeamGeometry(eid=True)
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    ee, i0, mus = prepare_decomposition(ct, s1, s2)
+    return ct, s1, s2, ee, i0, mus
+
+
+def synth_counts(i0, mus, a_true):
+    L = np.asarray(a_true) @ mus
+    return (np.exp(-np.clip(L, -700.0, 700.0)) @ i0.T).T
+
+
+class TestPrepare:
+    def test_union_grid(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        assert ee[0] == 1.0 and ee[-1] == 6000.0
+        assert len(ee) == len(set(ee))
+        assert np.all(np.diff(ee) > 0)
+        assert i0.shape == (2, len(ee)) and mus.shape == (2, len(ee))
+
+    def test_mass_attenuation_not_linear(self, de_setup):
+        """Basis curves are mass attenuation (density multiply deliberately
+        omitted, matdecomp.py:157-158): tissue at 60 keV ~ 0.205 cm^2/g."""
+        ct, s1, s2, ee, i0, mus = de_setup
+        idx = np.searchsorted(ee, 60.0)
+        assert abs(mus[0, idx] - 0.205) < 0.01
+        assert abs(mus[1, idx] - 0.315) < 0.03  # bone mass atten
+
+    def test_interp_outside_support_is_zero(self, de_setup):
+        """kV spectrum contributes nothing above its kVp on the union grid."""
+        ct, s1, s2, ee, i0, mus = de_setup
+        assert np.all(i0[1, ee > 150.0] == 0.0)
+
+
+class TestRecovery:
+    def test_float64_oracle_exact_recovery(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        rng = np.random.default_rng(0)
+        a_true = np.stack(
+            [rng.uniform(0, 40, 200), rng.uniform(0, 12, 200)], -1
+        )
+        counts = synth_counts(i0, mus, a_true)
+        a = gauss_newton_decompose_numpy(counts, i0, mus, 50)
+        np.testing.assert_allclose(a, a_true, atol=1e-10)
+
+    def test_tpu_path_float32_parity(self, de_setup):
+        """float32 device solve within 1e-4 relative of float64 truth —
+        the BASELINE.json parity bar."""
+        ct, s1, s2, ee, i0, mus = de_setup
+        rng = np.random.default_rng(1)
+        a_true = np.stack(
+            [rng.uniform(0, 40, 500), rng.uniform(0, 12, 500)], -1
+        )
+        counts = synth_counts(i0, mus, a_true)
+        a = np.asarray(
+            gauss_newton_solve(
+                jnp.asarray(counts, jnp.float32),
+                jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32),
+                n_iters=50,
+            )
+        )
+        rel = np.abs(a - a_true) / np.maximum(np.abs(a_true), 1.0)
+        assert rel.max() < 1e-4
+
+    def test_full_newton_mode_runs(self, de_setup):
+        """The reference's full-Newton iteration is available as an option
+        and agrees on easy (small-attenuation) pixels."""
+        ct, s1, s2, ee, i0, mus = de_setup
+        a_true = np.array([[2.0, 0.5], [5.0, 1.0]])
+        counts = synth_counts(i0, mus, a_true)
+        a = np.asarray(
+            gauss_newton_solve(
+                jnp.asarray(counts, jnp.float32),
+                jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32),
+                n_iters=50,
+                method="newton",
+            )
+        )
+        np.testing.assert_allclose(a, a_true, atol=1e-3)
+
+    def test_pixel_blocking_invariant(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        rng = np.random.default_rng(2)
+        a_true = np.stack(
+            [rng.uniform(0, 30, 70), rng.uniform(0, 8, 70)], -1
+        )
+        counts = synth_counts(i0, mus, a_true)
+        args = (jnp.asarray(counts, jnp.float32),
+                jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32))
+        a1 = np.asarray(gauss_newton_solve(*args, n_iters=40, pixel_block=16))
+        a2 = np.asarray(gauss_newton_solve(*args, n_iters=40, pixel_block=70))
+        np.testing.assert_allclose(a1, a2, atol=1e-5)
+
+
+class TestSinogramDecomposition:
+    def test_air_mask(self):
+        s = np.array([[100.0, 96.0, 50.0], [10.0, 94.0, 99.0]])
+        m = np.asarray(air_mask(s, 0.95))
+        np.testing.assert_array_equal(
+            m, [[True, True, False], [False, False, True]]
+        )
+
+    def test_decompose_sinograms_end_to_end(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        # synth a sinogram-shaped field of known area densities
+        v, c = 6, 40
+        rng = np.random.default_rng(3)
+        a1 = rng.uniform(0, 20, (v, c))
+        a2 = rng.uniform(0, 6, (v, c))
+        a_true = np.stack([a1.ravel(), a2.ravel()], -1)
+        counts = synth_counts(i0, mus, a_true)
+        sino1 = counts[0].reshape(v, c)
+        sino2 = counts[1].reshape(v, c)
+        # make a couple of air pixels (max counts at zero attenuation)
+        a1[0, 0] = a2[0, 0] = 0.0
+        a1[2, 5] = a2[2, 5] = 0.0
+        a_true2 = np.stack([a1.ravel(), a2.ravel()], -1)
+        counts = synth_counts(i0, mus, a_true2)
+        sino1 = counts[0].reshape(v, c)
+        sino2 = counts[1].reshape(v, c)
+        m1, m2 = decompose_sinograms(ct, sino1, sino2, s1, s2, n_iters=40)
+        m1, m2 = np.asarray(m1), np.asarray(m2)
+        assert m1.shape == (v, c)
+        # masked air pixels zeroed (matdecomp.py:204-205)
+        assert m1[0, 0] == 0.0 and m2[2, 5] == 0.0
+        # non-air pixels recovered
+        keep = np.ones((v, c), bool)
+        keep[0, 0] = keep[2, 5] = False
+        np.testing.assert_allclose(m1[keep], a1[keep], atol=2e-3)
+        np.testing.assert_allclose(m2[keep], a2[keep], atol=2e-3)
