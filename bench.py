@@ -1,0 +1,88 @@
+"""Benchmark: the full dual-energy pipeline on the reference workload.
+
+Headline metric (BASELINE.json): end-to-end wall-clock of dual acquisition
+(2 spectra, 1000 views x 800 channels through a 512^2 phantom) +
+50-iteration Gauss-Newton decomposition + FFBP of all four images to 512^2,
+as ONE jitted program on a single TPU chip.  Target: < 1 s.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": target/s}
+Detail (per-stage timings, rays/sec) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the fused program is large and this
+    # runtime's first compile is slow; cache across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+    from dexct_tpu.pipeline.fused import make_jitted_step, pack_dect
+    from dexct_tpu.system import FanBeamGeometry, pelvis_phantom
+
+    N_CHANNELS, N_PROJ, N_PHANTOM, N_MATRIX, N_ITERS = 800, 1000, 512, 512, 50
+    TARGET_S = 1.0  # BASELINE.json north-star bound
+
+    log(f"devices: {jax.devices()}")
+    ct = FanBeamGeometry(
+        N_channels=N_CHANNELS, N_proj=N_PROJ, gamma_fan=0.8230337,
+        SID=60.0, SDD=100.0, eid=True,
+    )
+    ph = pelvis_phantom(N=N_PHANTOM, dx=0.1)
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+
+    t0 = time.time()
+    arrays, meta = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
+                             n_iters=N_ITERS)
+    arrays = jax.device_put(arrays)
+    step = make_jitted_step(meta)
+    log(f"pack: {time.time() - t0:.2f}s")
+
+    def run_once():
+        """One full step, fenced by a host fetch (block_until_ready is not
+        trustworthy through the experimental device tunnel)."""
+        t0 = time.time()
+        out = step(arrays)
+        fence = float(out["mat_recons"][0][0, 0]) + float(
+            out["recon_HU"][1][0, 0]
+        )
+        dt = time.time() - t0
+        return dt, fence
+
+    t0 = time.time()
+    dt, _ = run_once()
+    log(f"compile+first run: {time.time() - t0:.2f}s")
+
+    times = [run_once()[0] for _ in range(3)]
+    best = min(times)
+    rays = N_PROJ * N_CHANNELS
+    log(f"steady-state times: {[f'{t:.3f}' for t in times]}")
+    log(f"rays/sec (trace amortized over full pipeline): {rays / best:.3e}")
+
+    print(json.dumps({
+        "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(TARGET_S / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

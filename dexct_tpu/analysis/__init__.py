@@ -1,0 +1,30 @@
+"""Analysis: VMI synthesis, ROI metrics, registration, figure helpers."""
+
+from .metrics import (
+    Roi,
+    cnr,
+    contrast,
+    crop_img,
+    make_vmi,
+    measure_roi,
+    noise,
+    nonair_mask,
+    rmse,
+    vmi_metric_curve,
+)
+from .register import register_phantom_to_recon, rescale_shift
+
+__all__ = [
+    "make_vmi",
+    "measure_roi",
+    "Roi",
+    "crop_img",
+    "nonair_mask",
+    "rmse",
+    "cnr",
+    "contrast",
+    "noise",
+    "vmi_metric_curve",
+    "rescale_shift",
+    "register_phantom_to_recon",
+]

@@ -37,7 +37,7 @@ def filter_sinogram(sino, geometry, ramp=0.8, window="sinc",
     H, m = filter_frequency_response(n_ch, dgamma, ramp, window, "fan")
     gammas = jnp.asarray(geometry.gammas, dtype)
     w = jnp.cos(gammas) * geometry.SID
-    Hj = jnp.asarray(H)  # complex128 -> complex64 under default x32
+    Hj = jnp.asarray(H, dtype)  # real windowed-ramp response
     return _filter_jit(jnp.asarray(sino, dtype), w, Hj, m, dgamma)
 
 
@@ -53,11 +53,15 @@ def _filter_jit(sino, w, H, m, dgamma):
 @functools.partial(
     jax.jit, static_argnames=("n_matrix", "view_block")
 )
-def fan_backproject(q, betas, sid, dgamma, n_matrix, fov, *, view_block=64):
+def fan_backproject(q, betas, sid, dgamma, n_matrix, fov, *, view_block=64,
+                    dbeta=None):
     """Distance-weighted equiangular backprojection.
 
     q:     [N_proj, N_channels] filtered sinogram
     betas: [N_proj] view angles
+    dbeta: view angular spacing; defaults to 2 pi / N_proj.  Pass the
+        GLOBAL spacing when backprojecting a view shard under shard_map
+        (each shard then contributes its wedge and partial images psum).
     Returns image [n_matrix, n_matrix] in the phantom index convention
     (image[iy, ix] at world x=(ix+0.5-N/2)*px, y=(iy+0.5-N/2)*px).
     """
@@ -100,7 +104,8 @@ def fan_backproject(q, betas, sid, dgamma, n_matrix, fov, *, view_block=64):
 
     init = jnp.zeros((n_matrix, n_matrix), dtype)
     img, _ = jax.lax.scan(block, init, (qb, bb, vb))
-    dbeta = 2.0 * jnp.pi / n_proj if n_proj else 0.0
+    if dbeta is None:
+        dbeta = 2.0 * jnp.pi / n_proj if n_proj else 0.0
     return img * dbeta
 
 

@@ -89,6 +89,12 @@ def filter_frequency_response(n_channels, dgamma, ramp=0.8, window="sinc",
     # center the kernel at index 0 (circular shift) so convolution aligns
     gpad = np.roll(gpad, -(n_channels - 1))
     H = np.fft.rfft(gpad)
+    # the rolled kernel is even, so H is purely real — return it as float.
+    # (this also matters operationally: complex host->device transfers are
+    # not implemented on some TPU runtimes, so the response must cross to
+    # the device as a real array)
+    assert np.abs(H.imag).max() < 1e-9 * np.abs(H.real).max() + 1e-12
+    H = H.real
     f_norm = np.arange(len(H)) / (m / 2.0)  # 1.0 at Nyquist
     H = H * _window(f_norm, ramp, window)
     return H, m

@@ -1,0 +1,191 @@
+"""Exact Siddon projection via row-band prefix sums — the TPU fast path.
+
+The classic Siddon DDA is a sequential per-ray walk (ops/siddon.py keeps it
+as the oracle).  This module computes the *same exact* per-material path
+lengths with a fully data-parallel formulation tuned to what this TPU does
+fast (flat row-slice gathers at ~1e9 idx/s; no per-element scatter/gather
+in Pallas):
+
+For ray r and image row-band i (y in [y_i, y_i+dy)) the traversal inside
+the band runs from parameter tA to tB.  X-plane crossings inside a band are
+equally spaced, so the contribution decomposes into
+
+    len_first * onehot(label[i, j_first])
+  + len_last  * onehot(label[i, j_last])        (when the band spans >1 cell)
+  + (dx/|dir_x|) * (P[i, j_hi] - P[i, j_lo+1])  (interior cells)
+
+where ``P[i, j, m] = sum_{x<j} onehot(label[i, x], m)`` is a per-row
+exclusive prefix sum over material one-hots.  Each band needs exactly TWO
+row-slice gathers from a packed table whose row j carries
+``(P[i, j+1, :], label[i, j])`` — the prefix at j_hi is recovered as
+``P[j_hi+1] - onehot(label[j_hi])`` from the same fetched row.  Bands are
+independent: no scan dependency, no variable trip counts; a horizontal ray
+crossing 512 cells in one band costs the same two gathers.
+
+Exactness: identical to Siddon's alpha-merging up to float addition order
+(validated against the float64 oracle and the DDA path in tests).
+
+Supports n_materials <= PACK_WIDTH-1 (=7 by default; pelvis with implant
+uses 7).  Wider material tables fall back to ops/siddon.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH"]
+
+PACK_WIDTH = 8
+_BIG = 1e30
+
+
+def pack_prefix_table(labels, n_materials, dtype=jnp.float32):
+    """[Ny, Nx] labels -> packed [Ny*Nx, PACK_WIDTH] prefix/label table.
+
+    Row (i*Nx + j) = (P[i, j+1, 0:n_mat], pad..., label[i, j]) with P the
+    per-row exclusive one-hot prefix sum (inclusive at j+1).
+    """
+    if n_materials > PACK_WIDTH - 1:
+        raise ValueError(
+            f"packed prefix table supports <= {PACK_WIDTH - 1} materials"
+        )
+    ny, nx = labels.shape
+    lab = labels.astype(jnp.int32)
+    oh = jax.nn.one_hot(lab, PACK_WIDTH - 1, dtype=dtype)  # [ny, nx, w-1]
+    pref = jnp.cumsum(oh, axis=1)  # inclusive prefix = P[i, j+1]
+    packed = jnp.concatenate([pref, lab[..., None].astype(dtype)], axis=-1)
+    return packed.reshape(ny * nx, PACK_WIDTH)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("labels_shape", "n_materials", "row_block")
+)
+def trace_paths_fast(packed, labels_shape, src, dirs, dx, dy, *,
+                     n_materials, row_block=32):
+    """Exact per-material radiological paths, band-parallel formulation.
+
+    packed: output of :func:`pack_prefix_table`.
+    labels_shape: static (Ny, Nx).
+    src, dirs: [..., 2] ray origins / unit directions (world coords,
+        grid centered at origin as in ops/siddon.py).
+    Returns paths [..., n_materials].
+    """
+    ny, nx = labels_shape
+    x0 = -0.5 * nx * dx
+    y0 = -0.5 * ny * dy
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+
+    batch_shape = src.shape[:-1]
+    p = src.reshape(-1, 2).astype(dtype)
+    d = dirs.reshape(-1, 2).astype(dtype)
+    n_rays = p.shape[0]
+
+    px, py = p[:, 0], p[:, 1]
+    dxr, dyr = d[:, 0], d[:, 1]
+
+    okx = jnp.abs(dxr) > 1e-12
+    oky = jnp.abs(dyr) > 1e-12
+    sdx = jnp.where(okx, dxr, 1.0)
+    sdy = jnp.where(oky, dyr, 1.0)
+
+    # global entry/exit from the x-slab (y handled per band)
+    tx_lo = (x0 - px) / sdx
+    tx_hi = (x0 + nx * dx - px) / sdx
+    inside_x = (px >= x0) & (px <= x0 + nx * dx)
+    txmin = jnp.where(okx, jnp.minimum(tx_lo, tx_hi),
+                      jnp.where(inside_x, -_BIG, _BIG))
+    txmax = jnp.where(okx, jnp.maximum(tx_lo, tx_hi),
+                      jnp.where(inside_x, _BIG, -_BIG))
+    t_lo_glob = jnp.maximum(txmin, 0.0)
+    inv_abs_dx = jnp.where(okx, dx / jnp.abs(sdx), 0.0)
+
+    def band_contrib(i0, n_bands):
+        """Contributions of rows [i0, i0+n_bands) for all rays.
+
+        Returns [n_rays, n_materials] sum over the block's bands.
+        """
+        ii = i0 + jnp.arange(n_bands)  # [B]
+        y_lo = y0 + ii * dy  # [B]
+        y_hi = y_lo + dy
+
+        # band entry/exit parameters [B, R]
+        ta = (y_lo[:, None] - py[None, :]) / sdy[None, :]
+        tb = (y_hi[:, None] - py[None, :]) / sdy[None, :]
+        tA = jnp.minimum(ta, tb)
+        tB = jnp.maximum(ta, tb)
+        in_band_y = (py[None, :] >= y_lo[:, None]) & (py[None, :] < y_hi[:, None])
+        tA = jnp.where(oky[None, :], tA, jnp.where(in_band_y, -_BIG, _BIG))
+        tB = jnp.where(oky[None, :], tB, jnp.where(in_band_y, _BIG, -_BIG))
+        tA = jnp.maximum(tA, t_lo_glob[None, :])
+        tB = jnp.minimum(tB, txmax[None, :])
+        valid = tA < tB
+        tA = jnp.where(valid, tA, 0.0)
+        tB = jnp.where(valid, tB, 0.0)
+
+        xa = px[None, :] + tA * dxr[None, :]
+        xb = px[None, :] + tB * dxr[None, :]
+        ja = jnp.clip(jnp.floor((xa - x0) / dx), 0, nx - 1).astype(jnp.int32)
+        jb = jnp.clip(jnp.floor((xb - x0) / dx), 0, nx - 1).astype(jnp.int32)
+        j_lo = jnp.minimum(ja, jb)
+        j_hi = jnp.maximum(ja, jb)
+
+        base = (ii[:, None] * nx).astype(jnp.int32)
+        row_lo = packed[(base + j_lo).reshape(-1)].reshape(
+            n_bands, n_rays, PACK_WIDTH)
+        row_hi = packed[(base + j_hi).reshape(-1)].reshape(
+            n_bands, n_rays, PACK_WIDTH)
+
+        lab_lo = row_lo[..., -1].astype(jnp.int32)
+        lab_hi = row_hi[..., -1].astype(jnp.int32)
+        oh_lo = jax.nn.one_hot(lab_lo, n_materials, dtype=dtype)
+        oh_hi = jax.nn.one_hot(lab_hi, n_materials, dtype=dtype)
+        P_lo1 = row_lo[..., :n_materials]  # P[j_lo + 1]
+        P_hi1 = row_hi[..., :n_materials]  # P[j_hi + 1]
+
+        multi = j_hi > j_lo
+
+        # crossing parameters of the planes bounding the first/last cells
+        # (the cells containing tA and tB respectively)
+        going_right = dxr[None, :] > 0
+        j_first = jnp.where(going_right, j_lo, j_hi)
+        j_last = jnp.where(going_right, j_hi, j_lo)
+        plane_first = x0 + (j_first + going_right) * dx
+        plane_last = x0 + (j_last + (~going_right)) * dx
+        t_first = (plane_first - px[None, :]) / sdx[None, :]
+        t_last = (plane_last - px[None, :]) / sdx[None, :]
+        len_first = jnp.clip(t_first - tA, 0.0, None)
+        len_last = jnp.clip(tB - t_last, 0.0, None)
+        oh_first = jnp.where(going_right[..., None], oh_lo, oh_hi)
+        oh_last = jnp.where(going_right[..., None], oh_hi, oh_lo)
+
+        # interior cells j_lo+1 .. j_hi-1: s * (P[j_hi] - P[j_lo+1]),
+        # with P[j_hi] = P[j_hi+1] - onehot(label[j_hi])
+        interior = inv_abs_dx[None, :, None] * (P_hi1 - oh_hi - P_lo1)
+
+        single_len = (tB - tA)[..., None] * oh_lo
+        contrib = jnp.where(
+            multi[..., None],
+            len_first[..., None] * oh_first
+            + len_last[..., None] * oh_last
+            + interior,
+            single_len,
+        )
+        contrib = jnp.where(valid[..., None], contrib, 0.0)
+        return contrib.sum(0)
+
+    # bound the widest live temp ([row_block, n_rays, 8] f32) to ~128 MB
+    budget = max(1, (1 << 22) // max(n_rays, 1))
+    row_block = max(1, min(row_block, ny, budget))
+    while ny % row_block:  # static trace-time adjustment
+        row_block -= 1
+    n_blocks = ny // row_block
+
+    def block_step(acc, b):
+        return acc + band_contrib(b * row_block, row_block), None
+
+    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    acc, _ = jax.lax.scan(block_step, acc0, jnp.arange(n_blocks))
+    return acc.reshape(*batch_shape, n_materials)

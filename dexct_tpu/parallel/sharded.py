@@ -1,0 +1,73 @@
+"""shard_map'd pipeline: the view axis across a device mesh.
+
+Multi-chip execution model (SURVEY.md §2.7 TPU-native equivalents): each
+device traces, forward-models, decomposes, and filters its own wedge of
+views; reconstruction backprojects the wedge into a full-size partial image
+and a single ``psum`` over the ``views`` axis produces the final image on
+every device.  The phantom, LUTs, and filter response are replicated
+(they are small); sinogram-shaped arrays are sharded on the view axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..pipeline.fused import DectMeta, dect_step
+
+__all__ = ["sharded_dect_step", "shard_arrays"]
+
+_REPLICATED = ("labels", "mu_t1", "mu_t2", "i0_1", "i0_2", "dec_i0",
+               "dec_mus", "filt_H", "cos_w")
+_VIEW_SHARDED = ("src", "dirs", "betas")
+
+
+def _in_specs(axis="views"):
+    specs = {k: P() for k in _REPLICATED}
+    specs.update({k: P(axis) for k in _VIEW_SHARDED})
+    return specs
+
+
+def _out_specs(axis="views"):
+    return {
+        "sino_raw": (P(axis), P(axis)),
+        "sino_log": (P(axis), P(axis)),
+        "mat_sinos": (P(axis), P(axis)),
+        "recon_raw": (P(), P()),
+        "recon_HU": (P(), P()),
+        "mat_recons": (P(), P()),
+    }
+
+
+def shard_arrays(arrays, mesh, axis="views"):
+    """Place packed arrays onto the mesh with the pipeline's shardings."""
+    from jax.sharding import NamedSharding
+
+    specs = _in_specs(axis)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in arrays.items()
+    }
+
+
+def sharded_dect_step(mesh, meta: DectMeta, axis="views"):
+    """Build the jitted multi-chip DE step for ``mesh``.
+
+    The returned function maps the packed ``arrays`` pytree (view axis
+    sharded over ``axis``) to the :func:`dect_step` output pytree with
+    images fully reduced (replicated) and sinograms view-sharded.
+
+    Requires ``N_proj % mesh.shape[axis] == 0``.
+    """
+    body = functools.partial(dect_step, meta=meta, axis_name=axis)
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_in_specs(axis),),
+        out_specs=_out_specs(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

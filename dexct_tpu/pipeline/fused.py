@@ -1,0 +1,173 @@
+"""The fused dual-energy pipeline step: one jit, no host round-trips.
+
+This is the framework's flagship compute path (BASELINE.json north star):
+trace -> dual polyenergetic acquisition -> Gauss-Newton decomposition ->
+FBP of both single-energy images and both basis-material images, all inside
+a single compiled program.  ``pack_dect`` lowers the object-level system
+model (geometry/phantom/spectra) into a pytree of device arrays plus a
+hashable static-meta tuple; ``dect_step`` is the pure jitted function over
+them.
+
+Under ``shard_map`` the same step runs with the view axis sharded across a
+mesh: every stage is view-local except the final backprojection accumulate
+(``psum``) and the air-mask count maximum (``pmax``) — see
+:mod:`dexct_tpu.parallel.sharded`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import matdecomp as md_ops
+from ..ops import spectral as sp_ops
+from ..ops.filters import filter_frequency_response
+from ..ops.siddon import trace_paths
+
+__all__ = ["DectMeta", "pack_dect", "dect_step", "make_jitted_step"]
+
+
+class DectMeta(NamedTuple):
+    """Static (hashable) parameters of a fused DE pipeline step."""
+
+    n_materials: int
+    n_matrix: int
+    fft_len: int
+    n_iters: int
+    dx: float
+    dy: float
+    sid: float
+    dgamma: float
+    dbeta: float
+    fov: float
+    air1: float
+    air2: float
+    mu_w1: float
+    mu_w2: float
+    mask_thresh: float
+    pixel_block: int
+
+
+def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
+              n_iters=50, window="sinc", dtype=jnp.float32,
+              mask_thresh=0.95, pixel_block=65536):
+    """Lower the system model to (arrays, meta) for :func:`dect_step`."""
+    from .api import effective_water_mu
+
+    src, dirs = ct.ray_geometry()
+    i0_1 = sp_ops.effective_fluence(spec1, ct)
+    i0_2 = sp_ops.effective_fluence(spec2, ct)
+    _, dec_i0, dec_mus = md_ops.prepare_decomposition(ct, spec1, spec2)
+    H, m = filter_frequency_response(ct.N_channels, ct.dgamma, ramp, window,
+                                     "fan")
+    arrays = {
+        "labels": jnp.asarray(phantom.slice_labels().astype(np.int32)),
+        "src": jnp.asarray(src, dtype),
+        "dirs": jnp.asarray(dirs, dtype),
+        "betas": jnp.asarray(ct.betas, dtype),
+        "mu_t1": jnp.asarray(phantom.materials.mu_table(spec1.E), dtype),
+        "mu_t2": jnp.asarray(phantom.materials.mu_table(spec2.E), dtype),
+        "i0_1": jnp.asarray(i0_1, dtype),
+        "i0_2": jnp.asarray(i0_2, dtype),
+        "dec_i0": jnp.asarray(dec_i0, dtype),
+        "dec_mus": jnp.asarray(dec_mus, dtype),
+        "filt_H": jnp.asarray(H, dtype),  # real response; complex arrays
+                                          # must never cross host<->device
+        "cos_w": jnp.asarray(np.cos(ct.gammas) * ct.SID, dtype),
+    }
+    meta = DectMeta(
+        n_materials=phantom.n_materials,
+        n_matrix=int(n_matrix),
+        fft_len=int(m),
+        n_iters=int(n_iters),
+        dx=float(phantom.dx),
+        dy=float(phantom.dy),
+        sid=float(ct.SID),
+        dgamma=float(ct.dgamma),
+        dbeta=float(ct.rotation_total / ct.N_proj),
+        fov=float(fov),
+        air1=float(np.sum(i0_1)),
+        air2=float(np.sum(i0_2)),
+        mu_w1=float(effective_water_mu(spec1, ct)),
+        mu_w2=float(effective_water_mu(spec2, ct)),
+        mask_thresh=float(mask_thresh),
+        pixel_block=int(pixel_block),
+    )
+    return arrays, meta
+
+
+def _filter_views(sino, cos_w, H, fft_len, dgamma):
+    n_ch = sino.shape[-1]
+    pw = sino * cos_w
+    spec = jnp.fft.rfft(pw, n=fft_len, axis=-1)
+    filt = jnp.fft.irfft(spec * H, n=fft_len, axis=-1)[..., :n_ch]
+    return (filt * dgamma).astype(sino.dtype)
+
+
+def dect_step(arrays, meta: DectMeta, axis_name=None):
+    """The fused DE pipeline.  Pure; jit via :func:`make_jitted_step`.
+
+    With ``axis_name`` set (under shard_map), the view axis of src/dirs/
+    betas is a shard; cross-shard reductions are a pmax (air mask) and one
+    psum per reconstructed image.
+    """
+    from ..ops.fbp import hu_image
+    from ..ops.fbp_fast import fan_backproject_multi, pack_filtered
+
+    a = arrays
+    # Exact Siddon DDA: both exact projectors are gather-rate bound on TPU
+    # (~1.4e8 gathers/s); the DDA issues one scalar gather per step vs the
+    # band-prefix path's two row gathers per band, so it wins here.  The
+    # O(N^2 log N) Fourier-slice projector (ops/fourier.py) is the fast
+    # path when enabled.
+    paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
+                        meta.dy, n_materials=meta.n_materials)
+
+    counts1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
+    counts2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])
+    log1 = sp_ops.log_sinogram(counts1, meta.air1)
+    log2 = sp_ops.log_sinogram(counts2, meta.air2)
+
+    # Gauss-Newton decomposition over this shard's pixels
+    flat = jnp.stack([counts1.reshape(-1), counts2.reshape(-1)])
+    ab = md_ops.gauss_newton_solve(
+        flat, a["dec_i0"], a["dec_mus"], n_iters=meta.n_iters,
+        pixel_block=meta.pixel_block,
+    )
+    cmax = jnp.max(counts1)
+    if axis_name is not None:
+        cmax = jax.lax.pmax(cmax, axis_name)
+    mask = counts1 >= meta.mask_thresh * cmax
+    mat1 = jnp.where(mask, 0.0, ab[:, 0].reshape(counts1.shape))
+    mat2 = jnp.where(mask, 0.0, ab[:, 1].reshape(counts1.shape))
+
+    # filter all four sinograms in one batched FFT, backproject all four
+    # through ONE shared geometry/gather pass (ops/fbp_fast.py)
+    sinos = jnp.stack([log1, log2, mat1, mat2])  # [4, V, C]
+    qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
+                       meta.dgamma)
+    n_ch = sinos.shape[-1]
+    imgs = fan_backproject_multi(
+        pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma, n_ch,
+        meta.n_matrix, meta.fov, meta.dbeta,
+    )
+    if axis_name is not None:
+        imgs = jax.lax.psum(imgs, axis_name)
+    r1, r2, m1r, m2r = imgs[0], imgs[1], imgs[2], imgs[3]
+    return {
+        "sino_raw": (counts1, counts2),
+        "sino_log": (log1, log2),
+        "mat_sinos": (mat1, mat2),
+        "recon_raw": (r1, r2),
+        "recon_HU": (hu_image(r1, meta.mu_w1), hu_image(r2, meta.mu_w2)),
+        "mat_recons": (m1r, m2r),
+    }
+
+
+def make_jitted_step(meta: DectMeta):
+    """A jitted single-device step closed over the static meta."""
+    return jax.jit(functools.partial(dect_step, meta=meta))

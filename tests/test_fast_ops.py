@@ -1,0 +1,133 @@
+"""Fast-path ops vs reference implementations: band-prefix Siddon and
+packed multi-image backprojection must match the oracles exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+from dexct_tpu.ops.fbp_fast import fan_backproject_multi, pack_filtered
+from dexct_tpu.ops.siddon import trace_paths
+from dexct_tpu.ops.siddon_fast import pack_prefix_table, trace_paths_fast
+from dexct_tpu.system import FanBeamGeometry, contrast_rods_phantom
+from dexct_tpu.utils.testing import siddon_paths_numpy
+
+
+class TestBandSiddon:
+    def rays(self, n, seed=0, radius=40.0):
+        rng = np.random.default_rng(seed)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        src = radius * np.stack([np.cos(ang), np.sin(ang)], -1)
+        tgt = rng.uniform(-2.0, 2.0, (n, 2))
+        d = tgt - src
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return src, d
+
+    def test_matches_float64_oracle(self):
+        rng = np.random.default_rng(1)
+        labels = rng.integers(0, 5, (32, 32)).astype(np.int32)
+        src, d = self.rays(300)
+        packed = pack_prefix_table(jnp.asarray(labels), 5)
+        got = np.asarray(trace_paths_fast(
+            packed, (32, 32), jnp.asarray(src, jnp.float32),
+            jnp.asarray(d, jnp.float32), 0.17, 0.23, n_materials=5))
+        ref = siddon_paths_numpy(labels, src, d, 0.17, 0.23, 5)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_matches_dda(self):
+        rng = np.random.default_rng(2)
+        labels = rng.integers(0, 7, (64, 64)).astype(np.int32)
+        src, d = self.rays(500, seed=3)
+        packed = pack_prefix_table(jnp.asarray(labels), 7)
+        fast = np.asarray(trace_paths_fast(
+            packed, (64, 64), jnp.asarray(src, jnp.float32),
+            jnp.asarray(d, jnp.float32), 0.1, 0.1, n_materials=7))
+        dda = np.asarray(trace_paths(
+            jnp.asarray(labels), jnp.asarray(src, jnp.float32),
+            jnp.asarray(d, jnp.float32), 0.1, 0.1, n_materials=7))
+        np.testing.assert_allclose(fast, dda, atol=2e-3)
+
+    def test_axis_aligned(self):
+        labels = np.zeros((32, 32), np.int32)
+        labels[:, 16:] = 1
+        packed = pack_prefix_table(jnp.asarray(labels), 2)
+        # horizontal ray through the middle
+        got = np.asarray(trace_paths_fast(
+            packed, (32, 32), jnp.asarray([[-50.0, 0.5]], jnp.float32),
+            jnp.asarray([[1.0, 0.0]], jnp.float32), 1.0, 1.0,
+            n_materials=2))
+        np.testing.assert_allclose(got[0], [16.0, 16.0], atol=1e-4)
+        # vertical ray
+        got = np.asarray(trace_paths_fast(
+            packed, (32, 32), jnp.asarray([[2.5, 50.0]], jnp.float32),
+            jnp.asarray([[0.0, -1.0]], jnp.float32), 1.0, 1.0,
+            n_materials=2))
+        np.testing.assert_allclose(got[0], [0.0, 32.0], atol=1e-4)
+
+    def test_miss(self):
+        labels = np.zeros((32, 32), np.int32)
+        packed = pack_prefix_table(jnp.asarray(labels), 2)
+        got = np.asarray(trace_paths_fast(
+            packed, (32, 32), jnp.asarray([[-50.0, 40.0]], jnp.float32),
+            jnp.asarray([[1.0, 0.0]], jnp.float32), 1.0, 1.0,
+            n_materials=2))
+        assert np.all(got == 0.0)
+
+    def test_too_many_materials_rejected(self):
+        with pytest.raises(ValueError):
+            pack_prefix_table(jnp.zeros((8, 8), jnp.int32), 9)
+
+
+class TestPackedBackprojection:
+    def test_matches_reference_bp(self):
+        ct = FanBeamGeometry(N_channels=96, N_proj=80, gamma_fan=0.8,
+                             SID=50.0, SDD=90.0)
+        rng = np.random.default_rng(0)
+        sinos = rng.normal(size=(3, 80, 96)).astype(np.float32)
+        qs = jnp.stack([
+            filter_sinogram(jnp.asarray(s), ct, 0.8) for s in sinos
+        ])
+        betas = jnp.asarray(ct.betas, jnp.float32)
+        dbeta = 2 * np.pi / 80
+        ref = np.stack([
+            np.asarray(fan_backproject(qs[k], betas, ct.SID, ct.dgamma,
+                                       64, 20.0, dbeta=dbeta))
+            for k in range(3)
+        ])
+        packed = pack_filtered(qs)
+        got = np.asarray(fan_backproject_multi(
+            packed, 3, betas, ct.SID, ct.dgamma, 96, 64, 20.0, dbeta))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_view_block_invariance(self):
+        ct = FanBeamGeometry(N_channels=64, N_proj=50, gamma_fan=0.8,
+                             SID=50.0, SDD=90.0)
+        rng = np.random.default_rng(1)
+        qs = jnp.asarray(rng.normal(size=(2, 50, 64)), jnp.float32)
+        packed = pack_filtered(qs)
+        betas = jnp.asarray(ct.betas, jnp.float32)
+        a = np.asarray(fan_backproject_multi(
+            packed, 2, betas, 50.0, ct.dgamma, 64, 32, 20.0, 0.1,
+            view_block=7))
+        b = np.asarray(fan_backproject_multi(
+            packed, 2, betas, 50.0, ct.dgamma, 64, 32, 20.0, 0.1,
+            view_block=50))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_end_to_end_water_recon(self):
+        """Fast path reconstructs the water cylinder to mu (absolute scale
+        check against the FBP oracle result)."""
+        from dexct_tpu.ops.siddon import material_path_sinogram, mono_sinogram
+        from dexct_tpu.system import water_cylinder_phantom
+
+        ph = water_cylinder_phantom(N=96, dx=0.25)
+        ct = FanBeamGeometry(N_channels=128, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        mu = ph.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = mono_sinogram(material_path_sinogram(ph, ct), mu)
+        q = filter_sinogram(sino, ct, 0.8)[None]
+        img = np.asarray(fan_backproject_multi(
+            pack_filtered(q), 1, jnp.asarray(ct.betas, jnp.float32),
+            ct.SID, ct.dgamma, 128, 96, 24.0, 2 * np.pi / 96))[0]
+        center = img[44:52, 44:52]
+        assert abs(center.mean() - mu[1]) / mu[1] < 0.01

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests: reference API surface, fused step, output
+contract (SURVEY.md §3.1, §2.6)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dexct_tpu.analysis import make_vmi, nonair_mask, rmse
+from dexct_tpu.analysis.register import register_phantom_to_recon
+from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+from dexct_tpu.pipeline import (
+    get_basismat_sinos,
+    get_recon,
+    get_sino,
+    simulate_dect,
+)
+from dexct_tpu.pipeline.fused import make_jitted_step, pack_dect
+from dexct_tpu.system import FanBeamGeometry, contrast_rods_phantom, water_cylinder_phantom
+
+
+@pytest.fixture(scope="module")
+def small_de():
+    """A small but complete DE setup (config-3/4 analog, BASELINE.json)."""
+    ct = FanBeamGeometry(N_channels=128, N_proj=96, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0, eid=True)
+    ph = water_cylinder_phantom(N=96, dx=0.25)  # radius 9.6 cm
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    return ct, ph, s1, s2
+
+
+class TestReferenceApi:
+    def test_get_sino_shapes(self, small_de):
+        ct, ph, s1, s2 = small_de
+        raw, log = get_sino(ct, ph, s2)
+        assert raw.shape == (96, 128) and log.shape == (96, 128)
+        assert float(np.asarray(raw).min()) > 0.0
+
+    def test_get_recon_shapes(self, small_de):
+        ct, ph, s1, s2 = small_de
+        _, log = get_sino(ct, ph, s2)
+        recon_raw, recon_hu = get_recon(log, ct, s2, 96, 24.0, 0.8)
+        assert recon_raw.shape == (96, 96)
+        # water ~ 0 HU in the center for a polyenergetic scan, up to the
+        # residual beam-hardening cupping of a lightly filtered 80 kV beam
+        # through 19 cm of water (removed by the BHC stage)
+        c = np.asarray(recon_hu)[44:52, 44:52].mean()
+        assert abs(c) < 150.0
+
+    def test_get_recon_filler_spectrum(self, small_de):
+        ct, ph, s1, s2 = small_de
+        _, log = get_sino(ct, ph, s2)
+        raw, hu = get_recon(log, ct, None, 64, 24.0, 0.8)
+        assert hu is None and raw.shape == (64, 64)
+
+    def test_noise_seeded(self, small_de):
+        ct, ph, s1, s2 = small_de
+        k = jax.random.PRNGKey(0)
+        r1, _ = get_sino(ct, ph, s2, noise="poisson", key=k)
+        r2, _ = get_sino(ct, ph, s2, noise="poisson", key=k)
+        r3, _ = get_sino(ct, ph, s2, noise="poisson",
+                         key=jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        assert np.any(np.asarray(r1) != np.asarray(r3))
+
+
+class TestDectEndToEnd:
+    def test_basis_decomposition_water(self, small_de):
+        """A pure-water object decomposes into ~water-equivalent tissue
+        with small bone component; VMI at 60 keV ~ water HU."""
+        ct, ph, s1, s2 = small_de
+        res = simulate_dect(ct, ph, s1, s2, 96, 24.0, 0.8, n_iters=40)
+        m1 = np.asarray(res.mat_recons[0])
+        m2 = np.asarray(res.mat_recons[1])
+        # center: basis densities reconstruct the cylinder; tissue-basis
+        # dominates for water
+        assert m1[44:52, 44:52].mean() > 0.5
+        assert abs(m2[44:52, 44:52].mean()) < 0.35
+        vmi = make_vmi(60.0, m1, m2)
+        assert abs(vmi[44:52, 44:52].mean()) < 60.0  # ~water HU
+
+    def test_vmi_matches_m_mono_oracle(self, small_de):
+        """Noiseless DE scan: VMI(E0) vs M_mono(E0) (SURVEY.md §4 item 1)."""
+        ct, ph, s1, s2 = small_de
+        res = simulate_dect(ct, ph, s1, s2, 96, 24.0, 0.8, n_iters=40)
+        vmi = make_vmi(80.0, np.asarray(res.mat_recons[0]),
+                       np.asarray(res.mat_recons[1]))
+        gt = register_phantom_to_recon(ph, 96, 24.0, energy_keV=80.0)
+        mask = nonair_mask(gt)
+        # erode the edge ring: compare interior only
+        r = np.hypot(*np.mgrid[0:96, 0:96] - 47.5) * 24.0 / 96
+        interior = (r < 7.0) & mask
+        assert rmse(vmi, gt, interior) < 40.0
+
+
+class TestFusedStep:
+    def test_fused_matches_composed(self, small_de):
+        """Single-jit fused step == composed api path."""
+        ct, ph, s1, s2 = small_de
+        arrays, meta = pack_dect(ct, ph, s1, s2, 64, 24.0, 0.8, n_iters=20)
+        out = make_jitted_step(meta)(arrays)
+        res = simulate_dect(ct, ph, s1, s2, 64, 24.0, 0.8, n_iters=20)
+        # fused uses the band-prefix Siddon / packed BP fast paths; the
+        # composed path uses the DDA + per-image BP — same math, different
+        # float32 summation order
+        np.testing.assert_allclose(
+            np.asarray(out["sino_raw"][0]), np.asarray(res.sino_raw[0]),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mat_sinos"][0]), np.asarray(res.mat_sinos[0]),
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]), np.asarray(res.recon_raw[0]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mat_recons"][1]), np.asarray(res.mat_recons[1]),
+            atol=1e-3,
+        )
+
+
+class TestRunnerContract:
+    def test_output_contract(self, small_de, tmp_path):
+        """Files land exactly where plots.py expects them (SURVEY.md §2.6)."""
+        from dexct_tpu.pipeline.runner import run_config
+        from dexct_tpu.system.config import RunConfig
+
+        ct, ph, s1, s2 = small_de
+        cfg = RunConfig("t_run", True, True, ct, ph, None, 64, 24.0, 0.8)
+        out = tmp_path / "output"
+        results = run_config(
+            cfg, out_dir=str(out),
+            spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+            spectrum_dir=str(tmp_path / "nonexistent"),  # force generators
+            n_iters=10, verbose=False,
+        )
+        assert len(results) == 1
+        base = out / "t_run"
+        for sub, fname, shape in [
+            ("detunedMV_9000uGy", "sino_raw_float32.bin", (96, 128)),
+            ("detunedMV_9000uGy", "sino_log_float32.bin", (96, 128)),
+            ("detunedMV_9000uGy", "recon_raw_float32.bin", (64, 64)),
+            ("detunedMV_9000uGy", "recon_HU_float32.bin", (64, 64)),
+            ("80kV_1000uGy", "sino_raw_float32.bin", (96, 128)),
+            ("matdecomp_detunedMV_80kV_9000uGy_1000uGy",
+             "mat1_sino_float32.bin", (96, 128)),
+            ("matdecomp_detunedMV_80kV_9000uGy_1000uGy",
+             "mat2_recon_float32.bin", (64, 64)),
+        ]:
+            f = base / sub / fname
+            assert f.exists(), f
+            arr = np.fromfile(f, np.float32)
+            assert arr.size == shape[0] * shape[1], f
+
+    def test_cli_pair_parsing(self):
+        from dexct_tpu.run import parse_pairs
+
+        assert parse_pairs(["detunedMV,80kV,9,1"]) == (
+            ("detunedMV", "80kV", 9.0, 1.0),
+        )

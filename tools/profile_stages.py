@@ -1,0 +1,71 @@
+"""Per-stage TPU timing of the reference workload (dev tool).
+
+Usage: python tools/profile_stages.py [N_PROJ N_CHANNELS N_PHANTOM N_MATRIX]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+sys.path.insert(0, ".")
+
+from dexct_tpu.ops import matdecomp as md
+from dexct_tpu.ops import spectral as sp
+from dexct_tpu.ops.fbp import fan_backproject
+from dexct_tpu.ops.siddon import trace_paths
+from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+from dexct_tpu.pipeline.fused import _filter_views, pack_dect
+from dexct_tpu.system import FanBeamGeometry, pelvis_phantom
+
+
+def timeit(name, fn, n=3):
+    out = fn()
+    _ = np.asarray(jax.tree.leaves(out)[0])  # fence incl. compile
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0]
+        ts.append(time.time() - t0)
+    print(f"{name:24s} {min(ts)*1e3:9.1f} ms")
+    return out
+
+
+def main():
+    args = [int(a) for a in sys.argv[1:]] or [1000, 800, 512, 512]
+    V, C, NP, NM = args
+    ct = FanBeamGeometry(N_channels=C, N_proj=V, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0, eid=True)
+    ph = pelvis_phantom(N=NP, dx=51.2 / NP)
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    arrays, meta = pack_dect(ct, ph, s1, s2, NM, 50.0, 0.8, n_iters=50)
+    a = jax.device_put(arrays)
+
+    paths = timeit("trace", lambda: trace_paths(
+        a["labels"], a["src"], a["dirs"], meta.dx, meta.dy,
+        n_materials=meta.n_materials))
+    c1 = timeit("counts x2", lambda: (
+        sp.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
+        sp.counts_from_paths(paths, a["mu_t2"], a["i0_2"])))[0]
+    l1 = timeit("log", lambda: sp.log_sinogram(c1, meta.air1))
+    timeit("gn50", lambda: md.gauss_newton_solve(
+        jnp.stack([c1.reshape(-1)] * 2), a["dec_i0"], a["dec_mus"],
+        n_iters=50, pixel_block=meta.pixel_block))
+    q = timeit("filter", lambda: _filter_views(
+        l1, a["cos_w"], a["filt_H"], meta.fft_len, meta.dgamma))
+    timeit("backproject x1", lambda: fan_backproject(
+        q, a["betas"], meta.sid, meta.dgamma, NM, 50.0, dbeta=meta.dbeta))
+
+
+if __name__ == "__main__":
+    main()
