@@ -55,8 +55,10 @@ def counts_from_paths(paths, mu_table, i0_eff):
     """
     dtype = paths.dtype
     L = paths @ mu_table.astype(dtype)  # [..., E]
-    # clip mirrors the reference solver's exp-range guard (matdecomp.py:116)
-    atten = jnp.exp(jnp.clip(-L, -700.0, 700.0))
+    # L >= 0 physically; the tight upper clip keeps float32 finite when an
+    # approximate projector rings slightly negative at sharp edges (the
+    # reference's symmetric ±700 guard, matdecomp.py:116, overflows f32)
+    atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
     return atten @ i0_eff.astype(dtype)
 
 

@@ -20,15 +20,15 @@ from ..pipeline.fused import DectMeta, dect_step
 
 __all__ = ["sharded_dect_step", "shard_arrays"]
 
-_REPLICATED = ("labels", "mu_t1", "mu_t2", "i0_1", "i0_2", "dec_i0",
-               "dec_mus", "filt_H", "cos_w")
-_VIEW_SHARDED = ("src", "dirs", "betas")
+_VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w")
 
 
-def _in_specs(axis="views"):
-    specs = {k: P() for k in _REPLICATED}
-    specs.update({k: P(axis) for k in _VIEW_SHARDED})
-    return specs
+def _in_specs(arrays, axis="views"):
+    """Sharding specs for a packed-arrays pytree: sinogram-view-shaped
+    arrays shard on the view axis, everything else replicates."""
+    return {
+        k: (P(axis) if k in _VIEW_SHARDED else P()) for k in arrays
+    }
 
 
 def _out_specs(axis="views"):
@@ -46,27 +46,29 @@ def shard_arrays(arrays, mesh, axis="views"):
     """Place packed arrays onto the mesh with the pipeline's shardings."""
     from jax.sharding import NamedSharding
 
-    specs = _in_specs(axis)
+    specs = _in_specs(arrays, axis)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in arrays.items()
     }
 
 
-def sharded_dect_step(mesh, meta: DectMeta, axis="views"):
+def sharded_dect_step(mesh, meta: DectMeta, arrays_keys, axis="views"):
     """Build the jitted multi-chip DE step for ``mesh``.
 
     The returned function maps the packed ``arrays`` pytree (view axis
     sharded over ``axis``) to the :func:`dect_step` output pytree with
     images fully reduced (replicated) and sinograms view-sharded.
 
-    Requires ``N_proj % mesh.shape[axis] == 0``.
+    ``arrays_keys``: the keys of the packed arrays dict (the sharding spec
+    pytree must match its structure).  Requires
+    ``N_proj % mesh.shape[axis] == 0``.
     """
     body = functools.partial(dect_step, meta=meta, axis_name=axis)
     mapped = shard_map(
         body,
         mesh=mesh,
-        in_specs=(_in_specs(axis),),
+        in_specs=(_in_specs(dict.fromkeys(arrays_keys), axis),),
         out_specs=_out_specs(axis),
         check_vma=False,
     )

@@ -50,12 +50,19 @@ class DectMeta(NamedTuple):
     mu_w2: float
     mask_thresh: float
     pixel_block: int
+    projector: str = "siddon"  # 'siddon' (exact) | 'fourier' (fast)
+    fp_meta: tuple = ()  # fourier plan statics (see ops/fourier.py)
 
 
 def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               n_iters=50, window="sinc", dtype=jnp.float32,
-              mask_thresh=0.95, pixel_block=65536):
-    """Lower the system model to (arrays, meta) for :func:`dect_step`."""
+              mask_thresh=0.95, pixel_block=65536, projector="siddon",
+              n_theta=1024):
+    """Lower the system model to (arrays, meta) for :func:`dect_step`.
+
+    projector='fourier' selects the O(N^2 log N) Fourier-slice projector
+    (ops/fourier.py; ~1e-2 rms path accuracy) instead of exact Siddon.
+    """
     from .api import effective_water_mu
 
     src, dirs = ct.ray_geometry()
@@ -79,6 +86,16 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                                           # must never cross host<->device
         "cos_w": jnp.asarray(np.cos(ct.gammas) * ct.SID, dtype),
     }
+    fp_meta = ()
+    if projector == "fourier":
+        from ..ops.fourier import plan_arrays, plan_fourier_projector
+
+        plan = plan_fourier_projector(phantom, ct, n_theta=n_theta)
+        arrays.update(plan_arrays(plan, (ct.N_proj, ct.N_channels)))
+        fp_meta = (plan.n_materials, plan.n_theta, plan.nt, plan.grid,
+                   plan.n_img, plan.scale)
+    elif projector != "siddon":
+        raise ValueError(f"unknown projector {projector!r}")
     meta = DectMeta(
         n_materials=phantom.n_materials,
         n_matrix=int(n_matrix),
@@ -96,6 +113,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         mu_w2=float(effective_water_mu(spec2, ct)),
         mask_thresh=float(mask_thresh),
         pixel_block=int(pixel_block),
+        projector=projector,
+        fp_meta=fp_meta,
     )
     return arrays, meta
 
@@ -119,13 +138,16 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     from ..ops.fbp_fast import fan_backproject_multi, pack_filtered
 
     a = arrays
-    # Exact Siddon DDA: both exact projectors are gather-rate bound on TPU
-    # (~1.4e8 gathers/s); the DDA issues one scalar gather per step vs the
-    # band-prefix path's two row gathers per band, so it wins here.  The
-    # O(N^2 log N) Fourier-slice projector (ops/fourier.py) is the fast
-    # path when enabled.
-    paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
-                        meta.dy, n_materials=meta.n_materials)
+    if meta.projector == "fourier":
+        # O(N^2 log N) Fourier-slice projector (ops/fourier.py)
+        from ..ops.fourier import fourier_paths_from_arrays
+
+        paths = fourier_paths_from_arrays(a, a["labels"], meta.fp_meta)
+    else:
+        # Exact Siddon DDA: gather-rate bound (~1.4e8 gathers/s on this
+        # chip); one scalar gather per traversal step
+        paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
+                            meta.dy, n_materials=meta.n_materials)
 
     counts1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
     counts2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])

@@ -46,7 +46,7 @@ class TestShardedPipeline:
         single = make_jitted_step(meta)(arrays)
 
         mesh = view_mesh(8)
-        step = sharded_dect_step(mesh, meta)
+        step = sharded_dect_step(mesh, meta, arrays.keys())
         sharded = step(shard_arrays(arrays, mesh))
 
         np.testing.assert_allclose(
@@ -70,7 +70,7 @@ class TestShardedPipeline:
     def test_two_device_mesh(self, packed):
         arrays, meta = packed
         mesh = view_mesh(2)
-        out = sharded_dect_step(mesh, meta)(shard_arrays(arrays, mesh))
+        out = sharded_dect_step(mesh, meta, arrays.keys())(shard_arrays(arrays, mesh))
         single = make_jitted_step(meta)(arrays)
         np.testing.assert_allclose(
             np.asarray(out["recon_HU"][1]),
@@ -80,7 +80,7 @@ class TestShardedPipeline:
     def test_output_shardings(self, packed):
         arrays, meta = packed
         mesh = view_mesh(8)
-        out = sharded_dect_step(mesh, meta)(shard_arrays(arrays, mesh))
+        out = sharded_dect_step(mesh, meta, arrays.keys())(shard_arrays(arrays, mesh))
         # sinograms stay view-sharded; images are replicated
         sino_shard = out["sino_raw"][0].sharding
         img_shard = out["recon_raw"][0].sharding
