@@ -50,7 +50,7 @@ def main():
 
     t0 = time.time()
     arrays, meta = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
-                             n_iters=N_ITERS)
+                             n_iters=N_ITERS, projector="fourier", recon="parallel")
     arrays = jax.device_put(arrays)
     step = make_jitted_step(meta)
     log(f"pack: {time.time() - t0:.2f}s")

@@ -19,8 +19,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["pack_filtered", "fan_backproject_multi"]
+__all__ = [
+    "pack_filtered",
+    "fan_backproject_multi",
+    "parallel_rebin_plan",
+    "rebin_to_parallel",
+    "parallel_backproject_multi",
+]
 
 
 def pack_filtered(qs):
@@ -84,3 +91,135 @@ def fan_backproject_multi(packed, n_images, betas, sid, dgamma, n_channels,
     acc0 = jnp.zeros((K, n_matrix * n_matrix), dtype)
     acc, _ = jax.lax.scan(block, acc0, (bb, wb, voff))
     return (acc * dbeta).reshape(K, n_matrix, n_matrix)
+
+
+# ---------------------------------------------------------------------------
+# Rebinned parallel-beam reconstruction (the fastest recon path)
+# ---------------------------------------------------------------------------
+#
+# A full 2π equiangular fan acquisition samples every line twice; rebinning
+# to parallel coordinates (θ = β + γ - π/2 ∈ [0, π), t = SID sin γ) halves
+# the backprojected views and averages the redundant copies.  Parallel
+# backprojection needs no arctan/1/L² — the channel coordinate is AFFINE in
+# the pixel coordinates — so the per-view cost collapses to one packed
+# gather plus a handful of VPU ops.  This is the standard rebinned-FBP of
+# commercial scanners (slight resolution trade documented in tests).
+
+
+def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
+    """Host tables mapping a fan sinogram onto a (θ, t) parallel grid.
+
+    Returns (idx [nθ*nt, 8], w [nθ*nt, 8], t0, dt): for each parallel bin,
+    the two redundant fan samples (bilinear in β and γ, averaged).
+    """
+    sid = geometry.SID
+    v, c = geometry.N_proj, geometry.N_channels
+    dgamma = geometry.dgamma
+    dbeta = geometry.rotation_total / v
+    gam_lim = geometry.gamma_fan / 2.0
+    if t_max is None:
+        t_max = sid * np.sin(gam_lim)
+    dt = 2.0 * t_max / nt
+    t0 = -t_max + 0.5 * dt
+    thetas = np.arange(n_theta) * (np.pi / n_theta)
+    ts = t0 + dt * np.arange(nt)
+
+    tt, th = np.meshgrid(ts, thetas)  # [nθ, nt]
+    sin_g = np.clip(tt / sid, -1.0, 1.0)
+    gam = np.arcsin(sin_g)
+    valid = np.abs(gam) <= gam_lim
+
+    def fan_taps(beta, gamma):
+        """Bilinear taps of (beta [wraps], gamma [clamped]) -> idx, w x4."""
+        fb = np.mod(beta, 2.0 * np.pi) / dbeta
+        ib0 = np.floor(fb).astype(np.int64)
+        wb1 = fb - ib0
+        ib1 = np.mod(ib0 + 1, v)
+        ib0 = np.mod(ib0, v)
+        fg = gamma / dgamma - 0.5 + c / 2.0
+        ig0 = np.clip(np.floor(fg), 0, c - 2).astype(np.int64)
+        wg1 = np.clip(fg - ig0, 0.0, 1.0)
+        idx = np.stack([
+            ib0 * c + ig0, ib0 * c + ig0 + 1,
+            ib1 * c + ig0, ib1 * c + ig0 + 1,
+        ], -1)
+        w = np.stack([
+            (1 - wb1) * (1 - wg1), (1 - wb1) * wg1,
+            wb1 * (1 - wg1), wb1 * wg1,
+        ], -1)
+        return idx, w
+
+    # copy A: (β = θ - γ + π/2, γ); copy B: the conjugate ray
+    # (β' = θ + γ + 3π/2, γ' = -γ)
+    idx_a, w_a = fan_taps(th - gam + np.pi / 2.0, gam)
+    idx_b, w_b = fan_taps(th + gam + 1.5 * np.pi, -gam)
+    idx = np.concatenate([idx_a, idx_b], -1).reshape(-1, 8)
+    w = 0.5 * np.concatenate([w_a, w_b], -1).reshape(-1, 8)
+    w = w * valid.reshape(-1, 1)
+    return (idx.astype(np.int32), w.astype(np.float32), float(t0),
+            float(dt))
+
+
+@functools.partial(jax.jit, static_argnames=("nt",))
+def rebin_to_parallel(sinos, idx, w, nt):
+    """[K, V, C] fan sinograms -> [K, nθ, nt] parallel sinograms.
+
+    nθ is inferred from the table length (idx rows / nt), so θ-sharded
+    tables under shard_map produce the local wedge.
+    """
+    k = sinos.shape[0]
+    n_theta = idx.shape[0] // nt
+    table = sinos.reshape(k, -1).T  # [V*C, K]
+    rows = table[idx.reshape(-1)].reshape(-1, 8, k)
+    vals = jnp.einsum("rt,rtk->rk", w, rows)
+    return vals.T.reshape(k, n_theta, nt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_images", "nt", "n_matrix", "view_block"),
+)
+def parallel_backproject_multi(packed, n_images, thetas, t0, dt, nt,
+                               n_matrix, fov, dtheta, *, view_block=64):
+    """Backproject K images from packed parallel-beam taps.
+
+    packed: [nθ*nt, 2K] from :func:`pack_filtered` of the filtered
+    parallel sinograms.  Channel coordinate per (θ, pixel) is affine:
+    c = (x cosθ + y sinθ - t0) / dt.
+    """
+    K = n_images
+    dtype = packed.dtype
+    n_th = thetas.shape[0]
+    px_size = fov / n_matrix
+    half = n_matrix / 2.0
+    coord = (jnp.arange(n_matrix, dtype=dtype) + 0.5 - half) * px_size
+    X = jnp.broadcast_to(coord[None, :], (n_matrix, n_matrix)).reshape(-1)
+    Y = jnp.broadcast_to(coord[:, None], (n_matrix, n_matrix)).reshape(-1)
+
+    n_blocks = -(-n_th // view_block)
+    pad = n_blocks * view_block - n_th
+    thp = jnp.pad(thetas.astype(dtype), (0, pad))
+    vw = jnp.pad(jnp.ones((n_th,), dtype), (0, pad))
+    tb = thp.reshape(n_blocks, view_block)
+    wb = vw.reshape(n_blocks, view_block)
+    voff = (jnp.arange(n_blocks * view_block, dtype=jnp.int32)
+            % jnp.int32(max(n_th, 1))).reshape(n_blocks, view_block) * nt
+
+    def block(acc, args):
+        th, wv, vo = args
+        ct_, st_ = jnp.cos(th), jnp.sin(th)
+        c = (X[None, :] * ct_[:, None] + Y[None, :] * st_[:, None]
+             - t0) / dt
+        c0 = jnp.clip(jnp.floor(c), 0, nt - 2)
+        f = jnp.clip(c - c0, 0.0, 1.0)
+        inside = (c >= 0.0) & (c <= nt - 1.0)
+        w = jnp.where(inside, 1.0, 0.0) * wv[:, None]
+        idx = vo[:, None] + c0.astype(jnp.int32)
+        rows = packed[idx.reshape(-1)].reshape(idx.shape + (2 * K,))
+        taps = rows[..., :K] * (1.0 - f)[..., None] \
+            + rows[..., K:] * f[..., None]
+        return acc + jnp.einsum("bp,bpk->kp", w, taps), None
+
+    acc0 = jnp.zeros((K, n_matrix * n_matrix), dtype)
+    acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
+    return (acc * dtheta).reshape(K, n_matrix, n_matrix)

@@ -20,7 +20,9 @@ from ..pipeline.fused import DectMeta, dect_step
 
 __all__ = ["sharded_dect_step", "shard_arrays"]
 
-_VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w")
+_VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w",
+                 # parallel-recon θ-line tables shard with the θ wedge
+                 "rb_idx", "rb_w", "par_thetas")
 
 
 def _in_specs(arrays, axis="views"):

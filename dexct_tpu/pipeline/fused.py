@@ -52,16 +52,23 @@ class DectMeta(NamedTuple):
     pixel_block: int
     projector: str = "siddon"  # 'siddon' (exact) | 'fourier' (fast)
     fp_meta: tuple = ()  # fourier plan statics (see ops/fourier.py)
+    recon: str = "fan"  # 'fan' (direct) | 'parallel' (rebinned fast)
+    par_meta: tuple = ()  # (n_theta, nt, t0, dt, fft_len)
 
 
 def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               n_iters=50, window="sinc", dtype=jnp.float32,
               mask_thresh=0.95, pixel_block=65536, projector="siddon",
-              n_theta=1024):
+              n_theta=1024, recon="fan", recon_n_theta=512,
+              recon_nt=1024):
     """Lower the system model to (arrays, meta) for :func:`dect_step`.
 
     projector='fourier' selects the O(N^2 log N) Fourier-slice projector
     (ops/fourier.py; ~1e-2 rms path accuracy) instead of exact Siddon.
+    recon='parallel' reconstructs from the fan data rebinned to parallel
+    geometry (half the backprojected views, affine indexing — the
+    commercial-scanner fast path; ~0.05% scale accuracy, slight
+    resolution trade vs direct fan FBP).
     """
     from .api import effective_water_mu
 
@@ -96,6 +103,26 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    plan.n_img, plan.scale)
     elif projector != "siddon":
         raise ValueError(f"unknown projector {projector!r}")
+
+    par_meta = ()
+    if recon == "parallel":
+        from ..ops.fbp_fast import parallel_rebin_plan
+
+        rb_idx, rb_w, par_t0, par_dt = parallel_rebin_plan(
+            ct, recon_n_theta, recon_nt)
+        Hp, mp = filter_frequency_response(recon_nt, par_dt, ramp, window,
+                                           "parallel")
+        arrays.update({
+            "rb_idx": jnp.asarray(rb_idx),
+            "rb_w": jnp.asarray(rb_w),
+            "par_thetas": jnp.asarray(
+                np.arange(recon_n_theta) * (np.pi / recon_n_theta), dtype),
+            "par_H": jnp.asarray(Hp, dtype),
+        })
+        par_meta = (recon_n_theta, recon_nt, float(par_t0), float(par_dt),
+                    int(mp))
+    elif recon != "fan":
+        raise ValueError(f"unknown recon {recon!r}")
     meta = DectMeta(
         n_materials=phantom.n_materials,
         n_matrix=int(n_matrix),
@@ -115,6 +142,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         pixel_block=int(pixel_block),
         projector=projector,
         fp_meta=fp_meta,
+        recon=recon,
+        par_meta=par_meta,
     )
     return arrays, meta
 
@@ -170,13 +199,32 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     # filter all four sinograms in one batched FFT, backproject all four
     # through ONE shared geometry/gather pass (ops/fbp_fast.py)
     sinos = jnp.stack([log1, log2, mat1, mat2])  # [4, V, C]
-    qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
-                       meta.dgamma)
-    n_ch = sinos.shape[-1]
-    imgs = fan_backproject_multi(
-        pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma, n_ch,
-        meta.n_matrix, meta.fov, meta.dbeta,
-    )
+    if meta.recon == "parallel":
+        from ..ops.fbp_fast import parallel_backproject_multi, rebin_to_parallel
+
+        n_th, nt, par_t0, par_dt, par_m = meta.par_meta
+        if axis_name is not None:
+            # rebinning crosses view shards: gather the (small) fan
+            # sinograms, then each shard owns a wedge of θ lines
+            sinos_full = jax.lax.all_gather(sinos, axis_name, axis=1,
+                                            tiled=True)
+        else:
+            sinos_full = sinos
+        par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt)
+        qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
+        n_th_total = n_th
+        imgs = parallel_backproject_multi(
+            pack_filtered(qs), 4, a["par_thetas"], par_t0, par_dt, nt,
+            meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+        )
+    else:
+        qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
+                           meta.dgamma)
+        n_ch = sinos.shape[-1]
+        imgs = fan_backproject_multi(
+            pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma, n_ch,
+            meta.n_matrix, meta.fov, meta.dbeta,
+        )
     if axis_name is not None:
         imgs = jax.lax.psum(imgs, axis_name)
     r1, r2, m1r, m2r = imgs[0], imgs[1], imgs[2], imgs[3]

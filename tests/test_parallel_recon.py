@@ -1,0 +1,116 @@
+"""Rebinned parallel-beam reconstruction tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops.fbp_fast import (
+    pack_filtered,
+    parallel_backproject_multi,
+    parallel_rebin_plan,
+    rebin_to_parallel,
+)
+from dexct_tpu.ops.filters import filter_frequency_response
+from dexct_tpu.ops.siddon import material_path_sinogram, mono_sinogram
+from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+from dexct_tpu.pipeline.fused import _filter_views, make_jitted_step, pack_dect
+from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+
+@pytest.fixture(scope="module")
+def cyl():
+    ph = water_cylinder_phantom(N=128, dx=0.2)
+    ct = FanBeamGeometry(N_channels=256, N_proj=360, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0)
+    mu = ph.materials.mu_table(np.array([60.0]))[:, 0]
+    sino = mono_sinogram(material_path_sinogram(ph, ct), mu)
+    return ph, ct, mu, sino
+
+
+class TestRebin:
+    def test_rebinned_profile_matches_chord(self, cyl):
+        ph, ct, mu, sino = cyl
+        idx, w, t0, dt = parallel_rebin_plan(ct, 256, 512)
+        par = np.asarray(rebin_to_parallel(
+            jnp.asarray(sino[None]), jnp.asarray(idx), jnp.asarray(w), 512))
+        ts = t0 + dt * np.arange(512)
+        chord = 2 * np.sqrt(np.clip(10.24**2 - ts**2, 0, None)) * mu[1]
+        inner = np.abs(ts) < 9.0
+        err = par[0, 0] - chord
+        assert np.sqrt((err[inner] ** 2).mean()) < 0.05
+        # every θ line sees the same centered cylinder
+        assert par[0].std(axis=0).max() < 0.05
+
+    def test_weights_cover_redundant_pair(self, cyl):
+        ph, ct, mu, sino = cyl
+        idx, w, t0, dt = parallel_rebin_plan(ct, 64, 128)
+        # inside the fan the 8 tap weights sum to 1 (two half-weight rays)
+        ts = t0 + dt * np.arange(128)
+        inside = np.abs(ts) < ct.SID * np.sin(ct.gamma_fan / 2) - 0.5
+        wsum = w.reshape(64, 128, 8).sum(-1)
+        np.testing.assert_allclose(wsum[:, inside], 1.0, atol=1e-6)
+        assert np.all(wsum[:, ~inside] <= 1.0 + 1e-6)
+
+    def test_parallel_fbp_recovers_mu(self, cyl):
+        ph, ct, mu, sino = cyl
+        n_theta, nt = 256, 512
+        idx, w, t0, dt = parallel_rebin_plan(ct, n_theta, nt)
+        par = rebin_to_parallel(jnp.asarray(sino[None]), jnp.asarray(idx),
+                                jnp.asarray(w), nt)
+        H, m = filter_frequency_response(nt, dt, 0.8, "sinc", "parallel")
+        q = _filter_views(par, 1.0, jnp.asarray(H, jnp.float32), m, dt)
+        thetas = jnp.asarray(np.arange(n_theta) * np.pi / n_theta,
+                             jnp.float32)
+        img = np.asarray(parallel_backproject_multi(
+            pack_filtered(q), 1, thetas, t0, dt, nt, 128, 26.0,
+            np.pi / n_theta))[0]
+        center = img[56:72, 56:72]
+        assert abs(center.mean() - mu[1]) / mu[1] < 0.005
+        assert abs(img[2, 2]) < 0.02 * mu[1] + 2e-3
+
+
+class TestFusedParallelRecon:
+    def _setup(self, recon):
+        ct = FanBeamGeometry(N_channels=96, N_proj=128,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        ph = water_cylinder_phantom(N=96, dx=0.25)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        return pack_dect(ct, ph, s1, s2, 96, 22.0, 0.8, n_iters=15,
+                         recon=recon, recon_n_theta=128, recon_nt=256)
+
+    def test_fused_parallel_matches_fan(self):
+        a_f, m_f = self._setup("fan")
+        a_p, m_p = self._setup("parallel")
+        out_f = make_jitted_step(m_f)(a_f)
+        out_p = make_jitted_step(m_p)(a_p)
+        h_f = np.asarray(out_f["recon_HU"][1])
+        h_p = np.asarray(out_p["recon_HU"][1])
+        r = np.hypot(*(np.mgrid[0:96, 0:96] - 47.5)) * 22.0 / 96
+        inner = r < 8.0
+        rms = np.sqrt(((h_f - h_p)[inner] ** 2).mean())
+        assert rms < 25.0  # HU; resolution/interp differences only
+
+    def test_sharded_parallel_recon(self):
+        from dexct_tpu.parallel import (
+            shard_arrays,
+            sharded_dect_step,
+            view_mesh,
+        )
+
+        arrays, meta = self._setup("parallel")
+        single = make_jitted_step(meta)(arrays)
+        mesh = view_mesh(8)
+        out = sharded_dect_step(mesh, meta, arrays.keys())(
+            shard_arrays(arrays, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(single["recon_raw"][0]), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mat_recons"][1]),
+            np.asarray(single["mat_recons"][1]), atol=1e-4,
+        )
