@@ -1,0 +1,174 @@
+"""Beam-hardening correction (BHC): water linearization + bone second pass.
+
+The reference analysis consumes ``recon_{water,bone}BHC_*`` images
+(/root/reference/plots.py:184-195) whose producer is not in the snapshot
+(SURVEY.md §0.2); this module provides the missing stage as first-class
+ops:
+
+* **Water BHC** (polynomial linearization): the polyenergetic calibration
+  curve ``L(t) = -ln( sum_E i0 e^{-mu_w(E) t} / sum_E i0 )`` is computed
+  analytically for the spectrum+detector, and a polynomial fit of
+  ``L -> mu_eff t`` is applied to the measured log sinogram, removing
+  cupping for water-like objects.
+* **Bone BHC** (Joseph & Spital two-pass): the water-corrected image is
+  segmented at a HU threshold; the bone partial image is re-projected
+  (Fourier-slice projector); a host-fitted 2-D correction surface
+  ``delta(t_w, t_b)`` converts the water-linearized sinogram to the ideal
+  two-material linear combination, and the corrected sinogram is
+  reconstructed again.
+
+All calibration runs host-side (float64); the applied corrections are
+polynomial evaluations and one extra projection/reconstruction on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..physics import xcom
+from ..physics.materials import BONE
+from .spectral import effective_fluence
+
+__all__ = ["WaterBhc", "fit_water_bhc", "apply_water_bhc", "bone_bhc_recon"]
+
+
+@dataclasses.dataclass
+class WaterBhc:
+    """Water-linearization polynomial: L -> mu_eff * t_water."""
+
+    coeffs: np.ndarray  # polynomial coefficients (np.polyval order)
+    mu_eff: float  # target effective water attenuation [1/cm]
+    t_max: float
+
+    def __call__(self, sino_log):
+        out = jnp.zeros_like(sino_log)
+        for c in self.coeffs:  # Horner, device-side
+            out = out * sino_log + c
+        return out
+
+
+def _calibration_curve(spec, geometry, mu_E, t):
+    w = effective_fluence(spec, geometry)
+    w = w / w.sum()
+    trans = np.exp(-np.outer(t, mu_E)) @ w
+    return -np.log(np.clip(trans, 1e-300, None))
+
+
+def fit_water_bhc(spec, geometry, *, t_max=50.0, degree=6, n_cal=256,
+                  calibration_cm=10.0):
+    """Fit the water-linearization polynomial for one spectrum."""
+    from ..pipeline.api import effective_water_mu
+
+    mu_w = xcom.mixatten("H(11.2)O(88.8)", spec.E)
+    t = np.linspace(0.0, t_max, n_cal)
+    L = _calibration_curve(spec, geometry, mu_w, t)
+    mu_eff = effective_water_mu(spec, geometry, calibration_cm)
+    # polynomial constrained through the origin: basis {L, L^2, .., L^d}
+    powers = np.arange(1, degree + 1)
+    A = L[:, None] ** powers[None, :]
+    sol, *_ = np.linalg.lstsq(A, mu_eff * t, rcond=None)
+    coeffs = np.concatenate([sol[::-1], [0.0]])  # np.polyval order
+    return WaterBhc(coeffs, float(mu_eff), float(t_max))
+
+
+def apply_water_bhc(bhc: WaterBhc, sino_log):
+    """Linearize a log sinogram (device op)."""
+    return bhc(jnp.asarray(sino_log))
+
+
+def bone_bhc_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
+                   phantom_grid=None, bone_hu_threshold=300.0,
+                   bone_density=BONE.density, degree=3, window="sinc",
+                   water_bhc=None, n_theta=768):
+    """Two-pass bone BHC: returns (recon_raw, recon_HU) corrected images.
+
+    sino_log: measured polyenergetic log sinogram [V, C].
+    phantom_grid: (N, dx) of the reprojection grid; defaults to
+        (n_matrix, fov/n_matrix).
+    """
+    from ..pipeline.api import get_recon
+    from ..system.phantom import VoxelPhantom
+    from ..physics.materials import AIR, MaterialTable, WATER
+    from .fourier import fourier_project_images, plan_fourier_projector
+    from .fbp import hu_image
+
+    sino_log = jnp.asarray(sino_log)
+    if water_bhc is None:
+        water_bhc = fit_water_bhc(spec, geometry)
+    mu_eff_w = water_bhc.mu_eff
+
+    # pass 1: water-linearized reconstruction
+    sino_w = apply_water_bhc(water_bhc, sino_log)
+    recon_w, _ = get_recon(sino_w, geometry, None, n_matrix, fov, ramp,
+                           window=window)
+    hu_w = hu_image(recon_w, mu_eff_w)
+
+    # bone segmentation -> bone partial image (fraction of bone density)
+    n_grid, dxg = phantom_grid or (n_matrix, fov / n_matrix)
+    if n_grid != n_matrix:
+        raise ValueError("reprojection grid must match the recon grid")
+    bone_frac = jnp.clip(
+        (hu_w - bone_hu_threshold)
+        / max(1000.0 * (BONE.density * 0.5), 1e-6), 0.0, 1.0,
+    )
+    # smooth proxy: fraction ramps from 0 at threshold to 1 over ~960 HU
+    bone_img = bone_frac  # [N, N] in units of "full bone fraction"
+
+    # re-projection of the bone image: t_b per ray [V, C] (cm of bone)
+    dummy = VoxelPhantom("bhc", np.zeros((n_grid, n_grid), np.uint8),
+                         MaterialTable([AIR, WATER]), dxg, dxg, dxg)
+    plan = plan_fourier_projector(dummy, geometry, n_theta=n_theta)
+    t_b = fourier_project_images(plan, bone_img[None], sino_log.shape)[..., 0]
+    t_b = jnp.clip(t_b, 0.0, None)
+
+    # calibration surface: L(t_w, t_b) for the true two-material beam
+    mu_w_E = xcom.mixatten("H(11.2)O(88.8)", spec.E)
+    mu_b_E = BONE.linear_atten(spec.E)
+    w = effective_fluence(spec, geometry)
+    w = w / w.sum()
+    tw = np.linspace(0.0, water_bhc.t_max, 48)
+    tb = np.linspace(0.0, 12.0, 24)
+    TW, TB = np.meshgrid(tw, tb, indexing="ij")
+    L_cal = -np.log(np.clip(
+        np.exp(-(TW[..., None] * mu_w_E + TB[..., None] * mu_b_E)) @ w,
+        1e-300, None))
+    # effective bone mu: slope of L at small t_b through water paths
+    mu_eff_b = float((w * mu_b_E).sum())
+    # ideal linear sinogram minus what water-BHC yields on the true L:
+    p_of_L = np.polyval(water_bhc.coeffs, L_cal)
+    target = mu_eff_w * TW + mu_eff_b * TB
+    delta = target - p_of_L  # correction as a function of (t_w approx, t_b)
+    # fit delta ~ poly2d in (p_of_L, t_b): features t_b, t_b^2, t_b*L, ...
+    feats = np.stack([
+        TB, TB**2, TB * p_of_L, TB**2 * p_of_L, TB * p_of_L**2,
+    ], -1).reshape(-1, 5)
+    coef, *_ = np.linalg.lstsq(feats, delta.reshape(-1), rcond=None)
+
+    # apply on device
+    pL = sino_w
+    tb_d = t_b
+    delta_d = (coef[0] * tb_d + coef[1] * tb_d**2 + coef[2] * tb_d * pL
+               + coef[3] * tb_d**2 * pL + coef[4] * tb_d * pL**2)
+    sino_corr = pL + delta_d
+
+    recon_b, _ = get_recon(sino_corr, geometry, None, n_matrix, fov, ramp,
+                           window=window)
+    return recon_b, hu_image(recon_b, mu_eff_w)
+
+
+def water_bhc_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
+                    window="sinc", water_bhc=None):
+    """Water-BHC reconstruction: (recon_raw, recon_HU)."""
+    from ..pipeline.api import get_recon
+    from .fbp import hu_image
+
+    if water_bhc is None:
+        water_bhc = fit_water_bhc(spec, geometry)
+    sino_w = apply_water_bhc(water_bhc, jnp.asarray(sino_log))
+    recon, _ = get_recon(sino_w, geometry, None, n_matrix, fov, ramp,
+                         window=window)
+    return recon, hu_image(recon, water_bhc.mu_eff)

@@ -243,16 +243,15 @@ def plan_fourier_projector(phantom, geometry, n_theta=1024):
 # Device-side projection
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_materials", "n_theta", "nt",
-                                             "grid", "n_img"))
-def _radon_from_labels(labels, deapod, slice_idx, slice_w, phase_cos,
-                       phase_sin, scale, *, n_materials, n_theta, nt, grid,
-                       n_img):
-    # one-hot, deapodize, corner-center in the padded FFT array (gridding
-    # accuracy requires the object at |centered index| <= G/4)
-    oh = jax.nn.one_hot(labels.astype(jnp.int32), n_materials,
-                        dtype=jnp.float32, axis=0)  # [M, N, N]
-    img = oh / deapod[None]
+@functools.partial(jax.jit, static_argnames=("n_theta", "nt", "grid",
+                                             "n_img"))
+def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
+                       phase_sin, scale, *, n_theta, nt, grid, n_img):
+    """Radon transforms of an image stack [K, N, N] -> [K, nθ, nt]."""
+    n_materials = imgs.shape[0]
+    # deapodize, corner-center in the padded FFT array (gridding accuracy
+    # requires the object at |centered index| <= G/4)
+    img = imgs / deapod[None]
     pad = grid - n_img
     img = jnp.pad(img, ((0, 0), (0, pad), (0, pad)))
     img = jnp.roll(img, (-(n_img // 2), -(n_img // 2)), axis=(-2, -1))
@@ -279,16 +278,34 @@ def _radon_from_labels(labels, deapod, slice_idx, slice_w, phase_cos,
     return proj * scale  # scale = dx^2 * df * nt (irfft carries 1/nt)
 
 
+def _onehot_images(labels, n_materials):
+    return jax.nn.one_hot(labels.astype(jnp.int32), n_materials,
+                          dtype=jnp.float32, axis=0)
+
+
+def fourier_radon(plan: FourierProjectorPlan, images):
+    """Radon transforms [K, nθ, nt] of an image stack [K, N, N]."""
+    return _radon_from_images(
+        images, plan.deapod, plan.slice_idx, plan.slice_w,
+        plan.phase_cos, plan.phase_sin, plan.scale,
+        n_theta=plan.n_theta, nt=plan.nt, grid=plan.grid,
+        n_img=plan.n_img,
+    )
+
+
+def fourier_project_images(plan: FourierProjectorPlan, images, view_shape):
+    """Fan-beam line integrals [V, C, K] of arbitrary images [K, N, N]
+    (used e.g. by the bone-BHC second pass, ops/bhc.py)."""
+    radon = fourier_radon(plan, images)
+    return _resample_to_fan(radon, plan.fan_idx, plan.fan_w,
+                            view_shape + (images.shape[0],))
+
+
 def fourier_paths(plan: FourierProjectorPlan, labels, view_shape):
     """Material-path sinogram [V, C, M] via the Fourier slice theorem."""
-    radon = _radon_from_labels(
-        labels, plan.deapod, plan.slice_idx, plan.slice_w,
-        plan.phase_cos, plan.phase_sin, plan.scale,
-        n_materials=plan.n_materials, n_theta=plan.n_theta,
-        nt=plan.nt, grid=plan.grid, n_img=plan.n_img,
+    return fourier_project_images(
+        plan, _onehot_images(labels, plan.n_materials), view_shape
     )
-    return _resample_to_fan(radon, plan.fan_idx, plan.fan_w,
-                            view_shape + (plan.n_materials,))
 
 
 def plan_arrays(plan: FourierProjectorPlan, view_shape):
@@ -315,10 +332,10 @@ def fourier_paths_from_arrays(a, labels, meta_fp):
     meta_fp: (n_materials, n_theta, nt, grid, n_img, scale) static tuple.
     """
     n_mat, n_theta, nt, grid, n_img, scale = meta_fp
-    radon = _radon_from_labels(
-        labels, a["fp_deapod"], a["fp_slice_idx"], a["fp_slice_w"],
-        a["fp_phase_cos"], a["fp_phase_sin"], scale,
-        n_materials=n_mat, n_theta=n_theta, nt=nt, grid=grid, n_img=n_img,
+    radon = _radon_from_images(
+        _onehot_images(labels, n_mat), a["fp_deapod"], a["fp_slice_idx"],
+        a["fp_slice_w"], a["fp_phase_cos"], a["fp_phase_sin"], scale,
+        n_theta=n_theta, nt=nt, grid=grid, n_img=n_img,
     )
     fan_idx = a["fp_fan_idx"]
     out_shape = fan_idx.shape[:2] + (n_mat,)

@@ -73,8 +73,12 @@ def default_generators():
 
 def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                spectrum_dir="./input/spectrum", noise="none", seed=0,
-               n_iters=50, param_file=None, verbose=True):
-    """Execute one run config over its DE spectrum pairs (main.py:90-178)."""
+               n_iters=50, param_file=None, verbose=True, bhc=False):
+    """Execute one run config over its DE spectrum pairs (main.py:90-178).
+
+    ``bhc=True`` additionally writes water- and bone-BHC reconstructions
+    per acquisition (the plots.py:184-195 read-side contract).
+    """
     pairs = spec_pairs or DEFAULT_SPEC_PAIRS
     writer = StageWriter(out_dir, cfg.run_id, param_file)
     gens = default_generators()
@@ -105,6 +109,21 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             mat_recons=(None if dect.mat_recons[0] is None
                         else [np.asarray(m) for m in dect.mat_recons]),
         )
+        if bhc and cfg.do_back_projection:
+            from ..ops.bhc import bone_bhc_recon, water_bhc_recon
+
+            for i, (sid, spec) in enumerate(((spec_id1, spec1),
+                                             (spec_id2, spec2))):
+                r_w, h_w = water_bhc_recon(
+                    dect.sino_log[i], cfg.ct, spec, cfg.N_matrix, cfg.FOV,
+                    cfg.ramp)
+                r_b, h_b = bone_bhc_recon(
+                    dect.sino_log[i], cfg.ct, spec, cfg.N_matrix, cfg.FOV,
+                    cfg.ramp)
+                writer.bhc(cfg.phantom.name, sid, "water",
+                           np.asarray(r_w), np.asarray(h_w))
+                writer.bhc(cfg.phantom.name, sid, "bone",
+                           np.asarray(r_b), np.asarray(h_b))
         wall = time.time() - t0
         if verbose:
             print(f"matdecomp finished for {spec_id1}-{spec_id2} : "

@@ -8,8 +8,8 @@ import pytest
 from dexct_tpu.ops.fourier import (
     _kb_deapod_1d,
     _kb_kernel,
-    _radon_from_labels,
     fourier_paths,
+    fourier_radon,
     plan_fourier_projector,
 )
 from dexct_tpu.ops.siddon import material_path_sinogram
@@ -58,11 +58,11 @@ class TestRadonAccuracy:
     def test_cylinder_chord(self, cylinder_setup):
         """Radon transform of the water cylinder vs the analytic chord."""
         ph, ct, plan = cylinder_setup
-        radon = np.asarray(_radon_from_labels(
-            jnp.asarray(ph.slice_labels()), plan.deapod, plan.slice_idx,
-            plan.slice_w, plan.phase_cos, plan.phase_sin, plan.scale,
-            n_materials=2, n_theta=plan.n_theta, nt=plan.nt,
-            grid=plan.grid, n_img=plan.n_img))
+        import jax
+
+        oh = jax.nn.one_hot(jnp.asarray(ph.slice_labels(), jnp.int32), 2,
+                            dtype=jnp.float32, axis=0)
+        radon = np.asarray(fourier_radon(plan, oh))
         r = 0.4 * 128 * 0.2
         ts = plan.t0 + plan.dt * np.arange(plan.nt)
         chord = 2.0 * np.sqrt(np.clip(r**2 - ts**2, 0.0, None))
