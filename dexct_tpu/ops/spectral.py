@@ -44,6 +44,19 @@ def effective_fluence(spec, geometry):
     return spec.I0 * resp * spec.bin_widths()
 
 
+def second_moment_fluence(spec, geometry):
+    """Second-moment table for compound-Poisson (EID) noise: i2[E].
+
+    Detected photons are Poisson; the EID signal weights each by w(E) =
+    eta(E) * E, so var(signal) = sum_E n(E) w(E)^2 with n = I0 dE photon
+    counts.  (Treating the energy-weighted signal itself as Poisson — the
+    reference's implicit model — understates noise by ~E_eff.)
+    """
+    n = spec.I0 * spec.bin_widths()  # photons per bin
+    w = geometry.detector_response(spec.E)  # includes E when eid
+    return n * w * w
+
+
 @functools.partial(jax.jit, static_argnames=())
 def counts_from_paths(paths, mu_table, i0_eff):
     """Detected signal per ray.
@@ -68,21 +81,38 @@ def log_sinogram(counts, air_counts):
     return -jnp.log(c / air_counts)
 
 
-def sample_noise(key, counts, mode="poisson", var_scale=1.0):
+def sample_noise(key, counts, mode="poisson", var_scale=1.0, var=None):
     """Seedable detector-noise stage.
 
     mode='poisson': Poisson counting statistics on the detected signal —
         consistent with the decomposition's Poisson-MLE model
         (matdecomp.py:28-30).
     mode='gaussian': Normal approximation with variance ``var_scale *
-        counts`` — models compound (energy-weighted) statistics for EID
-        where the signal is not strictly Poisson.
+        counts``.
+    mode='compound': Normal with an explicit per-ray ``var`` array — the
+        physically correct EID model (pair with
+        :func:`second_moment_fluence`).
     mode='none': pass-through.
     """
     if mode == "none":
         return counts
+    if mode == "compound":
+        if var is None:
+            raise ValueError("compound mode requires a per-ray var array")
+        sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+        noisy = counts + sigma * jax.random.normal(key, counts.shape,
+                                                   counts.dtype)
+        return jnp.maximum(noisy, 0.0)
     if mode == "poisson":
-        return jax.random.poisson(key, counts).astype(counts.dtype)
+        # the discrete sampler breaks down (and is pointless) at large
+        # rates; switch to the asymptotically exact Gaussian limit there.
+        # EID signals are energy-weighted and can reach ~1e10 per ray.
+        big = counts > 1e5
+        small = jax.random.poisson(
+            key, jnp.where(big, 0.0, counts)).astype(counts.dtype)
+        gauss = counts + jnp.sqrt(jnp.maximum(counts, 0.0)) * \
+            jax.random.normal(key, counts.shape, counts.dtype)
+        return jnp.where(big, jnp.maximum(gauss, 0.0), small)
     if mode == "gaussian":
         sigma = jnp.sqrt(jnp.maximum(counts * var_scale, 0.0))
         return counts + sigma * jax.random.normal(key, counts.shape,

@@ -87,6 +87,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "mu_t2": jnp.asarray(phantom.materials.mu_table(spec2.E), dtype),
         "i0_1": jnp.asarray(i0_1, dtype),
         "i0_2": jnp.asarray(i0_2, dtype),
+        "i2_1": jnp.asarray(sp_ops.second_moment_fluence(spec1, ct), dtype),
+        "i2_2": jnp.asarray(sp_ops.second_moment_fluence(spec2, ct), dtype),
         "dec_i0": jnp.asarray(dec_i0, dtype),
         "dec_mus": jnp.asarray(dec_mus, dtype),
         "filt_H": jnp.asarray(H, dtype),  # real response; complex arrays
