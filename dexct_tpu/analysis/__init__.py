@@ -12,6 +12,7 @@ from .metrics import (
     rmse,
     vmi_metric_curve,
 )
+from .loaders import load_basis_images, load_bhc_image, load_ct_image, load_sinogram
 from .register import register_phantom_to_recon, rescale_shift
 
 __all__ = [
