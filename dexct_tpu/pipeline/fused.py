@@ -54,13 +54,14 @@ class DectMeta(NamedTuple):
     fp_meta: tuple = ()  # fourier plan statics (see ops/fourier.py)
     recon: str = "fan"  # 'fan' (direct) | 'parallel' (rebinned fast)
     par_meta: tuple = ()  # (n_theta, nt, t0, dt, fft_len)
+    noise: str = "none"  # 'none' | 'poisson' | 'compound'
 
 
 def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               n_iters=50, window="sinc", dtype=jnp.float32,
               mask_thresh=0.95, pixel_block=65536, projector="siddon",
               n_theta=1024, recon="fan", recon_n_theta=512,
-              recon_nt=1024):
+              recon_nt=1024, noise="none", seed=0):
     """Lower the system model to (arrays, meta) for :func:`dect_step`.
 
     projector='fourier' selects the O(N^2 log N) Fourier-slice projector
@@ -146,7 +147,10 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         fp_meta=fp_meta,
         recon=recon,
         par_meta=par_meta,
+        noise=noise,
     )
+    if noise != "none":
+        arrays["noise_key"] = jax.random.PRNGKey(seed)
     return arrays, meta
 
 
@@ -182,6 +186,15 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
 
     counts1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
     counts2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])
+    if meta.noise != "none":
+        key = a["noise_key"]
+        if axis_name is not None:  # distinct noise per view shard
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k1, k2 = jax.random.split(key)
+        v1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i2_1"])
+        v2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i2_2"])
+        counts1 = sp_ops.sample_noise(k1, counts1, meta.noise, var=v1)
+        counts2 = sp_ops.sample_noise(k2, counts2, meta.noise, var=v2)
     log1 = sp_ops.log_sinogram(counts1, meta.air1)
     log2 = sp_ops.log_sinogram(counts2, meta.air2)
 

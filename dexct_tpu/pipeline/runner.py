@@ -73,11 +73,15 @@ def default_generators():
 
 def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                spectrum_dir="./input/spectrum", noise="none", seed=0,
-               n_iters=50, param_file=None, verbose=True, bhc=False):
+               n_iters=50, param_file=None, verbose=True, bhc=False,
+               engine="fused", projector="fourier", recon="parallel"):
     """Execute one run config over its DE spectrum pairs (main.py:90-178).
 
-    ``bhc=True`` additionally writes water- and bone-BHC reconstructions
-    per acquisition (the plots.py:184-195 read-side contract).
+    engine='fused' runs the single-jit fast pipeline (projector/recon
+    select its algorithms); engine='composed' runs the exact composed op
+    path (Siddon DDA + direct fan FBP).  ``bhc=True`` additionally writes
+    water- and bone-BHC reconstructions per acquisition (the
+    plots.py:184-195 read-side contract).
     """
     pairs = spec_pairs or DEFAULT_SPEC_PAIRS
     writer = StageWriter(out_dir, cfg.run_id, param_file)
@@ -87,12 +91,35 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         t0 = time.time()
         spec1 = _resolve_spectrum(spec_id1, d1, cfg.ct, spectrum_dir, gens)
         spec2 = _resolve_spectrum(spec_id2, d2, cfg.ct, spectrum_dir, gens)
-        key = jax.random.PRNGKey(seed) if noise != "none" else None
-        dect = api.simulate_dect(
-            cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-            cfg.ramp, n_iters=n_iters, noise=noise, key=key,
-            do_recon=cfg.do_back_projection,
-        )
+        if engine == "fused":
+            from .fused import make_jitted_step, pack_dect
+
+            n_mat = cfg.phantom.n_materials
+            proj = projector
+            if proj == "fourier" and cfg.phantom.Nx != cfg.phantom.Ny:
+                proj = "siddon"  # fourier path requires square grids
+            arrays, meta = pack_dect(
+                cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
+                cfg.ramp, n_iters=n_iters, projector=proj, recon=recon,
+                noise=("compound" if noise == "poisson" and cfg.ct.eid
+                       else noise),
+                seed=seed,
+            )
+            out = make_jitted_step(meta)(arrays)
+            dect = api.DectResult(
+                sino_raw=out["sino_raw"], sino_log=out["sino_log"],
+                recon_raw=out["recon_raw"], recon_HU=out["recon_HU"],
+                mat_sinos=out["mat_sinos"], mat_recons=out["mat_recons"],
+            )
+        elif engine == "composed":
+            key = jax.random.PRNGKey(seed) if noise != "none" else None
+            dect = api.simulate_dect(
+                cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
+                cfg.ramp, n_iters=n_iters, noise=noise, key=key,
+                do_recon=cfg.do_back_projection,
+            )
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
         for i, (sid, dose) in enumerate(((spec_id1, d1), (spec_id2, d2))):
             writer.acquisition(
                 sid, dose,
