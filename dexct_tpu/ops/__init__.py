@@ -1,5 +1,26 @@
-"""Core compute ops: projection, spectral forward, FBP, decomposition."""
+"""Core compute ops: projection, spectral forward, FBP, decomposition,
+beam-hardening correction."""
 
-from . import fbp, filters, matdecomp, siddon, spectral
+from . import (
+    bhc,
+    fbp,
+    fbp_fast,
+    filters,
+    fourier,
+    matdecomp,
+    siddon,
+    siddon_fast,
+    spectral,
+)
 
-__all__ = ["siddon", "spectral", "fbp", "filters", "matdecomp"]
+__all__ = [
+    "siddon",
+    "siddon_fast",
+    "fourier",
+    "spectral",
+    "fbp",
+    "fbp_fast",
+    "filters",
+    "matdecomp",
+    "bhc",
+]

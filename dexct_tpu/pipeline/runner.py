@@ -74,7 +74,8 @@ def default_generators():
 def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                spectrum_dir="./input/spectrum", noise="none", seed=0,
                n_iters=50, param_file=None, verbose=True, bhc=False,
-               engine="fused", projector="fourier", recon="parallel"):
+               engine="fused", projector="fourier", recon="parallel",
+               resume=False):
     """Execute one run config over its DE spectrum pairs (main.py:90-178).
 
     engine='fused' runs the single-jit fast pipeline (projector/recon
@@ -89,6 +90,12 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
     results = []
     for spec_id1, spec_id2, d1, d2 in pairs:
         t0 = time.time()
+        if resume and _pair_complete(out_dir, cfg, spec_id1, spec_id2,
+                                     d1, d2):
+            if verbose:
+                print(f"resume: skipping completed pair "
+                      f"{spec_id1}-{spec_id2}")
+            continue
         spec1 = _resolve_spectrum(spec_id1, d1, cfg.ct, spectrum_dir, gens)
         spec2 = _resolve_spectrum(spec_id2, d2, cfg.ct, spectrum_dir, gens)
         if engine == "fused":
@@ -158,6 +165,25 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         results.append(RunResult(cfg.run_id, (spec_id1, spec_id2, d1, d2),
                                  dect, wall))
     return results
+
+
+def _pair_complete(out_dir, cfg, spec_id1, spec_id2, d1, d2):
+    """All stage artifacts of a DE pair already on disk (SURVEY.md §5
+    checkpoint/resume: stage binaries are the checkpoint format)."""
+    from ..utils.io import acquisition_dir, matdecomp_dir
+
+    want = []
+    for sid, dose in ((spec_id1, d1), (spec_id2, d2)):
+        d = acquisition_dir(out_dir, cfg.run_id, sid, dose)
+        want += [os.path.join(d, "sino_raw_float32.bin"),
+                 os.path.join(d, "sino_log_float32.bin")]
+        if cfg.do_back_projection:
+            want += [os.path.join(d, "recon_raw_float32.bin"),
+                     os.path.join(d, "recon_HU_float32.bin")]
+    md = matdecomp_dir(out_dir, cfg.run_id, spec_id1, spec_id2, d1, d2)
+    want += [os.path.join(md, "mat1_sino_float32.bin"),
+             os.path.join(md, "mat2_sino_float32.bin")]
+    return all(os.path.exists(p) for p in want)
 
 
 def run_parameter_file(param_file, *, out_dir="./output", **kw):

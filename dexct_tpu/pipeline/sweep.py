@@ -115,6 +115,23 @@ def ramp_sweep(arrays, meta: DectMeta, ramps_H, *, window="sinc"):
     return jax.lax.map(one, ramps_H)
 
 
+@functools.partial(jax.jit, static_argnames=("meta",))
+def slice_sweep(arrays, meta: DectMeta, labels_zyx):
+    """Full DE pipeline over the slices of a multi-slice phantom.
+
+    labels_zyx: [Z, N, N] label volume (e.g. ``phantom.labels``).  Every
+    slice shares the geometry/spectra tables; returns the
+    :func:`~dexct_tpu.pipeline.fused.dect_step` output pytree with a
+    leading Z axis.
+    """
+    from .fused import dect_step
+
+    def one(lab):
+        return dect_step(dict(arrays, labels=lab), meta)
+
+    return jax.lax.map(one, labels_zyx)
+
+
 def sweep_mesh(n=None):
     """A 1-D ``sweep`` mesh (the embarrassingly parallel / DCN axis)."""
     from ..parallel.mesh import make_mesh

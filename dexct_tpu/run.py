@@ -12,8 +12,19 @@ import argparse
 def parse_pairs(items):
     pairs = []
     for it in items:
-        s1, s2, d1, d2 = it.split(",")
-        pairs.append((s1, s2, float(d1), float(d2)))
+        parts = it.split(",")
+        if len(parts) != 4:
+            raise SystemExit(
+                f"error: --pair expects SPEC1,SPEC2,DOSE1,DOSE2 "
+                f"(e.g. detunedMV,80kV,9,1); got {it!r}"
+            )
+        s1, s2, d1, d2 = parts
+        try:
+            pairs.append((s1, s2, float(d1), float(d2)))
+        except ValueError:
+            raise SystemExit(
+                f"error: --pair doses must be numbers; got {it!r}"
+            )
     return tuple(pairs)
 
 
@@ -33,6 +44,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--iters", type=int, default=50,
                    help="Gauss-Newton iterations (reference uses 50)")
+    p.add_argument("--engine", choices=["fused", "composed"],
+                   default="fused")
+    p.add_argument("--projector", choices=["fourier", "siddon"],
+                   default="fourier")
+    p.add_argument("--recon", choices=["parallel", "fan"],
+                   default="parallel")
+    p.add_argument("--bhc", action="store_true",
+                   help="also write water/bone BHC reconstructions")
+    p.add_argument("--resume", action="store_true",
+                   help="skip DE pairs whose stage artifacts exist")
     args = p.parse_args(argv)
 
     from .pipeline.runner import run_parameter_file
@@ -45,6 +66,11 @@ def main(argv=None):
         noise=args.noise,
         seed=args.seed,
         n_iters=args.iters,
+        engine=args.engine,
+        projector=args.projector,
+        recon=args.recon,
+        bhc=args.bhc,
+        resume=args.resume,
     )
 
 

@@ -158,6 +158,21 @@ class TestRunnerContract:
             arr = np.fromfile(f, np.float32)
             assert arr.size == shape[0] * shape[1], f
 
+    def test_resume_skips_completed(self, small_de, tmp_path, capsys):
+        from dexct_tpu.pipeline.runner import run_config
+        from dexct_tpu.system.config import RunConfig
+
+        ct, ph, s1, s2 = small_de
+        cfg = RunConfig("t_res", True, True, ct, ph, None, 64, 24.0, 0.8)
+        kw = dict(out_dir=str(tmp_path / "o"),
+                  spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+                  spectrum_dir=str(tmp_path / "none"), n_iters=5,
+                  verbose=True)
+        run_config(cfg, **kw)
+        res2 = run_config(cfg, resume=True, **kw)
+        assert res2 == []  # everything skipped
+        assert "skipping completed" in capsys.readouterr().out
+
     def test_cli_pair_parsing(self):
         from dexct_tpu.run import parse_pairs
 

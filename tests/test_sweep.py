@@ -79,6 +79,31 @@ class TestDoseSweep:
                                jax.random.PRNGKey(0))
 
 
+class TestSliceSweep:
+    def test_multislice_phantom(self, packed):
+        """3-slice volume: per-slice results equal per-slice single runs
+        (BASELINE config 5 'multi-slice')."""
+        from dexct_tpu.pipeline.fused import make_jitted_step
+        from dexct_tpu.pipeline.sweep import slice_sweep
+
+        ct, (arrays, meta) = packed
+        base = np.asarray(arrays["labels"])
+        vol = np.stack([base,
+                        np.zeros_like(base),
+                        np.roll(base, 5, axis=1)])
+        out = slice_sweep(arrays, meta, jnp.asarray(vol))
+        assert out["recon_HU"][0].shape == (3, 64, 64)
+        # slice 0 == single-slice run
+        single = make_jitted_step(meta)(arrays)
+        np.testing.assert_allclose(
+            np.asarray(out["recon_HU"][0][0]),
+            np.asarray(single["recon_HU"][0]), atol=1e-5,
+        )
+        # the empty slice reconstructs to ~air everywhere
+        hu_air = np.asarray(out["recon_HU"][0][1])
+        assert hu_air.mean() < -900.0
+
+
 class TestRampSweep:
     def test_sharpness_ordering(self, packed):
         ct, (arrays, meta) = packed
