@@ -1,0 +1,90 @@
+"""Compatibility-surface tests + photon-counting-detector pipeline."""
+
+import numpy as np
+import pytest
+
+
+class TestCompatSurface:
+    def test_reference_import_pattern(self):
+        """The reference's import set resolves from dexct_tpu.compat
+        (main.py:19-22, plots.py:16-18, matdecomp.py:12-17)."""
+        from dexct_tpu.compat import (
+            FanBeamGeometry,
+            VoxelPhantom,
+            density1,
+            density2,
+            get_basismat_sinos,
+            get_recon,
+            get_sino,
+            mat1,
+            mat2,
+            matcomp1,
+            matcomp2,
+            mixatten,
+            read_parameter_file,
+            xRaySpectrum,
+        )
+
+        assert mat1 == "ICRU tissue" and mat2 == "ICRU bone"
+        assert density1 == 1.06 and density2 == 1.92
+        assert matcomp1.startswith("H(10.2)")
+        assert matcomp2.startswith("H(3.4)")
+        v = mixatten("H(11.2)O(88.8)", np.array([60.0]))
+        assert abs(float(v[0]) - 0.2059) < 0.005
+
+    def test_reference_mainloop_shape(self, tmp_path):
+        """A condensed version of the reference main loop runs through the
+        compat surface (SURVEY.md §3.1)."""
+        from dexct_tpu.compat import get_basismat_sinos, get_recon, get_sino
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+        ct = FanBeamGeometry(N_channels=64, N_proj=48, gamma_fan=0.8,
+                             SID=60.0, SDD=100.0, eid=True)
+        ph = water_cylinder_phantom(N=48, dx=0.4)
+        dect_specs, dect_sinos = [], []
+        for gen, dose in ((linac_spectrum, 9.0),
+                          (lambda: kramers_spectrum(80.0), 1.0)):
+            spec = gen()
+            spec.rescale_counts(ct.A_iso * dose / ct.N_proj)
+            sino_raw, sino_log = get_sino(ct, ph, spec)
+            recon_raw, recon_HU = get_recon(sino_log, ct, spec, 48, 18.0,
+                                            0.8)
+            dect_specs.append(spec)
+            dect_sinos.append(sino_raw)
+        m1, m2 = get_basismat_sinos(ct, dect_sinos[0], dect_sinos[1],
+                                    dect_specs[0], dect_specs[1],
+                                    n_iters=20)
+        r1, _ = get_recon(m1, ct, None, 48, 18.0, 0.8)
+        assert np.asarray(r1).shape == (48, 48)
+        # water object -> tissue-basis density ~ 1 g/cm3 at center
+        assert 0.6 < np.asarray(r1)[22:26, 22:26].mean() < 1.3
+
+
+class TestPhotonCountingPipeline:
+    def test_pcd_end_to_end(self):
+        """detector_mode='pcd': eta-only weighting, full DE pipeline."""
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.physics.detector import photon_counting_response
+        from dexct_tpu.pipeline.fused import make_jitted_step, pack_dect
+        from dexct_tpu.system import FanBeamGeometry, contrast_rods_phantom
+
+        det = photon_counting_response()
+        ct = FanBeamGeometry(N_channels=64, N_proj=64, gamma_fan=0.8,
+                             SID=60.0, SDD=100.0, eid=False, detector=det)
+        assert ct.eid is False
+        # response must NOT be energy weighted
+        r = ct.detector_response(np.array([50.0, 100.0]))
+        assert np.all(r <= 1.0)
+        ph = contrast_rods_phantom(N=64, dx=0.3)
+        s1 = kramers_spectrum(140.0)
+        s1.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        arrays, meta = pack_dect(ct, ph, s1, s2, 64, 20.0, 0.8, n_iters=15)
+        out = make_jitted_step(meta)(arrays)
+        hu = np.asarray(out["recon_HU"][1])
+        assert np.isfinite(hu).all()
+        # water body ~0 HU (PCD, 80 kV, with BH residual), air ~ -1000
+        assert abs(hu[40, 32]) < 200.0
+        assert hu[2, 2] < -900.0
