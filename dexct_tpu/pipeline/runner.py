@@ -101,13 +101,20 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         if engine == "fused":
             from .fused import make_jitted_step, pack_dect
 
+            import numpy as _np
+
             n_mat = cfg.phantom.n_materials
             proj = projector
             if proj == "fourier" and cfg.phantom.Nx != cfg.phantom.Ny:
                 proj = "siddon"  # fourier path requires square grids
+            rec = recon
+            if rec == "parallel" and abs(
+                cfg.ct.rotation_total - 2.0 * _np.pi
+            ) > 1e-3:
+                rec = "fan"  # rebinning needs a full-rotation fan scan
             arrays, meta = pack_dect(
                 cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-                cfg.ramp, n_iters=n_iters, projector=proj, recon=recon,
+                cfg.ramp, n_iters=n_iters, projector=proj, recon=rec,
                 noise=("compound" if noise == "poisson" and cfg.ct.eid
                        else noise),
                 seed=seed,
