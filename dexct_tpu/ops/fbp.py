@@ -118,19 +118,48 @@ def fbp_recon(sino_log, geometry, n_matrix, fov, ramp=0.8, window="sinc",
               mu_water_eff=None, dtype=jnp.float32):
     """Full FBP: returns (recon_raw [1/cm], recon_HU or None).
 
-    The reference signature ``get_recon(sino_log, ct, spec, N_matrix, FOV,
-    ramp)`` (main.py:134) is provided in :mod:`dexct_tpu.pipeline.api`;
-    this is the array-level op.
+    Dispatches on the geometry type: equiangular fan beam (the reference's
+    scanner) or parallel beam (this framework's extension).  The reference
+    signature ``get_recon(sino_log, ct, spec, N_matrix, FOV, ramp)``
+    (main.py:134) is provided in :mod:`dexct_tpu.pipeline.api`; this is
+    the array-level op.
     """
-    q = filter_sinogram(sino_log, geometry, ramp, window, dtype)
-    img = fan_backproject(
-        q,
-        jnp.asarray(geometry.betas, dtype),
-        float(geometry.SID),
-        float(geometry.dgamma),
-        int(n_matrix),
-        float(fov),
-    )
+    from ..system.geometry import ParallelBeamGeometry
+
+    if isinstance(geometry, ParallelBeamGeometry):
+        img = parallel_fbp(sino_log, geometry, n_matrix, fov, ramp,
+                           window, dtype)
+    else:
+        q = filter_sinogram(sino_log, geometry, ramp, window, dtype)
+        img = fan_backproject(
+            q,
+            jnp.asarray(geometry.betas, dtype),
+            float(geometry.SID),
+            float(geometry.dgamma),
+            int(n_matrix),
+            float(fov),
+        )
     if mu_water_eff is None:
         return img, None
     return img, hu_image(img, mu_water_eff)
+
+
+def parallel_fbp(sino_log, geometry, n_matrix, fov, ramp=0.8,
+                 window="sinc", dtype=jnp.float32):
+    """Parallel-beam FBP over the geometry's angular coverage."""
+    from .fbp_fast import pack_filtered, parallel_backproject_multi
+
+    nt = geometry.N_channels
+    ds = geometry.ds
+    H, m = filter_frequency_response(nt, ds, ramp, window, "parallel")
+    q = _filter_jit(jnp.asarray(sino_log, dtype)[None],
+                    jnp.ones((nt,), dtype), jnp.asarray(H, dtype), m, ds)
+    t0 = float(geometry.s_positions[0])
+    # each line is counted rotation_total/pi times over the scan
+    dtheta = float(geometry.rotation_total) / geometry.N_proj \
+        * (jnp.pi / geometry.rotation_total)
+    img = parallel_backproject_multi(
+        pack_filtered(q), 1, jnp.asarray(geometry.betas, dtype), t0,
+        float(ds), nt, int(n_matrix), float(fov), float(dtheta),
+    )
+    return img[0]

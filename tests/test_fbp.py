@@ -127,3 +127,22 @@ class TestReconstruction:
     def test_jit_dtype_is_float32(self, cylinder_recon):
         ph, ct, mu, img = cylinder_recon
         assert img.dtype == np.float32
+
+    def test_parallel_beam_geometry_end_to_end(self):
+        """The parallel-beam extension: project + reconstruct a cylinder
+        through the same get_recon dispatch."""
+        from dexct_tpu.system import ParallelBeamGeometry
+
+        ph = water_cylinder_phantom(N=96, dx=0.25)
+        ct = ParallelBeamGeometry(N_channels=128, N_proj=180,
+                                  detector_width=26.0)
+        assert abs(ct.rotation_total - np.pi) < 1e-9
+        mu = ph.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = mono_sinogram(material_path_sinogram(ph, ct), mu)
+        # central channel sees the full diameter at every angle
+        center = np.asarray(sino)[:, 63:65] * mu[1]
+        img, _ = fbp_recon(sino, ct, 96, 24.0, 0.8)
+        img = np.asarray(img)
+        c = img[44:52, 44:52]
+        assert abs(c.mean() - mu[1]) / mu[1] < 0.01
+        assert abs(img[6, 48]) < 0.02 * mu[1] + 2e-3  # air above

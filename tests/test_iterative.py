@@ -1,0 +1,88 @@
+"""Iterative reconstruction tests: adjointness, CG/SIRT convergence,
+sparse-view advantage over FBP (SURVEY.md §4 item 3 adjoint strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops.fourier import plan_fourier_projector
+from dexct_tpu.ops.iterative import cg_recon, make_projection_operator, sirt_recon
+from dexct_tpu.ops.siddon import material_path_sinogram, mono_sinogram
+from dexct_tpu.system import FanBeamGeometry, contrast_rods_phantom, water_cylinder_phantom
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ph = water_cylinder_phantom(N=96, dx=0.25)
+    ct = FanBeamGeometry(N_channels=128, N_proj=128, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0)
+    plan = plan_fourier_projector(ph, ct, n_theta=384)
+    mu = ph.materials.mu_table(np.array([60.0]))[:, 0]
+    mu_img = jnp.asarray(mu[ph.slice_labels()], jnp.float32)
+    sino = mono_sinogram(material_path_sinogram(ph, ct), mu)
+    return ph, ct, plan, mu, mu_img, sino
+
+
+class TestAdjointness:
+    def test_inner_product_identity(self, setup):
+        """<A x, y> == <x, A^T y> — exact by linear_transpose construction,
+        verified numerically through the full projector stack."""
+        ph, ct, plan, mu, mu_img, sino = setup
+        A = make_projection_operator(plan, (128, 128))
+        At = jax.linear_transpose(A, mu_img)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, mu_img.shape)
+        y = jax.random.normal(jax.random.PRNGKey(1), (128, 128))
+        lhs = float(jnp.vdot(A(x), y))
+        (aty,) = At(y)
+        rhs = float(jnp.vdot(x, aty))
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-9) < 1e-4
+
+
+class TestCg:
+    def test_recovers_cylinder(self, setup):
+        ph, ct, plan, mu, mu_img, sino = setup
+        img, hist = cg_recon(plan, sino, (128, 128), n_iters=25, lam=0.05)
+        img = np.asarray(img)
+        center = img[44:52, 44:52]
+        assert abs(center.mean() - mu[1]) / mu[1] < 0.03
+        # residual decreases monotonically-ish
+        h = np.asarray(hist)
+        assert h[-1] < 1e-2 * h[0]
+
+    def test_sparse_view_beats_fbp(self):
+        """24-view scan: CG reconstructs the rods with lower RMSE than
+        streak-dominated FBP."""
+        from dexct_tpu.pipeline.api import get_recon
+
+        ph = contrast_rods_phantom(N=96, dx=0.25)
+        ct = FanBeamGeometry(N_channels=128, N_proj=24,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        plan = plan_fourier_projector(ph, ct, n_theta=384)
+        e = np.array([70.0])
+        mu = ph.materials.mu_table(e)[:, 0]
+        gt = mu[ph.slice_labels()]
+        sino = mono_sinogram(material_path_sinogram(ph, ct), mu)
+        fbp, _ = get_recon(sino, ct, None, 96, 24.0, 0.8)
+        cg, _ = cg_recon(plan, sino, (24, 128), n_iters=40, lam=0.2)
+        # compare on the phantom grid (same 96/24cm grid by construction)
+        interior = np.hypot(*(np.mgrid[0:96, 0:96] - 47.5)) * 0.25 < 9.0
+        rmse_fbp = np.sqrt(((np.asarray(fbp) - gt)[interior] ** 2).mean())
+        rmse_cg = np.sqrt(((np.asarray(cg) - gt)[interior] ** 2).mean())
+        # both are floored by the Fourier-operator model mismatch against
+        # the exact-Siddon data (no inverse crime); CG still wins overall
+        # and suppresses the FBP streaks in uniform regions
+        assert rmse_cg < rmse_fbp
+        water = (np.hypot(*(np.mgrid[0:96, 0:96] - 47.5)) * 0.25 < 3.0)
+        assert np.asarray(cg)[water].std() < \
+            0.8 * np.asarray(fbp)[water].std()
+
+
+class TestSirt:
+    def test_nonnegative_and_converges(self, setup):
+        ph, ct, plan, mu, mu_img, sino = setup
+        img = np.asarray(sirt_recon(plan, sino, (128, 128), n_iters=30))
+        assert img.min() >= 0.0
+        center = img[44:52, 44:52]
+        assert abs(center.mean() - mu[1]) / mu[1] < 0.15
