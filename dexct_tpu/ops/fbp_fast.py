@@ -85,7 +85,8 @@ def fan_backproject_multi(packed, n_images, betas, sid, dgamma, n_channels,
         rows = packed[idx.reshape(-1)].reshape(idx.shape + (2 * K,))
         taps = rows[..., :K] * (1.0 - f)[..., None] \
             + rows[..., K:] * f[..., None]  # [B, P, K]
-        acc = acc + jnp.einsum("bp,bpk->kp", w, taps)
+        acc = acc + jnp.einsum("bp,bpk->kp", w, taps,
+                               precision=jax.lax.Precision.HIGHEST)
         return acc, None
 
     acc0 = jnp.zeros((K, n_matrix * n_matrix), dtype)
@@ -177,7 +178,8 @@ def rebin_to_parallel(sinos, idx, w, nt):
     n_theta = idx.shape[0] // nt
     table = sinos.reshape(k, -1).T  # [V*C, K]
     rows = table[idx.reshape(-1)].reshape(-1, 8, k)
-    vals = jnp.einsum("rt,rtk->rk", w, rows)
+    vals = jnp.einsum("rt,rtk->rk", w, rows,
+                     precision=jax.lax.Precision.HIGHEST)
     return vals.T.reshape(k, n_theta, nt)
 
 
@@ -243,7 +245,8 @@ def parallel_backproject_multi(packed, n_images, thetas, t0, dt, nt,
         rows = packed[idx.reshape(-1)].reshape(idx.shape + (2 * K,))
         taps = rows[..., :K] * (1.0 - f)[..., None] \
             + rows[..., K:] * f[..., None]
-        return acc + jnp.einsum("bp,bpk->kp", w, taps), None
+        return acc + jnp.einsum("bp,bpk->kp", w, taps,
+                               precision=jax.lax.Precision.HIGHEST), None
 
     acc0 = jnp.zeros((K, X.shape[0]), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))

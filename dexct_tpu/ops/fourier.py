@@ -264,7 +264,8 @@ def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
     rows = table[slice_idx]  # [nθ*nl*16, 2M]
     nl = grid // 2 + 1
     rows = rows.reshape(n_theta, nl, 16, 2 * n_materials)
-    s = jnp.einsum("tlk,tlkc->tlc", slice_w, rows)  # [nθ, nl, 2M]
+    s = jnp.einsum("tlk,tlkc->tlc", slice_w, rows,
+                    precision=jax.lax.Precision.HIGHEST)  # [nθ, nl, 2M]
     z_re = s[..., :n_materials]
     z_im = s[..., n_materials:]
     spec = jax.lax.complex(
@@ -348,5 +349,6 @@ def _resample_to_fan(radon, fan_idx, fan_w, out_shape):
     m = radon.shape[0]
     table = radon.reshape(m, -1).T  # [nθ*nt, M]
     rows = table[fan_idx.reshape(-1)].reshape(-1, 4, m)
-    vals = jnp.einsum("rk,rkm->rm", fan_w, rows)
+    vals = jnp.einsum("rk,rkm->rm", fan_w, rows,
+                     precision=jax.lax.Precision.HIGHEST)
     return vals.reshape(out_shape)

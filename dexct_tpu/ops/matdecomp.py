@@ -50,7 +50,7 @@ DEFAULT_BASIS = (TISSUE, BONE)  # matdecomp.py:12-17
 
 
 def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
-                 step_max, a_lo, a_hi, use_full_newton):
+                 step_max, a_lo, a_hi, use_full_newton, polish_iters=8):
     """Newton iterations for one pixel block.
 
     y: [B, n_meas]; i0T: [E, n_meas]; musT: [E, n_mats];
@@ -61,17 +61,22 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
     dtype = y.dtype
     a0 = jnp.full((B, 2), eps_init, dtype)
 
-    def body(_, a):
-        L = a @ musT.T  # [B, E]
+    def make_body(hi):
+        return functools.partial(_gn_body, hi=hi)
+
+    def _gn_body(_, a, hi):
+        L = jnp.matmul(a, musT.T, precision=hi)  # [B, E]
         # lower clip guards underflow only; the upper clip is tight (+20)
         # because L >= 0 physically — transiently negative a iterates must
         # not overflow exp * mu^2 weights (the reference's symmetric ±700
         # clip, matdecomp.py:116, is exactly the float64 overflow the CuPy
         # float32 path died on, matdecomp.py:89-92)
         atten = jnp.exp(jnp.clip(-L, -clip, 20.0))
-        nu = atten @ i0T  # [B, m]
-        g = (atten @ grad_w).reshape(B, 2, 2)  # [B, m, i] (sign folded)
-        h = (atten @ hess_w).reshape(B, 2, 3)  # [B, m, (00,01,11)]
+        nu = jnp.matmul(atten, i0T, precision=hi)  # [B, m]
+        g = jnp.matmul(atten, grad_w,
+                       precision=hi).reshape(B, 2, 2)  # [B, m, i]
+        h = jnp.matmul(atten, hess_w,
+                       precision=hi).reshape(B, 2, 3)  # [B, m, (00,01,11)]
         r = y / nu - 1.0  # [B, m]
         yv2 = y / (nu * nu)  # [B, m]
         # dF_i = sum_m r_m g_mi   (g already carries the minus sign twice:
@@ -108,7 +113,16 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         step = step * jnp.minimum(1.0, step_max / jnp.maximum(norm, 1e-30))
         return jnp.clip(a - step, a_lo, a_hi)
 
-    return jax.lax.fori_loop(0, n_iters, body, a0)
+    # two-phase precision: early iterations only need a descent direction,
+    # so they run at the (fast, bf16-pass) default; the final polish
+    # iterations run at HIGHEST, which is what sets the fixed-point
+    # accuracy (1e-4 parity bar, CLAUDE.md)
+    n_pol = min(polish_iters, n_iters)
+    a = jax.lax.fori_loop(
+        0, n_iters - n_pol,
+        make_body(jax.lax.Precision.DEFAULT), a0)
+    return jax.lax.fori_loop(
+        0, n_pol, make_body(jax.lax.Precision.HIGHEST), a)
 
 
 @functools.partial(

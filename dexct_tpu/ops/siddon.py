@@ -170,4 +170,4 @@ def mono_sinogram(paths, mu_per_material):
     """Monoenergetic line-integral sinogram: paths contracted with a
     per-material linear attenuation vector [1/cm]."""
     mu = jnp.asarray(mu_per_material, paths.dtype)
-    return paths @ mu
+    return jnp.matmul(paths, mu, precision=jax.lax.Precision.HIGHEST)

@@ -67,12 +67,15 @@ def counts_from_paths(paths, mu_table, i0_eff):
     Returns [...] detected counts (energy-weighted signal for EID).
     """
     dtype = paths.dtype
-    L = paths @ mu_table.astype(dtype)  # [..., E]
+    # explicit float32 matmul precision: the TPU default (bf16 passes)
+    # costs ~0.4% on counts — far over the 1e-4 parity bar (CLAUDE.md)
+    hi = jax.lax.Precision.HIGHEST
+    L = jnp.matmul(paths, mu_table.astype(dtype), precision=hi)  # [..., E]
     # L >= 0 physically; the tight upper clip keeps float32 finite when an
     # approximate projector rings slightly negative at sharp edges (the
     # reference's symmetric ±700 guard, matdecomp.py:116, overflows f32)
     atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
-    return atten @ i0_eff.astype(dtype)
+    return jnp.matmul(atten, i0_eff.astype(dtype), precision=hi)
 
 
 def log_sinogram(counts, air_counts):
