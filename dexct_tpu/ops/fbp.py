@@ -109,6 +109,48 @@ def fan_backproject(q, betas, sid, dgamma, n_matrix, fov, *, view_block=64,
     return img * dbeta
 
 
+def parker_weights(geometry):
+    """Short-scan redundancy weights W[view, channel] (Parker 1982).
+
+    A fan-beam scan over pi + gamma_fan measures part of Radon space twice;
+    Parker's smooth weights make the doubly-covered region sum to one so
+    FBP stays quantitative.  Full scans (2 pi) return uniform 1/1 weights
+    scaled for double coverage handled by dbeta; scans shorter than
+    pi + gamma_fan raise (insufficient data).
+    """
+    two_pi = 2.0 * np.pi
+    rot = float(geometry.rotation_total)
+    gam_fan = float(geometry.gamma_fan)
+    if rot >= two_pi - 1e-6:
+        return np.ones((geometry.N_proj, geometry.N_channels))
+    short = np.pi + gam_fan
+    if rot < short - 1e-6:
+        raise ValueError(
+            f"rotation_total={rot:.4f} < pi + fan angle ({short:.4f}): "
+            "not enough data for fan-beam FBP"
+        )
+    betas = geometry.betas  # [V], starting at 0
+    gammas = geometry.gammas  # [C]
+    B, G = np.meshgrid(betas, gammas, indexing="ij")
+    gm = gam_fan / 2.0
+    w = np.ones_like(B)
+    # start-of-scan wedge: beta in [0, gamma_fan - 2 gamma)
+    lo = gam_fan - 2.0 * G
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ws = np.sin(np.pi / 4.0 * B / np.maximum(gm - G, 1e-9)) ** 2
+        we = np.sin(np.pi / 4.0 * (np.pi + gam_fan - B)
+                    / np.maximum(gm + G, 1e-9)) ** 2
+    w = np.where(B < lo, ws, w)
+    w = np.where(B > np.pi - 2.0 * G, we, w)
+    w = np.clip(w, 0.0, 1.0)
+    # views beyond the short-scan range contribute nothing
+    w = np.where(B > np.pi + gam_fan, 0.0, w)
+    # dbeta in the backprojector assumes full-2pi double coverage
+    # (img * dbeta with dbeta = rot/V and each line counted twice over
+    # 2pi); short scans count each line once, so weights double
+    return 2.0 * w
+
+
 def hu_image(recon_raw, mu_water_eff):
     """cm^-1 -> Hounsfield units (formula pinned at plots.py:140-143)."""
     return 1000.0 * (recon_raw - mu_water_eff) / mu_water_eff
@@ -130,6 +172,11 @@ def fbp_recon(sino_log, geometry, n_matrix, fov, ramp=0.8, window="sinc",
         img = parallel_fbp(sino_log, geometry, n_matrix, fov, ramp,
                            window, dtype)
     else:
+        sino_log = jnp.asarray(sino_log, dtype)
+        if geometry.rotation_total < 2.0 * np.pi - 1e-6:
+            # short-scan redundancy weighting (Parker)
+            sino_log = sino_log * jnp.asarray(parker_weights(geometry),
+                                              dtype)
         q = filter_sinogram(sino_log, geometry, ramp, window, dtype)
         img = fan_backproject(
             q,
@@ -138,6 +185,7 @@ def fbp_recon(sino_log, geometry, n_matrix, fov, ramp=0.8, window="sinc",
             float(geometry.dgamma),
             int(n_matrix),
             float(fov),
+            dbeta=float(geometry.rotation_total) / geometry.N_proj,
         )
     if mu_water_eff is None:
         return img, None

@@ -128,6 +128,36 @@ class TestReconstruction:
         ph, ct, mu, img = cylinder_recon
         assert img.dtype == np.float32
 
+    def test_short_scan_parker_weights(self):
+        """A pi + fan short scan with Parker weighting reconstructs the
+        same values as the full 2 pi scan."""
+        ph = water_cylinder_phantom(N=96, dx=0.25)
+        full = FanBeamGeometry(N_channels=128, N_proj=288,
+                               gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        rot = np.pi + full.gamma_fan
+        n_short = int(288 * rot / (2 * np.pi))
+        short = FanBeamGeometry(N_channels=128, N_proj=n_short,
+                                gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                                rotation_total=rot)
+        mu = ph.materials.mu_table(np.array([60.0]))[:, 0]
+        sino_f = mono_sinogram(material_path_sinogram(ph, full), mu)
+        sino_s = mono_sinogram(material_path_sinogram(ph, short), mu)
+        img_f, _ = fbp_recon(sino_f, full, 96, 24.0, 0.8)
+        img_s, _ = fbp_recon(sino_s, short, 96, 24.0, 0.8)
+        img_f, img_s = np.asarray(img_f), np.asarray(img_s)
+        cf = img_f[44:52, 44:52].mean()
+        cs = img_s[44:52, 44:52].mean()
+        assert abs(cs - mu[1]) / mu[1] < 0.02  # quantitative short scan
+        assert abs(cs - cf) / mu[1] < 0.02
+
+    def test_too_short_scan_rejected(self):
+        from dexct_tpu.ops.fbp import parker_weights
+
+        ct = FanBeamGeometry(N_channels=16, N_proj=16, gamma_fan=0.8,
+                             rotation_total=2.0)  # < pi + fan
+        with pytest.raises(ValueError):
+            parker_weights(ct)
+
     def test_parallel_beam_geometry_end_to_end(self):
         """The parallel-beam extension: project + reconstruct a cylinder
         through the same get_recon dispatch."""
