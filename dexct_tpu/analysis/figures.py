@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..physics import xcom
-from .metrics import Roi, cnr, contrast, make_vmi, measure_roi, noise, rmse
+from .metrics import Roi, cnr, contrast, make_vmi, noise, rmse
 
 __all__ = [
     "phantom_roi_figure",

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 from ..utils.io import acquisition_dir, matdecomp_dir, read_f32
 from .metrics import crop_img

@@ -18,7 +18,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import matdecomp as md_ops
 from ..ops import spectral as sp_ops
@@ -28,7 +27,6 @@ __all__ = ["dose_sweep", "ramp_sweep", "sweep_mesh", "sharded_dose_sweep"]
 
 
 def _base_counts(arrays, meta):
-    from .fused import dect_step  # reuse the projector dispatch
 
     a = arrays
     if meta.projector == "fourier":

@@ -28,7 +28,6 @@ from ..physics.materials import (
     ADIPOSE,
     AIR,
     BONE,
-    Material,
     MaterialTable,
     MUSCLE,
     STEEL_316L,
