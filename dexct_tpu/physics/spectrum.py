@@ -110,16 +110,24 @@ def xRaySpectrum(fname, name=""):
 # the five shipped spectrum binaries remain loadable via Spectrum.from_file)
 # ---------------------------------------------------------------------------
 
+# tungsten anode characteristic lines [keV] and relative intensities
+_W_LINES = ((59.32, 0.50), (57.98, 0.29), (67.24, 0.15), (69.07, 0.06))
+_W_K_EDGE = 69.5
+
+
 def kramers_spectrum(kvp, n_bins=None, filtration_mm_al=2.5,
-                     photons_per_cm2_per_mGy=None, name=None):
+                     photons_per_cm2_per_mGy=None, name=None,
+                     char_fraction=0.08):
     """Filtered Kramers bremsstrahlung model of a tungsten-anode kV spectrum.
 
     Produces the shipped kV file layout: E = 1..140 keV in 1 keV steps with
     zero intensity above the kVp (SURVEY.md §2.4).  Intensity follows
     Kramers' law I(E) ∝ (kVp - E)/E attenuated by ``filtration_mm_al`` of
-    aluminium.  The absolute normalization is calibrated so integral photon
-    fluence per mGy matches the decoded magnitudes of the shipped spectra
-    (80 kV ≈ 7.8e11 photons/cm^2/mGy).
+    aluminium, plus tungsten K characteristic lines for kVp above the W
+    K-edge (69.5 keV), carrying ``char_fraction`` of the filtered fluence
+    at full overvoltage.  The absolute normalization is calibrated so
+    integral photon fluence per mGy matches the decoded magnitudes of the
+    shipped spectra (80 kV ≈ 7.8e11 photons/cm^2/mGy).
     """
     e_max = 140.0
     n = int(n_bins or e_max)
@@ -128,6 +136,16 @@ def kramers_spectrum(kvp, n_bins=None, filtration_mm_al=2.5,
     mu_al = xcom.element_mu("Al", E) * 2.699  # [1/cm]
     I = I * np.exp(-mu_al * 0.1 * filtration_mm_al)
     I[E > kvp] = 0.0
+    if kvp > _W_K_EDGE and char_fraction > 0.0:
+        # K-line yield grows with overvoltage; simple (U-1)^1.65 activation
+        u = kvp / _W_K_EDGE
+        frac = char_fraction * min((u - 1.0) / (140.0 / _W_K_EDGE - 1.0),
+                                   1.0) ** 0.5
+        line_total = frac * I.sum() / max(1.0 - frac, 1e-6)
+        for e_line, rel in _W_LINES:
+            idx = int(round(e_line)) - 1
+            if 0 <= idx < n:
+                I[idx] += line_total * rel
     if photons_per_cm2_per_mGy is None:
         # Calibrated against the shipped 80kV file integral (SURVEY.md §2.4).
         photons_per_cm2_per_mGy = 7.8e11 * (kvp / 80.0)
