@@ -147,15 +147,37 @@ def trace_paths(labels, src, dirs, dx, dy, *, n_materials, n_steps=None):
     return acc.reshape(*batch_shape, n_materials)
 
 
-def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32):
+def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32,
+                           method="auto"):
     """Full material-path sinogram [N_proj, N_channels, n_materials].
 
     Host-side convenience wrapper: derives ray geometry from the
     :class:`~dexct_tpu.system.geometry.ScannerGeometry` and traces on
-    device.  The jit boundary is :func:`trace_paths`.
+    device.  Both methods are exact Siddon:
+
+    * 'dominant' — dominant-axis 2-band packed marching
+      (ops/siddon_fast.py): one int32 gather per ray per two rows, ~3x
+      the DDA's throughput on TPU.  Needs even grid dims and < 32 labels.
+    * 'dda' — the sequential per-ray walk (this module); any grid.
+    * 'auto' — 'dominant' when its constraints hold, else 'dda'.
     """
     src, dirs = geometry.ray_geometry()
     labels = jnp.asarray(phantom.slice_labels())
+    if method == "auto":
+        ok = (phantom.Ny % 2 == 0 and phantom.Nx % 2 == 0
+              and phantom.n_materials < 32)
+        method = "dominant" if ok else "dda"
+    if method == "dominant":
+        from .siddon_fast import trace_paths_dominant
+
+        return trace_paths_dominant(
+            labels,
+            jnp.asarray(src, dtype),
+            jnp.asarray(dirs, dtype),
+            float(phantom.dx),
+            float(phantom.dy),
+            n_materials=phantom.n_materials,
+        )
     return trace_paths(
         labels,
         jnp.asarray(src, dtype),

@@ -35,8 +35,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH"]
+__all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH",
+           "pack_labels_2band", "plan_dominant_split",
+           "trace_paths_dominant"]
 
 PACK_WIDTH = 8
 _BIG = 1e30
@@ -189,3 +192,199 @@ def trace_paths_fast(packed, labels_shape, src, dirs, dx, dy, *,
     acc0 = jnp.zeros((n_rays, n_materials), dtype)
     acc, _ = jax.lax.scan(block_step, acc0, jnp.arange(n_blocks))
     return acc.reshape(*batch_shape, n_materials)
+
+
+# ---------------------------------------------------------------------------
+# Dominant-axis packed marching: the fastest exact path
+# ---------------------------------------------------------------------------
+#
+# A ray with |dir_y| >= |dir_x| crosses at most TWO cells inside one image
+# row band, and at most THREE distinct columns across two adjacent bands
+# (total x-drift <= 2 cells).  Packing the 2x3 label window of a band PAIR
+# into one int32 (5 bits/label) turns the traversal into ONE scalar gather
+# per ray per two rows — 4x fewer gathers than the DDA — while staying
+# exactly Siddon.  Rays are split by dominant axis on the host (the
+# geometry is static) and the x-dominant population runs the same kernel
+# on the transposed phantom.
+
+_LBITS = 5  # supports < 32 material labels
+_LMASK = (1 << _LBITS) - 1
+
+
+def pack_labels_2band(labels):
+    """[Ny, Nx] labels -> [Ny/2 * Nx] int32 codes of the 2x3 window.
+
+    code bits [5*(c + 3*r)] hold labels[2*i + r, j + c] (columns clamped
+    at Nx-1).  Ny must be even; labels must be < 32.
+    """
+    ny, nx = labels.shape
+    if ny % 2:
+        raise ValueError("Ny must be even for 2-band packing")
+    lab = labels.astype(jnp.int32)
+    cols = [lab, jnp.roll(lab, -1, 1).at[:, -1].set(lab[:, -1])]
+    cols.append(jnp.roll(cols[1], -1, 1).at[:, -1].set(cols[1][:, -1]))
+    code = jnp.zeros((ny // 2, nx), jnp.int32)
+    for r in range(2):
+        for c in range(3):
+            code = code | (cols[c][r::2] << (_LBITS * (c + 3 * r)))
+    return code.reshape(-1)
+
+
+def plan_dominant_split(dirs, pad_to=1024):
+    """Host-side ray partition by dominant axis.
+
+    dirs: [..., 2] unit directions (NumPy).  Returns
+    (idx_y, idx_x, inv_perm): padded index arrays of the y-dominant and
+    x-dominant rays plus the inverse permutation mapping
+    concat(out_y[:n_y], out_x[:n_x]) back to input order.
+    """
+    d = np.asarray(dirs).reshape(-1, 2)
+    y_dom = np.abs(d[:, 1]) >= np.abs(d[:, 0])
+    idx_y = np.nonzero(y_dom)[0]
+    idx_x = np.nonzero(~y_dom)[0]
+
+    def pad(a):
+        if len(a) == 0:
+            return np.zeros(pad_to, np.int32)
+        m = -(-len(a) // pad_to) * pad_to
+        return np.pad(a, (0, m - len(a)), mode="edge").astype(np.int32)
+
+    inv = np.empty(d.shape[0], np.int64)
+    inv[np.concatenate([idx_y, idx_x]).astype(np.int64)] = np.arange(
+        d.shape[0])
+    return pad(idx_y), pad(idx_x), inv.astype(np.int32), len(idx_y), len(idx_x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("labels_shape", "n_materials", "band_block"),
+)
+def _trace_dominant(packed2, labels_shape, src, dirs, dx, dy, *,
+                    n_materials, band_block=8):
+    """Exact paths for y-dominant rays (|dir_y| >= |dir_x|) via 2-band
+    packed marching.  src/dirs: [R, 2]."""
+    ny, nx = labels_shape
+    x0 = -0.5 * nx * dx
+    y0 = -0.5 * ny * dy
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    p = src.astype(dtype)
+    d = dirs.astype(dtype)
+    n_rays = p.shape[0]
+
+    px, py = p[:, 0], p[:, 1]
+    dxr, dyr = d[:, 0], d[:, 1]
+    okx = jnp.abs(dxr) > 1e-12
+    sdx = jnp.where(okx, dxr, 1.0)
+    sdy = dyr  # |dyr| >= |dxr| and |d| = 1 -> never ~0 for this population
+
+    tx_lo = (x0 - px) / sdx
+    tx_hi = (x0 + nx * dx - px) / sdx
+    inside_x = (px >= x0) & (px <= x0 + nx * dx)
+    txmin = jnp.where(okx, jnp.minimum(tx_lo, tx_hi),
+                      jnp.where(inside_x, -_BIG, _BIG))
+    txmax = jnp.where(okx, jnp.maximum(tx_lo, tx_hi),
+                      jnp.where(inside_x, _BIG, -_BIG))
+    t_lo_glob = jnp.maximum(txmin, 0.0)
+
+    inv_dx = 1.0 / dx
+
+    def subband(i_row, anchor_known=None):
+        """tA/tB/ja/jb/valid for one row band (vectorized over rays)."""
+        y_lo = y0 + i_row * dy
+        ta = (y_lo - py) / sdy
+        tb = (y_lo + dy - py) / sdy
+        tA = jnp.maximum(jnp.minimum(ta, tb), t_lo_glob)
+        tB = jnp.minimum(jnp.maximum(ta, tb), txmax)
+        valid = tA < tB
+        tAc = jnp.where(valid, tA, 0.0)
+        tBc = jnp.where(valid, tB, 0.0)
+        xa = px + tAc * dxr
+        xb = px + tBc * dxr
+        ja = jnp.clip(jnp.floor((xa - x0) * inv_dx), 0, nx - 1)
+        jb = jnp.clip(jnp.floor((xb - x0) * inv_dx), 0, nx - 1)
+        return tAc, tBc, ja.astype(jnp.int32), jb.astype(jnp.int32), valid
+
+    def pair_contrib(i2):
+        """Contribution of band pair i2 (rows 2 i2, 2 i2 + 1): [R, M]."""
+        rows = []
+        for k in range(2):
+            rows.append(subband(2 * i2 + k))
+        jmins = [jnp.minimum(r[2], r[3]) for r in rows]
+        jm = jnp.minimum(
+            jnp.where(rows[0][4], jmins[0], nx),
+            jnp.where(rows[1][4], jmins[1], nx),
+        )
+        anchor = jnp.clip(jm, 0, nx - 3)
+        code = packed2[i2 * nx + anchor]  # ONE gather per ray per 2 rows
+
+        out = 0.0
+        for k, (tA, tB, ja, jb, valid) in enumerate(rows):
+            # the single interior plane sits at the left edge of the
+            # higher cell; clamping its crossing into [tA, tB] makes the
+            # one-cell case fall out automatically
+            j_hi = jnp.maximum(ja, jb)
+            t_c = (x0 + j_hi * dx - px) / sdx
+            t_c = jnp.where(okx, jnp.clip(t_c, tA, tB), tA)
+            rel_a = jnp.clip(ja - anchor, 0, 2)
+            rel_b = jnp.clip(jb - anchor, 0, 2)
+            lab_a = (code >> (_LBITS * (rel_a + 3 * k))) & _LMASK
+            lab_b = (code >> (_LBITS * (rel_b + 3 * k))) & _LMASK
+            va = jnp.where(valid, t_c - tA, 0.0)
+            vb = jnp.where(valid, tB - t_c, 0.0)
+            out = out + va[:, None] * jax.nn.one_hot(
+                lab_a, n_materials, dtype=dtype)
+            out = out + vb[:, None] * jax.nn.one_hot(
+                lab_b, n_materials, dtype=dtype)
+        return out
+
+    n_pairs = ny // 2
+    block = max(1, min(band_block, n_pairs))
+    while n_pairs % block:
+        block -= 1
+
+    def step(acc, b):
+        def one(kk, a):
+            return a + pair_contrib(b * block + kk)
+
+        return jax.lax.fori_loop(0, block, one, acc), None
+
+    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_pairs // block))
+    return acc
+
+
+def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
+                         plan=None):
+    """Exact Siddon paths via dominant-axis 2-band packed marching.
+
+    ~4x fewer gathers than the DDA (one int32 gather per ray per two
+    rows).  Requires square-ish cells for the transposed pass, even Ny/Nx,
+    and < 32 materials.  ``plan`` (from :func:`plan_dominant_split` on the
+    flattened dirs) is rebuilt when omitted.
+    """
+    batch_shape = src.shape[:-1]
+    src2 = src.reshape(-1, 2)
+    dirs2 = dirs.reshape(-1, 2)
+    if plan is None:
+        plan = plan_dominant_split(np.asarray(dirs2))
+    idx_y, idx_x, inv, n_y, n_x = plan
+
+    labels = jnp.asarray(labels)
+    ny, nx = labels.shape
+    pack_y = pack_labels_2band(labels)
+    pack_x = pack_labels_2band(labels.T)
+
+    src2 = jnp.asarray(src2)
+    dirs2 = jnp.asarray(dirs2)
+    out_y = _trace_dominant(
+        pack_y, (ny, nx), src2[idx_y], dirs2[idx_y], dx, dy,
+        n_materials=n_materials,
+    )[:max(n_y, 1)]
+    # x-dominant rays march the transposed grid with swapped coordinates
+    out_x = _trace_dominant(
+        pack_x, (nx, ny), src2[idx_x][:, ::-1], dirs2[idx_x][:, ::-1],
+        dy, dx, n_materials=n_materials,
+    )[:max(n_x, 1)]
+    cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
+    out = cat[jnp.asarray(inv)]
+    return out.reshape(*batch_shape, n_materials)

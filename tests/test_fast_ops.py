@@ -78,6 +78,55 @@ class TestBandSiddon:
             pack_prefix_table(jnp.zeros((8, 8), jnp.int32), 9)
 
 
+class TestDominantAxisSiddon:
+    def test_matches_float64_oracle(self):
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        rng = np.random.default_rng(3)
+        labels = rng.integers(0, 6, (32, 32)).astype(np.int32)
+        n = 400
+        ang = rng.uniform(0, 2 * np.pi, n)
+        src = 40.0 * np.stack([np.cos(ang), np.sin(ang)], -1)
+        tgt = rng.uniform(-1.5, 1.5, (n, 2))
+        d = tgt - src
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        got = np.asarray(trace_paths_dominant(
+            jnp.asarray(labels), jnp.asarray(src, jnp.float32),
+            jnp.asarray(d, jnp.float32), 0.21, 0.21, n_materials=6))
+        ref = siddon_paths_numpy(labels, src, d, 0.21, 0.21, 6)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_full_fan_geometry_matches_dda(self):
+        from dexct_tpu.ops.siddon import material_path_sinogram
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+        from dexct_tpu.system import contrast_rods_phantom
+
+        ph = contrast_rods_phantom(N=64, dx=0.3)
+        ct = FanBeamGeometry(N_channels=96, N_proj=64,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        src, dirs = ct.ray_geometry()
+        got = np.asarray(trace_paths_dominant(
+            jnp.asarray(ph.slice_labels()), jnp.asarray(src, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), ph.dx, ph.dy,
+            n_materials=ph.n_materials))
+        dda = np.asarray(material_path_sinogram(ph, ct))
+        np.testing.assert_allclose(got, dda, atol=2e-3)
+
+    def test_axis_aligned_rays(self):
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        labels = np.zeros((16, 16), np.int32)
+        labels[:, 8:] = 1
+        # pure vertical (y-dominant) and pure horizontal (x-dominant)
+        src = np.array([[2.5, 50.0], [-50.0, 3.5]], np.float32)
+        d = np.array([[0.0, -1.0], [1.0, 0.0]], np.float32)
+        got = np.asarray(trace_paths_dominant(
+            jnp.asarray(labels), jnp.asarray(src), jnp.asarray(d),
+            1.0, 1.0, n_materials=2))
+        np.testing.assert_allclose(got[0], [0.0, 16.0], atol=1e-4)
+        np.testing.assert_allclose(got[1], [8.0, 8.0], atol=1e-4)
+
+
 class TestPackedBackprojection:
     def test_matches_reference_bp(self):
         ct = FanBeamGeometry(N_channels=96, N_proj=80, gamma_fan=0.8,
