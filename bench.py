@@ -76,6 +76,20 @@ def main():
     log(f"steady-state times: {[f'{t:.3f}' for t in times]}")
     log(f"rays/sec (trace amortized over full pipeline): {rays / best:.3e}")
 
+    # secondary: exact-Siddon projection rate (the dominant-axis method)
+    from dexct_tpu.ops.siddon import material_path_sinogram
+
+    def exact_once():
+        t0 = time.time()
+        p = material_path_sinogram(ph, ct, method="dominant")
+        _ = float(p[0, 0, 0])
+        return time.time() - t0
+
+    exact_once()  # compile
+    t_exact = min(exact_once() for _ in range(3))
+    log(f"exact Siddon (dominant-axis): {t_exact:.3f}s"
+        f" -> {rays / t_exact:.3e} rays/s")
+
     print(json.dumps({
         "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
         "value": round(best, 4),
