@@ -25,9 +25,27 @@ __all__ = [
 
 
 def write_f32(path, array):
-    """Write a float32 row-major flat binary (main.py:121-122 convention)."""
+    """Write a float32 row-major flat binary (main.py:121-122 convention).
+
+    Uses the native C writer when the extension is built (csrc/), with a
+    NumPy fallback.
+    """
+    import ctypes
+
+    from .native import load_native
+
     os.makedirs(os.path.dirname(os.fspath(path)) or ".", exist_ok=True)
-    np.asarray(array).astype(np.float32).tofile(os.fspath(path))
+    a = np.ascontiguousarray(np.asarray(array), np.float32)
+    lib = load_native()
+    if lib is not None:
+        rc = lib.write_f32(
+            os.fspath(path).encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(a.size),
+        )
+        if rc == 0:
+            return
+    a.tofile(os.fspath(path))
 
 
 def read_f32(path, shape=None):

@@ -60,6 +60,14 @@ def load_native(rebuild=False):
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.write_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.write_f32.restype = ctypes.c_int
+        lib.read_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.read_f32.restype = ctypes.c_int
         _lib = lib
         HAVE_NATIVE = True
         return lib
