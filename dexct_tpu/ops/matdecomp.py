@@ -40,6 +40,8 @@ from ..physics.materials import BONE, TISSUE
 
 __all__ = [
     "gauss_newton_solve",
+    "pcd_bin_fluences",
+    "decompose_multibin_grid",
     "prepare_decomposition",
     "decompose_sinograms",
     "air_mask",
@@ -49,17 +51,57 @@ __all__ = [
 DEFAULT_BASIS = (TISSUE, BONE)  # matdecomp.py:12-17
 
 
-def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
-                 step_max, a_lo, a_hi, use_full_newton, polish_iters=8):
-    """Newton iterations for one pixel block.
+def _tri_pairs(k):
+    """Upper-triangle index pairs in row order, e.g. k=2 -> 00,01,11."""
+    return [(i, j) for i in range(k) for j in range(i, k)]
 
-    y: [B, n_meas]; i0T: [E, n_meas]; musT: [E, n_mats];
-    grad_w: [E, n_meas*n_mats]; hess_w: [E, n_meas*3].
-    Returns a: [B, n_mats].
+
+def _solve_spd(H_tri, dF, n_mats):
+    """Closed-form solve of the symmetric n_mats x n_mats system.
+
+    H_tri: [B, T] upper-triangle entries (row order); dF: [B, K].
+    """
+    if n_mats == 2:
+        H00, H01, H11 = H_tri[:, 0], H_tri[:, 1], H_tri[:, 2]
+        det = H00 * H11 - H01 * H01
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        d0 = (H11 * dF[:, 0] - H01 * dF[:, 1]) / det
+        d1 = (H00 * dF[:, 1] - H01 * dF[:, 0]) / det
+        return jnp.stack([d0, d1], -1)
+    if n_mats == 3:
+        a, b, c, d, e, f = (H_tri[:, i] for i in range(6))
+        # H = [[a, b, c], [b, d, e], [c, e, f]] — adjugate solve
+        A00 = d * f - e * e
+        A01 = c * e - b * f
+        A02 = b * e - c * d
+        A11 = a * f - c * c
+        A12 = b * c - a * e
+        A22 = a * d - b * b
+        det = a * A00 + b * A01 + c * A02
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        x0 = (A00 * dF[:, 0] + A01 * dF[:, 1] + A02 * dF[:, 2]) / det
+        x1 = (A01 * dF[:, 0] + A11 * dF[:, 1] + A12 * dF[:, 2]) / det
+        x2 = (A02 * dF[:, 0] + A12 * dF[:, 1] + A22 * dF[:, 2]) / det
+        return jnp.stack([x0, x1, x2], -1)
+    raise NotImplementedError("closed-form solve supports 2 or 3 materials")
+
+
+def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
+                 step_max, a_lo, a_hi, use_full_newton, lm_damping=0.0,
+                 polish_iters=8):
+    """Newton iterations for one pixel block (general M measurements,
+    K in {2, 3} basis materials).
+
+    y: [B, M]; i0T: [E, M]; musT: [E, K];
+    grad_w: [E, M*K]; hess_w: [E, M*T] with T = K(K+1)/2.
+    Returns a: [B, K].
     """
     B = y.shape[0]
     dtype = y.dtype
-    a0 = jnp.full((B, 2), eps_init, dtype)
+    n_meas = y.shape[1]
+    n_mats = musT.shape[1]
+    tri = _tri_pairs(n_mats)
+    a0 = jnp.full((B, n_mats), eps_init, dtype)
 
     def make_body(hi):
         return functools.partial(_gn_body, hi=hi)
@@ -72,43 +114,40 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         # clip, matdecomp.py:116, is exactly the float64 overflow the CuPy
         # float32 path died on, matdecomp.py:89-92)
         atten = jnp.exp(jnp.clip(-L, -clip, 20.0))
-        nu = jnp.matmul(atten, i0T, precision=hi)  # [B, m]
+        nu = jnp.matmul(atten, i0T, precision=hi)  # [B, M]
         g = jnp.matmul(atten, grad_w,
-                       precision=hi).reshape(B, 2, 2)  # [B, m, i]
+                       precision=hi).reshape(B, n_meas, n_mats)
         h = jnp.matmul(atten, hess_w,
-                       precision=hi).reshape(B, 2, 3)  # [B, m, (00,01,11)]
-        r = y / nu - 1.0  # [B, m]
-        yv2 = y / (nu * nu)  # [B, m]
+                       precision=hi).reshape(B, n_meas, len(tri))
+        r = y / nu - 1.0  # [B, M]
+        yv2 = y / (nu * nu)  # [B, M]
         # dF_i = sum_m r_m g_mi   (g already carries the minus sign twice:
         # dF = -sum r * (-g) = +sum r g with g = +atten@(i0 mu))
         dF = jnp.einsum("bm,bmi->bi", r, g)
-        gg00 = g[:, :, 0] * g[:, :, 0]
-        gg01 = g[:, :, 0] * g[:, :, 1]
-        gg11 = g[:, :, 1] * g[:, :, 1]
+        gg = jnp.stack([g[:, :, i] * g[:, :, j] for i, j in tri], -1)
         if use_full_newton:
             # full Newton: H_ij = -sum_m [ r_m h_mij - yv2_m g_mi g_mj ]
             # (the reference's iteration, matdecomp.py:122-123; indefinite
             # far from the optimum and prone to divergence)
-            H00 = -jnp.sum(r * h[:, :, 0] - yv2 * gg00, axis=1)
-            H01 = -jnp.sum(r * h[:, :, 1] - yv2 * gg01, axis=1)
-            H11 = -jnp.sum(r * h[:, :, 2] - yv2 * gg11, axis=1)
+            H_tri = -jnp.sum(r[..., None] * h - yv2[..., None] * gg,
+                             axis=1)
         else:
             # Gauss-Newton / Fisher-scoring: drop the second-derivative
             # residual term -> H = sum_m yv2 g g, always PSD; identical
             # fixed point and identical local rate at zero residual
             # (Rigie & La Riviere 2015 prescribe exactly this)
-            H00 = jnp.sum(yv2 * gg00, axis=1)
-            H01 = jnp.sum(yv2 * gg01, axis=1)
-            H11 = jnp.sum(yv2 * gg11, axis=1)
-        det = H00 * H11 - H01 * H01
-        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        d0 = (H11 * dF[:, 0] - H01 * dF[:, 1]) / det
-        d1 = (H00 * dF[:, 1] - H01 * dF[:, 0]) / det
+            H_tri = jnp.sum(yv2[..., None] * gg, axis=1)
+        if lm_damping:
+            # Levenberg-Marquardt diagonal scaling: essential for the
+            # ill-conditioned 3-material spectral problem
+            diag_ix = np.cumsum([0] + [n_mats - i for i in range(n_mats)])[
+                :n_mats]
+            H_tri = H_tri.at[:, diag_ix].multiply(1.0 + lm_damping)
         # trust-region clamp: plain Newton diverges for strongly attenuated
         # rays (the reference's post-hoc outlier mask, matdecomp.py:185-196,
         # papers over exactly this); bounding the step restores global
         # convergence while preserving the quadratic local rate.
-        step = jnp.stack([d0, d1], -1)
+        step = _solve_spd(H_tri, dF, n_mats)
         norm = jnp.sqrt(jnp.sum(step * step, -1, keepdims=True))
         step = step * jnp.minimum(1.0, step_max / jnp.maximum(norm, 1e-30))
         return jnp.clip(a - step, a_lo, a_hi)
@@ -126,19 +165,29 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "pixel_block", "method")
+    jax.jit, static_argnames=("n_iters", "pixel_block", "method", "lm_damping")
 )
 def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
                        pixel_block=65536, step_max=5.0,
-                       a_bounds=(-20.0, 500.0), method="gn"):
+                       a_bounds=(-20.0, 500.0), method="gn",
+                       lm_damping=0.0):
     """Vectorized Poisson-MLE Newton solve over all sinogram pixels.
 
-    counts: [n_meas=2, P] detected counts.
-    i0:     [n_meas=2, E] effective fluence per energy bin.
-    mus:    [n_mats=2, E] basis mass attenuation [cm^2/g].
-    Returns a: [P, 2] area densities [g/cm^2] (matdecomp.py:42 contract).
+    counts: [M, P] detected counts (M = measurements: 2 for classic DE,
+        more for multi-bin photon-counting acquisitions).
+    i0:     [M, E] effective fluence per energy bin per measurement.
+    mus:    [K, E] basis mass attenuation [cm^2/g], K in {2, 3} and
+        K <= M.
+    Returns a: [P, K] area densities [g/cm^2] (matdecomp.py:42 contract).
     """
     dtype = counts.dtype
+    n_meas = counts.shape[0]
+    n_mats = mus.shape[0]
+    if n_mats > n_meas:
+        raise ValueError(
+            f"{n_mats} materials need at least that many measurements "
+            f"(got {n_meas})"
+        )
     clip = 700.0 if dtype == jnp.float64 else 80.0
     # common normalization keeps float32 in range; Newton step is invariant
     scale = jnp.maximum(jnp.max(i0), 1e-30)
@@ -147,38 +196,40 @@ def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
     mus = mus.astype(dtype)
 
     # energy-side weight matrices (built once, fused into MXU contractions)
-    i0T = i0n.T  # [E, m]
-    musT = mus.T  # [E, i]
+    i0T = i0n.T  # [E, M]
+    musT = mus.T  # [E, K]
     # g_mi weights: -i0_m mu_i, so that (atten @ grad_w) = d nu_m / d a_i
     # ... sign convention: d nu/d a_i = -sum i0 mu_i atten; we fold the
     # minus into the weights and the dF formula uses +sum r g.
     grad_w = jnp.stack(
-        [i0n[m] * mus[i] for m in range(2) for i in range(2)], -1
-    )  # [E, 4] -> (m,i) row-major; POSITIVE weights
+        [i0n[m] * mus[i] for m in range(n_meas) for i in range(n_mats)],
+        -1,
+    )  # [E, M*K] -> (m,i) row-major; POSITIVE weights
     hess_w = jnp.stack(
         [i0n[m] * mus[i] * mus[j]
-         for m in range(2) for (i, j) in ((0, 0), (0, 1), (1, 1))],
+         for m in range(n_meas) for (i, j) in _tri_pairs(n_mats)],
         -1,
-    )  # [E, 6]
+    )  # [E, M*T]
 
     P = counts.shape[1]
     block = min(pixel_block, P)
     n_blocks = -(-P // block)
     pad = n_blocks * block - P
     yp = jnp.pad(yn.T, ((0, pad), (0, 0)), constant_values=1.0)
-    yb = yp.reshape(n_blocks, block, 2)
+    yb = yp.reshape(n_blocks, block, n_meas)
 
     solve = functools.partial(
         _solve_block, i0T=i0T, musT=musT, grad_w=grad_w, hess_w=hess_w,
         n_iters=n_iters, eps_init=eps_init, clip=clip, step_max=step_max,
         a_lo=a_bounds[0], a_hi=a_bounds[1],
         use_full_newton=(method == "newton"),
+        lm_damping=lm_damping,
     )
     if n_blocks == 1:
         out = solve(yb[0])[None]
     else:
         out = jax.lax.map(solve, yb)
-    return out.reshape(-1, 2)[:P]
+    return out.reshape(-1, n_mats)[:P]
 
 
 def prepare_decomposition(geometry, spec1, spec2, basis=DEFAULT_BASIS):
@@ -237,3 +288,48 @@ def decompose_sinograms(geometry, sino1, sino2, spec1, spec2, *, n_iters=30,
     mat1 = jnp.where(mask, 0.0, a[:, 0].reshape(shape))
     mat2 = jnp.where(mask, 0.0, a[:, 1].reshape(shape))
     return mat1, mat2
+
+
+def pcd_bin_fluences(geometry, spec, thresholds):
+    """Split a spectrum into photon-counting energy bins (host, float64).
+
+    thresholds: ascending bin edges [keV]; bin m spans
+    [thresholds[m], thresholds[m+1]) with the last bin open-ended.
+    Returns i0 [n_bins, E] effective fluences on the spectrum's grid —
+    ready for the multi-measurement :func:`gauss_newton_solve`.
+    """
+    from .spectral import effective_fluence
+
+    base = effective_fluence(spec, geometry)
+    e = spec.E
+    edges = list(thresholds) + [np.inf]
+    out = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        out.append(np.where((e >= lo) & (e < hi), base, 0.0))
+    return np.stack(out)
+
+
+def decompose_multibin_grid(sinos, ee, i0s, basis, *, n_iters=30,
+                            mask_thresh=0.95, dtype=jnp.float32,
+                            pixel_block=65536, method="gn"):
+    """Multi-measurement basis decomposition on an explicit energy grid.
+
+    sinos: [M, V, C] counts; ee: [E] energies [keV]; i0s: [M, E]
+    effective fluences; basis: K Materials (K <= M, K in {2, 3}).
+    Returns ([K, V, C] basis sinograms [g/cm^2], air mask [V, C]).
+    """
+    sinos = jnp.asarray(sinos, dtype)
+    m, v, c = sinos.shape
+    mus = np.stack([xcom.mixatten(b.matcomp, np.asarray(ee))
+                    for b in basis])
+    a = gauss_newton_solve(
+        sinos.reshape(m, -1),
+        jnp.asarray(i0s, dtype),
+        jnp.asarray(mus, dtype),
+        n_iters=n_iters,
+        pixel_block=pixel_block,
+        method=method,
+    )
+    mask = air_mask(sinos[0], mask_thresh)
+    mats = jnp.where(mask[None], 0.0, a.T.reshape(len(basis), v, c))
+    return mats, mask
