@@ -137,5 +137,9 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
     if noise != "none":
         if key is None:
             raise ValueError("noise sampling requires a PRNG key")
-        counts = sample_noise(key, counts, noise)
+        var = None
+        if noise == "compound":
+            i2 = jnp.asarray(second_moment_fluence(spec, geometry), dtype)
+            var = counts_from_paths(paths.astype(dtype), mu_table, i2)
+        counts = sample_noise(key, counts, noise, var=var)
     return counts, log_sinogram(counts, air)

@@ -111,6 +111,16 @@ class TestNoise:
         s = np.asarray(sample_noise(key, c, "gaussian", var_scale=2.0))
         assert abs(s.var() - 2e4) / 2e4 < 0.1
 
+    def test_compound_through_get_sino(self):
+        from dexct_tpu.pipeline import get_sino
+
+        ph, ct, spec = small_setup()
+        k = jax.random.PRNGKey(5)
+        raw, slog = get_sino(ct, ph, spec, noise="compound", key=k)
+        assert np.isfinite(np.asarray(raw)).all()
+        raw2, _ = get_sino(ct, ph, spec, noise="compound", key=k)
+        np.testing.assert_array_equal(np.asarray(raw), np.asarray(raw2))
+
     def test_none_mode_passthrough(self):
         c = jnp.array([1.0, 2.0])
         np.testing.assert_array_equal(np.asarray(sample_noise(None, c, "none")),
