@@ -98,6 +98,12 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             continue
         spec1 = _resolve_spectrum(spec_id1, d1, cfg.ct, spectrum_dir, gens)
         spec2 = _resolve_spectrum(spec_id2, d2, cfg.ct, spectrum_dir, gens)
+        from ..system.geometry import FanBeamGeometry as _Fan
+
+        if engine == "fused" and not isinstance(cfg.ct, _Fan):
+            # the fused fast path is fan-beam; other geometries run the
+            # composed op path (get_sino/get_recon dispatch per geometry)
+            engine = "composed"
         if engine == "fused":
             from .fused import make_jitted_step, pack_dect
 
