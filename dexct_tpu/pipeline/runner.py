@@ -126,10 +126,13 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                 seed=seed,
             )
             out = make_jitted_step(meta)(arrays)
+            bp = cfg.do_back_projection
             dect = api.DectResult(
                 sino_raw=out["sino_raw"], sino_log=out["sino_log"],
-                recon_raw=out["recon_raw"], recon_HU=out["recon_HU"],
-                mat_sinos=out["mat_sinos"], mat_recons=out["mat_recons"],
+                recon_raw=out["recon_raw"] if bp else (None, None),
+                recon_HU=out["recon_HU"] if bp else (None, None),
+                mat_sinos=out["mat_sinos"],
+                mat_recons=out["mat_recons"] if bp else (None, None),
             )
         elif engine == "composed":
             key = jax.random.PRNGKey(seed) if noise != "none" else None

@@ -158,6 +158,22 @@ class TestRunnerContract:
             arr = np.fromfile(f, np.float32)
             assert arr.size == shape[0] * shape[1], f
 
+    def test_forward_only_config_skips_recon_files(self, small_de,
+                                                   tmp_path):
+        """do_back_projection=False writes sinograms only — the reference's
+        stage gating (main.py:93-94, 132)."""
+        from dexct_tpu.pipeline.runner import run_config
+        from dexct_tpu.system.config import RunConfig
+
+        ct, ph, s1, s2 = small_de
+        cfg = RunConfig("t_fp", True, False, ct, ph, None, 64, 24.0, 0.8)
+        run_config(cfg, out_dir=str(tmp_path / "o"), n_iters=5,
+                   spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+                   spectrum_dir=str(tmp_path / "none"), verbose=False)
+        base = tmp_path / "o" / "t_fp" / "detunedMV_9000uGy"
+        assert (base / "sino_raw_float32.bin").exists()
+        assert not (base / "recon_raw_float32.bin").exists()
+
     def test_resume_skips_completed(self, small_de, tmp_path, capsys):
         from dexct_tpu.pipeline.runner import run_config
         from dexct_tpu.system.config import RunConfig
