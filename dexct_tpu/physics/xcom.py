@@ -266,8 +266,11 @@ def _element_table_cached(symbol):
     lp = comp["lp_atom_o"] * scale
     lp = np.where(e < k_edge_keV(Z), lp / _K_EDGE_JUMP, lp)
 
-    # Pair production: Z(Z+1) scaling from the oxygen residual.
-    pair = comp["pair_atom_o"] * (Z * (Z + 1.0)) / 72.0
+    # Pair production: Z(Z+1) scaling from the oxygen residual, with a
+    # high-Z Coulomb-correction factor calibrated on Pb @ 6 MeV (pure
+    # Z(Z+1) under-predicts very high Z by ~30% on the pair part).
+    pair_hz = (max(Z, 26.0) / 26.0) ** 0.228
+    pair = comp["pair_atom_o"] * (Z * (Z + 1.0)) / 72.0 * pair_hz
 
     return AVOGADRO / A * (sigma_incoh + lp + pair)
 

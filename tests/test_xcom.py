@@ -122,6 +122,14 @@ class TestPhysicsShape:
         got = float(TISSUE.mass_atten(np.array([60.0]))[0])
         assert abs(got - 0.2048) / 0.2048 < 0.02
 
+    def test_mv_energy_metal_anchors(self):
+        """MV-beam metal attenuation (the reference study's regime):
+        pair-production region anchors within a few percent."""
+        for el, e, nist in [("Fe", 2000.0, 0.0425), ("Fe", 6000.0, 0.0305),
+                            ("Pb", 6000.0, 0.0496), ("W", 6000.0, 0.0479)]:
+            got = float(xcom.element_mu(el, e))
+            assert abs(got - nist) / nist < 0.05, (el, e, got)
+
     def test_mixture_rule_linearity(self):
         e = np.linspace(20.0, 150.0, 20)
         mix = xcom.mixatten("O(50)Ca(50)", e)
