@@ -109,6 +109,24 @@ class TestVoxelPhantom:
         np.testing.assert_array_equal(ph2.labels, ph.labels)
         assert ph2.materials.names == ph.materials.names
 
+    def test_multislice_file_and_z_index(self, tmp_path):
+        """Nz>1 volumes: reference file layout + z_index slice selection
+        (params.txt:16)."""
+        rng = np.random.default_rng(5)
+        vol = rng.integers(0, 2, (3, 16, 16)).astype(np.uint8)
+        f = tmp_path / "vol_uint8_16_16_3_1mm.bin"
+        csv = tmp_path / "m.csv"
+        ph = VoxelPhantom("vol", vol, MaterialTable([AIR, WATER]))
+        ph.to_file(f, csv)
+        ph2 = VoxelPhantom.from_file("vol", f, csv, 16, 16, 3, z_index=2)
+        assert ph2.Nz == 3
+        np.testing.assert_array_equal(ph2.slice_labels(), vol[2])
+        np.testing.assert_array_equal(ph2.slice_labels(0), vol[0])
+        # M_mono follows the active slice
+        hu2 = ph2.M_mono(80.0)
+        hu0 = ph2.M_mono(80.0, z_index=0)
+        assert (hu2 != hu0).any() or (vol[2] == vol[0]).all()
+
     def test_label_bounds_checked(self):
         with pytest.raises(ValueError):
             VoxelPhantom("bad", np.full((4, 4), 7, np.uint8),
@@ -173,6 +191,26 @@ class TestConfig:
         assert phantom.Nx == 32
         assert spec is None  # "NA" -> assigned in DECT loop (main.py:92)
         assert (N_matrix, FOV, ramp) == (128, 50.0, 0.8)
+
+    def test_config_with_spectrum_file(self, tmp_path):
+        """Non-NA spectrum entries load and rescale
+        (params.txt:29-31 keys)."""
+        from dexct_tpu.physics import kramers_spectrum
+
+        cfg = self._write_assets(tmp_path)
+        spec = kramers_spectrum(120.0)
+        sf = tmp_path / "120kV_1mGy_float32.bin"
+        spec.to_file(sf)
+        cfg.update({
+            "spectrum_id": "120kV",
+            "spectrum_filename": str(sf),
+            "N_photons_per_cm2_per_scan": 1e6,
+        })
+        pfile = tmp_path / "params.txt"
+        pfile.write_text(json.dumps(cfg))
+        rc = read_parameter_file(pfile)[0]
+        assert rc.spectrum is not None
+        assert abs(rc.spectrum.total_counts - 1e6) / 1e6 < 1e-6
 
     def test_list_of_configs(self, tmp_path):
         cfg = self._write_assets(tmp_path)
