@@ -90,6 +90,21 @@ def main():
     log(f"exact Siddon (dominant-axis): {t_exact:.3f}s"
         f" -> {rays / t_exact:.3e} rays/s")
 
+    # secondary: the all-exact fused pipeline (exact projector + fast recon)
+    a2, m2 = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
+                       n_iters=N_ITERS, projector="siddon_dominant",
+                       recon="parallel")
+    step2 = make_jitted_step(m2)
+
+    def exact_e2e():
+        t0 = time.time()
+        o = step2(a2)
+        _ = float(o["mat_recons"][0][0, 0])
+        return time.time() - t0
+
+    exact_e2e()
+    log(f"exact-projector e2e: {min(exact_e2e() for _ in range(2)):.3f}s")
+
     print(json.dumps({
         "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
         "value": round(best, 4),

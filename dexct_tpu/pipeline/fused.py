@@ -104,6 +104,20 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         arrays.update(plan_arrays(plan, (ct.N_proj, ct.N_channels)))
         fp_meta = (plan.n_materials, plan.n_theta, plan.nt, plan.grid,
                    plan.n_img, plan.scale)
+    elif projector == "siddon_dominant":
+        # exact dominant-axis fast path; the ray partition is a global
+        # static plan, so this projector is single-device only (the view
+        # shards of shard_map would invalidate the indices)
+        from ..ops.siddon_fast import plan_dominant_split
+
+        idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
+            np.asarray(dirs).reshape(-1, 2))
+        arrays.update({
+            "dom_idx_y": jnp.asarray(idx_y),
+            "dom_idx_x": jnp.asarray(idx_x),
+            "dom_inv": jnp.asarray(inv),
+        })
+        fp_meta = (int(n_y), int(n_x))
     elif projector != "siddon":
         raise ValueError(f"unknown projector {projector!r}")
 
@@ -178,6 +192,29 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         from ..ops.fourier import fourier_paths_from_arrays
 
         paths = fourier_paths_from_arrays(a, a["labels"], meta.fp_meta)
+    elif meta.projector == "siddon_dominant":
+        if axis_name is not None:
+            raise ValueError(
+                "projector='siddon_dominant' uses a global ray plan and "
+                "cannot run under shard_map; use 'siddon' or 'fourier'"
+            )
+        from ..ops.siddon_fast import _trace_dominant, pack_labels_2band
+
+        n_y, n_x = meta.fp_meta
+        src2 = a["src"].reshape(-1, 2)
+        dirs2 = a["dirs"].reshape(-1, 2)
+        labels = a["labels"]
+        out_y = _trace_dominant(
+            pack_labels_2band(labels), labels.shape,
+            src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]], meta.dx, meta.dy,
+            n_materials=meta.n_materials)
+        out_x = _trace_dominant(
+            pack_labels_2band(labels.T), labels.shape[::-1],
+            src2[a["dom_idx_x"]][:, ::-1], dirs2[a["dom_idx_x"]][:, ::-1],
+            meta.dy, meta.dx, n_materials=meta.n_materials)
+        cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
+        paths = cat[a["dom_inv"]].reshape(
+            a["src"].shape[:-1] + (meta.n_materials,))
     else:
         # Exact Siddon DDA: gather-rate bound (~1.4e8 gathers/s on this
         # chip); one scalar gather per traversal step

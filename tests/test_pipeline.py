@@ -125,6 +125,35 @@ class TestFusedStep:
         )
 
 
+class TestFusedExactProjector:
+    def test_siddon_dominant_matches_dda_in_fused(self, small_de):
+        ct, ph, s1, s2 = small_de
+        a1, m1 = pack_dect(ct, ph, s1, s2, 64, 24.0, 0.8, n_iters=15)
+        a2, m2 = pack_dect(ct, ph, s1, s2, 64, 24.0, 0.8, n_iters=15,
+                           projector="siddon_dominant")
+        o1 = make_jitted_step(m1)(a1)
+        o2 = make_jitted_step(m2)(a2)
+        np.testing.assert_allclose(
+            np.asarray(o1["sino_raw"][0]), np.asarray(o2["sino_raw"][0]),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1["recon_HU"][1]), np.asarray(o2["recon_HU"][1]),
+            atol=1.0,
+        )
+
+    def test_siddon_dominant_rejected_under_sharding(self, small_de):
+        from dexct_tpu.parallel import shard_arrays, sharded_dect_step, view_mesh
+
+        ct, ph, s1, s2 = small_de
+        arrays, meta = pack_dect(ct, ph, s1, s2, 64, 24.0, 0.8, n_iters=5,
+                                 projector="siddon_dominant")
+        mesh = view_mesh(8)
+        with pytest.raises(ValueError):
+            sharded_dect_step(mesh, meta, arrays.keys())(
+                shard_arrays(arrays, mesh))
+
+
 class TestRunnerContract:
     def test_output_contract(self, small_de, tmp_path):
         """Files land exactly where plots.py expects them (SURVEY.md §2.6)."""
