@@ -45,7 +45,7 @@ def _base_counts(arrays, meta):
     return c1, c2, v1, v2
 
 
-def _recon4(arrays, meta, log1, log2, mat1, mat2):
+def _recon4(arrays, meta, log1, log2, mat1, mat2, axis_name=None):
     from ..ops.fbp_fast import (
         fan_backproject_multi,
         pack_filtered,
@@ -57,18 +57,25 @@ def _recon4(arrays, meta, log1, log2, mat1, mat2):
     sinos = jnp.stack([log1, log2, mat1, mat2])
     if meta.recon == "parallel":
         n_th, nt, par_t0, par_dt, par_m = meta.par_meta
+        if axis_name is not None:
+            sinos = jax.lax.all_gather(sinos, axis_name, axis=1,
+                                       tiled=True)
         par = rebin_to_parallel(sinos, a["rb_idx"], a["rb_w"], nt)
         qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
-        return parallel_backproject_multi(
+        imgs = parallel_backproject_multi(
             pack_filtered(qs), 4, a["par_thetas"], par_t0, par_dt, nt,
             meta.n_matrix, meta.fov, jnp.pi / n_th,
         )
-    qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
-                       meta.dgamma)
-    return fan_backproject_multi(
-        pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma,
-        sinos.shape[-1], meta.n_matrix, meta.fov, meta.dbeta,
-    )
+    else:
+        qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
+                           meta.dgamma)
+        imgs = fan_backproject_multi(
+            pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma,
+            sinos.shape[-1], meta.n_matrix, meta.fov, meta.dbeta,
+        )
+    if axis_name is not None:
+        imgs = jax.lax.psum(imgs, axis_name)
+    return imgs
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "noise"))
@@ -149,31 +156,57 @@ def sharded_dose_sweep(mesh, arrays, meta: DectMeta, dose_scales, key, *,
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dev = mesh.devices.size
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sweep = axis_sizes["sweep"]
     k = dose_scales.shape[0]
-    if k % n_dev:
-        raise ValueError(f"{k} sweep points do not divide {n_dev} devices")
+    if k % n_sweep:
+        raise ValueError(
+            f"{k} sweep points do not divide the {n_sweep}-way sweep axis"
+        )
     keys = jax.random.split(key, k)
 
+    two_d = "views" in mesh.axis_names
+    view_axis = "views" if two_d else None
+    from ..parallel.sharded import _in_specs
+
+    in_arr_specs = (_in_specs(arrays, "views") if two_d
+                    else {name: P() for name in arrays})
+    out_view = (None if not two_d else "views")
     mapped = shard_map(
-        lambda a, s, kk: _sweep_body(a, meta, s, kk, noise),
+        lambda a, s, kk: _sweep_body(a, meta, s, kk, noise,
+                                     view_axis=view_axis),
         mesh=mesh,
-        in_specs=({name: P() for name in arrays}, P("sweep"), P("sweep")),
-        out_specs={"recon_HU": P("sweep"), "mat_recons": P("sweep"),
-                   "mat_sinos": P("sweep")},
+        in_specs=(in_arr_specs, P("sweep"), P("sweep")),
+        out_specs={
+            "recon_HU": P("sweep"),
+            "mat_recons": P("sweep"),
+            # basis sinograms stay view-sharded on 2-D meshes
+            "mat_sinos": P("sweep", None, out_view),
+        },
         check_vma=False,
     )
     scales = jax.device_put(dose_scales, NamedSharding(mesh, P("sweep")))
     keys = jax.device_put(keys, NamedSharding(mesh, P("sweep")))
+    if two_d:
+        from ..parallel.sharded import shard_arrays
+
+        arrays = shard_arrays(arrays, mesh, "views")
     return jax.jit(mapped)(arrays, scales, keys)
 
 
-def _sweep_body(arrays, meta, scales, keys, noise):
-    """Per-shard dose sweep over pre-split keys."""
+def _sweep_body(arrays, meta, scales, keys, noise, view_axis=None):
+    """Per-shard dose sweep over pre-split keys.
+
+    view_axis: optional mesh-axis name when the sinogram view dimension is
+    ALSO sharded (2-D sweep x views meshes) — noise keys fold in the view
+    shard, the air-mask maximum pmaxes, and reconstructions psum.
+    """
     c1_base, c2_base, v1_base, v2_base = _base_counts(arrays, meta)
 
     def one(args):
         s, k = args
+        if view_axis is not None:
+            k = jax.random.fold_in(k, jax.lax.axis_index(view_axis))
         k1, k2 = jax.random.split(k)
         c1 = sp_ops.sample_noise(k1, c1_base * s, noise, var=v1_base * s)
         c2 = sp_ops.sample_noise(k2, c2_base * s, noise, var=v2_base * s)
@@ -184,10 +217,14 @@ def _sweep_body(arrays, meta, scales, keys, noise):
             flat, arrays["dec_i0"] * s, arrays["dec_mus"],
             n_iters=meta.n_iters, pixel_block=meta.pixel_block,
         )
-        mask = c1 >= meta.mask_thresh * jnp.max(c1)
+        cmax = jnp.max(c1)
+        if view_axis is not None:
+            cmax = jax.lax.pmax(cmax, view_axis)
+        mask = c1 >= meta.mask_thresh * cmax
         mat1 = jnp.where(mask, 0.0, ab[:, 0].reshape(c1.shape))
         mat2 = jnp.where(mask, 0.0, ab[:, 1].reshape(c1.shape))
-        imgs = _recon4(arrays, meta, log1, log2, mat1, mat2)
+        imgs = _recon4(arrays, meta, log1, log2, mat1, mat2,
+                       axis_name=view_axis)
         from ..ops.fbp import hu_image
 
         return {

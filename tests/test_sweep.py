@@ -71,6 +71,28 @@ class TestDoseSweep:
             np.asarray(single["recon_HU"]), atol=1e-3,
         )
 
+    def test_2d_mesh_sweep_by_views(self, packed):
+        """Composite sharding: dose grid over the 'sweep' axis AND the
+        sinogram views over the 'views' axis (2x4 mesh) reproduces the
+        single-device sweep."""
+        from dexct_tpu.parallel.mesh import make_mesh
+
+        ct, (arrays, meta) = packed
+        scales = jnp.array([0.5, 2.0])
+        key = jax.random.PRNGKey(7)
+        single = dose_sweep(arrays, meta, scales, key, noise="none")
+        mesh = make_mesh((2, 4), ("sweep", "views"))
+        sharded = sharded_dose_sweep(mesh, arrays, meta, scales, key,
+                                     noise="none")
+        np.testing.assert_allclose(
+            np.asarray(sharded["recon_HU"]),
+            np.asarray(single["recon_HU"]), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded["mat_sinos"]),
+            np.asarray(single["mat_sinos"]), atol=1e-4,
+        )
+
     def test_bad_grid_size_rejected(self, packed):
         ct, (arrays, meta) = packed
         mesh = sweep_mesh(8)
