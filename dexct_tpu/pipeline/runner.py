@@ -109,7 +109,6 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
 
             import numpy as _np
 
-            n_mat = cfg.phantom.n_materials
             proj = projector
             if proj == "fourier" and cfg.phantom.Nx != cfg.phantom.Ny:
                 proj = "siddon"  # fourier path requires square grids
