@@ -290,6 +290,11 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     }
 
 
+@functools.lru_cache(maxsize=64)
 def make_jitted_step(meta: DectMeta):
-    """A jitted single-device step closed over the static meta."""
+    """A jitted single-device step closed over the static meta.
+
+    Cached per meta so repeated driver calls (e.g. one per DE pair)
+    reuse the traced/compiled program.
+    """
     return jax.jit(functools.partial(dect_step, meta=meta))
