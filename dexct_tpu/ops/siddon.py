@@ -161,6 +161,11 @@ def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32,
     * 'dda' — the sequential per-ray walk (this module); any grid.
     * 'auto' — 'dominant' when its constraints hold, else 'dda'.
     """
+    from ..system.analytic import AnalyticPhantom, material_path_sinogram_analytic
+
+    if isinstance(phantom, AnalyticPhantom):
+        # closed-form ellipse tracing: exact, zero gathers
+        return material_path_sinogram_analytic(phantom, geometry, dtype)
     src, dirs = geometry.ray_geometry()
     labels = jnp.asarray(phantom.slice_labels())
     if method == "auto":
