@@ -80,7 +80,10 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     H, m = filter_frequency_response(ct.N_channels, ct.dgamma, ramp, window,
                                      "fan")
     arrays = {
-        "labels": jnp.asarray(phantom.slice_labels().astype(np.int32)),
+        # analytic phantoms carry shapes instead of a label grid
+        "labels": (jnp.zeros((2, 2), jnp.int32)
+                   if not hasattr(phantom, "slice_labels")
+                   else jnp.asarray(phantom.slice_labels().astype(np.int32))),
         "src": jnp.asarray(src, dtype),
         "dirs": jnp.asarray(dirs, dtype),
         "betas": jnp.asarray(ct.betas, dtype),
@@ -118,6 +121,18 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "dom_inv": jnp.asarray(inv),
         })
         fp_meta = (int(n_y), int(n_x))
+    elif projector == "analytic":
+        from ..system.analytic import AnalyticPhantom
+
+        if not isinstance(phantom, AnalyticPhantom):
+            raise ValueError(
+                "projector='analytic' requires an AnalyticPhantom"
+            )
+        params, labs = phantom.shape_arrays()
+        arrays.update({
+            "an_params": jnp.asarray(params, dtype),
+            "an_labels": jnp.asarray(labs),
+        })
     elif projector != "siddon":
         raise ValueError(f"unknown projector {projector!r}")
 
@@ -145,8 +160,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         n_matrix=int(n_matrix),
         fft_len=int(m),
         n_iters=int(n_iters),
-        dx=float(phantom.dx),
-        dy=float(phantom.dy),
+        dx=float(getattr(phantom, "dx", 1.0)),
+        dy=float(getattr(phantom, "dy", 1.0)),
         sid=float(ct.SID),
         dgamma=float(ct.dgamma),
         dbeta=float(ct.rotation_total / ct.N_proj),
@@ -192,6 +207,13 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         from ..ops.fourier import fourier_paths_from_arrays
 
         paths = fourier_paths_from_arrays(a, a["labels"], meta.fp_meta)
+    elif meta.projector == "analytic":
+        # closed-form ellipse tracing: exact, zero gathers, and fully
+        # shardable (shapes replicate, rays shard)
+        from ..system.analytic import analytic_paths
+
+        paths = analytic_paths(a["an_params"], a["an_labels"], a["src"],
+                               a["dirs"], n_materials=meta.n_materials)
     elif meta.projector == "siddon_dominant":
         if axis_name is not None:
             raise ValueError(

@@ -121,3 +121,50 @@ class TestVoxelConvergence:
         hu = np.asarray(hu)
         assert abs(hu[44:52, 44:52].mean()) < 120.0  # water-ish (BH)
         assert hu[4, 48] < -900.0  # air
+
+
+class TestFusedAnalytic:
+    def _pack(self):
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.pipeline.fused import pack_dect
+
+        ct = FanBeamGeometry(N_channels=64, N_proj=64,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        ph = water_cylinder_analytic(extent_cm=19.2)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        return pack_dect(ct, ph, s1, s2, 64, 18.0, 0.8, n_iters=12,
+                         projector="analytic", recon="parallel",
+                         recon_n_theta=64, recon_nt=128)
+
+    def test_fused_analytic_pipeline(self):
+        from dexct_tpu.pipeline.fused import make_jitted_step
+
+        arrays, meta = self._pack()
+        out = make_jitted_step(meta)(arrays)
+        hu = np.asarray(out["recon_HU"][0])
+        assert np.isfinite(hu).all()
+        assert abs(hu[28:36, 28:36].mean()) < 150.0
+        m1 = np.asarray(out["mat_recons"][0])
+        assert 0.6 < m1[28:36, 28:36].mean() < 1.3
+
+    def test_sharded_analytic_pipeline(self):
+        from dexct_tpu.parallel import (
+            shard_arrays,
+            sharded_dect_step,
+            view_mesh,
+        )
+        from dexct_tpu.pipeline.fused import make_jitted_step
+
+        arrays, meta = self._pack()
+        single = make_jitted_step(meta)(arrays)
+        mesh = view_mesh(8)
+        out = sharded_dect_step(mesh, meta, arrays.keys())(
+            shard_arrays(arrays, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(single["recon_raw"][0]), atol=1e-4,
+        )
