@@ -105,6 +105,24 @@ def main():
     exact_e2e()
     log(f"exact-projector e2e: {min(exact_e2e() for _ in range(2)):.3f}s")
 
+    # secondary: the analytic-phantom pipeline (closed-form exact tracing)
+    from dexct_tpu.system.analytic import pelvis_analytic
+
+    pha = pelvis_analytic()
+    a3, m3 = pack_dect(ct, pha, s1, s2, N_MATRIX, 50.0, 0.8,
+                       n_iters=N_ITERS, projector="analytic",
+                       recon="parallel")
+    step3 = make_jitted_step(m3)
+
+    def analytic_e2e():
+        t0 = time.time()
+        o = step3(a3)
+        _ = float(o["mat_recons"][0][0, 0])
+        return time.time() - t0
+
+    analytic_e2e()
+    log(f"analytic-exact e2e: {min(analytic_e2e() for _ in range(2)):.3f}s")
+
     print(json.dumps({
         "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
         "value": round(best, 4),
