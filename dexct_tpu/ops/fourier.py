@@ -22,10 +22,10 @@ Accuracy is set by the KB gridding parameters (oversampling σ=2, W=4:
 analytic chords and the exact Siddon oracle.  Use the exact projectors for
 bit-level parity work; use this for throughput.
 
-The same (θ, t) grid machinery drives the fast reconstruction path:
-``fan_to_parallel_tables`` rebins fan sinograms so backprojection runs in
-parallel geometry (half the views over [0, π), affine channel indexing —
-see ops/fbp_fast.parallel_backproject_multi).
+The same (θ, t) coordinates drive the fast reconstruction path: see
+ops/fbp_fast.parallel_rebin_plan / parallel_backproject_multi (fan data
+rebinned to parallel geometry, half the views over [0, π), affine channel
+indexing).
 """
 
 from __future__ import annotations

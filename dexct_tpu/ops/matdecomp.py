@@ -7,8 +7,10 @@ spectra) the solver maximizes the Poisson likelihood of
 
     nu_m(a) = sum_E i0_m(E) exp(-(a_1 mu_1(E) + a_2 mu_2(E)))
 
-over basis-material area densities a = (a_1, a_2) [g/cm^2] via Newton
-iterations with the exact gradient/Hessian.
+over basis-material area densities a [g/cm^2] via Newton iterations
+with the exact gradient/Hessian.  Generalizes the reference's two-spectra
+/ two-material case to M >= 2 measurements (multi-bin photon counting)
+and K in {2, 3} basis materials.
 
 TPU-native design vs the reference's per-view Python loop
 (matdecomp.py:109-125):
@@ -16,7 +18,7 @@ TPU-native design vs the reference's per-view Python loop
 * ALL pixels iterate simultaneously — one ``lax.fori_loop`` over Newton
   iterations wrapping matmuls of shape [P, E] x [E, k]:
   attenuation, nu, gradient, and Hessian contractions all hit the MXU.
-* The 2x2 Newton system is solved in closed form (no ``linalg.inv``).
+* The KxK Newton system is solved in closed form (no ``linalg.inv``).
 * Energy tables are normalized by a common scale so float32 stays in
   range — the update is exactly invariant to a joint rescale of (y, i0),
   which preserves the Poisson inter-measurement weighting.
