@@ -34,6 +34,54 @@ mat2 = BONE.name
 matcomp2 = BONE.matcomp
 density2 = BONE.density
 
+
+def do_matdecomp_gn(ct, sino1, sino2, spec1, spec2, n_iters):
+    """Reference-shaped solver entry (matdecomp.py:130-164).
+
+    Returns Sino_aa [N_proj, N_channels, 2] density line integrals
+    [g/cm^2] — the reference's pre-mask array layout (matdecomp.py:42).
+    Pre-mask means air rays are included: on those near-zero-signal rays
+    the tissue/bone basis is ill-conditioned and per-ray values are
+    noise-dominated (float32 solutions can differ from the float64
+    oracle along the degenerate direction).  `get_basismat_sinos`
+    applies the air mask and matches this output bitwise elsewhere.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops.matdecomp import gauss_newton_solve, prepare_decomposition
+
+    _, i0, mus = prepare_decomposition(ct, spec1, spec2)
+    s1 = jnp.asarray(sino1, jnp.float32)
+    s2 = jnp.asarray(sino2, jnp.float32)
+    a = gauss_newton_solve(
+        jnp.stack([s1.reshape(-1), s2.reshape(-1)]),
+        jnp.asarray(i0, jnp.float32), jnp.asarray(mus, jnp.float32),
+        n_iters=n_iters,
+    )
+    return np.asarray(a).reshape(s1.shape + (2,))
+
+
+def optimize_sino_cpu(Sino_gg, ee, i0, mus, n_iters, verbose=False):
+    """Reference-shaped float64 CPU solver (matdecomp.py:87-127 surface).
+
+    Sino_gg: [n_meas, nViews, nBins] counts; returns [nViews, nBins,
+    nMats].  Backed by the vectorized float64 oracle (the reference's
+    per-view Python loop is the behavior being replaced).
+    """
+    import numpy as np
+
+    from .utils.testing import gauss_newton_decompose_numpy
+
+    g = np.asarray(Sino_gg, np.float64)
+    m, v, c = g.shape
+    i0 = np.asarray(i0, np.float64)
+    if i0.ndim == 3:  # reference channel-tiled layout [nMeas, nBins, nE]
+        i0 = i0[:, 0, :]
+    a = gauss_newton_decompose_numpy(g.reshape(m, -1), i0,
+                                     np.asarray(mus), n_iters)
+    return a.reshape(v, c, -1)
+
 __all__ = [
     "read_parameter_file",
     "xRaySpectrum",
@@ -43,6 +91,8 @@ __all__ = [
     "get_sino",
     "get_recon",
     "get_basismat_sinos",
+    "do_matdecomp_gn",
+    "optimize_sino_cpu",
     "load_spectrum",
     "mixatten",
     "mat1",

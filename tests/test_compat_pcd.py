@@ -61,6 +61,36 @@ class TestCompatSurface:
         assert 0.6 < np.asarray(r1)[22:26, 22:26].mean() < 1.3
 
 
+class TestSolverCompat:
+    def test_do_matdecomp_gn_shape_and_values(self):
+        """Reference array-layout solver entries (matdecomp.py:130,87)."""
+        import jax.numpy as jnp
+
+        from dexct_tpu.compat import do_matdecomp_gn, optimize_sino_cpu
+        from dexct_tpu.ops.matdecomp import prepare_decomposition
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.system import FanBeamGeometry
+
+        ct = FanBeamGeometry(N_channels=16, N_proj=4, eid=True)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        ee, i0, mus = prepare_decomposition(ct, s1, s2)
+        rng = np.random.default_rng(0)
+        a_true = np.stack([rng.uniform(0, 20, 64),
+                           rng.uniform(0, 5, 64)], -1)
+        counts = (np.exp(-(a_true @ mus)) @ i0.T).T.reshape(2, 4, 16)
+        out = do_matdecomp_gn(ct, counts[0], counts[1], s1, s2, 40)
+        assert out.shape == (4, 16, 2)
+        np.testing.assert_allclose(out.reshape(-1, 2), a_true, atol=1e-3)
+        # the reference's channel-tiled i0 layout for the CPU solver
+        i0_tiled = np.repeat(i0[:, None, :], 16, axis=1)
+        out2 = optimize_sino_cpu(counts, ee, i0_tiled, mus, 40)
+        np.testing.assert_allclose(out2.reshape(-1, 2), a_true,
+                                   atol=1e-8)
+
+
 class TestPhotonCountingPipeline:
     def test_pcd_end_to_end(self):
         """detector_mode='pcd': eta-only weighting, full DE pipeline."""
