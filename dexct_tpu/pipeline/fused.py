@@ -55,13 +55,14 @@ class DectMeta(NamedTuple):
     recon: str = "fan"  # 'fan' (direct) | 'parallel' (rebinned fast)
     par_meta: tuple = ()  # (n_theta, nt, t0, dt, fft_len)
     noise: str = "none"  # 'none' | 'poisson' | 'compound'
+    par_sym: bool = True  # symmetry-packed BP (single-device fast path)
 
 
 def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               n_iters=50, window="sinc", dtype=jnp.float32,
               mask_thresh=0.95, pixel_block=65536, projector="siddon",
               n_theta=1024, recon="fan", recon_n_theta=512,
-              recon_nt=1024, noise="none", seed=0):
+              recon_nt=1024, noise="none", seed=0, par_sym=True):
     """Lower the system model to (arrays, meta) for :func:`dect_step`.
 
     projector='fourier' selects the O(N^2 log N) Fourier-slice projector
@@ -177,6 +178,7 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         recon=recon,
         par_meta=par_meta,
         noise=noise,
+        par_sym=bool(par_sym),
     )
     if noise != "none":
         arrays["noise_key"] = jax.random.PRNGKey(seed)
@@ -287,10 +289,25 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt)
         qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
         n_th_total = n_th
-        imgs = parallel_backproject_multi(
-            pack_filtered(qs), 4, a["par_thetas"], par_t0, par_dt, nt,
-            meta.n_matrix, meta.fov, jnp.pi / n_th_total,
-        )
+        if axis_name is None and meta.par_sym and n_th % 2 == 0:
+            # symmetry-packed BP: one row-8K gather serves both paired
+            # views (theta, theta+pi/2) at both point-mirrored pixels —
+            # 4x fewer gathers (ops/fbp_fast.py).  Requires all theta
+            # lines locally, so the view-sharded path keeps the
+            # standard packed BP below.
+            from ..ops.fbp_fast import (pack_filtered_sym,
+                                        parallel_backproject_sym)
+
+            imgs = parallel_backproject_sym(
+                pack_filtered_sym(qs), 4, a["par_thetas"][: n_th // 2],
+                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / n_th_total,
+            )
+        else:
+            imgs = parallel_backproject_multi(
+                pack_filtered(qs), 4, a["par_thetas"], par_t0, par_dt, nt,
+                meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+            )
     else:
         qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
                            meta.dgamma)

@@ -114,3 +114,62 @@ class TestFusedParallelRecon:
             np.asarray(out["mat_recons"][1]),
             np.asarray(single["mat_recons"][1]), atol=1e-4,
         )
+
+
+class TestSymBackprojection:
+    """Symmetry-packed BP is arithmetically identical to the standard
+    packed BP (ops/fbp_fast.py pack_filtered_sym/parallel_backproject_sym)."""
+
+    @pytest.mark.parametrize("nth,N,tfrac", [(32, 48, 1.3), (50, 45, 0.7),
+                                             (64, 33, 1.0)])
+    def test_matches_standard_bp(self, nth, N, tfrac):
+        from dexct_tpu.ops.fbp_fast import (
+            pack_filtered_sym,
+            parallel_backproject_sym,
+        )
+
+        rng = np.random.default_rng(3)
+        K, nt, fov = 4, 64, 20.0
+        t_max = fov / 2 * tfrac
+        dt = 2 * t_max / nt
+        t0 = -t_max + dt / 2
+        qs = jnp.asarray(rng.standard_normal((K, nth, nt)), jnp.float32)
+        thetas = jnp.asarray(np.arange(nth) * (np.pi / nth), jnp.float32)
+        ref = parallel_backproject_multi(pack_filtered(qs), K, thetas, t0,
+                                         dt, nt, N, fov, np.pi / nth)
+        sym = parallel_backproject_sym(pack_filtered_sym(qs), K,
+                                       thetas[: nth // 2], t0, dt, nt, N,
+                                       fov, np.pi / nth)
+        ref, sym = np.asarray(ref), np.asarray(sym)
+        scale = np.abs(ref).max()
+        assert np.abs(ref - sym).max() < 3e-5 * scale
+
+    def test_odd_view_count_rejected_in_pack(self):
+        from dexct_tpu.ops.fbp_fast import pack_filtered_sym
+
+        with pytest.raises(ValueError):
+            pack_filtered_sym(jnp.zeros((2, 31, 16)))
+
+    def test_fused_step_sym_matches_plain(self):
+        """par_sym=True (default) vs False produce the same pipeline
+        output; odd recon_n_theta falls back to the standard BP."""
+        ct = FanBeamGeometry(N_channels=128, N_proj=96, gamma_fan=0.8230337,
+                             SID=60.0, SDD=100.0, eid=True)
+        ph = water_cylinder_phantom(N=64, dx=0.35)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        outs = {}
+        for sym in (True, False):
+            a, m = pack_dect(ct, ph, s1, s2, 64, 20.0, 0.8, n_iters=10,
+                             recon="parallel", recon_n_theta=96,
+                             recon_nt=192, par_sym=sym)
+            assert m.par_sym is sym
+            outs[sym] = make_jitted_step(m)(a)
+        hu_t = np.asarray(outs[True]["recon_HU"][1])
+        hu_f = np.asarray(outs[False]["recon_HU"][1])
+        np.testing.assert_allclose(hu_t, hu_f, atol=0.5)  # HU, fp roundoff
+        mt = np.asarray(outs[True]["mat_recons"][0])
+        mf = np.asarray(outs[False]["mat_recons"][0])
+        np.testing.assert_allclose(mt, mf, atol=1e-4)
