@@ -105,22 +105,42 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
     tri = _tri_pairs(n_mats)
     a0 = jnp.full((B, n_mats), eps_init, dtype)
 
-    def make_body(hi):
-        return functools.partial(_gn_body, hi=hi)
+    def make_body(hi, fast_exp=False):
+        return functools.partial(_gn_body, hi=hi, fast_exp=fast_exp)
 
-    def _gn_body(_, a, hi):
-        L = jnp.matmul(a, musT.T, precision=hi)  # [B, E]
+    # one fused weight matrix [E, M + M*K + M*T]: nu, gradient, and
+    # Hessian contractions share a single pass over the [B, E]
+    # attenuation array (they are bandwidth-bound — output widths of
+    # 2/4/6 all pad to one 128-lane MXU tile anyway)
+    w_all = jnp.concatenate([i0T, grad_w, hess_w], axis=-1)
+    n_g = n_meas * n_mats
+    musT_bf = musT.astype(jnp.bfloat16)
+    w_all_bf = w_all.astype(jnp.bfloat16)
+
+    def _gn_body(_, a, hi, fast_exp):
         # lower clip guards underflow only; the upper clip is tight (+20)
         # because L >= 0 physically — transiently negative a iterates must
         # not overflow exp * mu^2 weights (the reference's symmetric ±700
         # clip, matdecomp.py:116, is exactly the float64 overflow the CuPy
         # float32 path died on, matdecomp.py:89-92)
-        atten = jnp.exp(jnp.clip(-L, -clip, 20.0))
-        nu = jnp.matmul(atten, i0T, precision=hi)  # [B, M]
-        g = jnp.matmul(atten, grad_w,
-                       precision=hi).reshape(B, n_meas, n_mats)
-        h = jnp.matmul(atten, hess_w,
-                       precision=hi).reshape(B, n_meas, len(tri))
+        if fast_exp:
+            # the iteration is HBM-bound on the [B, E] intermediates, so
+            # phase-1 keeps the whole energy-axis chain in bfloat16
+            # (half the traffic, ~5x faster exp).  The coarse L rounding
+            # (~2^-9 relative) only perturbs the descent direction — the
+            # HIGHEST-precision float32 polish phase sets the fixed point.
+            L = jnp.matmul(a.astype(jnp.bfloat16), musT_bf.T)  # [B, E]
+            atten = jnp.exp(jnp.clip(-L, -clip, jnp.bfloat16(20.0)))
+            ngh = jax.lax.dot_general(
+                atten, w_all_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)  # [B, M+MK+MT] f32
+        else:
+            L = jnp.matmul(a, musT.T, precision=hi)
+            atten = jnp.exp(jnp.clip(-L, -clip, 20.0))
+            ngh = jnp.matmul(atten, w_all, precision=hi)
+        nu = ngh[:, :n_meas]  # [B, M]
+        g = ngh[:, n_meas:n_meas + n_g].reshape(B, n_meas, n_mats)
+        h = ngh[:, n_meas + n_g:].reshape(B, n_meas, len(tri))
         r = y / nu - 1.0  # [B, M]
         yv2 = y / (nu * nu)  # [B, M]
         # dF_i = sum_m r_m g_mi   (g already carries the minus sign twice:
@@ -155,24 +175,28 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         return jnp.clip(a - step, a_lo, a_hi)
 
     # two-phase precision: early iterations only need a descent direction,
-    # so they run at the (fast, bf16-pass) default; the final polish
-    # iterations run at HIGHEST, which is what sets the fixed-point
-    # accuracy (1e-4 parity bar, CLAUDE.md)
+    # so they run at the (fast, bf16-pass) default with bf16 exp; the
+    # final polish iterations run at HIGHEST with float32 exp, which is
+    # what sets the fixed-point accuracy (1e-4 parity bar, CLAUDE.md).
+    # With polish_iters=0 every iteration stays at the full float
+    # precision of the input dtype.
     n_pol = min(polish_iters, n_iters)
     a = jax.lax.fori_loop(
         0, n_iters - n_pol,
-        make_body(jax.lax.Precision.DEFAULT), a0)
+        make_body(jax.lax.Precision.DEFAULT,
+                  fast_exp=(n_pol > 0 and dtype == jnp.float32)), a0)
     return jax.lax.fori_loop(
         0, n_pol, make_body(jax.lax.Precision.HIGHEST), a)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "pixel_block", "method", "lm_damping")
+    jax.jit, static_argnames=("n_iters", "pixel_block", "method",
+                              "lm_damping", "polish_iters")
 )
 def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
                        pixel_block=65536, step_max=5.0,
                        a_bounds=(-20.0, 500.0), method="gn",
-                       lm_damping=0.0):
+                       lm_damping=0.0, polish_iters=8):
     """Vectorized Poisson-MLE Newton solve over all sinogram pixels.
 
     counts: [M, P] detected counts (M = measurements: 2 for classic DE,
@@ -226,6 +250,7 @@ def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
         a_lo=a_bounds[0], a_hi=a_bounds[1],
         use_full_newton=(method == "newton"),
         lm_damping=lm_damping,
+        polish_iters=polish_iters,
     )
     if n_blocks == 1:
         out = solve(yb[0])[None]
