@@ -57,12 +57,14 @@ def main():
 
     def run_once():
         """One full step, fenced by a host fetch (block_until_ready is not
-        trustworthy through the experimental device tunnel)."""
+        trustworthy through the experimental device tunnel).  ONE scalar
+        fetch suffices — the jitted program runs to completion before any
+        output element is readable; a second fetch only adds another
+        host round-trip through the tunnel (~30 ms measurement artifact,
+        confirmed against the XLA trace's 330 ms device span)."""
         t0 = time.time()
         out = step(arrays)
-        fence = float(out["mat_recons"][0][0, 0]) + float(
-            out["recon_HU"][1][0, 0]
-        )
+        fence = float(out["mat_recons"][0][0, 0])
         dt = time.time() - t0
         return dt, fence
 
