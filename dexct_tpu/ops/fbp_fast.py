@@ -29,6 +29,8 @@ __all__ = [
     "parallel_backproject_multi",
     "pack_filtered_sym",
     "parallel_backproject_sym",
+    "pack_filtered_sym8",
+    "parallel_backproject_sym8",
 ]
 
 
@@ -393,6 +395,156 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
     # recompose the full disc by gathering each pixel's two contributions
     accT = acc.reshape(4, K, P).transpose(0, 2, 1).reshape(4 * P, K)
     out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]).T * dtheta
+    full = jnp.zeros((K, N * N), dtype)
+    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    return full.reshape(K, N, N)
+
+
+# ---------------------------------------------------------------------------
+# 8-fold symmetry-packed parallel backprojection
+# ---------------------------------------------------------------------------
+#
+# With theta_i = i*pi/V (theta_0 = 0) the view grid is also closed under
+# the TRANSPOSE reflection theta -> pi/2 - theta, whose channel coordinate
+# at pixel (x, y) equals theta's at the swapped pixel (y, x), and under
+# theta -> pi - theta (the x-flip pixel (-x, y)).  The full orbit of view
+# i is {i, V/2-i, V/2+i, V-i}; one 64-float gather row then serves EIGHT
+# (pixel, view) contributions (4 orbit views x point mirror), so the loop
+# covers views i in (0, V/4) over the y>=0 half-disc — half the gathers
+# of the 4-fold packing, and measured FASTER per row (the 32 MiB packed
+# table has half the rows at double the width).  The four self-paired
+# boundary views {0, V/4, V/2, 3V/4} are handled by the 4-fold kernel on
+# a 4-view sub-sinogram (see pipeline/fused.py).
+
+
+def pack_filtered_sym8(qs):
+    """[K, V, T] filtered parallel sinograms -> packed [(V/4-1)*T, 16K].
+
+    Row (i', j) with view i = i'+1 holds, for q over the orbit views
+    (i, V/2+i, V/2-i, V-i): (q[j], q[j+1], q[T-2-j], q[T-1-j]),
+    each group K-wide.
+    """
+    K, V, T = qs.shape
+    if V % 4 or V < 8:
+        raise ValueError("pack_filtered_sym8 requires V % 4 == 0, V >= 8")
+    ia = np.arange(1, V // 4)
+
+    def groups(q):
+        nxt = jnp.concatenate([q[..., 1:], q[..., -1:]], -1)
+        rev = q[..., ::-1]
+        m0 = jnp.concatenate([rev[..., 1:], rev[..., -1:]], -1)
+        return [q, nxt, m0, rev]
+
+    packed = jnp.concatenate(
+        groups(qs[:, ia]) + groups(qs[:, V // 2 + ia])
+        + groups(qs[:, V // 2 - ia]) + groups(qs[:, V - ia]),
+        axis=0)  # [16K, V/4-1, T]
+    return packed.transpose(1, 2, 0).reshape(len(ia) * T, 16 * K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_images", "nt", "n_matrix", "fov", "view_block"),
+)
+def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
+                              n_matrix, fov, dtheta, *, view_block=64):
+    """Backproject K images from 8-fold symmetry-packed taps.
+
+    packed: [(V/4-1)*nt, 16K] from :func:`pack_filtered_sym8`;
+    thetas_q: view angles i = 1 .. V/4-1 of the uniform grid
+    theta_i = i*pi/V.  Returns the [K, n_matrix, n_matrix] FOV-masked
+    partial image of those 4*(V/4-1) views — add the boundary-view
+    image (4-fold kernel on views {0, V/4, V/2, 3V/4}) for the full
+    reconstruction.
+    """
+    K = n_images
+    dtype = packed.dtype
+    vq = thetas_q.shape[0]
+    N = n_matrix
+    px_size = fov / N
+    half = N / 2.0
+
+    c_np = (np.arange(N) + 0.5 - half) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)  # [iy, ix]
+    in_circle = (np.hypot(XX, YY) <= fov / 2.0).reshape(-1)
+    ys = YY.reshape(-1)
+    slot_sel = np.nonzero(in_circle & (ys >= 0))[0]
+    P_real = len(slot_sel)
+    P = max(-(-P_real // 8) * 8, 8)
+    slot_flat = np.pad(slot_sel, (0, P - P_real),
+                       constant_values=slot_sel[-1] if P_real else 0)
+    valid_np = np.zeros(P, np.float32)
+    valid_np[:P_real] = 1.0
+    slot_of = np.full(N * N, -1, np.int64)
+    slot_of[slot_sel] = np.arange(P_real)
+
+    full_sel = np.nonzero(in_circle)[0]
+    Pf = max(-(-len(full_sel) // 8) * 8, 8)
+    full_flat = np.pad(full_sel, (0, Pf - len(full_sel)),
+                       constant_values=full_sel[-1] if len(full_sel) else 0)
+    iy, ix = full_flat // N, full_flat % N
+    miy, mix = N - 1 - iy, N - 1 - ix
+    xv, yv = c_np[ix], c_np[iy]
+    # accumulator block offsets: [A+, B+, C+, D+, A-, B-, C-, D-]
+    # A: view i at p;        B: view V/2+i at rot90(p) = (-y, x);
+    # C: view V/2-i at (y, x); D: view V-i at (-x, y); '-' = point mirror
+    g1 = np.where(yv >= 0, 0 * P + slot_of[iy * N + ix],
+                  4 * P + slot_of[miy * N + mix])
+    g2 = np.where(xv < 0, 1 * P + slot_of[mix * N + iy],
+                  5 * P + slot_of[ix * N + miy])
+    g3 = np.where(xv > 0, 2 * P + slot_of[ix * N + iy],
+                  6 * P + slot_of[mix * N + miy])
+    g4 = np.where(yv >= 0, 3 * P + slot_of[iy * N + mix],
+                  7 * P + slot_of[miy * N + ix])
+    for g in (g1, g2, g3, g4):  # every referenced slot must exist
+        assert (g % P < P_real).all() if P_real else True
+
+    X = jnp.asarray(XX.reshape(-1)[slot_flat], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[slot_flat], dtype)
+    valid = jnp.asarray(valid_np, dtype)
+
+    n_blocks = -(-vq // view_block)
+    pad = n_blocks * view_block - vq
+    thp = jnp.pad(thetas_q.astype(dtype), (0, pad))
+    vw = jnp.pad(jnp.ones((vq,), dtype), (0, pad))
+    tb = thp.reshape(n_blocks, view_block)
+    wb = vw.reshape(n_blocks, view_block)
+    voff = (jnp.arange(n_blocks * view_block, dtype=jnp.int32)
+            % jnp.int32(max(vq, 1))).reshape(n_blocks, view_block) * nt
+
+    def block(acc, args):
+        th, wv, vo = args
+        ct_, st_ = jnp.cos(th), jnp.sin(th)
+        c = (X[None, :] * ct_[:, None] + Y[None, :] * st_[:, None]
+             - t0) / dt
+        c0 = jnp.clip(jnp.floor(c), 0, nt - 2)
+        f = jnp.clip(c - c0, 0.0, 1.0)
+        inside = (c >= 0.0) & (c <= nt - 1.0)
+        w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
+        idx = vo[:, None] + c0.astype(jnp.int32)
+        rows = packed[idx.reshape(-1)].reshape(idx.shape + (16 * K,))
+        wa, wb_ = (1.0 - f)[..., None], f[..., None]
+
+        def lerp(g):  # normal taps of packed group pair (g, g+1)
+            return rows[..., g * K:(g + 1) * K] * wa \
+                + rows[..., (g + 1) * K:(g + 2) * K] * wb_
+
+        def lerp_m(g):  # mirrored taps (fraction 1-f)
+            return rows[..., g * K:(g + 1) * K] * wb_ \
+                + rows[..., (g + 1) * K:(g + 2) * K] * wa
+
+        taps = jnp.concatenate([
+            lerp(0), lerp(4), lerp(8), lerp(12),      # A+ B+ C+ D+
+            lerp_m(2), lerp_m(6), lerp_m(10), lerp_m(14),  # A- B- C- D-
+        ], axis=-1)  # [B, P, 8K]
+        return acc + jnp.einsum("bp,bpk->kp", w, taps,
+                               precision=jax.lax.Precision.HIGHEST), None
+
+    acc0 = jnp.zeros((8 * K, P), dtype)
+    acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
+    accT = acc.reshape(8, K, P).transpose(0, 2, 1).reshape(8 * P, K)
+    out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]
+           + accT[jnp.asarray(g3)] + accT[jnp.asarray(g4)]).T * dtheta
     full = jnp.zeros((K, N * N), dtype)
     full = full.at[:, jnp.asarray(full_flat)].set(out)
     return full.reshape(K, N, N)

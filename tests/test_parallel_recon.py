@@ -145,10 +145,43 @@ class TestSymBackprojection:
         assert np.abs(ref - sym).max() < 3e-5 * scale
 
     def test_odd_view_count_rejected_in_pack(self):
-        from dexct_tpu.ops.fbp_fast import pack_filtered_sym
+        from dexct_tpu.ops.fbp_fast import pack_filtered_sym, pack_filtered_sym8
 
         with pytest.raises(ValueError):
             pack_filtered_sym(jnp.zeros((2, 31, 16)))
+        with pytest.raises(ValueError):
+            pack_filtered_sym8(jnp.zeros((2, 30, 16)))
+
+    @pytest.mark.parametrize("nth,N,tfrac", [(32, 48, 1.3), (64, 45, 0.8),
+                                             (48, 33, 1.0)])
+    def test_8fold_matches_standard_bp(self, nth, N, tfrac):
+        """8-fold orbit kernel + 4-fold boundary pass == plain packed BP."""
+        from dexct_tpu.ops.fbp_fast import (
+            pack_filtered_sym,
+            pack_filtered_sym8,
+            parallel_backproject_sym,
+            parallel_backproject_sym8,
+        )
+
+        rng = np.random.default_rng(7)
+        K, nt, fov = 4, 64, 20.0
+        t_max = fov / 2 * tfrac
+        dt = 2 * t_max / nt
+        t0 = -t_max + dt / 2
+        qs = jnp.asarray(rng.standard_normal((K, nth, nt)), jnp.float32)
+        thetas = jnp.asarray(np.arange(nth) * (np.pi / nth), jnp.float32)
+        ref = parallel_backproject_multi(pack_filtered(qs), K, thetas, t0,
+                                         dt, nt, N, fov, np.pi / nth)
+        bsel = np.array([0, nth // 4, nth // 2, 3 * nth // 4])
+        got = parallel_backproject_sym8(
+            pack_filtered_sym8(qs), K, thetas[1: nth // 4], t0, dt, nt, N,
+            fov, np.pi / nth,
+        ) + parallel_backproject_sym(
+            pack_filtered_sym(qs[:, bsel]), K, thetas[bsel[:2]], t0, dt,
+            nt, N, fov, np.pi / nth,
+        )
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 3e-5 * np.abs(ref).max()
 
     def test_fused_step_sym_matches_plain(self):
         """par_sym=True (default) vs False produce the same pipeline
