@@ -9,7 +9,7 @@ O(N^2 log N):
        2-D FFT'd (XLA-native, complex stays on device);
     2. the spectrum is sampled along nθ radial half-lines with a width-4
        Kaiser-Bessel kernel — tap indices/weights are host-precomputed per
-       geometry, so the graph does ~8e6 packed row gathers instead of 8e8;
+       geometry, so the graph does ~5e5 packed window gathers instead of 8e8;
     3. an inverse FFT along the radial axis yields the parallel-beam Radon
        transform R_m(θ, t) on a (nθ x nt) grid, sinc-interpolated in t by
        spectral zero-padding;
