@@ -51,9 +51,17 @@ def main():
     arrays, meta = pack_dect(ct, ph, s1, s2, NM, 50.0, 0.8, n_iters=50)
     a = jax.device_put(arrays)
 
-    paths = timeit("trace", lambda: trace_paths(
+    paths = timeit("trace (exact DDA)", lambda: trace_paths(
         a["labels"], a["src"], a["dirs"], meta.dx, meta.dy,
         n_materials=meta.n_materials))
+
+    # the production fast-path stages (what bench.py actually runs)
+    from dexct_tpu.ops.fourier import fourier_paths, plan_fourier_projector
+
+    plan = plan_fourier_projector(ph, ct)
+    timeit("trace (fourier-slice)", lambda: fourier_paths(
+        plan, a["labels"], (V, C)))
+
     c1 = timeit("counts x2", lambda: (
         sp.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
         sp.counts_from_paths(paths, a["mu_t2"], a["i0_2"])))[0]
@@ -63,8 +71,41 @@ def main():
         n_iters=50, pixel_block=meta.pixel_block))
     q = timeit("filter", lambda: _filter_views(
         l1, a["cos_w"], a["filt_H"], meta.fft_len, meta.dgamma))
-    timeit("backproject x1", lambda: fan_backproject(
+    timeit("backproject (direct fan)", lambda: fan_backproject(
         q, a["betas"], meta.sid, meta.dgamma, NM, 50.0, dbeta=meta.dbeta))
+
+    from dexct_tpu.ops.fbp_fast import (
+        pack_filtered,
+        pack_filtered_sym,
+        pack_filtered_sym8,
+        parallel_backproject_sym,
+        parallel_backproject_sym8,
+        parallel_rebin_plan,
+        rebin_to_parallel,
+    )
+
+    nth, nt = 512, 1024
+    rb_idx, rb_w, pt0, pdt = parallel_rebin_plan(ct, nth, nt)
+    # device-put once — the tables are ~270 MB and re-uploading them per
+    # timed call would measure the host tunnel, not the kernel
+    rb_idx = jax.device_put(jnp.asarray(rb_idx))
+    rb_w = jax.device_put(jnp.asarray(rb_w))
+    sinos4 = jnp.stack([l1] * 4)
+    par = timeit("rebin x4", lambda: rebin_to_parallel(
+        sinos4, rb_idx, rb_w, nt))
+    thetas = jnp.asarray(np.arange(nth) * (np.pi / nth), jnp.float32)
+    bsel = np.array([0, nth // 4, nth // 2, 3 * nth // 4])
+
+    def bp8():
+        return parallel_backproject_sym8(
+            pack_filtered_sym8(par), 4, thetas[1: nth // 4], pt0, pdt,
+            nt, NM, 50.0, np.pi / nth,
+        ) + parallel_backproject_sym(
+            pack_filtered_sym(par[:, bsel]), 4, thetas[bsel[:2]], pt0,
+            pdt, nt, NM, 50.0, np.pi / nth,
+        )
+
+    timeit("backproject x4 (8-fold sym)", bp8)
 
 
 if __name__ == "__main__":
