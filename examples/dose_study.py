@@ -32,7 +32,9 @@ def main():
     p.add_argument("--n", type=int, default=256)
     p.add_argument("--views", type=int, default=512)
     p.add_argument("--channels", type=int, default=512)
-    p.add_argument("--doses", default="0.0005,0.002,0.008,0.032,0.125")
+    # note: below ~1e-3 of the reference dose the kV channel is photon-
+    # starved (zero-count rays) and the metrics are meaningless
+    p.add_argument("--doses", default="0.002,0.008,0.032,0.125,0.5")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vmi-kev", type=float, default=70.0)
     p.add_argument("--figdir", default=None)
