@@ -360,6 +360,9 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
     Y = jnp.asarray(YY.reshape(-1)[slot_flat], dtype)
     valid = jnp.asarray(valid_np, dtype)
 
+    # bound the per-block gather working set (view_block * P rows of 4K
+    # floats each) to ~1.7 GB — large matrices otherwise OOM at trace
+    view_block = max(8, min(view_block, (13 << 20) // max(P, 1)))
     n_blocks = -(-v2 // view_block)
     pad = n_blocks * view_block - v2
     thp = jnp.pad(thetas_half.astype(dtype), (0, pad))
@@ -503,6 +506,9 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
     Y = jnp.asarray(YY.reshape(-1)[slot_flat], dtype)
     valid = jnp.asarray(valid_np, dtype)
 
+    # bound the per-block gather working set (view_block * P rows of 8K
+    # floats each) to ~1.7 GB — 1024^2 reconstructions otherwise OOM
+    view_block = max(8, min(view_block, (7 << 20) // max(P, 1)))
     n_blocks = -(-vq // view_block)
     pad = n_blocks * view_block - vq
     thp = jnp.pad(thetas_q.astype(dtype), (0, pad))

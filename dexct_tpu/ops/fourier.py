@@ -51,6 +51,10 @@ __all__ = [
 
 KB_WIDTH = 4
 OVERSAMPLE = 2
+# the packed 16-tap gather table is [G², 16*2M] (~805 MB at G=1024);
+# above this grid size its rolled-copy build pads past HBM, so the
+# sampler falls back to 16 per-tap gathers (indices derived on device)
+_PACKED_TABLE_MAX_GRID = 1024
 
 
 def _kb_beta(width=KB_WIDTH, sigma=OVERSAMPLE):
@@ -262,19 +266,32 @@ def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
     img = jnp.roll(img, (-(n_img // 2), -(n_img // 2)), axis=(-2, -1))
     F = jnp.fft.fft2(img)  # [M, G, G]; DC at index 0
 
-    # pack ALL 16 Kaiser-Bessel window taps of every re/im channel into
-    # one gather row: table row (v, u) holds F[(v+j)%G, (u+i)%G] for
-    # k = i*4 + j — one row-16*2M gather per radial sample instead of 16
-    # row-2M gathers (the rolled-copy build is ~2 HBM passes, measured
-    # cheaper than the extra gather issue time)
-    Fr = jnp.concatenate([F.real, F.imag], axis=0)  # [2M, G, G]
-    parts = [jnp.roll(Fr, (-j, -i), axis=(-2, -1))
-             for i in range(KB_WIDTH) for j in range(KB_WIDTH)]
-    table = jnp.concatenate(parts, axis=0).reshape(
-        16 * 2 * n_materials, grid * grid).T  # [G², 16*2M]
-
-    rows = table[slice_idx.reshape(-1)]  # [nθ*nl, 16*2M]
     nl = grid // 2 + 1
+    Fr = jnp.concatenate([F.real, F.imag], axis=0)  # [2M, G, G]
+    base = slice_idx.reshape(-1)
+    if grid <= _PACKED_TABLE_MAX_GRID:
+        # pack ALL 16 Kaiser-Bessel window taps of every re/im channel
+        # into one gather row: table row (v, u) holds F[(v+j)%G, (u+i)%G]
+        # for k = i*4 + j — one row-16*2M gather per radial sample
+        # instead of 16 row-2M gathers (the rolled-copy build is ~2 HBM
+        # passes, measured cheaper than the extra gather issue time)
+        parts = [jnp.roll(Fr, (-j, -i), axis=(-2, -1))
+                 for i in range(KB_WIDTH) for j in range(KB_WIDTH)]
+        table = jnp.concatenate(parts, axis=0).reshape(
+            16 * 2 * n_materials, grid * grid).T  # [G², 16*2M]
+        rows = table[base]  # [nθ*nl, 16*2M]
+    else:
+        # large grids: the 16 rolled copies pad catastrophically in HBM
+        # (XLA lays them out channel-minor), so derive the classic
+        # 16-tap indices from the window base and gather row-2M
+        table = Fr.reshape(2 * n_materials, grid * grid).T  # [G², 2M]
+        vb, ub = base // grid, base % grid
+        offs = jnp.arange(KB_WIDTH, dtype=base.dtype)
+        idx16 = (jnp.mod(vb[:, None, None] + offs[None, None, :], grid)
+                 * grid
+                 + jnp.mod(ub[:, None, None] + offs[None, :, None],
+                           grid))  # [S, i, j]
+        rows = table[idx16.reshape(-1)]
     rows = rows.reshape(n_theta, nl, 16, 2 * n_materials)
     s = jnp.einsum("tlk,tlkc->tlc", slice_w, rows,
                     precision=jax.lax.Precision.HIGHEST)  # [nθ, nl, 2M]

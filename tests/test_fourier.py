@@ -170,3 +170,26 @@ class TestFusedIntegration:
             np.asarray(out["mat_sinos"][0]),
             np.asarray(single["mat_sinos"][0]), atol=1e-4,
         )
+
+
+class TestSamplerBranches:
+    def test_packed_and_fallback_samplers_match(self, monkeypatch):
+        """The large-grid fallback (16 derived-index gathers) must equal
+        the packed-window table sampler exactly."""
+        import dexct_tpu.ops.fourier as fo
+        from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+        ph = water_cylinder_phantom(N=32, dx=0.5)
+        ct = FanBeamGeometry(N_channels=48, N_proj=40, gamma_fan=0.8,
+                             SID=60.0, SDD=100.0)
+        plan = fo.plan_fourier_projector(ph, ct, n_theta=64)
+        a = np.asarray(fo.fourier_paths(plan, jnp.asarray(
+            ph.slice_labels().astype(np.int32)), (40, 48)))
+        fo._radon_from_images.clear_cache()
+        monkeypatch.setattr(fo, "_PACKED_TABLE_MAX_GRID", 0)
+        try:
+            b = np.asarray(fo.fourier_paths(plan, jnp.asarray(
+                ph.slice_labels().astype(np.int32)), (40, 48)))
+        finally:
+            fo._radon_from_images.clear_cache()
+        np.testing.assert_allclose(a, b, atol=1e-6)
