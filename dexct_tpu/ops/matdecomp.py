@@ -62,7 +62,16 @@ def _solve_spd(H_tri, dF, n_mats):
     """Closed-form solve of the symmetric n_mats x n_mats system.
 
     H_tri: [B, T] upper-triangle entries (row order); dF: [B, K].
+
+    The system is normalized per pixel by max|H| before the adjugate
+    solve: H entries scale as (counts * mu^2)^2 in the determinant and
+    overflow float32 for transiently huge iterates, turning the solve
+    into inf/inf = NaN.  The normalized solve is algebraically identical.
     """
+    m = jnp.max(jnp.abs(H_tri), axis=-1, keepdims=True)
+    m = jnp.maximum(m, 1e-30)
+    H_tri = H_tri / m
+    dF = dF / m
     if n_mats == 2:
         H00, H01, H11 = H_tri[:, 0], H_tri[:, 1], H_tri[:, 2]
         det = H00 * H11 - H01 * H01
@@ -90,13 +99,30 @@ def _solve_spd(H_tri, dF, n_mats):
 
 def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
                  step_max, a_lo, a_hi, use_full_newton, lm_damping=0.0,
-                 polish_iters=8):
+                 polish_iters=8, warm="log"):
     """Newton iterations for one pixel block (general M measurements,
     K in {2, 3} basis materials).
 
     y: [B, M]; i0T: [E, M]; musT: [E, K];
     grad_w: [E, M*K]; hess_w: [E, M*T] with T = K(K+1)/2.
     Returns a: [B, K].
+
+    Two-phase schedule:
+
+    * **warm phase** (``n_iters - polish_iters`` iterations, bfloat16
+      energy chain): by default Newton on the *log-count* residuals
+      ``ln(y_m) - ln(nu_m)``.  The log transform makes the forward model
+      near-linear in ``a`` (Beer-Lambert is multiplicative), so the first
+      step already solves the effective-energy linearization and the rest
+      mop up beam hardening — global convergence even for the strongly
+      attenuated rays where raw-count Newton diverges (the reference
+      papers over those with a post-hoc mask, matdecomp.py:185-196).
+      The Jacobian J_mi = g_mi / nu_m needs no Hessian-weight contraction,
+      cutting the warm phase's MXU/HBM work by the hess_w columns.
+    * **polish phase** (float32, HIGHEST precision): the Poisson-MLE
+      Gauss-Newton iteration, which owns the fixed point (for M == K both
+      phases solve nu == y exactly, so they share it; for M > K the MLE
+      weighting is authoritative).
     """
     B = y.shape[0]
     dtype = y.dtype
@@ -105,19 +131,21 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
     tri = _tri_pairs(n_mats)
     a0 = jnp.full((B, n_mats), eps_init, dtype)
 
-    def make_body(hi, fast_exp=False):
-        return functools.partial(_gn_body, hi=hi, fast_exp=fast_exp)
-
     # one fused weight matrix [E, M + M*K + M*T]: nu, gradient, and
     # Hessian contractions share a single pass over the [B, E]
     # attenuation array (they are bandwidth-bound — output widths of
-    # 2/4/6 all pad to one 128-lane MXU tile anyway)
+    # 2/4/6 all pad to one 128-lane MXU tile anyway).  The log-warm
+    # phase only needs the first M + M*K columns.
     w_all = jnp.concatenate([i0T, grad_w, hess_w], axis=-1)
     n_g = n_meas * n_mats
     musT_bf = musT.astype(jnp.bfloat16)
+    w_ng_bf = w_all[:, :n_meas + n_g].astype(jnp.bfloat16)
     w_all_bf = w_all.astype(jnp.bfloat16)
+    # the y floor matches the nu floor below so fully photon-starved
+    # pixels (y = 0 AND nu underflowed) get a neutral r = 0 residual
+    log_y = jnp.log(jnp.maximum(y, 1e-35))
 
-    def _gn_body(_, a, hi, fast_exp):
+    def _gn_body(_, a, hi, fast_exp, log_step):
         # lower clip guards underflow only; the upper clip is tight (+20)
         # because L >= 0 physically — transiently negative a iterates must
         # not overflow exp * mu^2 weights (the reference's symmetric ±700
@@ -125,40 +153,62 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         # float32 path died on, matdecomp.py:89-92)
         if fast_exp:
             # the iteration is HBM-bound on the [B, E] intermediates, so
-            # phase-1 keeps the whole energy-axis chain in bfloat16
+            # the warm phase keeps the whole energy-axis chain in bfloat16
             # (half the traffic, ~5x faster exp).  The coarse L rounding
             # (~2^-9 relative) only perturbs the descent direction — the
             # HIGHEST-precision float32 polish phase sets the fixed point.
             L = jnp.matmul(a.astype(jnp.bfloat16), musT_bf.T)  # [B, E]
             atten = jnp.exp(jnp.clip(-L, -clip, jnp.bfloat16(20.0)))
             ngh = jax.lax.dot_general(
-                atten, w_all_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype)  # [B, M+MK+MT] f32
+                atten, w_ng_bf if log_step else w_all_bf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)  # [B, M(+MK+MT)] f32
         else:
             L = jnp.matmul(a, musT.T, precision=hi)
             atten = jnp.exp(jnp.clip(-L, -clip, 20.0))
-            ngh = jnp.matmul(atten, w_all, precision=hi)
+            ngh = jnp.matmul(
+                atten, w_all[:, :n_meas + n_g] if log_step else w_all,
+                precision=hi)
         nu = ngh[:, :n_meas]  # [B, M]
         g = ngh[:, n_meas:n_meas + n_g].reshape(B, n_meas, n_mats)
-        h = ngh[:, n_meas + n_g:].reshape(B, n_meas, len(tri))
-        r = y / nu - 1.0  # [B, M]
-        yv2 = y / (nu * nu)  # [B, M]
-        # dF_i = sum_m r_m g_mi   (g already carries the minus sign twice:
-        # dF = -sum r * (-g) = +sum r g with g = +atten@(i0 mu))
-        dF = jnp.einsum("bm,bmi->bi", r, g)
-        gg = jnp.stack([g[:, :, i] * g[:, :, j] for i, j in tri], -1)
-        if use_full_newton:
-            # full Newton: H_ij = -sum_m [ r_m h_mij - yv2_m g_mi g_mj ]
-            # (the reference's iteration, matdecomp.py:122-123; indefinite
-            # far from the optimum and prone to divergence)
-            H_tri = -jnp.sum(r[..., None] * h - yv2[..., None] * gg,
-                             axis=1)
+        if log_step:
+            # Newton on r_m = ln y_m - ln nu_m with Jacobian
+            # d(-ln nu_m)/d a_i = g_mi / nu_m (g = +atten@(i0 mu) =
+            # -d nu/d a).  Solved via JtJ normal equations so the same
+            # closed-form SPD solve serves M >= K.
+            nu_safe = jnp.maximum(nu, 1e-35)
+            J = g / nu_safe[..., None]  # [B, M, K]
+            # photon-starved pixels (y ~ 0) would send the residual to
+            # -inf; bounding it keeps the step finite and leaves the MLE
+            # polish (which handles y = 0 exactly) to finish the job.
+            # r = ln y - ln nu, matching the MLE branch's r = y/nu - 1
+            # linearization and its `a - H^-1 dF` update convention.
+            r = jnp.clip(log_y - jnp.log(nu_safe), -30.0, 30.0)  # [B, M]
+            dF = jnp.einsum("bm,bmi->bi", r, J)
+            H_tri = jnp.stack(
+                [jnp.sum(J[:, :, i] * J[:, :, j], axis=1) for i, j in tri],
+                -1)
         else:
-            # Gauss-Newton / Fisher-scoring: drop the second-derivative
-            # residual term -> H = sum_m yv2 g g, always PSD; identical
-            # fixed point and identical local rate at zero residual
-            # (Rigie & La Riviere 2015 prescribe exactly this)
-            H_tri = jnp.sum(yv2[..., None] * gg, axis=1)
+            h = ngh[:, n_meas + n_g:].reshape(B, n_meas, len(tri))
+            nu = jnp.maximum(nu, 1e-35)  # full underflow -> finite weights
+            r = y / nu - 1.0  # [B, M]
+            yv2 = y / (nu * nu)  # [B, M]
+            # dF_i = sum_m r_m g_mi   (g already carries the minus sign
+            # twice: dF = -sum r * (-g) = +sum r g)
+            dF = jnp.einsum("bm,bmi->bi", r, g)
+            gg = jnp.stack([g[:, :, i] * g[:, :, j] for i, j in tri], -1)
+            if use_full_newton:
+                # full Newton: H_ij = -sum_m [ r_m h_mij - yv2_m g_mi g_mj ]
+                # (the reference's iteration, matdecomp.py:122-123;
+                # indefinite far from the optimum, prone to divergence)
+                H_tri = -jnp.sum(r[..., None] * h - yv2[..., None] * gg,
+                                 axis=1)
+            else:
+                # Gauss-Newton / Fisher-scoring: drop the second-derivative
+                # residual term -> H = sum_m yv2 g g, always PSD; identical
+                # fixed point and identical local rate at zero residual
+                # (Rigie & La Riviere 2015 prescribe exactly this)
+                H_tri = jnp.sum(yv2[..., None] * gg, axis=1)
         if lm_damping:
             # Levenberg-Marquardt diagonal scaling: essential for the
             # ill-conditioned 3-material spectral problem
@@ -168,35 +218,48 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         # trust-region clamp: plain Newton diverges for strongly attenuated
         # rays (the reference's post-hoc outlier mask, matdecomp.py:185-196,
         # papers over exactly this); bounding the step restores global
-        # convergence while preserving the quadratic local rate.
+        # convergence while preserving the quadratic local rate.  The log
+        # phase's natural step scale is the full solution norm, so it gets
+        # a much looser clamp.
         step = _solve_spd(H_tri, dF, n_mats)
         norm = jnp.sqrt(jnp.sum(step * step, -1, keepdims=True))
-        step = step * jnp.minimum(1.0, step_max / jnp.maximum(norm, 1e-30))
+        smax = 10.0 * step_max if log_step else step_max
+        step = step * jnp.minimum(1.0, smax / jnp.maximum(norm, 1e-30))
         return jnp.clip(a - step, a_lo, a_hi)
 
-    # two-phase precision: early iterations only need a descent direction,
-    # so they run at the (fast, bf16-pass) default with bf16 exp; the
-    # final polish iterations run at HIGHEST with float32 exp, which is
-    # what sets the fixed-point accuracy (1e-4 parity bar, CLAUDE.md).
-    # With polish_iters=0 every iteration stays at the full float
-    # precision of the input dtype.
+    def make_body(hi, fast_exp=False, log_step=False):
+        return functools.partial(_gn_body, hi=hi, fast_exp=fast_exp,
+                                 log_step=log_step)
+
     n_pol = min(polish_iters, n_iters)
+    use_log = warm == "log" and not use_full_newton
+    # For M == K the system nu(a) == y is exactly determined, so the log
+    # parametrization and the Poisson MLE share the root — and the log
+    # residual is scale-free, so a photon-starved channel (kV behind thick
+    # metal: nu ~ 1e-14 of the MV channel) still contributes a
+    # well-conditioned row instead of vanishing below float32 rounding of
+    # the MLE's count-weighted normal equations (which otherwise random-
+    # walks the solution along the starved direction).  For M > K the MLE
+    # weighting is statistically meaningful and owns the polish.
+    log_polish = use_log and n_meas == n_mats
     a = jax.lax.fori_loop(
         0, n_iters - n_pol,
         make_body(jax.lax.Precision.DEFAULT,
-                  fast_exp=(n_pol > 0 and dtype == jnp.float32)), a0)
+                  fast_exp=(n_pol > 0 and dtype == jnp.float32),
+                  log_step=use_log), a0)
     return jax.lax.fori_loop(
-        0, n_pol, make_body(jax.lax.Precision.HIGHEST), a)
+        0, n_pol,
+        make_body(jax.lax.Precision.HIGHEST, log_step=log_polish), a)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_iters", "pixel_block", "method",
-                              "lm_damping", "polish_iters")
+                              "lm_damping", "polish_iters", "warm")
 )
 def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
                        pixel_block=65536, step_max=5.0,
                        a_bounds=(-20.0, 500.0), method="gn",
-                       lm_damping=0.0, polish_iters=8):
+                       lm_damping=0.0, polish_iters=8, warm="log"):
     """Vectorized Poisson-MLE Newton solve over all sinogram pixels.
 
     counts: [M, P] detected counts (M = measurements: 2 for classic DE,
@@ -251,6 +314,7 @@ def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
         use_full_newton=(method == "newton"),
         lm_damping=lm_damping,
         polish_iters=polish_iters,
+        warm=warm,
     )
     if n_blocks == 1:
         out = solve(yb[0])[None]

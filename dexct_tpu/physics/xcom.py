@@ -9,30 +9,26 @@ composition string like ``'H(11.2)O(88.8)'`` (element symbols with
 weight-percents) and an energy grid in keV to the mass attenuation
 coefficient mu/rho in cm^2/g of the mixture.
 
-Because no NIST XCOM dataset ships with this environment, the elemental
-tables are synthesized from an analytic, water-anchored physics model:
+The elemental curves come from two sources (see
+:mod:`dexct_tpu.physics.nist_data`):
 
-* **Incoherent (Compton)**: exact Klein-Nishina total cross-section per
-  electron, scaled by Z/A.  This is exact physics (no tabulated data needed)
-  and dominates the 60 keV - 2 MeV range that CT spectra occupy.
-* **Hydrogen and oxygen**: pinned to hardcoded NIST-grid anchor tables for H
-  and liquid water (the two best-known curves in the field); oxygen is
-  recovered from water = 0.1119 H + 0.8881 O by mass.  These two elements are
-  therefore accurate to the anchor data (~1-2%) over 1 keV - 10 MeV.
-* **Photoelectric + coherent for other elements**: the non-Compton part of
-  oxygen's curve, scaled in Z by ``exp(n(E) ln(Z/8) + q ln^2(Z/8))`` with
-  n(E), q calibrated against Fe and Pb anchors at 30/100 keV, plus a K-edge
-  jump at ``E_K(Z) = 0.01409 (Z - 3.75)^2`` keV (Moseley fit).
-* **Pair production**: oxygen's high-energy non-Compton residual scaled by
-  Z(Z+1)/72.
+* **Anchor elements** (H, C, N, O, Al, Si, Ti, Fe, Cu, W, Pb): vendored
+  NIST-grid mass-attenuation tables with exact absorption-edge rows —
+  accurate to ~1-2 % over 5 keV - 10 MeV.
+* **Every other element**: edge-aligned log-Z interpolation between the two
+  bracketing anchors.  The Compton part is exact Klein-Nishina times Z/A;
+  the non-Compton residual (photoelectric + coherent + pair + binding
+  corrections) is interpolated geometrically in ln Z — below ~200 keV in
+  *reduced energy* u = E/E_K (so every anchor's K edge maps onto the
+  target's exact tabulated K-edge energy), above ~400 keV at fixed E (pair
+  production has no edge structure), with a smooth log-E crossfade between.
+  Accuracy ~2-5 % for elements near an anchor (Ca, V, Cr, Mn, Co, Ni),
+  ~5-10 % mid-gap between Cu and W (Nb, Mo, I, Ba, Gd) at diagnostic
+  energies — versus 5-80 % for the round-1 analytic synthesis it replaces.
 
-Fidelity: water/tissue-like mixtures ~1-2%; mid-Z (Ca, Ti, Fe) ~5-20% at
-diagnostic energies; high-Z metals are physically shaped but only
-order-of-magnitude calibrated below ~50 keV.  The framework is internally
-self-consistent: simulation and decomposition share these tables, so basis
-material recovery is exact regardless of absolute table fidelity.  To swap in
-true NIST tables, override :func:`element_mu_table` via
-:func:`register_element_table`.
+The framework remains internally self-consistent (simulation and
+decomposition share these tables), and exact per-element tables can still be
+dropped in via :func:`register_element_table`.
 
 All computation here is host-side float64 NumPy: attenuation lookup tables
 are built once at setup time and only the resulting per-material LUT arrays
@@ -103,53 +99,34 @@ def element_symbols():
 
 
 # ---------------------------------------------------------------------------
-# Anchor tables: NIST standard grid, mu/rho [cm^2/g]
+# Vendored NIST anchor data (tables + exact edge energies)
 # ---------------------------------------------------------------------------
 
-# Standard XCOM grid energies [keV]
-_ANCHOR_E = np.array(
-    [1.0, 1.5, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 10.0, 15.0, 20.0, 30.0, 40.0,
-     50.0, 60.0, 80.0, 100.0, 150.0, 200.0, 300.0, 400.0, 500.0, 600.0,
-     800.0, 1000.0, 1250.0, 1500.0, 2000.0, 3000.0, 4000.0, 5000.0, 6000.0,
-     8000.0, 10000.0]
+from dexct_tpu.physics.nist_data import (  # noqa: E402
+    ANCHOR_TABLES,
+    K_EDGE_KEV,
 )
 
-# Liquid water, mu/rho [cm^2/g]
-_WATER_MU = np.array(
-    [4078.0, 1376.0, 617.3, 192.9, 82.78, 42.58, 24.64, 10.37, 5.329, 1.673,
-     0.8096, 0.3756, 0.2683, 0.2269, 0.2059, 0.1837, 0.1707, 0.1505, 0.1370,
-     0.1186, 0.1061, 0.09687, 0.08956, 0.07865, 0.07072, 0.06323, 0.05754,
-     0.04942, 0.03969, 0.03403, 0.03031, 0.02770, 0.02429, 0.02219]
-)
-
-# Hydrogen, mu/rho [cm^2/g]
-_H_MU = np.array(
-    [7.217, 2.148, 1.059, 0.5612, 0.4546, 0.4193, 0.4042, 0.3914, 0.3854,
-     0.3764, 0.3695, 0.3570, 0.3458, 0.3355, 0.3260, 0.3091, 0.2944, 0.2651,
-     0.2429, 0.2112, 0.1893, 0.1729, 0.1599, 0.1405, 0.1263, 0.1129, 0.1027,
-     0.08769, 0.06921, 0.05806, 0.05049, 0.04498, 0.03746, 0.03254]
-)
-
-# Mass fractions of H/O in water used to recover the oxygen curve.
-_WATER_H_FRACTION = 0.1119
-_WATER_O_FRACTION = 0.8881
-
-# Photoelectric(+coherent) Z-scaling calibration (see module docstring):
-#   ln lp(Z, E) = ln lp_O(E) + n(E) (lnZ - ln8) + q (lnZ - ln8)^2
-# with n(E) = n100 + slope * ln(E/100 keV).  Least-squares fit against NIST
-# anchors Al/Fe @ 30 keV and Al/Fe/Pb @ 100 keV (residuals < 6%).
-_PE_Q = -0.0559
-_PE_N100 = 4.1063  # n at 100 keV
-_PE_N_SLOPE = -0.1365  # d n / d ln(E)
-_PE_N_MIN, _PE_N_MAX = 3.5, 5.0
-_K_EDGE_JUMP = 8.2  # typical K-shell absorption jump ratio
+# Sub-keV K edges for the light anchor elements, used only for the
+# reduced-energy warp of interpolated neighbors (X-Ray Data Booklet).
+_LIGHT_K_EDGE_KEV = {
+    "H": 0.0136, "He": 0.0246, "Li": 0.0547, "Be": 0.1117, "B": 0.1880,
+    "C": 0.2838, "N": 0.4016, "O": 0.5320, "F": 0.6854, "Ne": 0.8669,
+}
 
 
 def k_edge_keV(Z):
-    """Approximate K absorption edge energy [keV] (Moseley-law fit to
-    Cu 8.98 / Fe 7.11 / Mo 20.0 / Pb 88.0 keV)."""
-    Z = np.asarray(Z, dtype=np.float64)
-    return 0.01409 * (Z - 3.75) ** 2
+    """K absorption edge energy [keV] from the vendored exact edge table
+    (:mod:`nist_data`); sub-keV light-element edges from the booklet values.
+    Accepts a scalar or array of atomic numbers."""
+    by_z = {}
+    for sym, e in {**_LIGHT_K_EDGE_KEV, **K_EDGE_KEV}.items():
+        by_z[ELEMENT_Z[sym]] = e
+    zs = np.asarray(Z)
+    out = np.asarray(
+        [by_z[int(z)] for z in np.atleast_1d(zs)], dtype=np.float64
+    )
+    return float(out[0]) if zs.ndim == 0 else out.reshape(zs.shape)
 
 
 def klein_nishina_cross_section(energy_keV):
@@ -164,11 +141,21 @@ def klein_nishina_cross_section(energy_keV):
 
 
 # ---------------------------------------------------------------------------
-# Internal model: build elemental tables on a dense log grid
+# Element construction: anchors + edge-aligned bracket interpolation
 # ---------------------------------------------------------------------------
 
-# Dense internal energy grid [keV]
+# Dense internal energy grid [keV] (kept for the public surface; element
+# evaluation itself interpolates each element's own exact anchor grid so
+# absorption edges stay sharp).
 ENERGY_GRID_KEV = np.logspace(0.0, 4.0, 512)
+
+# Ordered element anchors (water is a validation curve, not an element).
+_ANCHOR_SYMBOLS = ("H", "C", "N", "O", "Al", "Si", "Ti", "Fe", "Cu", "W", "Pb")
+
+# Reduced-energy warp applies below ~200 keV (all edges sit below 116 keV),
+# fixed-energy interpolation above ~400 keV; log-E crossfade between.
+_WARP_FULL_KEV = 200.0
+_WARP_ZERO_KEV = 400.0
 
 
 def _loglog_interp(e, e_ref, mu_ref):
@@ -177,47 +164,94 @@ def _loglog_interp(e, e_ref, mu_ref):
     return np.exp(np.interp(le, np.log(e_ref), np.log(mu_ref)))
 
 
-@lru_cache(maxsize=1)
-def _model_components():
-    """Precompute per-grid-point model ingredients (all float64).
+@lru_cache(maxsize=None)
+def _anchor_grid(symbol):
+    """(E, mu) anchor arrays with edge-doubled rows made strictly increasing."""
+    e, mu = ANCHOR_TABLES[symbol]
+    e = e.copy()
+    for i in range(1, len(e)):
+        if e[i] <= e[i - 1]:
+            e[i] = e[i - 1] * (1.0 + 1e-9)
+    return e, mu
 
-    Returns dict with, on ENERGY_GRID_KEV:
-      h_mu        : hydrogen mu/rho table
-      o_mu        : oxygen mu/rho table (derived from water anchor)
-      kn_sigma    : Klein-Nishina sigma per electron [cm^2]
-      lp_atom_o   : oxygen per-atom photoelectric+coherent cross-sec [cm^2]
-      pair_atom_o : oxygen per-atom pair-production cross-sec [cm^2]
+
+def _anchor_mu(symbol, energy_keV):
+    e_ref, mu_ref = _anchor_grid(symbol)
+    return _loglog_interp(np.asarray(energy_keV, np.float64), e_ref, mu_ref)
+
+
+def _edge_for_warp(symbol):
+    """K-edge energy used for reduced-energy alignment (None = no warp)."""
+    e_k = K_EDGE_KEV.get(symbol) or _LIGHT_K_EDGE_KEV.get(symbol)
+    # H/He have no bound-shell edge structure worth aligning; everything
+    # from Li up warps so that photoabsorption curves compare at matched
+    # distance from their (possibly sub-grid) K edges.
+    return e_k if (e_k is not None and e_k >= 0.05) else None
+
+
+def _anchor_tau(symbol, energy_keV):
+    """Per-atom non-Klein-Nishina residual cross-section [cm^2].
+
+    tau = mu * A / N_A - Z * sigma_KN: photoelectric + coherent + pair +
+    incoherent binding corrections, the part that is interpolated in Z.
     """
-    e = ENERGY_GRID_KEV
-    h_mu = _loglog_interp(e, _ANCHOR_E, _H_MU)
-    water_mu = _loglog_interp(e, _ANCHOR_E, _WATER_MU)
-    o_mu = (water_mu - _WATER_H_FRACTION * h_mu) / _WATER_O_FRACTION
+    e = np.asarray(energy_keV, np.float64)
+    z = ELEMENT_Z[symbol]
+    a = ATOMIC_WEIGHT[symbol]
+    kn = z * klein_nishina_cross_section(e)
+    tau = _anchor_mu(symbol, e) * a / AVOGADRO - kn
+    # Binding corrections can drive the residual slightly negative for the
+    # lightest elements near 1 MeV; floor it for the geometric interp.
+    return np.clip(tau, 1e-4 * kn, None)
 
-    kn_sigma = klein_nishina_cross_section(e)
-    a_o = ATOMIC_WEIGHT["O"]
-    mu_kn_o = AVOGADRO * 8.0 / a_o * kn_sigma
 
-    # Non-Compton remainder of oxygen, as a per-atom cross-section [cm^2].
-    non_kn_atom = np.clip(o_mu - mu_kn_o, 1e-40, None) * a_o / AVOGADRO
+def _bracketing_anchors(Z):
+    """(symbol_lo, symbol_hi, w) with w the ln-Z interpolation weight.
 
-    # Split photo+coherent (low E) from pair production (E > 1.022 MeV):
-    # extrapolate the low-energy part as a power law fitted at 100-300 keV.
-    fit_lo = np.searchsorted(e, 100.0)
-    fit_hi = np.searchsorted(e, 300.0)
-    sl = slice(fit_lo, fit_hi)
-    coeffs = np.polyfit(np.log(e[sl]), np.log(non_kn_atom[sl]), 1)
-    lp_extrap = np.exp(np.polyval(coeffs, np.log(e)))
-    above = e > PAIR_THRESHOLD_KEV
-    lp_atom_o = np.where(above, np.minimum(non_kn_atom, lp_extrap), non_kn_atom)
-    pair_atom_o = np.clip(non_kn_atom - lp_atom_o, 0.0, None) * above
+    Z beyond the anchor range extrapolates from the outermost pair
+    (w < 0 below H — unused — or w > 1 above Pb, clamped at 2.2 which
+    covers U)."""
+    anchor_z = [ELEMENT_Z[s] for s in _ANCHOR_SYMBOLS]
+    if Z >= anchor_z[-1]:
+        lo, hi = _ANCHOR_SYMBOLS[-2], _ANCHOR_SYMBOLS[-1]
+    else:
+        idx = next(i for i, az in enumerate(anchor_z) if az > Z)
+        lo, hi = _ANCHOR_SYMBOLS[max(idx - 1, 0)], _ANCHOR_SYMBOLS[idx]
+    z1, z2 = ELEMENT_Z[lo], ELEMENT_Z[hi]
+    w = (np.log(Z) - np.log(z1)) / (np.log(z2) - np.log(z1))
+    return lo, hi, float(np.clip(w, -0.5, 2.2))
 
-    return {
-        "h_mu": h_mu,
-        "o_mu": o_mu,
-        "kn_sigma": kn_sigma,
-        "lp_atom_o": lp_atom_o,
-        "pair_atom_o": pair_atom_o,
-    }
+
+def _interp_element_mu(symbol, energy_keV):
+    """mu/rho for a non-anchor element by edge-aligned bracket interpolation."""
+    e = np.atleast_1d(np.asarray(energy_keV, np.float64))
+    z = ELEMENT_Z[symbol]
+    a = ATOMIC_WEIGHT[symbol]
+    lo, hi, w = _bracketing_anchors(z)
+
+    def tau_at(warp):
+        """Geometric ln-Z mix of anchor residuals, optionally edge-warped."""
+        e_k_x = _edge_for_warp(symbol) if warp else None
+        parts = []
+        for sym in (lo, hi):
+            e_k_a = _edge_for_warp(sym) if warp else None
+            if e_k_x is not None and e_k_a is not None:
+                e_eval = e * (e_k_a / e_k_x)
+            else:
+                e_eval = e
+            parts.append(np.log(_anchor_tau(sym, e_eval)))
+        return np.exp((1.0 - w) * parts[0] + w * parts[1])
+
+    tau_w = tau_at(True)
+    tau_f = tau_at(False)
+    s = np.clip(
+        (np.log(_WARP_ZERO_KEV) - np.log(e))
+        / (np.log(_WARP_ZERO_KEV) - np.log(_WARP_FULL_KEV)),
+        0.0, 1.0,
+    )
+    tau = np.exp(s * np.log(tau_w) + (1.0 - s) * np.log(tau_f))
+    mu = AVOGADRO / a * (z * klein_nishina_cross_section(e) + tau)
+    return mu if np.ndim(energy_keV) else float(mu[0])
 
 
 # User-registered exact tables (e.g. real NIST data), keyed by symbol.
@@ -238,49 +272,28 @@ def register_element_table(symbol, energy_keV, mu_over_rho):
 
 @lru_cache(maxsize=None)
 def _element_table_cached(symbol):
-    """mu/rho [cm^2/g] for one element on ENERGY_GRID_KEV (float64)."""
-    if symbol in _REGISTERED:
-        e_ref, mu_ref = _REGISTERED[symbol]
-        return _loglog_interp(ENERGY_GRID_KEV, e_ref, mu_ref)
+    """mu/rho [cm^2/g] for one element on ENERGY_GRID_KEV (float64).
 
-    comp = _model_components()
-    if symbol == "H":
-        return comp["h_mu"].copy()
-    if symbol == "O":
-        return comp["o_mu"].copy()
-
-    Z = ELEMENT_Z[symbol]
-    A = ATOMIC_WEIGHT[symbol]
-    e = ENERGY_GRID_KEV
-
-    # Incoherent: exact Klein-Nishina.
-    sigma_incoh = Z * comp["kn_sigma"]
-
-    # Photoelectric + coherent: oxygen curve scaled in Z (log-quadratic),
-    # with a K-edge drop below E_K.
-    dlnz = np.log(Z / 8.0)
-    n_e = np.clip(
-        _PE_N100 + _PE_N_SLOPE * np.log(e / 100.0), _PE_N_MIN, _PE_N_MAX
-    )
-    scale = np.exp(n_e * dlnz + _PE_Q * dlnz**2)
-    lp = comp["lp_atom_o"] * scale
-    lp = np.where(e < k_edge_keV(Z), lp / _K_EDGE_JUMP, lp)
-
-    # Pair production: Z(Z+1) scaling from the oxygen residual, with a
-    # high-Z Coulomb-correction factor calibrated on Pb @ 6 MeV (pure
-    # Z(Z+1) under-predicts very high Z by ~30% on the pair part).
-    pair_hz = (max(Z, 26.0) / 26.0) ** 0.228
-    pair = comp["pair_atom_o"] * (Z * (Z + 1.0)) / 72.0 * pair_hz
-
-    return AVOGADRO / A * (sigma_incoh + lp + pair)
+    Kept for the public surface; prefer :func:`element_mu`, which evaluates
+    the element's own exact grid so absorption edges stay sharp."""
+    return np.asarray(element_mu(symbol, ENERGY_GRID_KEV), np.float64)
 
 
 def element_mu(symbol, energy_keV):
-    """Mass attenuation mu/rho [cm^2/g] of one element at ``energy_keV``."""
-    table = _element_table_cached(symbol)
-    return _loglog_interp(
-        np.asarray(energy_keV, dtype=np.float64), ENERGY_GRID_KEV, table
-    )
+    """Mass attenuation mu/rho [cm^2/g] of one element at ``energy_keV``.
+
+    Resolution order: user-registered table (:func:`register_element_table`)
+    -> vendored NIST anchor table -> edge-aligned interpolation between the
+    bracketing anchors (module docstring)."""
+    e = np.asarray(energy_keV, dtype=np.float64)
+    if symbol in _REGISTERED:
+        e_ref, mu_ref = _REGISTERED[symbol]
+        return _loglog_interp(e, e_ref, mu_ref)
+    if symbol in ANCHOR_TABLES:
+        return _anchor_mu(symbol, e)
+    if symbol not in ELEMENT_Z:
+        raise ValueError(f"unknown element symbol: {symbol!r}")
+    return _interp_element_mu(symbol, e)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Fidelity tests for the vendored NIST attenuation data (nist_data.py).
+
+VERDICT.md round-1 item 2: the reference's ``xcompy`` is real NIST XCOM data
+(/root/reference/matdecomp.py:7); the MV-kV metal-implant study
+(plots.py:485-534) depends on absolute accuracy for every constituent of the
+implant alloys.  These tests pin: anchor spot values, exact edge energies,
+physics self-consistency (Klein-Nishina floor, Z^2 pair scaling), the
+bracket-interpolation error bound (leave-one-out), and compound values
+against independently known NIST mixture data (ICRU-44 tissue/bone).
+"""
+
+import numpy as np
+import pytest
+
+from dexct_tpu.physics import xcom
+from dexct_tpu.physics.nist_data import ANCHOR_TABLES, K_EDGE_KEV
+
+# every element appearing in the reference study's materials
+# (tissue/bone constituents matdecomp.py:12-17; implant alloys
+# plots.py:487-498) plus the contrast agents I/Ba/Gd
+STUDY_ELEMENTS = (
+    "H C N O Na Mg Al Si P S Cl K Ca Ti V Cr Mn Fe Co Ni Cu Nb Mo "
+    "I Ba Gd W Pb"
+).split()
+
+
+class TestAnchors:
+    def test_anchor_spot_values(self):
+        """High-confidence NIST grid values reproduced exactly."""
+        for sym, e, val in [
+            ("C", 100.0, 0.1514), ("N", 50.0, 0.1980), ("O", 10.0, 5.952),
+            ("Al", 30.0, 1.128), ("Si", 10.0, 33.89), ("Ti", 50.0, 1.213),
+            ("Fe", 50.0, 1.958), ("Fe", 100.0, 0.3717), ("Cu", 60.0, 1.593),
+            ("W", 100.0, 4.438), ("Pb", 100.0, 5.549), ("Pb", 1000.0, 0.07102),
+        ]:
+            assert float(xcom.element_mu(sym, e)) == pytest.approx(
+                val, rel=1e-6), sym
+
+    def test_water_mixture_consistency(self):
+        """0.1119 H + 0.8881 O must reproduce the independent liquid-water
+        NIST curve (<= 0.5 % everywhere on the grid)."""
+        e, mu_w = ANCHOR_TABLES["water"]
+        mix = (0.1119 * xcom.element_mu("H", e)
+               + 0.8881 * xcom.element_mu("O", e))
+        assert np.abs(mix / mu_w - 1.0).max() < 5e-3
+
+    def test_anchor_edges_sharp(self):
+        """Vendored anchors carry their absorption edges as discontinuities
+        at the exact tabulated energies."""
+        for sym, jump_min in [("Ti", 7.0), ("Fe", 7.0), ("Cu", 6.5),
+                              ("W", 4.0), ("Pb", 3.5)]:
+            ek = K_EDGE_KEV[sym]
+            lo = float(xcom.element_mu(sym, ek * 0.999))
+            hi = float(xcom.element_mu(sym, ek * 1.001))
+            assert hi / lo > jump_min, sym
+
+    def test_pair_production_z2_consistency(self):
+        """At 6 MeV the non-Compton residual is pair-dominated and must
+        scale as Z^2 per atom across Fe -> W -> Pb (within the ~5 %
+        Coulomb correction)."""
+        def tau(sym):
+            z, a = xcom.ELEMENT_Z[sym], xcom.ATOMIC_WEIGHT[sym]
+            kn = z * xcom.klein_nishina_cross_section(6000.0)
+            return (float(xcom.element_mu(sym, 6000.0)) * a / xcom.AVOGADRO
+                    - kn)
+
+        for s1, s2 in [("Fe", "W"), ("W", "Pb"), ("Fe", "Pb")]:
+            z1, z2 = xcom.ELEMENT_Z[s1], xcom.ELEMENT_Z[s2]
+            ratio = tau(s2) / tau(s1)
+            assert abs(ratio / (z2 / z1) ** 2 - 1.0) < 0.08, (s1, s2, ratio)
+
+
+class TestInterpolatedElements:
+    def test_kn_floor(self):
+        """mu/rho >= Klein-Nishina Compton for every study element over
+        10 keV - 6 MeV (attenuation can't fall below free-electron
+        scattering by more than the binding correction)."""
+        e = np.logspace(1.0, np.log10(6000.0), 120)
+        for sym in STUDY_ELEMENTS:
+            mu = xcom.element_mu(sym, e)
+            z, a = xcom.ELEMENT_Z[sym], xcom.ATOMIC_WEIGHT[sym]
+            kn = z / a * xcom.AVOGADRO * xcom.klein_nishina_cross_section(e)
+            assert (mu / kn).min() > 0.97, sym
+
+    def test_exact_edge_positions(self):
+        """Interpolated elements get their K edge at the exact tabulated
+        energy (the round-1 Moseley fit was off by up to ~10 %)."""
+        for sym in ["Ca", "V", "Cr", "Mn", "Co", "Ni", "Nb", "Mo", "I",
+                    "Ba", "Gd"]:
+            ek = K_EDGE_KEV[sym]
+            lo = float(xcom.element_mu(sym, ek * 0.995))
+            hi = float(xcom.element_mu(sym, ek * 1.005))
+            assert hi / lo > 3.5, sym
+            # no discontinuity of that size anywhere nearby
+            off = float(xcom.element_mu(sym, ek * 1.10))
+            assert off < hi, sym
+
+    def test_leave_one_out_bound(self):
+        """Rebuilding a vendored anchor from its neighbors bounds the
+        interpolation error for the truly interpolated elements: <= 8 %
+        over 10 keV - 6 MeV."""
+        from dexct_tpu.physics.xcom import (
+            ATOMIC_WEIGHT, AVOGADRO, ELEMENT_Z, _anchor_tau, _edge_for_warp,
+            klein_nishina_cross_section)
+
+        def interp_from(sym, lo, hi, e):
+            z, a = ELEMENT_Z[sym], ATOMIC_WEIGHT[sym]
+            z1, z2 = ELEMENT_Z[lo], ELEMENT_Z[hi]
+            w = (np.log(z) - np.log(z1)) / (np.log(z2) - np.log(z1))
+
+            def tau_at(warp):
+                ekx = _edge_for_warp(sym) if warp else None
+                ps = []
+                for s2 in (lo, hi):
+                    eka = _edge_for_warp(s2) if warp else None
+                    ee = e * (eka / ekx) if (ekx and eka) else e
+                    ps.append(np.log(_anchor_tau(s2, ee)))
+                return np.exp((1 - w) * ps[0] + w * ps[1])
+
+            s = np.clip((np.log(400.0) - np.log(e))
+                        / (np.log(400.0) - np.log(200.0)), 0, 1)
+            tau = np.exp(s * np.log(tau_at(True))
+                         + (1 - s) * np.log(tau_at(False)))
+            return AVOGADRO / a * (z * klein_nishina_cross_section(e) + tau)
+
+        e = np.logspace(1.0, np.log10(6000.0), 80)
+        for sym, lo, hi in [("Ti", "Si", "Fe"), ("Fe", "Ti", "Cu"),
+                            ("Si", "Al", "Ti"), ("Al", "O", "Si"),
+                            ("Cu", "Fe", "W")]:
+            pred = interp_from(sym, lo, hi, e)
+            true = xcom.element_mu(sym, e)
+            assert np.abs(pred / true - 1.0).max() < 0.08, sym
+
+
+class TestCompounds:
+    def test_icru_tissue_bone(self):
+        """ICRU-44 compound values (independent NIST mixture data) within
+        2 % — the VERDICT item-2 'done' bar for the study materials."""
+        tissue = "H(10.2)C(14.3)N(3.4)O(70.8)Na(0.2)P(0.3)S(0.3)Cl(0.2)K(0.3)"
+        bone = "H(3.4)C(15.5)N(4.2)O(43.5)Na(0.1)Mg(0.2)P(10.3)S(0.3)Ca(22.5)"
+        # NIST ICRU-44 soft tissue / cortical bone mu/rho [cm^2/g]
+        for comp, e, nist in [
+            (tissue, 50.0, 0.2264), (tissue, 100.0, 0.1688),
+            (tissue, 1250.0, 0.06265),
+            (bone, 30.0, 1.331), (bone, 50.0, 0.4242), (bone, 100.0, 0.1855),
+            (bone, 1250.0, 0.05871),
+        ]:
+            got = float(xcom.mixatten(comp, e))
+            assert abs(got / nist - 1.0) < 0.02, (comp[:12], e, got)
+
+    def test_implant_alloys_physical(self):
+        """The reference's implant alloys (plots.py:487-498): linear
+        attenuation ordered CoCr > steel > Ti at 100 keV, and every curve
+        within 10 % of its dominant element's scaled value."""
+        alloys = [
+            ("Ti(100.0)", 4.5, "Ti"),
+            ("Al(6)Ti(90)V(4)", 4.43, "Ti"),
+            ("C(0.5)N(0.1)P(0.0025)S(0.01)Fe(64.335)Cr(17.0)Ni(13.0)"
+             "Mo(2.25)Mn(2.0)Si(0.75)Cu(0.5)", 8.0, "Fe"),
+            ("Co(66)Cr(28)Mo(6)", 8.5, "Co"),
+        ]
+        mu100 = []
+        for comp, rho, dom in alloys:
+            mu = float(xcom.mixatten(comp, 100.0)) * rho
+            mu_dom = float(xcom.element_mu(dom, 100.0)) * rho
+            assert abs(mu / mu_dom - 1.0) < 0.12, comp[:12]
+            mu100.append(mu)
+        ti, ti64, steel, cocr = mu100
+        assert cocr > steel > ti64 > 0.8 * ti
+
+    def test_contrast_agents_k_edge_band(self):
+        """I/Ba/Gd K-edge jumps land in the imaging band with physically
+        ordered magnitudes (ADVICE round-1: I was +83 % off at 60 keV)."""
+        mu_i = float(xcom.element_mu("I", 60.0))
+        mu_gd = float(xcom.element_mu("Gd", 60.0))
+        # above both K edges; Gd (Z=64) must exceed I (Z=53) there
+        assert mu_gd > mu_i > 3.0
+        # iodine just above its K edge: the classic ~30 cm^2/g
+        assert 24.0 < float(xcom.element_mu("I", 33.5)) < 38.0

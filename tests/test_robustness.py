@@ -62,10 +62,10 @@ class TestGoldenValues:
     def test_mixatten_golden(self):
         from dexct_tpu.physics import mixatten
 
-        # anchored values (water-derived); drift here means the xcom
-        # calibration changed
+        # vendored NIST anchor values (nist_data.py); drift here means the
+        # vendored tables changed
         assert abs(float(mixatten("H(11.2)O(88.8)", 60.0)) - 0.20598) < 2e-4
-        assert abs(float(mixatten("Fe(100)", 100.0)) - 0.3647) < 5e-3
+        assert abs(float(mixatten("Fe(100)", 100.0)) - 0.3717) < 5e-4
 
 
 class TestModelsNamespace:
