@@ -30,6 +30,7 @@ from .system import (
     FanBeamGeometry,
     VoxelPhantom,
     read_parameter_file,
+    water_cylinder_phantom,
 )
 from .physics.spectrum import xRaySpectrum
 
@@ -50,4 +51,5 @@ __all__ = [
     "FanBeamGeometry",
     "VoxelPhantom",
     "read_parameter_file",
+    "water_cylinder_phantom",
 ]

@@ -45,16 +45,22 @@ def effective_fluence(spec, geometry):
 
 
 def second_moment_fluence(spec, geometry):
-    """Second-moment table for compound-Poisson (EID) noise: i2[E].
+    """Second-moment table for compound-Poisson noise: i2[E].
 
-    Detected photons are Poisson; the EID signal weights each by w(E) =
-    eta(E) * E, so var(signal) = sum_E n(E) w(E)^2 with n = I0 dE photon
-    counts.  (Treating the energy-weighted signal itself as Poisson — the
-    reference's implicit model — understates noise by ~E_eff.)
+    EID: detected photons are Poisson and the signal weights each by
+    w(E) = eta(E) * E, so var(signal) = sum_E n(E) w(E)^2 with n = I0 dE
+    photon counts.  (Treating the energy-weighted signal itself as
+    Poisson — the reference's implicit model — understates noise by
+    ~E_eff.)
+
+    PCD: detection is a Poisson thinning — each detected photon counts
+    once — so var = mean = sum_E n(E) eta(E); the compound sampler then
+    reduces exactly to the Poisson model (round-1 advisor finding: the
+    EID n eta^2 form understated PCD noise whenever eta < 1).
     """
     n = spec.I0 * spec.bin_widths()  # photons per bin
-    w = geometry.detector_response(spec.E)  # includes E when eid
-    return n * w * w
+    w = geometry.detector_response(spec.E)  # eta * E when eid, else eta
+    return n * w * w if geometry.eid else n * w
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -68,10 +68,10 @@ class TestGoldenValues:
         assert abs(float(mixatten("Fe(100)", 100.0)) - 0.3717) < 5e-4
 
 
-class TestModelsNamespace:
-    def test_models_alias(self):
-        from dexct_tpu import models
+class TestTopLevelNamespace:
+    def test_system_surface(self):
+        import dexct_tpu as dx
 
-        assert models.FanBeamGeometry is FanBeamGeometry
-        ph = models.water_cylinder_phantom(N=16)
+        assert dx.FanBeamGeometry is FanBeamGeometry
+        ph = dx.water_cylinder_phantom(N=16)
         assert ph.labels.shape == (1, 16, 16)

@@ -125,3 +125,21 @@ class TestNoise:
         c = jnp.array([1.0, 2.0])
         np.testing.assert_array_equal(np.asarray(sample_noise(None, c, "none")),
                                       [1.0, 2.0])
+
+    def test_pcd_second_moment_is_poisson(self):
+        """PCD detection is a Poisson thinning: var == mean == sum n eta,
+        so the compound model reduces exactly to Poisson (round-1 advisor:
+        the EID n eta^2 form understated PCD noise for eta < 1)."""
+        from dexct_tpu.ops.spectral import (effective_fluence,
+                                            second_moment_fluence)
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system import FanBeamGeometry
+
+        spec = kramers_spectrum(80.0)
+        pcd = FanBeamGeometry(eid=False)
+        eid = FanBeamGeometry(eid=True)
+        np.testing.assert_allclose(
+            second_moment_fluence(spec, pcd), effective_fluence(spec, pcd))
+        # EID second moment carries an extra eta E factor vs the mean
+        m1, m2 = effective_fluence(spec, eid), second_moment_fluence(spec, eid)
+        assert (m2[m1 > 0] > m1[m1 > 0]).any()
