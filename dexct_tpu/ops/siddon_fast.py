@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH",
-           "pack_labels_2band", "plan_dominant_split",
+           "pack_labels_2band", "pack_labels_rowwin8", "plan_dominant_split",
            "trace_paths_dominant"]
 
 PACK_WIDTH = 8
@@ -230,6 +230,37 @@ def pack_labels_2band(labels):
     return code.reshape(-1)
 
 
+def pack_labels_rowwin8(labels):
+    """[Ny, Nx] labels -> [Ny/8 * Nx, 16] int32 row-window codes.
+
+    Row ``g * Nx + a`` packs, for each of the 8 image rows ``8 g + k``,
+    the 10-column label window starting at column ``a`` into two int32s:
+    ``[..., 2 k]`` holds columns a..a+5 (5 bits each), ``[..., 2 k + 1]``
+    columns a+4..a+9 (columns clamped at Nx-1).  A y-dominant ray drifts
+    at most one column per row, so one row-16 gather at the group's
+    min-column anchor serves all 8 rows — the TPU's measured in-scan
+    gather rate is set by gather COUNT, not fetch width (CLAUDE.md), so
+    this is ~4x fewer gather issues than the 2-band packing.
+    Ny must be a multiple of 8; labels must be < 32.
+    """
+    ny, nx = labels.shape
+    if ny % 8:
+        raise ValueError("Ny must be a multiple of 8 for row-window packing")
+    lab = labels.astype(jnp.int32)
+    cols = [lab]
+    for _ in range(9):
+        nxt = jnp.roll(cols[-1], -1, 1).at[:, -1].set(cols[-1][:, -1])
+        cols.append(nxt)
+    w0 = jnp.zeros((ny, nx), jnp.int32)
+    w1 = jnp.zeros((ny, nx), jnp.int32)
+    for c in range(6):
+        w0 = w0 | (cols[c] << (_LBITS * c))
+        w1 = w1 | (cols[c + 4] << (_LBITS * c))
+    # [ny, nx, 2] -> [ny/8, 8, nx, 2] -> [ny/8, nx, 8, 2] -> [G*nx, 16]
+    w = jnp.stack([w0, w1], -1).reshape(ny // 8, 8, nx, 2)
+    return w.transpose(0, 2, 1, 3).reshape(ny // 8 * nx, 16)
+
+
 def plan_dominant_split(dirs, pad_to=1024):
     """Host-side ray partition by dominant axis.
 
@@ -353,14 +384,117 @@ def _trace_dominant(packed2, labels_shape, src, dirs, dx, dy, *,
     return acc
 
 
-def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
-                         plan=None):
-    """Exact Siddon paths via dominant-axis 2-band packed marching.
+@functools.partial(
+    jax.jit,
+    static_argnames=("labels_shape", "n_materials", "group_block"),
+)
+def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
+                     n_materials, group_block=4):
+    """Exact paths for y-dominant rays via 8-row-group window marching.
 
-    ~4x fewer gathers than the DDA (one int32 gather per ray per two
-    rows).  Requires square-ish cells for the transposed pass, even Ny/Nx,
-    and < 32 materials.  ``plan`` (from :func:`plan_dominant_split` on the
-    flattened dirs) is rebuilt when omitted.
+    One row-16 int32 gather per ray per EIGHT image rows (vs per two for
+    the 2-band kernel): the group's shared anchor is the min column over
+    its 8 row-bands, and the 10-column per-row windows in ``packed8``
+    (:func:`pack_labels_rowwin8`) cover the <= 9-column drift of a
+    y-dominant ray across 8 rows.  src/dirs: [R, 2].
+    """
+    ny, nx = labels_shape
+    x0 = -0.5 * nx * dx
+    y0 = -0.5 * ny * dy
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    p = src.astype(dtype)
+    d = dirs.astype(dtype)
+    n_rays = p.shape[0]
+
+    px, py = p[:, 0], p[:, 1]
+    dxr, dyr = d[:, 0], d[:, 1]
+    okx = jnp.abs(dxr) > 1e-12
+    sdx = jnp.where(okx, dxr, 1.0)
+    sdy = dyr
+
+    tx_lo = (x0 - px) / sdx
+    tx_hi = (x0 + nx * dx - px) / sdx
+    inside_x = (px >= x0) & (px <= x0 + nx * dx)
+    txmin = jnp.where(okx, jnp.minimum(tx_lo, tx_hi),
+                      jnp.where(inside_x, -_BIG, _BIG))
+    txmax = jnp.where(okx, jnp.maximum(tx_lo, tx_hi),
+                      jnp.where(inside_x, _BIG, -_BIG))
+    t_lo_glob = jnp.maximum(txmin, 0.0)
+
+    inv_dx = 1.0 / dx
+
+    def subband(i_row):
+        y_lo = y0 + i_row * dy
+        ta = (y_lo - py) / sdy
+        tb = (y_lo + dy - py) / sdy
+        tA = jnp.maximum(jnp.minimum(ta, tb), t_lo_glob)
+        tB = jnp.minimum(jnp.maximum(ta, tb), txmax)
+        valid = tA < tB
+        tAc = jnp.where(valid, tA, 0.0)
+        tBc = jnp.where(valid, tB, 0.0)
+        xa = px + tAc * dxr
+        xb = px + tBc * dxr
+        ja = jnp.clip(jnp.floor((xa - x0) * inv_dx), 0, nx - 1)
+        jb = jnp.clip(jnp.floor((xb - x0) * inv_dx), 0, nx - 1)
+        return tAc, tBc, ja.astype(jnp.int32), jb.astype(jnp.int32), valid
+
+    def group_contrib(i8):
+        """Contribution of rows 8 i8 .. 8 i8 + 7: [R, M]."""
+        rows = [subband(8 * i8 + k) for k in range(8)]
+        jm = jnp.full((n_rays,), nx, jnp.int32)
+        for tA, tB, ja, jb, valid in rows:
+            jm = jnp.minimum(jm, jnp.where(valid, jnp.minimum(ja, jb), nx))
+        anchor = jnp.clip(jm, 0, nx - 10)
+        codes = packed8[i8 * nx + anchor]  # [R, 16]: ONE gather per 8 rows
+
+        out = 0.0
+        for k, (tA, tB, ja, jb, valid) in enumerate(rows):
+            j_hi = jnp.maximum(ja, jb)
+            t_c = (x0 + j_hi * dx - px) / sdx
+            t_c = jnp.where(okx, jnp.clip(t_c, tA, tB), tA)
+            w0, w1 = codes[:, 2 * k], codes[:, 2 * k + 1]
+
+            def lab_at(j):
+                rel = jnp.clip(j - anchor, 0, 9)
+                lo = w0 >> (_LBITS * rel)
+                hi = w1 >> (_LBITS * (rel - 4))
+                return jnp.where(rel <= 5, lo, hi) & _LMASK
+
+            va = jnp.where(valid, t_c - tA, 0.0)
+            vb = jnp.where(valid, tB - t_c, 0.0)
+            out = out + va[:, None] * jax.nn.one_hot(
+                lab_at(ja), n_materials, dtype=dtype)
+            out = out + vb[:, None] * jax.nn.one_hot(
+                lab_at(jb), n_materials, dtype=dtype)
+        return out
+
+    n_groups = ny // 8
+    block = max(1, min(group_block, n_groups))
+    while n_groups % block:
+        block -= 1
+
+    def step(acc, b):
+        def one(kk, a):
+            return a + group_contrib(b * block + kk)
+
+        return jax.lax.fori_loop(0, block, one, acc), None
+
+    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
+    return acc
+
+
+def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
+                         plan=None, group=8):
+    """Exact Siddon paths via dominant-axis packed marching.
+
+    ``group=8`` (default): one row-16 int32 gather per ray per eight
+    image rows (~16x fewer gather issues than the DDA); ``group=2``: the
+    2-band single-int32 kernel (one scalar gather per two rows).  Both
+    are exactly Siddon.  Requires square-ish cells for the transposed
+    pass, Ny/Nx divisible by the group size, and < 32 materials.
+    ``plan`` (from :func:`plan_dominant_split` on the flattened dirs) is
+    rebuilt when omitted.
     """
     batch_shape = src.shape[:-1]
     src2 = src.reshape(-1, 2)
@@ -371,17 +505,21 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
 
     labels = jnp.asarray(labels)
     ny, nx = labels.shape
-    pack_y = pack_labels_2band(labels)
-    pack_x = pack_labels_2band(labels.T)
+    if group == 8 and ny % 8 == 0 and nx % 8 == 0 and nx >= 10:
+        pack, kern = pack_labels_rowwin8, _trace_dominant8
+    else:
+        pack, kern = pack_labels_2band, _trace_dominant
+    pack_y = pack(labels)
+    pack_x = pack(labels.T)
 
     src2 = jnp.asarray(src2)
     dirs2 = jnp.asarray(dirs2)
-    out_y = _trace_dominant(
+    out_y = kern(
         pack_y, (ny, nx), src2[idx_y], dirs2[idx_y], dx, dy,
         n_materials=n_materials,
     )[:max(n_y, 1)]
     # x-dominant rays march the transposed grid with swapped coordinates
-    out_x = _trace_dominant(
+    out_x = kern(
         pack_x, (nx, ny), src2[idx_x][:, ::-1], dirs2[idx_x][:, ::-1],
         dy, dx, n_materials=n_materials,
     )[:max(n_x, 1)]

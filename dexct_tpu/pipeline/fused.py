@@ -222,18 +222,24 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
                 "projector='siddon_dominant' uses a global ray plan and "
                 "cannot run under shard_map; use 'siddon' or 'fourier'"
             )
-        from ..ops.siddon_fast import _trace_dominant, pack_labels_2band
+        from ..ops.siddon_fast import (_trace_dominant, _trace_dominant8,
+                                       pack_labels_2band, pack_labels_rowwin8)
 
         n_y, n_x = meta.fp_meta
         src2 = a["src"].reshape(-1, 2)
         dirs2 = a["dirs"].reshape(-1, 2)
         labels = a["labels"]
-        out_y = _trace_dominant(
-            pack_labels_2band(labels), labels.shape,
+        ny_l, nx_l = labels.shape
+        if ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
+            pack, kern = pack_labels_rowwin8, _trace_dominant8
+        else:
+            pack, kern = pack_labels_2band, _trace_dominant
+        out_y = kern(
+            pack(labels), labels.shape,
             src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]], meta.dx, meta.dy,
             n_materials=meta.n_materials)
-        out_x = _trace_dominant(
-            pack_labels_2band(labels.T), labels.shape[::-1],
+        out_x = kern(
+            pack(labels.T), labels.shape[::-1],
             src2[a["dom_idx_x"]][:, ::-1], dirs2[a["dom_idx_x"]][:, ::-1],
             meta.dy, meta.dx, n_materials=meta.n_materials)
         cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
