@@ -1,10 +1,11 @@
 """Benchmark: the full dual-energy pipeline on the reference workload.
 
 Headline metric (BASELINE.json): end-to-end wall-clock of dual acquisition
-(2 spectra, 1000 views x 800 channels through a 512^2 phantom) +
-converged Gauss-Newton decomposition (14 iterations == the reference's
-50-iteration fixed point to <1e-5) + FFBP of all four images to 512^2,
-as ONE jitted program on a single TPU chip.  Target: < 1 s.
+(2 spectra, 1000 views x 800 channels through a 512^2 phantom, EXACT
+Siddon ray tracing — the reference's defining feature) + converged
+Gauss-Newton decomposition (10 iterations == the reference's 50-iteration
+fixed point to <1e-5) + FFBP of all four images to 512^2, as ONE jitted
+program on a single TPU chip.  Target: < 1 s.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": target/s}
@@ -35,11 +36,11 @@ def main():
     from dexct_tpu.pipeline.fused import make_jitted_step, pack_dect
     from dexct_tpu.system import FanBeamGeometry, pelvis_phantom
 
-    # 14 Newton iterations (9 log-warm + 5 MLE/log polish) reach the same
-    # fixed point as the reference's 50 plain-GN iterations to <1e-5
-    # relative (tests/test_matdecomp.py parity bar; the log-residual warm
-    # start converges globally in ~8 — see ops/matdecomp.py)
-    N_CHANNELS, N_PROJ, N_PHANTOM, N_MATRIX, N_ITERS = 800, 1000, 512, 512, 14
+    # 10 Newton iterations (6 log-warm + 4 HIGHEST-precision polish) reach
+    # the same fixed point as the reference's 50 plain-GN iterations to
+    # <1e-5 relative (tests/test_matdecomp.py parity bar; the log-residual
+    # warm start converges globally in ~6 — see ops/matdecomp.py)
+    N_CHANNELS, N_PROJ, N_PHANTOM, N_MATRIX, N_ITERS = 800, 1000, 512, 512, 10
     TARGET_S = 1.0  # BASELINE.json north-star bound
 
     log(f"devices: {jax.devices()}")
@@ -54,8 +55,11 @@ def main():
     s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
 
     t0 = time.time()
+    # headline = EXACT Siddon projector (8-row-group dominant-axis kernel):
+    # apples-to-apples with the reference's exact ray tracing
     arrays, meta = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
-                             n_iters=N_ITERS, projector="fourier", recon="parallel")
+                             n_iters=N_ITERS, projector="siddon_dominant",
+                             recon="parallel")
     arrays = jax.device_put(arrays)
     step = make_jitted_step(meta)
     log(f"pack: {time.time() - t0:.2f}s")
@@ -97,20 +101,21 @@ def main():
     log(f"exact Siddon (dominant-axis): {t_exact:.3f}s"
         f" -> {rays / t_exact:.3e} rays/s")
 
-    # secondary: the all-exact fused pipeline (exact projector + fast recon)
+    # secondary: the approximate Fourier-slice fast path (~0.1% rms on
+    # line integrals; VALIDATION.md)
     a2, m2 = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
-                       n_iters=N_ITERS, projector="siddon_dominant",
+                       n_iters=N_ITERS, projector="fourier",
                        recon="parallel")
     step2 = make_jitted_step(m2)
 
-    def exact_e2e():
+    def fourier_e2e():
         t0 = time.time()
         o = step2(a2)
         _ = float(o["mat_recons"][0][0, 0])
         return time.time() - t0
 
-    exact_e2e()
-    log(f"exact-projector e2e: {min(exact_e2e() for _ in range(2)):.3f}s")
+    fourier_e2e()
+    log(f"fourier fast-path e2e: {min(fourier_e2e() for _ in range(2)):.3f}s")
 
     # secondary: the analytic-phantom pipeline (closed-form exact tracing)
     from dexct_tpu.system.analytic import pelvis_analytic

@@ -99,7 +99,7 @@ def _solve_spd(H_tri, dF, n_mats):
 
 def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
                  step_max, a_lo, a_hi, use_full_newton, lm_damping=0.0,
-                 polish_iters=8, warm="log"):
+                 polish_iters=4, warm="log"):
     """Newton iterations for one pixel block (general M measurements,
     K in {2, 3} basis materials).
 
@@ -259,7 +259,7 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
 def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
                        pixel_block=65536, step_max=5.0,
                        a_bounds=(-20.0, 500.0), method="gn",
-                       lm_damping=0.0, polish_iters=8, warm="log"):
+                       lm_damping=0.0, polish_iters=4, warm="log"):
     """Vectorized Poisson-MLE Newton solve over all sinogram pixels.
 
     counts: [M, P] detected counts (M = measurements: 2 for classic DE,

@@ -112,16 +112,26 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # exact dominant-axis fast path; the ray partition is a global
         # static plan, so this projector is single-device only (the view
         # shards of shard_map would invalidate the indices)
-        from ..ops.siddon_fast import plan_dominant_split
+        from ..ops.siddon_fast import (pack_labels_2band,
+                                       pack_labels_rowwin8,
+                                       plan_dominant_split)
 
         idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
             np.asarray(dirs).reshape(-1, 2))
+        lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
+        ny_l, nx_l = lab2d.shape
+        use_g8 = ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10
+        pack = pack_labels_rowwin8 if use_g8 else pack_labels_2band
         arrays.update({
             "dom_idx_y": jnp.asarray(idx_y),
             "dom_idx_x": jnp.asarray(idx_x),
             "dom_inv": jnp.asarray(inv),
+            # packed label tables built ONCE here — packing inside the
+            # step costs ~2x17 ms of roll/transpose copies per run
+            "dom_pack_y": pack(lab2d),
+            "dom_pack_x": pack(lab2d.T),
         })
-        fp_meta = (int(n_y), int(n_x))
+        fp_meta = (int(n_y), int(n_x), bool(use_g8))
     elif projector == "analytic":
         from ..system.analytic import AnalyticPhantom
 
@@ -204,6 +214,7 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     from ..ops.fbp_fast import fan_backproject_multi, pack_filtered
 
     a = arrays
+    unperm = lambda x: x  # noqa: E731  (overridden by siddon_dominant)
     if meta.projector == "fourier":
         # O(N^2 log N) Fourier-slice projector (ops/fourier.py)
         from ..ops.fourier import fourier_paths_from_arrays
@@ -222,44 +233,49 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
                 "projector='siddon_dominant' uses a global ray plan and "
                 "cannot run under shard_map; use 'siddon' or 'fourier'"
             )
-        from ..ops.siddon_fast import (_trace_dominant, _trace_dominant8,
-                                       pack_labels_2band, pack_labels_rowwin8)
+        from ..ops.siddon_fast import _trace_dominant, _trace_dominant8
 
-        n_y, n_x = meta.fp_meta
+        n_y, n_x, use_g8 = meta.fp_meta
         src2 = a["src"].reshape(-1, 2)
         dirs2 = a["dirs"].reshape(-1, 2)
         labels = a["labels"]
-        ny_l, nx_l = labels.shape
-        if ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
-            pack, kern = pack_labels_rowwin8, _trace_dominant8
-        else:
-            pack, kern = pack_labels_2band, _trace_dominant
+        kern = _trace_dominant8 if use_g8 else _trace_dominant
         out_y = kern(
-            pack(labels), labels.shape,
+            a["dom_pack_y"], labels.shape,
             src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]], meta.dx, meta.dy,
             n_materials=meta.n_materials)
         out_x = kern(
-            pack(labels.T), labels.shape[::-1],
+            a["dom_pack_x"], labels.shape[::-1],
             src2[a["dom_idx_x"]][:, ::-1], dirs2[a["dom_idx_x"]][:, ::-1],
             meta.dy, meta.dx, n_materials=meta.n_materials)
         cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
-        paths = cat[a["dom_inv"]].reshape(
-            a["src"].shape[:-1] + (meta.n_materials,))
+        # compute counts in ray-plan order and inverse-permute the scalar
+        # counts instead of the [R, M] paths: an M-wide row gather pads M
+        # to the 128-lane tile (CLAUDE.md), ~18x the traffic of two
+        # scalar-per-ray permutes
+        # compute the spectral contractions in ray-plan order and
+        # inverse-permute the scalar results instead of the [R, M] paths:
+        # an M-wide row gather pads M to the 128-lane tile (CLAUDE.md),
+        # ~18x the traffic of scalar-per-ray permutes
+        inv = a["dom_inv"]
+        shape_vc = a["src"].shape[:-1]
+        paths = cat
+        unperm = lambda x: x[inv].reshape(shape_vc)  # noqa: E731
     else:
         # Exact Siddon DDA: gather-rate bound (~1.4e8 gathers/s on this
         # chip); one scalar gather per traversal step
         paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
                             meta.dy, n_materials=meta.n_materials)
 
-    counts1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
-    counts2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])
+    counts1 = unperm(sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"]))
+    counts2 = unperm(sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"]))
     if meta.noise != "none":
         key = a["noise_key"]
         if axis_name is not None:  # distinct noise per view shard
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k1, k2 = jax.random.split(key)
-        v1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i2_1"])
-        v2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i2_2"])
+        v1 = unperm(sp_ops.counts_from_paths(paths, a["mu_t1"], a["i2_1"]))
+        v2 = unperm(sp_ops.counts_from_paths(paths, a["mu_t2"], a["i2_2"]))
         counts1 = sp_ops.sample_noise(k1, counts1, meta.noise, var=v1)
         counts2 = sp_ops.sample_noise(k2, counts2, meta.noise, var=v2)
     log1 = sp_ops.log_sinogram(counts1, meta.air1)
