@@ -23,6 +23,8 @@ __all__ = [
     "vmi_metric_figure",
     "dect_gallery_figure",
     "metal_lac_figure",
+    "label_panels",
+    "contrast_noise_panels",
 ]
 
 
@@ -124,6 +126,82 @@ def dect_gallery_figure(hu1, hu2, mat1, mat2, vmi_energies=(80.0, 300.0),
         axi.axis("off")
         fig.colorbar(m, ax=axi, pad=0.02).set_label(cbar_label)
     fig.tight_layout(pad=0.3)
+    return fig
+
+
+def label_panels(ax, color="k", loc="outside", dx=-0.06, dy=0.09,
+                 fontsize=None, label_type="lowercase",
+                 label_format="({})"):
+    """Letter/number labels on every panel of a subplot grid — the
+    reference's figure-annotation helper (plots.py:62-102 analog).
+
+    loc='outside' places the label above the axes corner, 'inside' just
+    within it; label_type selects 'lowercase'/'uppercase' letters or
+    numbers.
+    """
+    if "upper" in label_type:
+        tags = [chr(c) for c in range(65, 91)]
+    elif "lower" in label_type:
+        tags = [chr(c) for c in range(97, 123)]
+    else:
+        tags = [str(i) for i in range(1, 27)]
+    if loc == "outside":
+        xf, yf = -dx, 1.0 + dy
+    else:
+        xf, yf = dx, 1.0 - dy
+    for i, axi in enumerate(np.ravel(ax)):
+        x0, x1 = axi.get_xlim()
+        y0, y1 = axi.get_ylim()
+        axi.text(x0 + (x1 - x0) * xf, y0 + (y1 - y0) * yf,
+                 label_format.format(tags[i]), color=color,
+                 fontsize=fontsize, fontweight="bold",
+                 va="center", ha="center")
+
+
+def contrast_noise_panels(panels, roi_signal, roi_background,
+                          metric="contrast", baselines=None,
+                          marker_step=10):
+    """Per-phantom panels of contrast or noise vs VMI energy — the
+    reference's revision-study figure families (contrast plots.py:541-603,
+    noise plots.py:631-717).
+
+    panels: dict panel_title -> dict of DE cases
+        {case_label: (M1, M2, energies)} — basis-material images plus the
+        VMI energy grid to sweep (the reference uses wider grids for the
+        metal phantoms).
+    baselines: optional dict panel_title -> {label: HU image} drawn as
+        horizontal single-energy-scan reference lines (the reference's
+        BHC-corrected kV scans).
+    metric: 'contrast' (|u1-u2|) or 'noise' (sqrt(v1+v2)).
+    """
+    plt = _plt()
+    fn = {"contrast": contrast, "noise": noise}[metric]
+    n = len(panels)
+    fig, ax = plt.subplots(1, n, figsize=[2.9 * n, 2.8])
+    ax = np.atleast_1d(ax)
+    ax[0].set_ylabel(metric + (" [HU]" if metric == "contrast" else " [HU]"))
+    for i, (title, cases) in enumerate(panels.items()):
+        ax[i].set_title(title.replace("_", " with "), fontsize=9)
+        if baselines and title in baselines:
+            for ls, (lab, img) in zip(("--", ":", "-", "-."),
+                                      baselines[title].items()):
+                ax[i].axhline(fn(img, roi_signal, roi_background),
+                              lw=1.2, color="k", ls=ls,
+                              label=lab if i == 0 else None)
+        for fmt, (lab, case) in zip(("bs", "ro", "g^", "mv"),
+                                    cases.items()):
+            m1, m2, energies = case
+            es = np.arange(float(energies[0]), float(energies[-1]) + 1.0)
+            vals = [fn(make_vmi(float(e), m1, m2), roi_signal,
+                       roi_background) for e in es]
+            ax[i].plot(es, vals, fmt[0] + "-", lw=1.0,
+                       label=lab if i == 0 else None)
+            ax[i].plot(es[::marker_step], vals[::marker_step], fmt,
+                       markerfacecolor="None", markersize=4)
+        ax[i].set_xlabel("VMI energy [keV]")
+    fig.legend(loc="center right", fontsize=7)
+    fig.tight_layout(pad=1.1, rect=(0, 0, 0.86, 1))
+    label_panels(ax, dy=0.06)
     return fig
 
 

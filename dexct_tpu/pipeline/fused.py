@@ -28,7 +28,8 @@ from ..ops import spectral as sp_ops
 from ..ops.filters import filter_frequency_response
 from ..ops.siddon import trace_paths
 
-__all__ = ["DectMeta", "pack_dect", "dect_step", "make_jitted_step"]
+__all__ = ["DectMeta", "pack_dect", "dect_step", "make_jitted_step",
+           "reconstruct_stack"]
 
 
 class DectMeta(NamedTuple):
@@ -203,6 +204,88 @@ def _filter_views(sino, cos_w, H, fft_len, dgamma):
     return (filt * dgamma).astype(sino.dtype)
 
 
+def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
+    """FBP a ``[K, V, C]`` fan-sinogram stack through the pipeline's
+    reconstruction path (recon='fan' direct, or 'parallel' rebinned with
+    the symmetry-packed backprojectors) — the block shared by
+    :func:`dect_step` and standalone tools (e.g. the error-budget mono
+    reconstruction, which must see the *identical* recon transfer
+    function for a clean component split).
+
+    Returns the ``[K, n_matrix, n_matrix]`` image stack in cm^-1; under
+    ``axis_name`` the input views are a shard and the output is
+    psum-reduced.
+    """
+    from ..ops.fbp_fast import fan_backproject_multi, pack_filtered
+
+    n_img = sinos.shape[0]
+    if meta.recon == "parallel":
+        from ..ops.fbp_fast import parallel_backproject_multi, rebin_to_parallel
+
+        n_th, nt, par_t0, par_dt, par_m = meta.par_meta
+        if axis_name is not None:
+            # rebinning crosses view shards: gather the (small) fan
+            # sinograms, then each shard owns a wedge of θ lines
+            sinos_full = jax.lax.all_gather(sinos, axis_name, axis=1,
+                                            tiled=True)
+        else:
+            sinos_full = sinos
+        par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt)
+        qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
+        n_th_total = n_th
+        if (axis_name is None and meta.par_sym and n_th % 4 == 0
+                and n_th >= 8):
+            # 8-fold symmetry-packed BP: one 16K-float gather row serves
+            # the whole view orbit {i, V/2-i, V/2+i, V-i} at both
+            # point-mirrored pixels — 8x fewer gathers than the plain
+            # packed BP (ops/fbp_fast.py).  The four self-paired
+            # boundary views go through the 4-fold kernel.  Requires
+            # all theta lines locally, so the view-sharded path keeps
+            # the standard packed BP below.
+            from ..ops.fbp_fast import (pack_filtered_sym,
+                                        pack_filtered_sym8,
+                                        parallel_backproject_sym,
+                                        parallel_backproject_sym8)
+
+            th = a["par_thetas"]
+            bsel = np.array([0, n_th // 4, n_th // 2, 3 * n_th // 4])
+            imgs = parallel_backproject_sym8(
+                pack_filtered_sym8(qs), n_img, th[1: n_th // 4],
+                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / n_th_total,
+            ) + parallel_backproject_sym(
+                pack_filtered_sym(qs[:, bsel]), n_img, th[bsel[:2]],
+                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / n_th_total,
+            )
+        elif axis_name is None and meta.par_sym and n_th % 2 == 0:
+            # 4-fold fallback (theta/theta+pi/2 pairing + point mirror)
+            from ..ops.fbp_fast import (pack_filtered_sym,
+                                        parallel_backproject_sym)
+
+            imgs = parallel_backproject_sym(
+                pack_filtered_sym(qs), n_img, a["par_thetas"][: n_th // 2],
+                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / n_th_total,
+            )
+        else:
+            imgs = parallel_backproject_multi(
+                pack_filtered(qs), n_img, a["par_thetas"], par_t0, par_dt,
+                nt, meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+            )
+    else:
+        qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
+                           meta.dgamma)
+        n_ch = sinos.shape[-1]
+        imgs = fan_backproject_multi(
+            pack_filtered(qs), n_img, a["betas"], meta.sid, meta.dgamma,
+            n_ch, meta.n_matrix, meta.fov, meta.dbeta,
+        )
+    if axis_name is not None:
+        imgs = jax.lax.psum(imgs, axis_name)
+    return imgs
+
+
 def dect_step(arrays, meta: DectMeta, axis_name=None):
     """The fused DE pipeline.  Pure; jit via :func:`make_jitted_step`.
 
@@ -211,7 +294,6 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     psum per reconstructed image.
     """
     from ..ops.fbp import hu_image
-    from ..ops.fbp_fast import fan_backproject_multi, pack_filtered
 
     a = arrays
     unperm = lambda x: x  # noqa: E731  (overridden by siddon_dominant)
@@ -297,70 +379,7 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     # filter all four sinograms in one batched FFT, backproject all four
     # through ONE shared geometry/gather pass (ops/fbp_fast.py)
     sinos = jnp.stack([log1, log2, mat1, mat2])  # [4, V, C]
-    if meta.recon == "parallel":
-        from ..ops.fbp_fast import parallel_backproject_multi, rebin_to_parallel
-
-        n_th, nt, par_t0, par_dt, par_m = meta.par_meta
-        if axis_name is not None:
-            # rebinning crosses view shards: gather the (small) fan
-            # sinograms, then each shard owns a wedge of θ lines
-            sinos_full = jax.lax.all_gather(sinos, axis_name, axis=1,
-                                            tiled=True)
-        else:
-            sinos_full = sinos
-        par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt)
-        qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
-        n_th_total = n_th
-        if (axis_name is None and meta.par_sym and n_th % 4 == 0
-                and n_th >= 8):
-            # 8-fold symmetry-packed BP: one 16K-float gather row serves
-            # the whole view orbit {i, V/2-i, V/2+i, V-i} at both
-            # point-mirrored pixels — 8x fewer gathers than the plain
-            # packed BP (ops/fbp_fast.py).  The four self-paired
-            # boundary views go through the 4-fold kernel.  Requires
-            # all theta lines locally, so the view-sharded path keeps
-            # the standard packed BP below.
-            from ..ops.fbp_fast import (pack_filtered_sym,
-                                        pack_filtered_sym8,
-                                        parallel_backproject_sym,
-                                        parallel_backproject_sym8)
-
-            th = a["par_thetas"]
-            bsel = np.array([0, n_th // 4, n_th // 2, 3 * n_th // 4])
-            imgs = parallel_backproject_sym8(
-                pack_filtered_sym8(qs), 4, th[1: n_th // 4],
-                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
-                jnp.pi / n_th_total,
-            ) + parallel_backproject_sym(
-                pack_filtered_sym(qs[:, bsel]), 4, th[bsel[:2]],
-                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
-                jnp.pi / n_th_total,
-            )
-        elif axis_name is None and meta.par_sym and n_th % 2 == 0:
-            # 4-fold fallback (theta/theta+pi/2 pairing + point mirror)
-            from ..ops.fbp_fast import (pack_filtered_sym,
-                                        parallel_backproject_sym)
-
-            imgs = parallel_backproject_sym(
-                pack_filtered_sym(qs), 4, a["par_thetas"][: n_th // 2],
-                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
-                jnp.pi / n_th_total,
-            )
-        else:
-            imgs = parallel_backproject_multi(
-                pack_filtered(qs), 4, a["par_thetas"], par_t0, par_dt, nt,
-                meta.n_matrix, meta.fov, jnp.pi / n_th_total,
-            )
-    else:
-        qs = _filter_views(sinos, a["cos_w"], a["filt_H"], meta.fft_len,
-                           meta.dgamma)
-        n_ch = sinos.shape[-1]
-        imgs = fan_backproject_multi(
-            pack_filtered(qs), 4, a["betas"], meta.sid, meta.dgamma, n_ch,
-            meta.n_matrix, meta.fov, meta.dbeta,
-        )
-    if axis_name is not None:
-        imgs = jax.lax.psum(imgs, axis_name)
+    imgs = reconstruct_stack(sinos, a, meta, axis_name)
     r1, r2, m1r, m2r = imgs[0], imgs[1], imgs[2], imgs[3]
     return {
         "sino_raw": (counts1, counts2),

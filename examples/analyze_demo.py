@@ -28,6 +28,7 @@ from dexct_tpu.analysis import (
     rmse,
 )
 from dexct_tpu.analysis.figures import (
+    contrast_noise_panels,
     dect_gallery_figure,
     metal_lac_figure,
     phantom_roi_figure,
@@ -82,6 +83,15 @@ def main():
     # implant alloy attenuation
     metal_lac_figure().savefig(os.path.join(args.figdir, "metal_lacs.png"),
                                dpi=150)
+
+    # contrast / noise vs VMI energy panels with single-energy baselines
+    # (the reference's revision figures, plots.py:541-603 / 631-717)
+    panels = {cfg.phantom.name: {f"{s1}-{s2}": (m1, m2, energies)}}
+    base = {cfg.phantom.name: {s1: hu1, s2: hu2}}
+    for metric in ("contrast", "noise"):
+        contrast_noise_panels(panels, sig, bg, metric=metric,
+                              baselines=base) \
+            .savefig(os.path.join(args.figdir, f"vmi_{metric}.png"), dpi=150)
 
     # summary numbers (the reference prints min-RMSE / max-SNR,
     # plots.py:306,397)

@@ -165,3 +165,38 @@ class TestFigures:
         f4 = metal_lac_figure()
         for i, f in enumerate([f1, f2, f3, f4]):
             f.savefig(tmp_path / f"fig{i}.png", dpi=50)
+
+    def test_contrast_noise_panels_and_labels(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from dexct_tpu.analysis.figures import (
+            contrast_noise_panels,
+            label_panels,
+        )
+
+        rng = np.random.default_rng(5)
+        m1 = np.clip(rng.normal(1.0, 0.1, (64, 64)), 0, None)
+        m2 = np.clip(rng.normal(0.3, 0.1, (64, 64)), 0, None)
+        hu = rng.normal(0, 100, (64, 64))
+        sig = Roi(10, 10, 8, 8)
+        bg = Roi(40, 40, 8, 8)
+        panels = {
+            "pelvis": {"MV-80kV": (m1, m2, np.arange(40, 140, 10))},
+            "pelvis_steel": {"MV-80kV": (m1, m2, np.arange(40, 200, 24))},
+        }
+        base = {"pelvis": {"80kV": hu}}
+        for metric in ("contrast", "noise"):
+            f = contrast_noise_panels(panels, sig, bg, metric=metric,
+                                      baselines=base)
+            # two panels, both labelled (a)/(b) by label_panels
+            texts = [t.get_text() for ax in f.axes for t in ax.texts]
+            assert "(a)" in texts and "(b)" in texts
+            f.savefig(tmp_path / f"panel_{metric}.png", dpi=50)
+
+        # label_panels standalone: numbers + inside placement
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 3)
+        label_panels(ax, label_type="number", loc="inside",
+                     label_format="{}.")
+        texts = [t.get_text() for a in ax for t in a.texts]
+        assert texts == ["1.", "2.", "3."]
