@@ -225,7 +225,13 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
         norm = jnp.sqrt(jnp.sum(step * step, -1, keepdims=True))
         smax = 10.0 * step_max if log_step else step_max
         step = step * jnp.minimum(1.0, smax / jnp.maximum(norm, 1e-30))
-        return jnp.clip(a - step, a_lo, a_hi)
+        # the warm phase clamps negative excursions hard: transiently
+        # negative iterates are pure overshoot (L >= 0 physically), and a
+        # deep-negative a drives -L into the exp clip where the fused
+        # gradient no longer matches nu.  The MLE polish keeps the loose
+        # a_lo so genuinely negative noise-driven solutions survive.
+        lo = jnp.maximum(a_lo, -1.0) if log_step else a_lo
+        return jnp.clip(a - step, lo, a_hi)
 
     def make_body(hi, fast_exp=False, log_step=False):
         return functools.partial(_gn_body, hi=hi, fast_exp=fast_exp,
@@ -342,7 +348,32 @@ def prepare_decomposition(geometry, spec1, spec2, basis=DEFAULT_BASIS):
         np.interp(ee, spec2.E, spec2.I0) * detresponse * dE,
     ])
     mus = np.stack([xcom.mixatten(m.matcomp, ee) for m in basis])
-    return ee, i0, mus
+    keep = detectable_bins(i0, mus)
+    return ee[keep], i0[:, keep], mus[:, keep]
+
+
+def detectable_bins(i0, mus, t_ref=1.0, rel_floor=1e-12):
+    """Mask of energy bins that can influence a *measured* (non-air) ray.
+
+    Unfiltered source spectra (e.g. the reference's shipped 80/140 kV
+    binaries, which carry raw-tube fluence down to 2 keV where
+    mu/rho ~ 5e2 cm^2/g) contain bins whose photons cannot traverse even
+    ``t_ref`` g/cm^2 of the first basis material (one cm of tissue:
+    transmission e^-42 at 5 keV).  Those bins only contribute to air rays
+    — which the decomposition masks anyway (matdecomp.py:194-196) — but
+    they poison the solver twice: they dominate the a=0 Jacobian (wild
+    first Newton steps) and, once an iterate goes transiently negative,
+    they pin the exp clip where the fused-matmul gradient is inconsistent
+    with the clipped nu (a zero-progress fixed direction).  Dropping them
+    changes nu of any detectable ray by < rel_floor relative.
+    """
+    i0 = np.asarray(i0, np.float64)
+    mus = np.asarray(mus, np.float64)
+    w = i0.sum(0) * np.exp(-np.clip(mus[0] * t_ref, 0.0, 700.0))
+    keep = w > rel_floor * np.max(w)
+    if not np.any(keep):  # degenerate table; keep everything
+        return np.ones(i0.shape[1], bool)
+    return keep
 
 
 def air_mask(sino_raw, mask_thresh=0.95):
