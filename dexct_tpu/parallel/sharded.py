@@ -22,7 +22,9 @@ __all__ = ["sharded_dect_step", "shard_arrays"]
 
 _VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w",
                  # parallel-recon θ-line tables shard with the θ wedge
-                 "rb_idx", "rb_w", "par_thetas")
+                 "rb_idx", "rb_w", "par_thetas",
+                 # per-shard dominant-axis ray plans (parallel/halo.py)
+                 "dom_idx_y", "dom_idx_x", "dom_inv")
 
 
 def _in_specs(arrays, axis="views"):

@@ -57,6 +57,10 @@ class DectMeta(NamedTuple):
     par_meta: tuple = ()  # (n_theta, nt, t0, dt, fft_len)
     noise: str = "none"  # 'none' | 'poisson' | 'compound'
     par_sym: bool = True  # symmetry-packed BP (single-device fast path)
+    # cross-shard rebin strategy: () = all_gather the fan sinograms;
+    # ("halo", D, Vq, H, nh) = paired-quarter sharding + ring halo
+    # exchange (parallel/halo.py), O(H*C) bytes/chip instead of O(V*C)
+    comm: tuple = ()
 
 
 def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
@@ -223,7 +227,30 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
         from ..ops.fbp_fast import parallel_backproject_multi, rebin_to_parallel
 
         n_th, nt, par_t0, par_dt, par_m = meta.par_meta
-        if axis_name is not None:
+        if axis_name is not None and meta.comm and meta.comm[0] == "halo":
+            # paired-quarter layout: each shard's four view blocks are
+            # 90-degree rotations, so its θ sub-wedges rebin from local
+            # rows except an H-view halo — exchanged over nh ring hops
+            # (parallel/halo.py).  Bytes/chip: 8*H*C*K vs the
+            # all_gather's 4*V*C*K*(D-1)/D.
+            D, vq, H, nh = meta.comm[1:]
+            K, _, C = sinos.shape
+            local = sinos.reshape(K, 4, vq, C)
+            prev_parts, next_parts = [], []
+            rem = H
+            for h in range(1, nh + 1):
+                w = min(vq, rem)
+                rem -= w
+                fwd = [(j, (j + h) % D) for j in range(D)]
+                bwd = [(j, (j - h) % D) for j in range(D)]
+                prev_parts.append(jax.lax.ppermute(
+                    local[:, :, vq - w:, :], axis_name, fwd))
+                next_parts.append(jax.lax.ppermute(
+                    local[:, :, :w, :], axis_name, bwd))
+            buf = jnp.concatenate(
+                list(reversed(prev_parts)) + [local] + next_parts, axis=2)
+            sinos_full = buf.reshape(K, 4 * (vq + 2 * H), C)
+        elif axis_name is not None:
             # rebinning crosses view shards: gather the (small) fan
             # sinograms, then each shard owns a wedge of θ lines
             sinos_full = jax.lax.all_gather(sinos, axis_name, axis=1,
@@ -268,6 +295,17 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
                 par_t0, par_dt, nt, meta.n_matrix, meta.fov,
                 jnp.pi / n_th_total,
             )
+        elif meta.par_sym:
+            # sharded (or odd-grid) wedge: the point-mirror pairing is
+            # view-local, so it works on any theta subset — half the
+            # gathers of the plain packed BP without cross-shard pairing
+            from ..ops.fbp_fast import (pack_filtered_sym2,
+                                        parallel_backproject_sym2)
+
+            imgs = parallel_backproject_sym2(
+                pack_filtered_sym2(qs), n_img, a["par_thetas"], par_t0,
+                par_dt, nt, meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+            )
         else:
             imgs = parallel_backproject_multi(
                 pack_filtered(qs), n_img, a["par_thetas"], par_t0, par_dt,
@@ -310,10 +348,11 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         paths = analytic_paths(a["an_params"], a["an_labels"], a["src"],
                                a["dirs"], n_materials=meta.n_materials)
     elif meta.projector == "siddon_dominant":
-        if axis_name is not None:
+        if axis_name is not None and not (meta.comm
+                                          and meta.comm[0] == "halo"):
             raise ValueError(
-                "projector='siddon_dominant' uses a global ray plan and "
-                "cannot run under shard_map; use 'siddon' or 'fourier'"
+                "projector='siddon_dominant' under shard_map needs the "
+                "per-shard ray plans of parallel.halo.pack_dect_sharded"
             )
         from ..ops.siddon_fast import _trace_dominant, _trace_dominant8
 

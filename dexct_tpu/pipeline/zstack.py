@@ -81,10 +81,41 @@ def zstack_step(arrays, meta, in_axes):
     return jax.vmap(lambda a: dect_step(a, meta), in_axes=(in_axes,))(arrays)
 
 
-def make_jitted_zstack_step(meta, in_axes):
-    """Jitted z-stack step closed over the static meta/axes."""
+def make_jitted_zstack_step(meta, in_axes, z_chunk=None):
+    """Jitted z-stack step closed over the static meta/axes.
+
+    ``z_chunk`` bounds the vmap width: slices run in ``lax.map`` groups
+    of that size, capping the batched gather working set (a fully
+    vmapped 8-deep 512² stack materializes ~27 GB of rebin gather rows —
+    beyond one chip's HBM; chunked, memory is flat in Nz at ~z_chunk x
+    the single-slice footprint).
+    """
     axes = dict(in_axes)
-    return jax.jit(lambda a: zstack_step(a, meta, axes))
+    if z_chunk is None:
+        return jax.jit(lambda a: zstack_step(a, meta, axes))
+
+    def run(arrays):
+        stacked = {k: v for k, v in arrays.items() if axes[k] == 0}
+        shared = {k: v for k, v in arrays.items() if axes[k] is None}
+        nz = next(iter(stacked.values())).shape[0]
+        if nz % z_chunk:
+            raise ValueError(f"Nz={nz} not divisible by z_chunk={z_chunk}")
+        chunked = {
+            k: v.reshape((nz // z_chunk, z_chunk) + v.shape[1:])
+            for k, v in stacked.items()
+        }
+        body_axes = {k: (0 if k in stacked else None) for k in arrays}
+
+        def body(ch):
+            a = {**shared, **ch}
+            return jax.vmap(lambda x: dect_step(x, meta),
+                            in_axes=(body_axes,))(a)
+
+        out = jax.lax.map(body, chunked)
+        return jax.tree.map(
+            lambda x: x.reshape((nz,) + x.shape[2:]), out)
+
+    return jax.jit(run)
 
 
 def stack_phantom(phantom_2d_fn, Nz, *args, scales=None, name=None, **kw):

@@ -144,6 +144,33 @@ class TestSymBackprojection:
         scale = np.abs(ref).max()
         assert np.abs(ref - sym).max() < 3e-5 * scale
 
+    @pytest.mark.parametrize("nth,N,tfrac", [(32, 48, 1.3), (11, 45, 0.7),
+                                             (7, 33, 1.0)])
+    def test_2fold_matches_standard_bp_any_wedge(self, nth, N, tfrac):
+        """Point-mirror kernel == plain packed BP on ARBITRARY theta
+        subsets (incl. odd counts and partial wedges) — this is the
+        shard-local symmetry kernel of the view-sharded recon path."""
+        from dexct_tpu.ops.fbp_fast import (
+            pack_filtered_sym2,
+            parallel_backproject_sym2,
+        )
+
+        rng = np.random.default_rng(11)
+        K, nt, fov = 4, 64, 20.0
+        t_max = fov / 2 * tfrac
+        dt = 2 * t_max / nt
+        t0 = -t_max + dt / 2
+        qs = jnp.asarray(rng.standard_normal((K, nth, nt)), jnp.float32)
+        # a wedge of arbitrary lines, not a uniform [0, pi) grid
+        thetas = jnp.asarray(
+            np.sort(rng.uniform(0.2, 1.4, nth)), jnp.float32)
+        ref = parallel_backproject_multi(pack_filtered(qs), K, thetas, t0,
+                                         dt, nt, N, fov, np.pi / nth)
+        sym = parallel_backproject_sym2(pack_filtered_sym2(qs), K, thetas,
+                                        t0, dt, nt, N, fov, np.pi / nth)
+        ref, sym = np.asarray(ref), np.asarray(sym)
+        assert np.abs(ref - sym).max() < 3e-5 * np.abs(ref).max()
+
     def test_odd_view_count_rejected_in_pack(self):
         from dexct_tpu.ops.fbp_fast import pack_filtered_sym, pack_filtered_sym8
 

@@ -93,6 +93,22 @@ def test_zstack_noise_independent_per_slice(system):
     assert not np.array_equal(raw[0], raw[1])
 
 
+def test_zstack_chunked_matches_full(system):
+    ct, ph, s1, s2 = system
+    arrays, meta, axes = pack_zstack(
+        ct, ph, s1, s2, 64, 20.0, 0.8, n_iters=6, projector="siddon",
+        recon="fan")
+    full = make_jitted_zstack_step(meta, axes)(arrays)
+    chunked = make_jitted_zstack_step(meta, axes, z_chunk=2)(arrays)
+    np.testing.assert_allclose(np.asarray(chunked["recon_HU"][0]),
+                               np.asarray(full["recon_HU"][0]),
+                               atol=1e-3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        make_jitted_zstack_step(meta, axes, z_chunk=3)(arrays)
+
+
 def test_zstack_z_subset(system):
     ct, ph, s1, s2 = system
     arrays, meta, axes = pack_zstack(
