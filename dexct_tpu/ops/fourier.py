@@ -341,8 +341,11 @@ def fourier_paths(plan: FourierProjectorPlan, labels, view_shape):
 def plan_arrays(plan: FourierProjectorPlan, view_shape):
     """The plan's device tables as a pytree dict (for fused pipelines).
 
-    ``fan_idx``/``fan_w`` are reshaped to [V, C, 4] so the view axis can be
-    sharded under shard_map; everything else is replicated.
+    ``fan_idx``/``fan_w`` are reshaped to [V, C*4] so the view axis can
+    be sharded under shard_map — with the taps FLATTENED into the lane
+    dim: a trailing dim of 4 pads to the 128-lane tile on TPU (32x HBM
+    expansion, measured as the z-stack OOM driver); [V, 3200] pads not
+    at all.
     """
     v, c = view_shape
     return {
@@ -351,8 +354,8 @@ def plan_arrays(plan: FourierProjectorPlan, view_shape):
         "fp_slice_w": plan.slice_w,
         "fp_phase_cos": plan.phase_cos,
         "fp_phase_sin": plan.phase_sin,
-        "fp_fan_idx": plan.fan_idx.reshape(v, c, 4),
-        "fp_fan_w": plan.fan_w.reshape(v, c, 4),
+        "fp_fan_idx": plan.fan_idx.reshape(v, c * 4),
+        "fp_fan_w": plan.fan_w.reshape(v, c * 4),
     }
 
 
@@ -367,8 +370,8 @@ def fourier_paths_from_arrays(a, labels, meta_fp):
         a["fp_slice_w"], a["fp_phase_cos"], a["fp_phase_sin"], scale,
         n_theta=n_theta, nt=nt, grid=grid, n_img=n_img,
     )
-    fan_idx = a["fp_fan_idx"]
-    out_shape = fan_idx.shape[:2] + (n_mat,)
+    fan_idx = a["fp_fan_idx"]  # [V, C*4]
+    out_shape = (fan_idx.shape[0], fan_idx.shape[1] // 4, n_mat)
     return _resample_to_fan(radon, fan_idx.reshape(-1, 4),
                             a["fp_fan_w"].reshape(-1, 4), out_shape)
 
