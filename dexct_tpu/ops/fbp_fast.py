@@ -169,22 +169,26 @@ def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
     idx = np.concatenate([idx_a, idx_b], -1).reshape(-1, 8)
     w = 0.5 * np.concatenate([w_a, w_b], -1).reshape(-1, 8)
     w = w * valid.reshape(-1, 1)
-    return (idx.astype(np.int32), w.astype(np.float32), float(t0),
-            float(dt))
+    # FLAT layout: a resident [nθ*nt, 8] table pads its trailing 8 to
+    # the 128-lane tile (16x HBM; measured z-stack OOM driver)
+    return (idx.astype(np.int32).reshape(-1),
+            w.astype(np.float32).reshape(-1), float(t0), float(dt))
 
 
 @functools.partial(jax.jit, static_argnames=("nt",))
 def rebin_to_parallel(sinos, idx, w, nt):
     """[K, V, C] fan sinograms -> [K, nθ, nt] parallel sinograms.
 
-    nθ is inferred from the table length (idx rows / nt), so θ-sharded
-    tables under shard_map produce the local wedge.
+    idx/w are FLAT [nθ*nt*8] tables (8 taps per parallel bin; flattened
+    so the resident arrays don't pad their tap dim to the lane tile).
+    nθ is inferred from the table length, so θ-sharded tables under
+    shard_map produce the local wedge.
     """
     k = sinos.shape[0]
-    n_theta = idx.shape[0] // nt
+    n_theta = idx.size // (8 * nt)
     table = sinos.reshape(k, -1).T  # [V*C, K]
     rows = table[idx.reshape(-1)].reshape(-1, 8, k)
-    vals = jnp.einsum("rt,rtk->rk", w, rows,
+    vals = jnp.einsum("rt,rtk->rk", w.reshape(-1, 8), rows,
                      precision=jax.lax.Precision.HIGHEST)
     return vals.T.reshape(k, n_theta, nt)
 

@@ -127,7 +127,8 @@ class FourierProjectorPlan:
     deapod: jnp.ndarray  # [n_img, n_img]
     slice_idx: jnp.ndarray  # [nθ * nl] int32 window-base into the flat
     #                         spectrum (all 16 taps packed per table row)
-    slice_w: jnp.ndarray  # [nθ, nl, 16] float32
+    slice_w: jnp.ndarray  # [nθ*nl*16] float32 (flat: a resident
+    #                       trailing-16 dim pads to the 128-lane tile)
     phase_cos: jnp.ndarray  # [nθ, nl] half-pixel + t-centering phase
     phase_sin: jnp.ndarray  # [nθ, nl]
     fan_idx: jnp.ndarray  # [V*C, 4] int32 into flat [nθ * nt]
@@ -239,7 +240,7 @@ def plan_fourier_projector(phantom, geometry, n_theta=1024):
         grid=grid,
         deapod=jnp.asarray(deapod, jnp.float32),
         slice_idx=jnp.asarray(slice_idx.reshape(-1)),
-        slice_w=jnp.asarray(slice_w),
+        slice_w=jnp.asarray(slice_w.reshape(-1)),
         phase_cos=jnp.asarray(phase_cos),
         phase_sin=jnp.asarray(phase_sin),
         fan_idx=jnp.asarray(fan_idx),
@@ -293,8 +294,12 @@ def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
                            grid))  # [S, i, j]
         rows = table[idx16.reshape(-1)]
     rows = rows.reshape(n_theta, nl, 16, 2 * n_materials)
-    s = jnp.einsum("tlk,tlkc->tlc", slice_w, rows,
-                    precision=jax.lax.Precision.HIGHEST)  # [nθ, nl, 2M]
+    # slice_w is stored FLAT ([nθ*nl*16]) — a resident [nθ, nl, 16]
+    # array pads its trailing 16 to the 128-lane tile (8x HBM; measured
+    # as a z-stack OOM driver when lax.map copies it per chunk)
+    s = jnp.einsum("tlk,tlkc->tlc", slice_w.reshape(n_theta, nl, 16),
+                   rows,
+                   precision=jax.lax.Precision.HIGHEST)  # [nθ, nl, 2M]
     z_re = s[..., :n_materials]
     z_im = s[..., n_materials:]
     spec = jax.lax.complex(

@@ -204,7 +204,8 @@ def plan_halo(geometry, n_devices, n_theta, nt, t_max=None):
         idx = np.concatenate([idx_a, idx_b], -1).reshape(-1, 8)
         w = 0.5 * np.concatenate([w_a, w_b], -1).reshape(-1, 8)
         w = w * valid.reshape(-1, 1)
-        return idx, w, thetas
+        # flat tap layout, matching fbp_fast.parallel_rebin_plan
+        return idx.reshape(-1), w.reshape(-1), thetas
 
     all_idx, all_w, all_th = zip(*(shard_tables(i) for i in range(D)))
     return HaloPlan(
