@@ -254,10 +254,18 @@ def plan_fourier_projector(phantom, geometry, n_theta=1024):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_theta", "nt", "grid",
-                                             "n_img"))
+                                             "n_img", "packed_table"))
 def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
-                       phase_sin, scale, *, n_theta, nt, grid, n_img):
-    """Radon transforms of an image stack [K, N, N] -> [K, nθ, nt]."""
+                       phase_sin, scale, *, n_theta, nt, grid, n_img,
+                       packed_table=True):
+    """Radon transforms of an image stack [K, N, N] -> [K, nθ, nt].
+
+    packed_table=False forces the gather-based tap path even at small
+    grids: the 16-rolled-copy packed table is faster standalone, but
+    under ``lax.map`` (z-stack chunking) XLA materializes every rolled
+    copy channel-minor (12 lanes pad to 128 — 16 x 512 MB at 512²,
+    an instant OOM).
+    """
     n_materials = imgs.shape[0]
     # deapodize, corner-center in the padded FFT array (gridding accuracy
     # requires the object at |centered index| <= G/4)
@@ -270,7 +278,7 @@ def _radon_from_images(imgs, deapod, slice_idx, slice_w, phase_cos,
     nl = grid // 2 + 1
     Fr = jnp.concatenate([F.real, F.imag], axis=0)  # [2M, G, G]
     base = slice_idx.reshape(-1)
-    if grid <= _PACKED_TABLE_MAX_GRID:
+    if packed_table and grid <= _PACKED_TABLE_MAX_GRID:
         # pack ALL 16 Kaiser-Bessel window taps of every re/im channel
         # into one gather row: table row (v, u) holds F[(v+j)%G, (u+i)%G]
         # for k = i*4 + j — one row-16*2M gather per radial sample
@@ -367,13 +375,17 @@ def plan_arrays(plan: FourierProjectorPlan, view_shape):
 def fourier_paths_from_arrays(a, labels, meta_fp):
     """fourier_paths over the pytree layout of :func:`plan_arrays`.
 
-    meta_fp: (n_materials, n_theta, nt, grid, n_img, scale) static tuple.
+    meta_fp: (n_materials, n_theta, nt, grid, n_img, scale) static
+    tuple, optionally extended with a 7th ``packed_table`` bool (the
+    z-stack path sets False — see :func:`_radon_from_images`).
     """
-    n_mat, n_theta, nt, grid, n_img, scale = meta_fp
+    n_mat, n_theta, nt, grid, n_img, scale = meta_fp[:6]
+    packed_table = meta_fp[6] if len(meta_fp) > 6 else True
     radon = _radon_from_images(
         _onehot_images(labels, n_mat), a["fp_deapod"], a["fp_slice_idx"],
         a["fp_slice_w"], a["fp_phase_cos"], a["fp_phase_sin"], scale,
         n_theta=n_theta, nt=nt, grid=grid, n_img=n_img,
+        packed_table=packed_table,
     )
     fan_idx = a["fp_fan_idx"]  # [V, C*4]
     out_shape = (fan_idx.shape[0], fan_idx.shape[1] // 4, n_mat)

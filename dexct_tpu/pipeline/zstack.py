@@ -46,6 +46,11 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             raise ValueError("slices produced differing static meta")
         meta = m
         packs.append(a)
+    if meta.projector == "fourier" and len(meta.fp_meta) == 6:
+        # force the gather-based Fourier tap path: under the z-chunk
+        # lax.map the rolled-copy packed table materializes channel-minor
+        # (16 x 512 MB at 512² — OOM; see ops/fourier._radon_from_images)
+        meta = meta._replace(fp_meta=meta.fp_meta + (False,))
 
     arrays, in_axes = {}, {}
     for k in packs[0]:
