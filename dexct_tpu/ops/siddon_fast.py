@@ -469,6 +469,13 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
         return out
 
     n_groups = ny // 8
+    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    if group_block == 0:
+        # single fori over all groups: no scan peeling (XLA peels the
+        # first scan step, materializing its code gather in the wrong
+        # layout + a 17 ms relayout copy per dominant side)
+        return jax.lax.fori_loop(
+            0, n_groups, lambda g, a: a + group_contrib(g), acc0)
     block = max(1, min(group_block, n_groups))
     while n_groups % block:
         block -= 1
@@ -479,7 +486,6 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
 
         return jax.lax.fori_loop(0, block, one, acc), None
 
-    acc0 = jnp.zeros((n_rays, n_materials), dtype)
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
     return acc
 
