@@ -55,8 +55,8 @@ def main():
     s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
 
     t0 = time.time()
-    # headline = EXACT Siddon projector (8-row-group dominant-axis kernel):
-    # apples-to-apples with the reference's exact ray tracing
+    # headline = EXACT Siddon projector (16-row-group dominant-axis
+    # kernel): apples-to-apples with the reference's exact ray tracing
     arrays, meta = pack_dect(ct, ph, s1, s2, N_MATRIX, 50.0, 0.8,
                              n_iters=N_ITERS, projector="siddon_dominant",
                              recon="parallel")

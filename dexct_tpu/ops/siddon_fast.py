@@ -38,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH",
-           "pack_labels_2band", "pack_labels_rowwin8", "plan_dominant_split",
+           "pack_labels_2band", "pack_labels_rowwin8", "pack_labels_rowwin",
+           "pack_labels_rowwin16", "plan_dominant_split",
            "trace_paths_dominant"]
 
 PACK_WIDTH = 8
@@ -259,6 +260,55 @@ def pack_labels_rowwin8(labels):
     # [ny, nx, 2] -> [ny/8, 8, nx, 2] -> [ny/8, nx, 8, 2] -> [G*nx, 16]
     w = jnp.stack([w0, w1], -1).reshape(ny // 8, 8, nx, 2)
     return w.transpose(0, 2, 1, 3).reshape(ny // 8 * nx, 16)
+
+
+def _rowwin_words(group):
+    """int32 words per row for a ``group``-row window pack: the window
+    must cover the <= group+1-column span of a y-dominant ray across
+    ``group`` rows (6 labels of 5 bits per int32)."""
+    return -(-(group + 2) // 6)
+
+
+def pack_labels_rowwin(labels, group):
+    """[Ny, Nx] labels -> [Ny/group * Nx, group*W] int32 row-window codes.
+
+    Row ``g * Nx + a`` packs, for each of the ``group`` image rows
+    ``group * g + k``, the label window starting at column ``a`` into
+    ``W = ceil((group+2)/6)`` int32s: word ``[..., W k + w]`` holds
+    columns a+6w .. a+6w+5 (5 bits each, columns clamped at Nx-1).  A
+    y-dominant ray drifts at most one column per row, so one
+    row-``group*W`` gather at the group's min-column anchor serves all
+    ``group`` rows — the in-scan gather rate is set by gather COUNT,
+    not fetch width (CLAUDE.md), so doubling the group halves the trace
+    cost as long as the wider row still streams (measured through
+    row-48: group=16 beats group=8 by ~25% on the trace stage).
+    Ny must be a multiple of ``group``; labels must be < 32.
+    """
+    ny, nx = labels.shape
+    if ny % group:
+        raise ValueError(f"Ny must be a multiple of {group} for "
+                         "row-window packing")
+    W = _rowwin_words(group)
+    lab = labels.astype(jnp.int32)
+    cols = [lab]
+    for _ in range(6 * W - 1):
+        nxt = jnp.roll(cols[-1], -1, 1).at[:, -1].set(cols[-1][:, -1])
+        cols.append(nxt)
+    words = []
+    for w in range(W):
+        acc = jnp.zeros((ny, nx), jnp.int32)
+        for c in range(6):
+            acc = acc | (cols[6 * w + c] << (_LBITS * c))
+        words.append(acc)
+    # [ny,nx,W] -> [ny/g, g, nx, W] -> [ny/g, nx, g, W] -> [G*nx, g*W]
+    w = jnp.stack(words, -1).reshape(ny // group, group, nx, W)
+    return w.transpose(0, 2, 1, 3).reshape(ny // group * nx, group * W)
+
+
+def pack_labels_rowwin16(labels):
+    """[Ny, Nx] labels -> [Ny/16 * Nx, 48] int32 row-window codes
+    (:func:`pack_labels_rowwin` at group=16)."""
+    return pack_labels_rowwin(labels, 16)
 
 
 def plan_dominant_split(dirs, pad_to=1024):
@@ -490,6 +540,124 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
     return acc
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("labels_shape", "n_materials", "group", "group_block"),
+)
+def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
+                        n_materials, group, group_block=4):
+    """Exact paths for y-dominant rays via ``group``-row window marching.
+
+    One row-``group*W`` int32 gather per ray per ``group`` image rows:
+    the group's shared anchor is the min column over its row-bands, and
+    the 6W-column per-row windows in ``packed``
+    (:func:`pack_labels_rowwin`) cover the <= group+1-column drift of a
+    y-dominant ray across the group.  src/dirs: [R, 2].
+    """
+    W = _rowwin_words(group)
+    ny, nx = labels_shape
+    x0 = -0.5 * nx * dx
+    y0 = -0.5 * ny * dy
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    p = src.astype(dtype)
+    d = dirs.astype(dtype)
+    n_rays = p.shape[0]
+
+    px, py = p[:, 0], p[:, 1]
+    dxr, dyr = d[:, 0], d[:, 1]
+    okx = jnp.abs(dxr) > 1e-12
+    sdx = jnp.where(okx, dxr, 1.0)
+    sdy = dyr
+
+    tx_lo = (x0 - px) / sdx
+    tx_hi = (x0 + nx * dx - px) / sdx
+    inside_x = (px >= x0) & (px <= x0 + nx * dx)
+    txmin = jnp.where(okx, jnp.minimum(tx_lo, tx_hi),
+                      jnp.where(inside_x, -_BIG, _BIG))
+    txmax = jnp.where(okx, jnp.maximum(tx_lo, tx_hi),
+                      jnp.where(inside_x, _BIG, -_BIG))
+    t_lo_glob = jnp.maximum(txmin, 0.0)
+
+    inv_dx = 1.0 / dx
+
+    def subband(i_row):
+        y_lo = y0 + i_row * dy
+        ta = (y_lo - py) / sdy
+        tb = (y_lo + dy - py) / sdy
+        tA = jnp.maximum(jnp.minimum(ta, tb), t_lo_glob)
+        tB = jnp.minimum(jnp.maximum(ta, tb), txmax)
+        valid = tA < tB
+        tAc = jnp.where(valid, tA, 0.0)
+        tBc = jnp.where(valid, tB, 0.0)
+        xa = px + tAc * dxr
+        xb = px + tBc * dxr
+        ja = jnp.clip(jnp.floor((xa - x0) * inv_dx), 0, nx - 1)
+        jb = jnp.clip(jnp.floor((xb - x0) * inv_dx), 0, nx - 1)
+        return tAc, tBc, ja.astype(jnp.int32), jb.astype(jnp.int32), valid
+
+    def group_contrib(ig):
+        """Contribution of rows group*ig .. group*ig + group-1: [R, M]."""
+        rows = [subband(group * ig + k) for k in range(group)]
+        jm = jnp.full((n_rays,), nx, jnp.int32)
+        for tA, tB, ja, jb, valid in rows:
+            jm = jnp.minimum(jm, jnp.where(valid, jnp.minimum(ja, jb), nx))
+        anchor = jnp.clip(jm, 0, nx - 6 * W)
+        codes = packed[ig * nx + anchor]  # [R, g*W]: ONE gather per group
+
+        out = 0.0
+        for k, (tA, tB, ja, jb, valid) in enumerate(rows):
+            j_hi = jnp.maximum(ja, jb)
+            t_c = (x0 + j_hi * dx - px) / sdx
+            t_c = jnp.where(okx, jnp.clip(t_c, tA, tB), tA)
+            ws = [codes[:, W * k + w] for w in range(W)]
+
+            def lab_at(j):
+                # shifts on the non-selected words may be negative; the
+                # where() discards those lanes (same contract the 8-row
+                # kernel relies on)
+                rel = jnp.clip(j - anchor, 0, 6 * W - 1)
+                sel = ws[W - 1] >> (_LBITS * (rel - 6 * (W - 1)))
+                for w in range(W - 2, -1, -1):
+                    sel = jnp.where(rel <= 6 * w + 5,
+                                    ws[w] >> (_LBITS * (rel - 6 * w)), sel)
+                return sel & _LMASK
+
+            va = jnp.where(valid, t_c - tA, 0.0)
+            vb = jnp.where(valid, tB - t_c, 0.0)
+            out = out + va[:, None] * jax.nn.one_hot(
+                lab_at(ja), n_materials, dtype=dtype)
+            out = out + vb[:, None] * jax.nn.one_hot(
+                lab_at(jb), n_materials, dtype=dtype)
+        return out
+
+    n_groups = ny // group
+    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    if group_block == 0:
+        return jax.lax.fori_loop(
+            0, n_groups, lambda g, a: a + group_contrib(g), acc0)
+    block = max(1, min(group_block, n_groups))
+    while n_groups % block:
+        block -= 1
+
+    def step(acc, b):
+        def one(kk, a):
+            return a + group_contrib(b * block + kk)
+
+        return jax.lax.fori_loop(0, block, one, acc), None
+
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
+    return acc
+
+
+def _trace_dominant16(packed16, labels_shape, src, dirs, dx, dy, *,
+                      n_materials, group_block=4):
+    """:func:`_trace_dominant_grp` at group=16 (one row-48 int32 gather
+    per ray per 16 image rows)."""
+    return _trace_dominant_grp(packed16, labels_shape, src, dirs, dx, dy,
+                               n_materials=n_materials, group=16,
+                               group_block=group_block)
+
+
 def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
                          plan=None, group=8):
     """Exact Siddon paths via dominant-axis packed marching.
@@ -511,7 +679,11 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
 
     labels = jnp.asarray(labels)
     ny, nx = labels.shape
-    if group == 8 and ny % 8 == 0 and nx % 8 == 0 and nx >= 10:
+    if (group > 8 and ny % group == 0 and nx % group == 0
+            and nx >= 6 * _rowwin_words(group)):
+        pack = functools.partial(pack_labels_rowwin, group=group)
+        kern = functools.partial(_trace_dominant_grp, group=group)
+    elif group >= 8 and ny % 8 == 0 and nx % 8 == 0 and nx >= 10:
         pack, kern = pack_labels_rowwin8, _trace_dominant8
     else:
         pack, kern = pack_labels_2band, _trace_dominant

@@ -309,14 +309,28 @@ def pack_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     if projector == "siddon_dominant":
         import jax.numpy as jnp
 
-        from ..ops.siddon_fast import pack_labels_2band, pack_labels_rowwin8
+        import functools
+
+        from ..ops.siddon_fast import (_rowwin_words, pack_labels_2band,
+                                       pack_labels_rowwin,
+                                       pack_labels_rowwin8)
 
         idx_y, idx_x, inv, py, px, pad_factor = _dominant_plans_sharded(
             np.asarray(arrays["dirs"]), n_devices)
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
-        use_g8 = ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10
-        pack = pack_labels_rowwin8 if use_g8 else pack_labels_2band
+        trace_group = pack_kw.get("trace_group", 16)
+        if (trace_group > 8 and ny_l % trace_group == 0
+                and nx_l % trace_group == 0
+                and nx_l >= 6 * _rowwin_words(trace_group)):
+            grp = int(trace_group)
+            pack = functools.partial(pack_labels_rowwin, group=grp)
+        elif ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
+            grp = 8
+            pack = pack_labels_rowwin8
+        else:
+            grp = 2
+            pack = pack_labels_2band
         arrays.update({
             "dom_idx_y": jnp.asarray(idx_y),
             "dom_idx_x": jnp.asarray(idx_x),
@@ -325,6 +339,6 @@ def pack_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "dom_pack_x": pack(lab2d.T),
         })
         meta = meta._replace(projector="siddon_dominant",
-                             fp_meta=(py, px, bool(use_g8)))
+                             fp_meta=(py, px, int(grp)))
         plan.dominant_pad_factor = pad_factor
     return arrays, meta, plan

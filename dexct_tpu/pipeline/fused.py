@@ -67,7 +67,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               n_iters=50, window="sinc", dtype=jnp.float32,
               mask_thresh=0.95, pixel_block=65536, projector="siddon",
               n_theta=1024, recon="fan", recon_n_theta=512,
-              recon_nt=1024, noise="none", seed=0, par_sym=True):
+              recon_nt=1024, noise="none", seed=0, par_sym=True,
+              trace_group=16):
     """Lower the system model to (arrays, meta) for :func:`dect_step`.
 
     projector='fourier' selects the O(N^2 log N) Fourier-slice projector
@@ -117,7 +118,8 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # exact dominant-axis fast path; the ray partition is a global
         # static plan, so this projector is single-device only (the view
         # shards of shard_map would invalidate the indices)
-        from ..ops.siddon_fast import (pack_labels_2band,
+        from ..ops.siddon_fast import (_rowwin_words, pack_labels_2band,
+                                       pack_labels_rowwin,
                                        pack_labels_rowwin8,
                                        plan_dominant_split)
 
@@ -125,8 +127,17 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             np.asarray(dirs).reshape(-1, 2))
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
-        use_g8 = ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10
-        pack = pack_labels_rowwin8 if use_g8 else pack_labels_2band
+        if (trace_group > 8 and ny_l % trace_group == 0
+                and nx_l % trace_group == 0
+                and nx_l >= 6 * _rowwin_words(trace_group)):
+            grp = int(trace_group)
+            pack = functools.partial(pack_labels_rowwin, group=grp)
+        elif ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
+            grp = 8
+            pack = pack_labels_rowwin8
+        else:
+            grp = 2
+            pack = pack_labels_2band
         arrays.update({
             "dom_idx_y": jnp.asarray(idx_y),
             "dom_idx_x": jnp.asarray(idx_x),
@@ -136,7 +147,7 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "dom_pack_y": pack(lab2d),
             "dom_pack_x": pack(lab2d.T),
         })
-        fp_meta = (int(n_y), int(n_x), bool(use_g8))
+        fp_meta = (int(n_y), int(n_x), int(grp))
     elif projector == "analytic":
         from ..system.analytic import AnalyticPhantom
 
@@ -354,13 +365,17 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
                 "projector='siddon_dominant' under shard_map needs the "
                 "per-shard ray plans of parallel.halo.pack_dect_sharded"
             )
-        from ..ops.siddon_fast import _trace_dominant, _trace_dominant8
+        from ..ops.siddon_fast import (_trace_dominant, _trace_dominant8,
+                                       _trace_dominant_grp)
 
-        n_y, n_x, use_g8 = meta.fp_meta
+        n_y, n_x, grp = meta.fp_meta
         src2 = a["src"].reshape(-1, 2)
         dirs2 = a["dirs"].reshape(-1, 2)
         labels = a["labels"]
-        kern = _trace_dominant8 if use_g8 else _trace_dominant
+        if grp > 8:
+            kern = functools.partial(_trace_dominant_grp, group=int(grp))
+        else:
+            kern = _trace_dominant8 if grp == 8 else _trace_dominant
         out_y = kern(
             a["dom_pack_y"], labels.shape,
             src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]], meta.dx, meta.dy,

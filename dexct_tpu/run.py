@@ -46,7 +46,8 @@ def main(argv=None):
                    help="Gauss-Newton iterations (reference uses 50)")
     p.add_argument("--engine", choices=["fused", "composed"],
                    default="fused")
-    p.add_argument("--projector", choices=["fourier", "siddon"],
+    p.add_argument("--projector",
+                   choices=["fourier", "siddon", "siddon_dominant"],
                    default="fourier")
     p.add_argument("--recon", choices=["parallel", "fan"],
                    default="parallel")

@@ -122,8 +122,33 @@ def _build_spectrum(cfg):
     return spec
 
 
+_KNOWN_KEYS = frozenset({
+    "RUN_ID", "forward_project", "back_project",
+    "phantom_type", "phantom_id", "phantom_filename", "matcomp_filename",
+    "Nx", "Ny", "Nz", "dx", "dy", "dz", "z_index",
+    "scanner_geometry", "SID", "SDD", "N_channels", "N_projections",
+    "fan_angle_total", "rotation_angle_total", "detector_px_height",
+    "detector_mode", "detector_filename", "detector_width",
+    "spectrum_id", "spectrum_filename", "N_photons_per_cm2_per_scan",
+    "N_recon_matrix", "FOV_recon", "ramp_filter_percent_Nyquist",
+})
+
+
 def parse_config_dict(cfg):
-    """One JSON object -> RunConfig."""
+    """One JSON object -> RunConfig.
+
+    Missing keys take the reference protocol's defaults (params.txt);
+    unrecognized keys warn — a typo'd key (e.g. ``N_matrix`` for
+    ``N_recon_matrix``) would otherwise silently run at the default.
+    """
+    unknown = set(cfg) - _KNOWN_KEYS
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"unrecognized config keys (typo?): {sorted(unknown)}",
+            stacklevel=2,
+        )
     return RunConfig(
         run_id=str(cfg.get("RUN_ID", "run")),
         do_forward_projection=bool(cfg.get("forward_project", True)),

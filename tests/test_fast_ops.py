@@ -112,6 +112,28 @@ class TestDominantAxisSiddon:
         dda = np.asarray(material_path_sinogram(ph, ct))
         np.testing.assert_allclose(got, dda, atol=2e-3)
 
+    @pytest.mark.parametrize("group", [16, 32])
+    def test_wide_groups_match_group8(self, group):
+        # the generic group-row kernel (one row-(group*W) int32 gather
+        # per ray per `group` rows) must be bit-identical to the tuned
+        # 8-row kernel — same subband math, same addition order
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        rng = np.random.default_rng(7)
+        labels = rng.integers(0, 6, (64, 64)).astype(np.int32)
+        n = 500
+        ang = rng.uniform(0, 2 * np.pi, n)
+        src = 40.0 * np.stack([np.cos(ang), np.sin(ang)], -1)
+        tgt = rng.uniform(-3.0, 3.0, (n, 2))
+        d = tgt - src
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        args = (jnp.asarray(labels), jnp.asarray(src, jnp.float32),
+                jnp.asarray(d, jnp.float32), 0.21, 0.21)
+        g8 = np.asarray(trace_paths_dominant(*args, n_materials=6, group=8))
+        gx = np.asarray(trace_paths_dominant(*args, n_materials=6,
+                                             group=group))
+        np.testing.assert_array_equal(gx, g8)
+
     def test_axis_aligned_rays(self):
         from dexct_tpu.ops.siddon_fast import trace_paths_dominant
 
