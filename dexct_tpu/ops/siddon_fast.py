@@ -262,43 +262,59 @@ def pack_labels_rowwin8(labels):
     return w.transpose(0, 2, 1, 3).reshape(ny // 8 * nx, 16)
 
 
-def _rowwin_words(group):
+def _rowwin_cols_per_word(lbits):
+    return 30 // lbits  # labels per int32 (5 bits -> 6; 3 bits -> 10)
+
+
+def rowwin_lbits(n_materials):
+    """Label bit width for the row-window packs: 3 bits when the label
+    set fits (n_materials <= 8 — the PACK_WIDTH regime every fast path
+    already requires), else 5.  Pack and trace sites derive this from
+    the SAME n_materials so the layouts always agree."""
+    return 3 if n_materials <= 8 else 5
+
+
+def _rowwin_words(group, lbits=5):
     """int32 words per row for a ``group``-row window pack: the window
     must cover the <= group+1-column span of a y-dominant ray across
-    ``group`` rows (6 labels of 5 bits per int32)."""
-    return -(-(group + 2) // 6)
+    ``group`` rows (30//lbits labels per int32)."""
+    return -(-(group + 2) // _rowwin_cols_per_word(lbits))
 
 
-def pack_labels_rowwin(labels, group):
+def pack_labels_rowwin(labels, group, lbits=5):
     """[Ny, Nx] labels -> [Ny/group * Nx, group*W] int32 row-window codes.
 
     Row ``g * Nx + a`` packs, for each of the ``group`` image rows
     ``group * g + k``, the label window starting at column ``a`` into
-    ``W = ceil((group+2)/6)`` int32s: word ``[..., W k + w]`` holds
-    columns a+6w .. a+6w+5 (5 bits each, columns clamped at Nx-1).  A
-    y-dominant ray drifts at most one column per row, so one
-    row-``group*W`` gather at the group's min-column anchor serves all
-    ``group`` rows — the in-scan gather rate is set by gather COUNT,
-    not fetch width (CLAUDE.md), so doubling the group halves the trace
-    cost as long as the wider row still streams (measured through
-    row-48: group=16 beats group=8 by ~25% on the trace stage).
-    Ny must be a multiple of ``group``; labels must be < 32.
+    ``W = ceil((group+2)/cpw)`` int32s (``cpw = 30 // lbits`` labels per
+    word): word ``[..., W k + w]`` holds columns a+cpw*w .. a+cpw*w+cpw-1
+    (``lbits`` bits each, columns clamped at Nx-1).  A y-dominant ray
+    drifts at most one column per row, so one row-``group*W`` gather at
+    the group's min-column anchor serves all ``group`` rows — the
+    in-scan gather rate is set by gather COUNT, not fetch width
+    (CLAUDE.md), so doubling the group halves the trace cost as long as
+    the wider row still streams (measured through row-48: group=16
+    beats group=8 by ~25% on the trace stage; row-192 falls off the
+    width cliff).  ``lbits=3`` (labels < 8 — the PACK_WIDTH regime)
+    packs 10 columns per word, keeping wide groups under the cliff.
+    Ny must be a multiple of ``group``; labels must be < 2**lbits.
     """
     ny, nx = labels.shape
     if ny % group:
         raise ValueError(f"Ny must be a multiple of {group} for "
                          "row-window packing")
-    W = _rowwin_words(group)
+    cpw = _rowwin_cols_per_word(lbits)
+    W = _rowwin_words(group, lbits)
     lab = labels.astype(jnp.int32)
     cols = [lab]
-    for _ in range(6 * W - 1):
+    for _ in range(cpw * W - 1):
         nxt = jnp.roll(cols[-1], -1, 1).at[:, -1].set(cols[-1][:, -1])
         cols.append(nxt)
     words = []
     for w in range(W):
         acc = jnp.zeros((ny, nx), jnp.int32)
-        for c in range(6):
-            acc = acc | (cols[6 * w + c] << (_LBITS * c))
+        for c in range(cpw):
+            acc = acc | (cols[cpw * w + c] << (lbits * c))
         words.append(acc)
     # [ny,nx,W] -> [ny/g, g, nx, W] -> [ny/g, nx, g, W] -> [G*nx, g*W]
     w = jnp.stack(words, -1).reshape(ny // group, group, nx, W)
@@ -542,19 +558,23 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("labels_shape", "n_materials", "group", "group_block"),
+    static_argnames=("labels_shape", "n_materials", "group", "lbits",
+                     "group_block"),
 )
 def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
-                        n_materials, group, group_block=4):
+                        n_materials, group, lbits=5, group_block=4):
     """Exact paths for y-dominant rays via ``group``-row window marching.
 
     One row-``group*W`` int32 gather per ray per ``group`` image rows:
     the group's shared anchor is the min column over its row-bands, and
-    the 6W-column per-row windows in ``packed``
-    (:func:`pack_labels_rowwin`) cover the <= group+1-column drift of a
-    y-dominant ray across the group.  src/dirs: [R, 2].
+    the cpw*W-column per-row windows in ``packed``
+    (:func:`pack_labels_rowwin`, same ``lbits``) cover the
+    <= group+1-column drift of a y-dominant ray across the group.
+    src/dirs: [R, 2].
     """
-    W = _rowwin_words(group)
+    cpw = _rowwin_cols_per_word(lbits)
+    W = _rowwin_words(group, lbits)
+    lmask = (1 << lbits) - 1
     ny, nx = labels_shape
     x0 = -0.5 * nx * dx
     y0 = -0.5 * ny * dy
@@ -601,7 +621,7 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
         jm = jnp.full((n_rays,), nx, jnp.int32)
         for tA, tB, ja, jb, valid in rows:
             jm = jnp.minimum(jm, jnp.where(valid, jnp.minimum(ja, jb), nx))
-        anchor = jnp.clip(jm, 0, nx - 6 * W)
+        anchor = jnp.clip(jm, 0, nx - cpw * W)
         codes = packed[ig * nx + anchor]  # [R, g*W]: ONE gather per group
 
         out = 0.0
@@ -615,12 +635,12 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
                 # shifts on the non-selected words may be negative; the
                 # where() discards those lanes (same contract the 8-row
                 # kernel relies on)
-                rel = jnp.clip(j - anchor, 0, 6 * W - 1)
-                sel = ws[W - 1] >> (_LBITS * (rel - 6 * (W - 1)))
+                rel = jnp.clip(j - anchor, 0, cpw * W - 1)
+                sel = ws[W - 1] >> (lbits * (rel - cpw * (W - 1)))
                 for w in range(W - 2, -1, -1):
-                    sel = jnp.where(rel <= 6 * w + 5,
-                                    ws[w] >> (_LBITS * (rel - 6 * w)), sel)
-                return sel & _LMASK
+                    sel = jnp.where(rel <= cpw * w + cpw - 1,
+                                    ws[w] >> (lbits * (rel - cpw * w)), sel)
+                return sel & lmask
 
             va = jnp.where(valid, t_c - tA, 0.0)
             vb = jnp.where(valid, tB - t_c, 0.0)
@@ -679,10 +699,11 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
 
     labels = jnp.asarray(labels)
     ny, nx = labels.shape
-    if (group > 8 and ny % group == 0 and nx % group == 0
-            and nx >= 6 * _rowwin_words(group)):
-        pack = functools.partial(pack_labels_rowwin, group=group)
-        kern = functools.partial(_trace_dominant_grp, group=group)
+    lb = rowwin_lbits(n_materials)
+    win = _rowwin_cols_per_word(lb) * _rowwin_words(group, lb)
+    if group > 8 and ny % group == 0 and nx % group == 0 and nx >= win:
+        pack = functools.partial(pack_labels_rowwin, group=group, lbits=lb)
+        kern = functools.partial(_trace_dominant_grp, group=group, lbits=lb)
     elif group >= 8 and ny % 8 == 0 and nx % 8 == 0 and nx >= 10:
         pack, kern = pack_labels_rowwin8, _trace_dominant8
     else:

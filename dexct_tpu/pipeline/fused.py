@@ -118,20 +118,22 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # exact dominant-axis fast path; the ray partition is a global
         # static plan, so this projector is single-device only (the view
         # shards of shard_map would invalidate the indices)
-        from ..ops.siddon_fast import (_rowwin_words, pack_labels_2band,
+        from ..ops.siddon_fast import (_rowwin_cols_per_word, _rowwin_words,
+                                       pack_labels_2band,
                                        pack_labels_rowwin,
                                        pack_labels_rowwin8,
-                                       plan_dominant_split)
+                                       plan_dominant_split, rowwin_lbits)
 
         idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
             np.asarray(dirs).reshape(-1, 2))
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
+        lb = rowwin_lbits(phantom.n_materials)
+        win = _rowwin_cols_per_word(lb) * _rowwin_words(trace_group, lb)
         if (trace_group > 8 and ny_l % trace_group == 0
-                and nx_l % trace_group == 0
-                and nx_l >= 6 * _rowwin_words(trace_group)):
+                and nx_l % trace_group == 0 and nx_l >= win):
             grp = int(trace_group)
-            pack = functools.partial(pack_labels_rowwin, group=grp)
+            pack = functools.partial(pack_labels_rowwin, group=grp, lbits=lb)
         elif ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
             grp = 8
             pack = pack_labels_rowwin8
@@ -373,7 +375,10 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         dirs2 = a["dirs"].reshape(-1, 2)
         labels = a["labels"]
         if grp > 8:
-            kern = functools.partial(_trace_dominant_grp, group=int(grp))
+            from ..ops.siddon_fast import rowwin_lbits
+
+            kern = functools.partial(_trace_dominant_grp, group=int(grp),
+                                     lbits=rowwin_lbits(meta.n_materials))
         else:
             kern = _trace_dominant8 if grp == 8 else _trace_dominant
         out_y = kern(
