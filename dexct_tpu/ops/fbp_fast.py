@@ -369,6 +369,7 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
     # bound the per-block gather working set (view_block * P rows of 4K
     # floats each) to ~1.7 GB — large matrices otherwise OOM at trace
     view_block = max(8, min(view_block, (13 << 20) // max(P, 1)))
+    view_block = min(view_block, max(-(-v2 // 8) * 8, 8))
     n_blocks = -(-v2 // view_block)
     pad = n_blocks * view_block - v2
     thp = jnp.pad(thetas_half.astype(dtype), (0, pad))
@@ -492,6 +493,7 @@ def parallel_backproject_sym2(packed, n_images, thetas, t0, dt, nt,
     valid = jnp.asarray(valid_np, dtype)
 
     view_block = max(8, min(view_block, (13 << 20) // max(P, 1)))
+    view_block = min(view_block, max(-(-v // 8) * 8, 8))
     n_blocks = -(-v // view_block)
     pad = n_blocks * view_block - v
     thp = jnp.pad(thetas.astype(dtype), (0, pad))
@@ -635,6 +637,7 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
     # bound the per-block gather working set (view_block * P rows of 8K
     # floats each) to ~1.7 GB — 1024^2 reconstructions otherwise OOM
     view_block = max(8, min(view_block, (7 << 20) // max(P, 1)))
+    view_block = min(view_block, max(-(-vq // 8) * 8, 8))
     n_blocks = -(-vq // view_block)
     pad = n_blocks * view_block - vq
     thp = jnp.pad(thetas_q.astype(dtype), (0, pad))
