@@ -187,7 +187,15 @@ def rebin_to_parallel(sinos, idx, w, nt):
     k = sinos.shape[0]
     n_theta = idx.size // (8 * nt)
     table = sinos.reshape(k, -1).T  # [V*C, K]
-    rows = table[idx.reshape(-1)].reshape(-1, 8, k)
+    # the 8 taps come in (j, j+1) channel-adjacent pairs (fan_taps emits
+    # ig0/ig0+1 for each of the 4 (view, copy) combinations) — pack
+    # q[j], q[j+1] into one row so each pair is ONE row-2K gather:
+    # 4 gathers per parallel bin instead of 8 (gather COUNT sets the
+    # rate at these widths, CLAUDE.md)
+    pair_tab = jnp.concatenate([table, jnp.roll(table, -1, axis=0)],
+                               axis=1)  # [V*C, 2K]
+    starts = idx.reshape(-1, 8)[:, 0::2].reshape(-1)
+    rows = pair_tab[starts].reshape(-1, 8, k)
     vals = jnp.einsum("rt,rtk->rk", w.reshape(-1, 8), rows,
                      precision=jax.lax.Precision.HIGHEST)
     return vals.T.reshape(k, n_theta, nt)

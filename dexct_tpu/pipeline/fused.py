@@ -347,7 +347,8 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     from ..ops.fbp import hu_image
 
     a = arrays
-    unperm = lambda x: x  # noqa: E731  (overridden by siddon_dominant)
+    unperm_all = lambda *xs: xs  # noqa: E731  (siddon_dominant overrides
+    #                                  with the inverse ray-plan permute)
     if meta.projector == "fourier":
         # O(N^2 log N) Fourier-slice projector (ops/fourier.py)
         from ..ops.fourier import fourier_paths_from_arrays
@@ -401,24 +402,33 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         inv = a["dom_inv"]
         shape_vc = a["src"].shape[:-1]
         paths = cat
-        unperm = lambda x: x[inv].reshape(shape_vc)  # noqa: E731
+
+        def unperm_all(*xs):
+            # one row-len(xs) gather instead of len(xs) scalar gathers:
+            # gather COUNT sets the rate at these widths (CLAUDE.md)
+            packed = jnp.stack(xs, axis=-1)[inv]
+            return tuple(packed[..., i].reshape(shape_vc)
+                         for i in range(len(xs)))
     else:
         # Exact Siddon DDA: gather-rate bound (~1.4e8 gathers/s on this
         # chip); one scalar gather per traversal step
         paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
                             meta.dy, n_materials=meta.n_materials)
 
-    counts1 = unperm(sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"]))
-    counts2 = unperm(sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"]))
+    c1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
+    c2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])
     if meta.noise != "none":
         key = a["noise_key"]
         if axis_name is not None:  # distinct noise per view shard
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k1, k2 = jax.random.split(key)
-        v1 = unperm(sp_ops.counts_from_paths(paths, a["mu_t1"], a["i2_1"]))
-        v2 = unperm(sp_ops.counts_from_paths(paths, a["mu_t2"], a["i2_2"]))
+        v1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i2_1"])
+        v2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i2_2"])
+        counts1, counts2, v1, v2 = unperm_all(c1, c2, v1, v2)
         counts1 = sp_ops.sample_noise(k1, counts1, meta.noise, var=v1)
         counts2 = sp_ops.sample_noise(k2, counts2, meta.noise, var=v2)
+    else:
+        counts1, counts2 = unperm_all(c1, c2)
     log1 = sp_ops.log_sinogram(counts1, meta.air1)
     log2 = sp_ops.log_sinogram(counts2, meta.air2)
 
