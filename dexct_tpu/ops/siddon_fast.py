@@ -690,6 +690,11 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
     ``plan`` (from :func:`plan_dominant_split` on the flattened dirs) is
     rebuilt when omitted.
     """
+    if n_materials > 31:
+        raise ValueError(
+            "dominant-axis packed tracing supports < 32 material labels "
+            f"(got {n_materials}); use ops.siddon.trace_paths"
+        )
     batch_shape = src.shape[:-1]
     src2 = src.reshape(-1, 2)
     dirs2 = dirs.reshape(-1, 2)

@@ -124,6 +124,12 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                                        pack_labels_rowwin8,
                                        plan_dominant_split, rowwin_lbits)
 
+        if phantom.n_materials > 31:
+            raise ValueError(
+                "projector='siddon_dominant' packs labels in 5 bits "
+                f"(< 32 materials; got {phantom.n_materials}); use "
+                "projector='siddon'"
+            )
         idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
             np.asarray(dirs).reshape(-1, 2))
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))

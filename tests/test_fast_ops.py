@@ -112,6 +112,16 @@ class TestDominantAxisSiddon:
         dda = np.asarray(material_path_sinogram(ph, ct))
         np.testing.assert_allclose(got, dda, atol=2e-3)
 
+    def test_too_many_materials_rejected(self):
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        with pytest.raises(ValueError, match="32 material"):
+            trace_paths_dominant(
+                jnp.zeros((16, 16), jnp.int32),
+                jnp.zeros((4, 2), jnp.float32),
+                jnp.asarray([[0.0, 1.0]] * 4, jnp.float32),
+                1.0, 1.0, n_materials=40)
+
     @pytest.mark.parametrize("group", [16, 32])
     def test_wide_groups_match_group8(self, group):
         # the generic group-row kernel (one row-(group*W) int32 gather
