@@ -1,0 +1,309 @@
+"""Circular cone-beam projection and FDK reconstruction (3-D extension).
+
+The reference is strictly 2-D slice-based (``z_index`` selects one slice,
+/root/reference/plots.py:124-126, params.txt:16); this module extends the
+framework to true 3-D acquisition over a circular source trajectory:
+
+* :func:`trace_paths_3d` — the exact 3-D Siddon DDA, the direct
+  generalization of :mod:`dexct_tpu.ops.siddon`: a bounded
+  ``Nx+Ny+Nz+2``-step ``lax.scan`` vmapped over rays, one scalar gather
+  per traversal step, per-*material* path accumulation so the energy
+  axis stays MXU matmuls (:mod:`dexct_tpu.ops.spectral`).
+* :func:`cone_material_paths` / :func:`cone_sinogram` — host wrappers
+  deriving the ray grid from
+  :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`.
+* :func:`fdk_reconstruct` — Feldkamp-Davis-Kress filtered backprojection
+  for the cylindrical-detector geometry: row-wise fan pre-weighting
+  ``cos(gamma) * SID/sqrt(SID^2 + z_iso^2)``, the shared sinc-windowed
+  ramp along channels, and a voxel-driven backprojection with bilinear
+  (channel, row) detector interpolation and the ``1/h^2``
+  source-distance weight.  The central slice of an FDK volume equals
+  the 2-D equiangular fan FBP of the central row exactly (the geometry
+  guarantees it; the tests pin it).
+
+TPU shape notes: the backprojection shares one in-plane (gamma, h)
+computation across all z-slices of a view block and packs the two
+channel taps of both detector rows into one row-4 gather per (voxel,
+view) — the same gather-count discipline as :mod:`ops/fbp_fast`
+(CLAUDE.md: gather COUNT, not fetch width, sets the rate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["trace_paths_3d", "cone_material_paths", "cone_sinogram",
+           "fdk_reconstruct"]
+
+_BIG = 1e30
+
+
+@functools.partial(jax.jit, static_argnames=("n_materials", "n_steps"))
+def trace_paths_3d(labels, src, dirs, dx, dy, dz, *, n_materials,
+                   n_steps=None):
+    """Exact per-material radiological paths for 3-D rays.
+
+    Parameters
+    ----------
+    labels : int array [Nz, Ny, Nx] — material label per voxel.
+    src, dirs : float arrays [..., 3] — origins / unit directions (x,y,z).
+    dx, dy, dz : voxel sizes [cm].  The grid is centered on the origin.
+    n_materials : static — number of material labels.
+    n_steps : static — trip count; default Nx+Ny+Nz+2 (exact bound on
+        the number of voxels a 3-D ray can cross).
+
+    Returns ``paths [..., n_materials]``; ``paths.sum(-1)`` is the
+    in-grid chord length.
+    """
+    nz, ny, nx = labels.shape
+    k = n_steps if n_steps is not None else nx + ny + nz + 2
+    dtype = jnp.result_type(src.dtype, jnp.float32)
+    flat_labels = labels.reshape(-1).astype(jnp.int32)
+
+    batch_shape = src.shape[:-1]
+    p = src.reshape(-1, 3).astype(dtype)
+    d = dirs.reshape(-1, 3).astype(dtype)
+    n_rays = p.shape[0]
+
+    g0 = (-0.5 * nx * dx, -0.5 * ny * dy, -0.5 * nz * dz)
+    cells = (dx, dy, dz)
+    dims = (nx, ny, nz)
+
+    def axis_setup(i):
+        pi, di = p[:, i], d[:, i]
+        ok = jnp.abs(di) > 1e-12
+        safe = jnp.where(ok, di, 1.0)
+        t_lo = (g0[i] - pi) / safe
+        t_hi = (g0[i] + dims[i] * cells[i] - pi) / safe
+        inside = (pi >= g0[i]) & (pi <= g0[i] + dims[i] * cells[i])
+        tmin = jnp.where(ok, jnp.minimum(t_lo, t_hi),
+                         jnp.where(inside, -_BIG, _BIG))
+        tmax = jnp.where(ok, jnp.maximum(t_lo, t_hi),
+                         jnp.where(inside, _BIG, -_BIG))
+        return ok, safe, tmin, tmax
+
+    setup = [axis_setup(i) for i in range(3)]
+    t_in = jnp.maximum(
+        jnp.maximum(setup[0][2], jnp.maximum(setup[1][2], setup[2][2])), 0.0)
+    t_out = jnp.minimum(setup[0][3], jnp.minimum(setup[1][3], setup[2][3]))
+    hit = t_in < t_out
+    t_out = jnp.where(hit, t_out, t_in)
+
+    eps = 1e-6 * (dx + dy + dz)
+
+    def cell_and_crossing(i):
+        pi, di = p[:, i], d[:, i]
+        ok, safe, _, _ = setup[i]
+        e = pi + (t_in + eps) * di
+        idx = jnp.clip(jnp.floor((e - g0[i]) / cells[i]),
+                       0, dims[i] - 1).astype(jnp.int32)
+        plane = g0[i] + (idx + (di > 0)) * cells[i]
+        t_next = jnp.where(ok, (plane - pi) / safe, _BIG).astype(dtype)
+        dt = jnp.where(ok, cells[i] / jnp.abs(safe), _BIG).astype(dtype)
+        step = jnp.where(ok, jnp.sign(di), 0.0).astype(jnp.int32)
+        return idx, t_next, dt, step
+
+    (ix, tnx, dtx, sx) = cell_and_crossing(0)
+    (iy, tny, dty, sy) = cell_and_crossing(1)
+    (iz, tnz, dtz, sz) = cell_and_crossing(2)
+
+    acc = jnp.zeros((n_rays, n_materials), dtype)
+    t0 = t_in.astype(dtype)
+    t_outc = t_out.astype(dtype)
+
+    def step(carry, _):
+        t, ix, iy, iz, tnx, tny, tnz, acc = carry
+        t_min = jnp.minimum(jnp.minimum(tnx, tny), tnz)
+        t_next = jnp.maximum(jnp.minimum(t_min, t_outc), t)
+        seg = t_next - t
+        lab = flat_labels[(iz * ny + iy) * nx + ix]
+        acc = acc + seg[:, None] * jax.nn.one_hot(lab, n_materials,
+                                                  dtype=dtype)
+        # advance the axis whose crossing is nearest (ties: x, then y)
+        take_x = tnx <= jnp.minimum(tny, tnz)
+        take_y = (~take_x) & (tny <= tnz)
+        take_z = ~(take_x | take_y)
+        ix = jnp.clip(jnp.where(take_x, ix + sx, ix), 0, nx - 1)
+        iy = jnp.clip(jnp.where(take_y, iy + sy, iy), 0, ny - 1)
+        iz = jnp.clip(jnp.where(take_z, iz + sz, iz), 0, nz - 1)
+        tnx = jnp.where(take_x, tnx + dtx, tnx)
+        tny = jnp.where(take_y, tny + dty, tny)
+        tnz = jnp.where(take_z, tnz + dtz, tnz)
+        return (t_next, ix, iy, iz, tnx, tny, tnz, acc), None
+
+    (_, _, _, _, _, _, _, acc), _ = jax.lax.scan(
+        step, (t0, ix, iy, iz, tnx, tny, tnz, acc), None, length=k)
+    return acc.reshape(*batch_shape, n_materials)
+
+
+def cone_material_paths(phantom, geometry, *, dtype=jnp.float32,
+                        view_block=None):
+    """[N_proj, N_rows, N_channels, n_materials] exact cone-beam paths.
+
+    ``view_block`` bounds device memory: views trace in ``lax.map``
+    chunks of that many (default: all at once below 2e7 rays).
+    """
+    src, dirs = geometry.ray_geometry_3d()
+    labels = jnp.asarray(np.asarray(phantom.labels).astype(np.int32))
+    V = src.shape[0]
+    n_rays = int(np.prod(src.shape[:-1]))
+    if view_block is None:
+        view_block = V if n_rays <= int(2e7) else max(1, V // 8)
+    src = jnp.asarray(src, dtype)
+    dirs = jnp.asarray(dirs, dtype)
+    if view_block >= V:
+        return trace_paths_3d(labels, src, dirs, phantom.dx, phantom.dy,
+                              phantom.dz, n_materials=phantom.n_materials)
+    while V % view_block:
+        view_block -= 1
+    sb = src.reshape(V // view_block, view_block, *src.shape[1:])
+    db = dirs.reshape(V // view_block, view_block, *dirs.shape[1:])
+    out = jax.lax.map(
+        lambda ab: trace_paths_3d(labels, ab[0], ab[1], phantom.dx,
+                                  phantom.dy, phantom.dz,
+                                  n_materials=phantom.n_materials),
+        (sb, db))
+    return out.reshape(V, *src.shape[1:-1], phantom.n_materials)
+
+
+def cone_sinogram(phantom, geometry, spectrum, *, dtype=jnp.float32,
+                  view_block=None):
+    """Polyenergetic cone-beam acquisition -> (counts, log sinogram).
+
+    Mirrors the 2-D ``get_sino`` contract (/root/reference/main.py:120)
+    with an extra detector-row axis: both outputs are
+    [N_proj, N_rows, N_channels].
+    """
+    from . import spectral as sp_ops
+
+    paths = cone_material_paths(phantom, geometry, dtype=dtype,
+                                view_block=view_block)
+    mu_t = jnp.asarray(phantom.materials.mu_table(spectrum.E), dtype)
+    i0 = sp_ops.effective_fluence(spectrum, geometry)
+    counts = sp_ops.counts_from_paths(paths, mu_t, jnp.asarray(i0, dtype))
+    sino_log = sp_ops.log_sinogram(counts, float(np.sum(i0)))
+    return counts, sino_log
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+)
+def _fdk_backproject(q, betas, sid, dgamma, row_h, n_rows, n_matrix,
+                     nz_out, fov, dz_out, dbeta, *, view_block=8):
+    """Voxel-driven FDK backprojection of filtered data q [V, R, C]."""
+    V, R, C = q.shape
+    dtype = q.dtype
+    N = n_matrix
+    px_size = fov / N
+    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)
+    in_circle = np.hypot(XX, YY) <= fov / 2.0
+    sel = np.nonzero(in_circle.reshape(-1))[0]
+    P = len(sel)
+    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
+    zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
+                     dtype)  # [Z]
+
+    # pack channel-adjacent taps of both bracketing rows into one row-4
+    # gather: q2[v, r, c] = (q[v,r,c], q[v,r,c+1], q[v,r+1,c], q[v,r+1,c+1])
+    q_c1 = jnp.concatenate([q[..., 1:], q[..., -1:]], -1)
+    q_r1 = jnp.concatenate([q[:, 1:], q[:, -1:]], 1)
+    q_r1c1 = jnp.concatenate([q_r1[..., 1:], q_r1[..., -1:]], -1)
+    packed = jnp.stack([q, q_c1, q_r1, q_r1c1], -1).reshape(V, R * C, 4)
+
+    vb = max(1, min(view_block, V))
+    while V % vb:
+        vb -= 1
+    bb = betas.reshape(V // vb, vb)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    def block(acc, args):
+        beta, vo = args
+        cb, sb = jnp.cos(beta), jnp.sin(beta)  # [vb]
+        # in-plane geometry shared by every z-slice; the gamma convention
+        # matches ops/fbp.fan_backproject (atan2(-vt, -vr)) exactly so the
+        # central slice reproduces the 2-D fan reconstruction
+        ell = sid - (X[None, :] * cb[:, None] + Y[None, :] * sb[:, None])
+        vt = -X[None, :] * sb[:, None] + Y[None, :] * cb[:, None]
+        gam = jnp.arctan2(-vt, ell)  # [vb, P]
+        h2 = ell * ell + vt * vt
+        inv_h = jax.lax.rsqrt(h2)
+        cidx = gam / dgamma - 0.5 + C / 2.0
+        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
+        fc = jnp.clip(cidx - c0, 0.0, 1.0)
+        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
+        w_amp = w_in / h2  # 1/L^2 distance weight (ops/fbp.py convention)
+        voff_b = vo
+        packed_flat = packed.reshape(V * R * C, 4)
+
+        def one_slice(z):
+            zt = z * sid * inv_h  # detector row coord at isocenter scale
+            ridx = zt / row_h - 0.5 + R / 2.0
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
+            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
+            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
+            val = top * (1 - fr) + bot * fr
+            return jnp.sum(val * w_amp * w_z, axis=0)  # [P]
+
+        return acc + jax.vmap(one_slice)(zc), None
+
+    acc0 = jnp.zeros((nz_out, P), dtype)
+    acc, _ = jax.lax.scan(block, acc0, (bb, voff))
+    vol = jnp.zeros((nz_out, N * N), dtype)
+    vol = vol.at[:, jnp.asarray(sel)].set(acc * dbeta)
+    return vol.reshape(nz_out, N, N)
+
+
+def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
+                    nz_out=None, dz_out=None, window="sinc",
+                    view_block=8):
+    """FDK cone-beam reconstruction -> volume [nz_out, N, N] in cm^-1.
+
+    ``sino_log``: [N_proj, N_rows, N_channels] line-integral data from
+    :func:`cone_sinogram`.  Row pitch/count come from ``geometry``
+    (:class:`~dexct_tpu.system.geometry.ConeBeamGeometry`); the output
+    z-grid defaults to one slice per detector row at isocenter pitch.
+    The filter is the shared sinc-windowed ramp
+    (:mod:`dexct_tpu.ops.filters`) applied along channels per
+    (view, row), after the FDK cone pre-weight.
+    """
+    from .filters import filter_frequency_response
+
+    ct = geometry
+    V, R, C = sino_log.shape
+    if R != ct.N_rows:
+        raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
+    nz = R if nz_out is None else int(nz_out)
+    dz = float(ct.h_iso if dz_out is None else dz_out)
+    dtype = jnp.result_type(sino_log.dtype, jnp.float32)
+
+    # FDK pre-weight: the 2-D fan weighting cos(gamma) * SID
+    # (ops/fbp.filter_sinogram) times the cone factor cos(kappa) =
+    # SID/sqrt(SID^2 + z_iso^2); filter/scale conventions identical to
+    # the fan path so the central slice matches it exactly
+    cosg = np.cos(ct.gammas)  # [C]
+    cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)  # [R]
+    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
+
+    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
+    pw = sino_log.astype(dtype) * w[None]
+    spec = jnp.fft.rfft(pw, n=m, axis=-1)
+    q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                      axis=-1)[..., :C] * ct.dgamma
+
+    betas = jnp.asarray(ct.betas, dtype)
+    return _fdk_backproject(
+        q, betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
+        int(R), int(n_matrix), int(nz), float(fov), dz,
+        float(ct.rotation_total / V), view_block=int(view_block))

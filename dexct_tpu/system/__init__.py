@@ -1,7 +1,13 @@
 """System models: scanner geometry, voxel phantoms, run configuration."""
 
 from .config import RunConfig, read_parameter_file
-from .geometry import FanBeamGeometry, GEOMETRY_REGISTRY, ParallelBeamGeometry, ScannerGeometry
+from .geometry import (
+    ConeBeamGeometry,
+    FanBeamGeometry,
+    GEOMETRY_REGISTRY,
+    ParallelBeamGeometry,
+    ScannerGeometry,
+)
 from .phantom import (
     VoxelPhantom,
     contrast_rods_phantom,
@@ -15,6 +21,7 @@ __all__ = [
     "ScannerGeometry",
     "FanBeamGeometry",
     "ParallelBeamGeometry",
+    "ConeBeamGeometry",
     "GEOMETRY_REGISTRY",
     "VoxelPhantom",
     "water_cylinder_phantom",

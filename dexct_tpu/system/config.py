@@ -82,13 +82,15 @@ def _build_geometry(cfg):
         detector_file=(None if _na(cfg.get("detector_filename"))
                        else cfg.get("detector_filename")),
     )
-    if kind == "fan_beam":
-        return GEOMETRY_REGISTRY[kind](
+    if kind in ("fan_beam", "cone_beam"):
+        kw = dict(
             SID=float(cfg.get("SID", 60.0)),
             SDD=float(cfg.get("SDD", 100.0)),
             gamma_fan=float(cfg.get("fan_angle_total", 0.8230337)),
-            **common,
         )
+        if kind == "cone_beam":
+            kw["N_rows"] = int(cfg.get("N_rows", 16))
+        return GEOMETRY_REGISTRY[kind](**kw, **common)
     return GEOMETRY_REGISTRY[kind](
         detector_width=float(cfg.get("detector_width", 50.0)), **common
     )
@@ -127,6 +129,7 @@ _KNOWN_KEYS = frozenset({
     "phantom_type", "phantom_id", "phantom_filename", "matcomp_filename",
     "Nx", "Ny", "Nz", "dx", "dy", "dz", "z_index",
     "scanner_geometry", "SID", "SDD", "N_channels", "N_projections",
+    "N_rows",
     "fan_angle_total", "rotation_angle_total", "detector_px_height",
     "detector_mode", "detector_filename", "detector_width",
     "spectrum_id", "spectrum_filename", "N_photons_per_cm2_per_scan",

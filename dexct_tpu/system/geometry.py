@@ -30,6 +30,7 @@ import numpy as np
 from ..physics.detector import DetectorResponse
 
 __all__ = ["ScannerGeometry", "FanBeamGeometry", "ParallelBeamGeometry",
+           "ConeBeamGeometry",
            "GEOMETRY_REGISTRY"]
 
 
@@ -156,7 +157,57 @@ class ParallelBeamGeometry(ScannerGeometry):
         return src, dirs
 
 
+@dataclasses.dataclass
+class ConeBeamGeometry(FanBeamGeometry):
+    """Circular cone-beam geometry (3-D extension; the reference is
+    strictly 2-D slice-based — plots.py:124-126 scans one z_index).
+
+    A cylindrical detector centered on the source: ``N_channels`` columns
+    at equiangular fan angles (inherited) and ``N_rows`` flat rows at
+    heights ``z_iso`` (measured at the isocenter; ``h_iso`` is the row
+    pitch there, matching the 2-D convention).  The central row (z=0) is
+    exactly the parent fan-beam geometry, which anchors the test
+    strategy: single-row cone scans must reproduce the fan pipeline.
+    """
+
+    N_rows: int = 16
+
+    @property
+    def z_iso(self):
+        """Detector row heights at the isocenter [cm], shape [N_rows]."""
+        return (np.arange(self.N_rows) + 0.5
+                - self.N_rows / 2.0) * self.h_iso
+
+    @property
+    def cone_half_angle(self):
+        """Largest |kappa| of any detector row [rad]."""
+        return float(np.arctan2(np.abs(self.z_iso).max(), self.SID))
+
+    def ray_geometry_3d(self):
+        """All source points and unit ray directions in 3-D.
+
+        Returns ``(src, dirs)``, both [N_proj, N_rows, N_channels, 3]
+        (float64).  The source circles in the z=0 plane; a detector
+        element at (row r, channel gamma) sits at
+        ``S - SDD*e(beta+gamma) + (0,0, z_iso[r]*SDD/SID)``.
+        """
+        betas = self.betas
+        V, R, C = self.N_proj, self.N_rows, self.N_channels
+        src2 = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+        src = np.zeros((V, R, C, 3))
+        src[..., :2] = src2[:, None, None, :]
+        ang = betas[:, None] + self.gammas[None, :]  # [V, C]
+        e = np.stack([np.cos(ang), np.sin(ang)], -1)  # [V, C, 2]
+        z_det = self.z_iso * self.SDD / self.SID  # [R]
+        d = np.zeros((V, R, C, 3))
+        d[..., :2] = -self.SDD * e[:, None, :, :]
+        d[..., 2] = z_det[None, :, None]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return src, d
+
+
 GEOMETRY_REGISTRY = {
     "fan_beam": FanBeamGeometry,
     "parallel_beam": ParallelBeamGeometry,
+    "cone_beam": ConeBeamGeometry,
 }
