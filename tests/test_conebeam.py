@@ -138,6 +138,34 @@ class TestFDK:
         # where magnified rays clip, the classic circular-orbit limit)
         assert np.abs((vol[1] - img2))[interior].max() < 0.06 * img2.max()
 
+    def test_cone_dect_decomposition(self, cone_system):
+        # the GN decomposition is per-ray and geometry-agnostic: a
+        # dual-energy cone acquisition decomposes row-by-row with the
+        # same solver the fan pipeline uses (ops/matdecomp.py)
+        ct, _, ph3 = cone_system
+        from dexct_tpu.ops import matdecomp as md
+        from dexct_tpu.physics.spectrum import (kramers_spectrum,
+                                                linac_spectrum)
+
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        c1, _ = cone_sinogram(ph3, ct, s1)
+        c2, _ = cone_sinogram(ph3, ct, s2)
+        _, dec_i0, dec_mus = md.prepare_decomposition(ct, s1, s2)
+        flat = jnp.stack([jnp.asarray(c1).reshape(-1),
+                          jnp.asarray(c2).reshape(-1)])
+        ab = np.asarray(md.gauss_newton_solve(
+            flat, jnp.asarray(dec_i0, jnp.float32),
+            jnp.asarray(dec_mus, jnp.float32), n_iters=10))
+        a_sino = ab[:, 0].reshape(c1.shape)  # tissue-basis g/cm^2
+        # central ray through 2*9.6 cm of water ~ 19 g/cm^2 of ~tissue
+        mid = a_sino[:, 3:5, 32]
+        assert abs(mid.mean() - 19.2) < 1.5
+        # air rays decompose to ~0
+        assert np.abs(a_sino[:, :, 0]).max() < 0.5
+
     def test_config_builds_cone_geometry(self, tmp_path):
         import json
 
