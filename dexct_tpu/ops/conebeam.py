@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["trace_paths_3d", "cone_material_paths", "cone_sinogram",
-           "fdk_reconstruct"]
+           "fdk_reconstruct", "helical_fdk_reconstruct"]
 
 _BIG = 1e30
 
@@ -210,13 +210,6 @@ def _fdk_backproject(q, betas, sid, dgamma, row_h, n_rows, n_matrix,
     zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
                      dtype)  # [Z]
 
-    # pack channel-adjacent taps of both bracketing rows into one row-4
-    # gather: q2[v, r, c] = (q[v,r,c], q[v,r,c+1], q[v,r+1,c], q[v,r+1,c+1])
-    q_c1 = jnp.concatenate([q[..., 1:], q[..., -1:]], -1)
-    q_r1 = jnp.concatenate([q[:, 1:], q[:, -1:]], 1)
-    q_r1c1 = jnp.concatenate([q_r1[..., 1:], q_r1[..., -1:]], -1)
-    packed = jnp.stack([q, q_c1, q_r1, q_r1c1], -1).reshape(V, R * C, 4)
-
     vb = max(1, min(view_block, V))
     while V % vb:
         vb -= 1
@@ -239,8 +232,17 @@ def _fdk_backproject(q, betas, sid, dgamma, row_h, n_rows, n_matrix,
         fc = jnp.clip(cidx - c0, 0.0, 1.0)
         w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
         w_amp = w_in / h2  # 1/L^2 distance weight (ops/fbp.py convention)
-        voff_b = vo
-        packed_flat = packed.reshape(V * R * C, 4)
+        # pack channel-adjacent taps of both bracketing rows into one
+        # row-4 gather, built PER VIEW BLOCK so the [vb*R*C, 4] table
+        # stays small whatever layout XLA picks (a full-run [V*R*C, 4]
+        # array risks the 128-lane trailing-dim padding — CLAUDE.md)
+        qb = q[vo]  # [vb, R, C]
+        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
+        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
+        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        packed_flat = jnp.stack(
+            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
 
         def one_slice(z):
             zt = z * sid * inv_h  # detector row coord at isocenter scale
@@ -307,3 +309,147 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
         q, betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
         int(R), int(n_matrix), int(nz), float(fov), dz,
         float(ct.rotation_total / V), view_block=int(view_block))
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+)
+def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
+                         pitch, n_matrix, nz_out, fov, dz_out, z0,
+                         beta_mid, *, view_block=8):
+    """Generalized-Feldkamp backprojection for a helical orbit.
+
+    Per voxel, views inside a 2*pi window centered on the source's
+    passage of the voxel's z (|beta - beta_c(z)| <= pi) contribute with
+    the circular-FDK 1/L^2 weight; the accumulated weight normalizes
+    partially-covered voxels (Wang et al. 1993 helical Feldkamp).  In
+    the full-coverage limit (every view weight 1 over one turn) the
+    normalization reduces exactly to the circular dbeta sum.
+    """
+    V, R, C = q.shape
+    dtype = q.dtype
+    N = n_matrix
+    px_size = fov / N
+    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)
+    in_circle = np.hypot(XX, YY) <= fov / 2.0
+    sel = np.nonzero(in_circle.reshape(-1))[0]
+    P = len(sel)
+    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
+    zc = jnp.asarray(z0 + np.arange(nz_out) * dz_out, dtype)  # [Z]
+    # view at which the source passes height z (betas are unwrapped)
+    beta_c = beta_mid + 2.0 * np.pi * zc / pitch  # [Z]
+
+    vb = max(1, min(view_block, V))
+    while V % vb:
+        vb -= 1
+    bb = betas.reshape(V // vb, vb)
+    zb = src_z.reshape(V // vb, vb)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    def block(carry, args):
+        num, den = carry
+        beta, sz, vo = args
+        cb, sb = jnp.cos(beta), jnp.sin(beta)
+        ell = sid - (X[None, :] * cb[:, None] + Y[None, :] * sb[:, None])
+        vt = -X[None, :] * sb[:, None] + Y[None, :] * cb[:, None]
+        gam = jnp.arctan2(-vt, ell)
+        h2 = ell * ell + vt * vt
+        inv_h = jax.lax.rsqrt(h2)
+        cidx = gam / dgamma - 0.5 + C / 2.0
+        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
+        fc = jnp.clip(cidx - c0, 0.0, 1.0)
+        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
+        w_amp = w_in / h2
+
+        qb = q[vo]
+        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
+        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
+        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        packed_flat = jnp.stack(
+            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
+
+        def one_slice(z, bc):
+            zt = (z - sz)[:, None] * sid * inv_h  # [vb, P]
+            ridx = zt / row_h - 0.5 + R / 2.0
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            w_win = jnp.where(jnp.abs(beta - bc) <= np.pi, 1.0, 0.0)
+            w = w_z * w_win[:, None]
+            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
+            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
+            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
+            val = top * (1 - fr) + bot * fr
+            return (jnp.sum(val * w_amp * w, axis=0),
+                    jnp.sum(w, axis=0))
+
+        dn, dd = jax.vmap(one_slice)(zc, beta_c)
+        return (num + dn, den + dd), None
+
+    acc0 = (jnp.zeros((nz_out, P), dtype), jnp.zeros((nz_out, P), dtype))
+    (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, voff))
+    out = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    out = out * (2.0 * np.pi)
+    vol = jnp.zeros((nz_out, N * N), dtype)
+    vol = vol.at[:, jnp.asarray(sel)].set(out)
+    return vol.reshape(nz_out, N, N)
+
+
+def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
+                            z_out=None, window="sinc", view_block=8):
+    """Helical generalized-Feldkamp reconstruction -> [nz, N, N] cm^-1.
+
+    ``geometry``: :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`
+    (``pitch = 0`` delegates to the circular :func:`fdk_reconstruct`).
+    ``z_out``: 1-D array of output slice z positions [cm]; defaults to
+    one slice per ``h_iso`` across the central 80% of the source travel
+    (the ends lack a full 2*pi window).  Filtering is identical to the
+    circular FDK; each voxel backprojects over the 2*pi of views
+    centered on the source's passage of its z, normalized by the
+    accumulated window weight.
+    """
+    from .filters import filter_frequency_response
+
+    ct = geometry
+    V, R, C = sino_log.shape
+    if R != ct.N_rows:
+        raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
+    if abs(getattr(ct, "pitch", 0.0)) < 1e-12:
+        return fdk_reconstruct(sino_log, ct, n_matrix, fov, ramp,
+                               window=window, view_block=view_block)
+    dtype = jnp.result_type(sino_log.dtype, jnp.float32)
+
+    if z_out is None:
+        travel = ct.pitch * ct.rotation_total / (2.0 * np.pi)
+        half = 0.4 * travel
+        nz = max(int(2.0 * half / ct.h_iso), 1)
+        z_out = (np.arange(nz) + 0.5) * (2.0 * half / nz) - half
+    z_out = np.asarray(z_out, np.float64)
+    if len(z_out) > 1:
+        dzs = np.diff(z_out)
+        if not np.allclose(dzs, dzs[0]):
+            raise ValueError("z_out must be uniformly spaced")
+        dz = float(dzs[0])
+    else:
+        dz = float(ct.h_iso)
+
+    cosg = np.cos(ct.gammas)
+    cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
+    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
+    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
+    pw = sino_log.astype(dtype) * w[None]
+    spec = jnp.fft.rfft(pw, n=m, axis=-1)
+    q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                      axis=-1)[..., :C] * ct.dgamma
+
+    return _helical_backproject(
+        q, jnp.asarray(ct.betas, dtype), jnp.asarray(ct.source_z, dtype),
+        float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
+        float(ct.pitch), int(n_matrix), int(len(z_out)), float(fov),
+        dz, float(z_out[0]), float(0.5 * ct.rotation_total),
+        view_block=int(view_block))

@@ -40,7 +40,7 @@ import numpy as np
 __all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH",
            "pack_labels_2band", "pack_labels_rowwin8", "pack_labels_rowwin",
            "pack_labels_rowwin16", "plan_dominant_split",
-           "trace_paths_dominant"]
+           "select_dominant_pack", "trace_paths_dominant"]
 
 PACK_WIDTH = 8
 _BIG = 1e30
@@ -272,6 +272,54 @@ def rowwin_lbits(n_materials):
     already requires), else 5.  Pack and trace sites derive this from
     the SAME n_materials so the layouts always agree."""
     return 3 if n_materials <= 8 else 5
+
+
+def select_dominant_pack(ny, nx, n_materials, dx, dy, group=16):
+    """Pick the (pack_fn, kernel_fn, group) for the dominant-axis path.
+
+    The SINGLE selection used by :func:`trace_paths_dominant`,
+    ``pipeline.fused.pack_dect`` and ``parallel.halo.pack_dect_sharded``
+    — the guards must agree with the kernels that consume the packs:
+
+    * < 32 material labels (5-bit fields; raises otherwise),
+    * square cells (the window width budgets exactly one column of
+      drift per image row, which holds only for dy <= dx; the
+      transposed x-dominant pass needs dx <= dy too — raises on
+      anisotropic grids),
+    * the window must fit BOTH grid dimensions (the x-dominant kernel
+      runs on the transposed labels, so ``ny`` is its column count).
+
+    Returns ``(pack_fn, kernel_fn, grp)`` where grp in {2, 8, group}.
+    """
+    if n_materials > 31:
+        raise ValueError(
+            "dominant-axis packed tracing supports < 32 material labels "
+            f"(got {n_materials}); use ops.siddon.trace_paths"
+        )
+    if abs(dx - dy) > 1e-9 * max(abs(dx), abs(dy)):
+        raise ValueError(
+            "dominant-axis packed tracing requires square cells "
+            f"(dx={dx}, dy={dy}): a y-dominant ray drifts at most one "
+            "column per row only when dy <= dx, and the transposed pass "
+            "needs the converse; use ops.siddon.trace_paths"
+        )
+    lb = rowwin_lbits(n_materials)
+    win = _rowwin_cols_per_word(lb) * _rowwin_words(group, lb)
+    if (group > 8 and ny % group == 0 and nx % group == 0
+            and min(ny, nx) >= win):
+        return (functools.partial(pack_labels_rowwin, group=group,
+                                  lbits=lb),
+                functools.partial(_trace_dominant_grp, group=group,
+                                  lbits=lb),
+                int(group))
+    if ny % 8 == 0 and nx % 8 == 0 and min(ny, nx) >= 10:
+        return pack_labels_rowwin8, _trace_dominant8, 8
+    if ny % 2 or nx % 2 or min(ny, nx) < 3:
+        raise ValueError(
+            f"grid {ny}x{nx} fits no packed dominant kernel (needs even "
+            "dims >= 3); use ops.siddon.trace_paths"
+        )
+    return pack_labels_2band, _trace_dominant, 2
 
 
 def _rowwin_words(group, lbits=5):
@@ -685,16 +733,12 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
     ``group=8`` (default): one row-16 int32 gather per ray per eight
     image rows (~16x fewer gather issues than the DDA); ``group=2``: the
     2-band single-int32 kernel (one scalar gather per two rows).  Both
-    are exactly Siddon.  Requires square-ish cells for the transposed
-    pass, Ny/Nx divisible by the group size, and < 32 materials.
+    are exactly Siddon.  Requires square cells (the transposed pass
+    swaps the roles of dx and dy), even Ny/Nx, and < 32 materials —
+    :func:`select_dominant_pack` enforces all three.
     ``plan`` (from :func:`plan_dominant_split` on the flattened dirs) is
     rebuilt when omitted.
     """
-    if n_materials > 31:
-        raise ValueError(
-            "dominant-axis packed tracing supports < 32 material labels "
-            f"(got {n_materials}); use ops.siddon.trace_paths"
-        )
     batch_shape = src.shape[:-1]
     src2 = src.reshape(-1, 2)
     dirs2 = dirs.reshape(-1, 2)
@@ -704,15 +748,8 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
 
     labels = jnp.asarray(labels)
     ny, nx = labels.shape
-    lb = rowwin_lbits(n_materials)
-    win = _rowwin_cols_per_word(lb) * _rowwin_words(group, lb)
-    if group > 8 and ny % group == 0 and nx % group == 0 and nx >= win:
-        pack = functools.partial(pack_labels_rowwin, group=group, lbits=lb)
-        kern = functools.partial(_trace_dominant_grp, group=group, lbits=lb)
-    elif group >= 8 and ny % 8 == 0 and nx % 8 == 0 and nx >= 10:
-        pack, kern = pack_labels_rowwin8, _trace_dominant8
-    else:
-        pack, kern = pack_labels_2band, _trace_dominant
+    pack, kern, _ = select_dominant_pack(ny, nx, n_materials, dx, dy,
+                                         group=group)
     pack_y = pack(labels)
     pack_x = pack(labels.T)
 

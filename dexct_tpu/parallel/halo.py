@@ -309,30 +309,15 @@ def pack_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     if projector == "siddon_dominant":
         import jax.numpy as jnp
 
-        import functools
-
-        from ..ops.siddon_fast import (_rowwin_cols_per_word, _rowwin_words,
-                                       pack_labels_2band,
-                                       pack_labels_rowwin,
-                                       pack_labels_rowwin8, rowwin_lbits)
+        from ..ops.siddon_fast import select_dominant_pack
 
         idx_y, idx_x, inv, py, px, pad_factor = _dominant_plans_sharded(
             np.asarray(arrays["dirs"]), n_devices)
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
-        trace_group = pack_kw.get("trace_group", 16)
-        lb = rowwin_lbits(phantom.n_materials)
-        win = _rowwin_cols_per_word(lb) * _rowwin_words(trace_group, lb)
-        if (trace_group > 8 and ny_l % trace_group == 0
-                and nx_l % trace_group == 0 and nx_l >= win):
-            grp = int(trace_group)
-            pack = functools.partial(pack_labels_rowwin, group=grp, lbits=lb)
-        elif ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
-            grp = 8
-            pack = pack_labels_rowwin8
-        else:
-            grp = 2
-            pack = pack_labels_2band
+        pack, _, grp = select_dominant_pack(
+            ny_l, nx_l, phantom.n_materials, phantom.dx, phantom.dy,
+            group=pack_kw.get("trace_group", 16))
         arrays.update({
             "dom_idx_y": jnp.asarray(idx_y),
             "dom_idx_x": jnp.asarray(idx_x),

@@ -118,34 +118,16 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # exact dominant-axis fast path; the ray partition is a global
         # static plan, so this projector is single-device only (the view
         # shards of shard_map would invalidate the indices)
-        from ..ops.siddon_fast import (_rowwin_cols_per_word, _rowwin_words,
-                                       pack_labels_2band,
-                                       pack_labels_rowwin,
-                                       pack_labels_rowwin8,
-                                       plan_dominant_split, rowwin_lbits)
+        from ..ops.siddon_fast import (plan_dominant_split,
+                                       select_dominant_pack)
 
-        if phantom.n_materials > 31:
-            raise ValueError(
-                "projector='siddon_dominant' packs labels in 5 bits "
-                f"(< 32 materials; got {phantom.n_materials}); use "
-                "projector='siddon'"
-            )
         idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
             np.asarray(dirs).reshape(-1, 2))
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
-        lb = rowwin_lbits(phantom.n_materials)
-        win = _rowwin_cols_per_word(lb) * _rowwin_words(trace_group, lb)
-        if (trace_group > 8 and ny_l % trace_group == 0
-                and nx_l % trace_group == 0 and nx_l >= win):
-            grp = int(trace_group)
-            pack = functools.partial(pack_labels_rowwin, group=grp, lbits=lb)
-        elif ny_l % 8 == 0 and nx_l % 8 == 0 and nx_l >= 10:
-            grp = 8
-            pack = pack_labels_rowwin8
-        else:
-            grp = 2
-            pack = pack_labels_2band
+        pack, _, grp = select_dominant_pack(
+            ny_l, nx_l, phantom.n_materials, phantom.dx, phantom.dy,
+            group=trace_group)
         arrays.update({
             "dom_idx_y": jnp.asarray(idx_y),
             "dom_idx_x": jnp.asarray(idx_x),
@@ -397,14 +379,10 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
             src2[a["dom_idx_x"]][:, ::-1], dirs2[a["dom_idx_x"]][:, ::-1],
             meta.dy, meta.dx, n_materials=meta.n_materials)
         cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
-        # compute counts in ray-plan order and inverse-permute the scalar
-        # counts instead of the [R, M] paths: an M-wide row gather pads M
-        # to the 128-lane tile (CLAUDE.md), ~18x the traffic of two
-        # scalar-per-ray permutes
         # compute the spectral contractions in ray-plan order and
         # inverse-permute the scalar results instead of the [R, M] paths:
         # an M-wide row gather pads M to the 128-lane tile (CLAUDE.md),
-        # ~18x the traffic of scalar-per-ray permutes
+        # ~18x the traffic of the packed row-2 permute below
         inv = a["dom_inv"]
         shape_vc = a["src"].shape[:-1]
         paths = cat

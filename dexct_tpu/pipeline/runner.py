@@ -112,11 +112,17 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             proj = projector
             if proj == "fourier" and cfg.phantom.Nx != cfg.phantom.Ny:
                 proj = "siddon"  # fourier path requires square grids
-            if proj == "siddon_dominant" and (
-                cfg.phantom.Ny % 2 or cfg.phantom.n_materials > 31
-            ):
-                proj = "siddon"  # band packing needs an even row count
-                #                  and < 32 material labels
+            if proj == "siddon_dominant":
+                from ..ops.siddon_fast import select_dominant_pack
+
+                try:  # same predicate the pack itself enforces: even
+                    #   dims, square cells, < 32 material labels
+                    select_dominant_pack(
+                        cfg.phantom.Ny, cfg.phantom.Nx,
+                        cfg.phantom.n_materials, cfg.phantom.dx,
+                        cfg.phantom.dy)
+                except ValueError:
+                    proj = "siddon"
             rec = recon
             if rec == "parallel" and abs(
                 cfg.ct.rotation_total - 2.0 * _np.pi

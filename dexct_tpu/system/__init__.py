@@ -5,6 +5,7 @@ from .geometry import (
     ConeBeamGeometry,
     FanBeamGeometry,
     GEOMETRY_REGISTRY,
+    HelicalConeBeamGeometry,
     ParallelBeamGeometry,
     ScannerGeometry,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "FanBeamGeometry",
     "ParallelBeamGeometry",
     "ConeBeamGeometry",
+    "HelicalConeBeamGeometry",
     "GEOMETRY_REGISTRY",
     "VoxelPhantom",
     "water_cylinder_phantom",

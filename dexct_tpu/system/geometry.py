@@ -30,7 +30,7 @@ import numpy as np
 from ..physics.detector import DetectorResponse
 
 __all__ = ["ScannerGeometry", "FanBeamGeometry", "ParallelBeamGeometry",
-           "ConeBeamGeometry",
+           "ConeBeamGeometry", "HelicalConeBeamGeometry",
            "GEOMETRY_REGISTRY"]
 
 
@@ -206,8 +206,35 @@ class ConeBeamGeometry(FanBeamGeometry):
         return src, d
 
 
+@dataclasses.dataclass
+class HelicalConeBeamGeometry(ConeBeamGeometry):
+    """Helical (spiral) cone-beam geometry: the source advances axially
+    by ``pitch`` cm per 2*pi rotation while circling.  ``rotation_total``
+    may exceed 2*pi for multi-turn scans; the trajectory is centered so
+    the mid-scan source sits at z = 0.  ``pitch = 0`` degenerates to the
+    circular :class:`ConeBeamGeometry` exactly (the tests pin it).
+    """
+
+    pitch: float = 2.0  # table feed per rotation [cm]
+
+    @property
+    def source_z(self):
+        """Source z per view [cm], shape [N_proj]."""
+        b = self.betas
+        return (b - 0.5 * self.rotation_total) * self.pitch / (2.0 * np.pi)
+
+    def ray_geometry_3d(self):
+        """As the circular cone geometry, with source AND detector
+        translated axially per view (the detector rides the gantry)."""
+        src, d = super().ray_geometry_3d()
+        src = src.copy()
+        src[..., 2] += self.source_z[:, None, None]
+        return src, d
+
+
 GEOMETRY_REGISTRY = {
     "fan_beam": FanBeamGeometry,
     "parallel_beam": ParallelBeamGeometry,
     "cone_beam": ConeBeamGeometry,
+    "helical_cone_beam": HelicalConeBeamGeometry,
 }

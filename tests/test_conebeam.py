@@ -197,3 +197,72 @@ class TestFDK:
         vol = np.asarray(fdk_reconstruct(sino3, ct, 48, 20.0, 0.8))
         center = vol[3:5, 22:26, 22:26].mean()
         assert abs(center - mu_w) < 0.03 * mu_w
+
+
+class TestHelical:
+    def _system(self):
+        import dataclasses
+
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=192, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=2.0,
+            rotation_total=4.0 * np.pi)
+        ph2 = water_cylinder_phantom(N=48, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (16, 48, 48)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        return ct, ph2, ph3
+
+    def test_source_travel_centered(self):
+        ct, _, _ = self._system()
+        sz = ct.source_z
+        assert abs(sz[0] + sz[-1]) < 0.05  # symmetric about z=0
+        np.testing.assert_allclose(sz[-1] - sz[0],
+                                   2.0 * ct.pitch * (191 / 192), rtol=1e-6)
+
+    def test_pitch_zero_delegates_to_circular(self):
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import helical_fdk_reconstruct
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct0 = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=96, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=0.0)
+        ph2 = water_cylinder_phantom(N=48, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 48, 48)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct0),
+                          jnp.asarray(mu, jnp.float32))
+        v_h = np.asarray(helical_fdk_reconstruct(sino, ct0, 48, 20.0, 0.8))
+        v_c = np.asarray(fdk_reconstruct(sino, ct0, 48, 20.0, 0.8))
+        np.testing.assert_array_equal(v_h, v_c)
+
+    def test_z_uniform_matches_fan(self):
+        from dexct_tpu.ops.conebeam import helical_fdk_reconstruct
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.siddon import (material_path_sinogram,
+                                          mono_sinogram)
+
+        ct, ph2, ph3 = self._system()
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct),
+                          jnp.asarray(mu, jnp.float32))
+        vol = np.asarray(helical_fdk_reconstruct(sino, ct, 48, 20.0, 0.8))
+        assert vol.shape[0] >= 4 and vol.shape[1:] == (48, 48)
+
+        fan = FanBeamGeometry(N_channels=64, N_proj=96,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        img2 = np.asarray(fan_backproject(
+            filter_sinogram(
+                mono_sinogram(material_path_sinogram(ph2, fan),
+                              jnp.asarray(mu, jnp.float32)),
+                fan, 0.8),
+            jnp.asarray(fan.betas, jnp.float32), fan.SID, fan.dgamma,
+            48, 20.0))
+        interior = np.hypot(*np.meshgrid(*[np.arange(48) - 23.5] * 2)) < 16
+        mid = vol[vol.shape[0] // 2]
+        # helical scan of a z-uniform object reproduces the fan recon
+        assert np.abs(mid - img2)[interior].max() < 0.06 * img2.max()

@@ -122,6 +122,41 @@ class TestDominantAxisSiddon:
                 jnp.asarray([[0.0, 1.0]] * 4, jnp.float32),
                 1.0, 1.0, n_materials=40)
 
+    def test_anisotropic_cells_rejected(self):
+        # the row windows budget exactly one column of drift per image
+        # row, which only holds for square cells (both orientations,
+        # because the x-dominant pass transposes)
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        with pytest.raises(ValueError, match="square cells"):
+            trace_paths_dominant(
+                jnp.zeros((16, 16), jnp.int32),
+                jnp.zeros((4, 2), jnp.float32),
+                jnp.asarray([[0.0, 1.0]] * 4, jnp.float32),
+                0.1, 0.12, n_materials=2)
+
+    @pytest.mark.parametrize("shape", [(16, 64), (64, 16), (24, 40)])
+    def test_rectangular_grids_match_oracle(self, shape):
+        # the x-dominant kernel marches the TRANSPOSED labels, so the
+        # window-fit guard must check BOTH dims; Ny == group grids used
+        # to select a window wider than the transposed grid and gather
+        # from negative anchors (round-2 review finding)
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+        rng = np.random.default_rng(11)
+        labels = rng.integers(0, 5, shape).astype(np.int32)
+        n = 400
+        ang = rng.uniform(0, 2 * np.pi, n)
+        src = 40.0 * np.stack([np.cos(ang), np.sin(ang)], -1)
+        tgt = rng.uniform(-1.5, 1.5, (n, 2))
+        d = tgt - src
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        got = np.asarray(trace_paths_dominant(
+            jnp.asarray(labels), jnp.asarray(src, jnp.float32),
+            jnp.asarray(d, jnp.float32), 0.21, 0.21, n_materials=5))
+        ref = siddon_paths_numpy(labels, src, d, 0.21, 0.21, 5)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
     @pytest.mark.parametrize("group", [16, 32])
     def test_wide_groups_match_group8(self, group):
         # the generic group-row kernel (one row-(group*W) int32 gather
