@@ -82,14 +82,16 @@ def _build_geometry(cfg):
         detector_file=(None if _na(cfg.get("detector_filename"))
                        else cfg.get("detector_filename")),
     )
-    if kind in ("fan_beam", "cone_beam"):
+    if kind in ("fan_beam", "cone_beam", "helical_cone_beam"):
         kw = dict(
             SID=float(cfg.get("SID", 60.0)),
             SDD=float(cfg.get("SDD", 100.0)),
             gamma_fan=float(cfg.get("fan_angle_total", 0.8230337)),
         )
-        if kind == "cone_beam":
+        if kind in ("cone_beam", "helical_cone_beam"):
             kw["N_rows"] = int(cfg.get("N_rows", 16))
+        if kind == "helical_cone_beam":
+            kw["pitch"] = float(cfg.get("pitch", 2.0))
         return GEOMETRY_REGISTRY[kind](**kw, **common)
     return GEOMETRY_REGISTRY[kind](
         detector_width=float(cfg.get("detector_width", 50.0)), **common
@@ -129,7 +131,7 @@ _KNOWN_KEYS = frozenset({
     "phantom_type", "phantom_id", "phantom_filename", "matcomp_filename",
     "Nx", "Ny", "Nz", "dx", "dy", "dz", "z_index",
     "scanner_geometry", "SID", "SDD", "N_channels", "N_projections",
-    "N_rows",
+    "N_rows", "pitch",
     "fan_angle_total", "rotation_angle_total", "detector_px_height",
     "detector_mode", "detector_filename", "detector_width",
     "spectrum_id", "spectrum_filename", "N_photons_per_cm2_per_scan",
