@@ -453,3 +453,121 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
         float(ct.pitch), int(n_matrix), int(len(z_out)), float(fov),
         dz, float(z_out[0]), float(0.5 * ct.rotation_total),
         view_block=int(view_block))
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def project_volume_3d(vol, src, dirs, dx, dy, dz, *, n_steps=None):
+    """Exact line integrals of a continuous mu volume [Nz, Ny, Nx].
+
+    The same bounded 3-D Siddon DDA as :func:`trace_paths_3d`, but
+    accumulating ``segment_length * vol[cell]`` instead of per-material
+    one-hots — a LINEAR operator in ``vol``, so ``jax.linear_transpose``
+    yields the EXACT adjoint backprojector for free.  To keep the
+    function structurally linear (transposable), the integer DDA state
+    scans over geometry ONLY, emitting per-step (cell index, segment
+    length); the vol contraction is a single gather-weighted sum
+    outside the scan.  The adjoint lowers to scatter-adds (~10x slower
+    than gathers on this TPU — tools/bench_gather.py), so the pair is
+    the *iterative*-recon building block; FDK remains the fast analytic
+    path.  Memory: the [n_steps, n_rays] segment table materializes —
+    chunk rays for large scans.
+    """
+    nz, ny, nx = vol.shape
+    k = n_steps if n_steps is not None else nx + ny + nz + 2
+    dtype = jnp.result_type(vol.dtype, jnp.float32)
+    vol_flat = vol.reshape(-1).astype(dtype)
+
+    batch_shape = src.shape[:-1]
+    p = src.reshape(-1, 3).astype(dtype)
+    d = dirs.reshape(-1, 3).astype(dtype)
+
+    g0 = (-0.5 * nx * dx, -0.5 * ny * dy, -0.5 * nz * dz)
+    cells = (dx, dy, dz)
+    dims = (nx, ny, nz)
+
+    def axis_setup(i):
+        pi, di = p[:, i], d[:, i]
+        ok = jnp.abs(di) > 1e-12
+        safe = jnp.where(ok, di, 1.0)
+        t_lo = (g0[i] - pi) / safe
+        t_hi = (g0[i] + dims[i] * cells[i] - pi) / safe
+        inside = (pi >= g0[i]) & (pi <= g0[i] + dims[i] * cells[i])
+        tmin = jnp.where(ok, jnp.minimum(t_lo, t_hi),
+                         jnp.where(inside, -_BIG, _BIG))
+        tmax = jnp.where(ok, jnp.maximum(t_lo, t_hi),
+                         jnp.where(inside, _BIG, -_BIG))
+        return ok, safe, tmin, tmax
+
+    setup = [axis_setup(i) for i in range(3)]
+    t_in = jnp.maximum(
+        jnp.maximum(setup[0][2], jnp.maximum(setup[1][2], setup[2][2])), 0.0)
+    t_out = jnp.minimum(setup[0][3], jnp.minimum(setup[1][3], setup[2][3]))
+    t_out = jnp.where(t_in < t_out, t_out, t_in)
+    eps = 1e-6 * (dx + dy + dz)
+
+    def cell_and_crossing(i):
+        pi, di = p[:, i], d[:, i]
+        ok, safe, _, _ = setup[i]
+        e = pi + (t_in + eps) * di
+        idx = jnp.clip(jnp.floor((e - g0[i]) / cells[i]),
+                       0, dims[i] - 1).astype(jnp.int32)
+        plane = g0[i] + (idx + (di > 0)) * cells[i]
+        t_next = jnp.where(ok, (plane - pi) / safe, _BIG).astype(dtype)
+        dt = jnp.where(ok, cells[i] / jnp.abs(safe), _BIG).astype(dtype)
+        step = jnp.where(ok, jnp.sign(di), 0.0).astype(jnp.int32)
+        return idx, t_next, dt, step
+
+    (ix, tnx, dtx, sx) = cell_and_crossing(0)
+    (iy, tny, dty, sy) = cell_and_crossing(1)
+    (iz, tnz, dtz, sz) = cell_and_crossing(2)
+
+    t0 = t_in.astype(dtype)
+    t_outc = t_out.astype(dtype)
+
+    def step(carry, _):
+        t, ix, iy, iz, tnx, tny, tnz = carry
+        t_min = jnp.minimum(jnp.minimum(tnx, tny), tnz)
+        t_next = jnp.maximum(jnp.minimum(t_min, t_outc), t)
+        seg = t_next - t
+        lin = (iz * ny + iy) * nx + ix
+        take_x = tnx <= jnp.minimum(tny, tnz)
+        take_y = (~take_x) & (tny <= tnz)
+        take_z = ~(take_x | take_y)
+        ix = jnp.clip(jnp.where(take_x, ix + sx, ix), 0, nx - 1)
+        iy = jnp.clip(jnp.where(take_y, iy + sy, iy), 0, ny - 1)
+        iz = jnp.clip(jnp.where(take_z, iz + sz, iz), 0, nz - 1)
+        tnx = jnp.where(take_x, tnx + dtx, tnx)
+        tny = jnp.where(take_y, tny + dty, tny)
+        tnz = jnp.where(take_z, tnz + dtz, tnz)
+        return (t_next, ix, iy, iz, tnx, tny, tnz), (lin, seg)
+
+    _, (lin_all, seg_all) = jax.lax.scan(
+        step, (t0, ix, iy, iz, tnx, tny, tnz), None, length=k)
+    acc = jnp.sum(seg_all * vol_flat[lin_all], axis=0)
+    return acc.reshape(batch_shape)
+
+
+def cone_cg_recon(sino, geometry, vol_shape, voxel, *, n_iters=30,
+                  x0=None):
+    """Conjugate-gradient least-squares cone-beam reconstruction.
+
+    Solves ``min_x ||A x - sino||²`` with A the exact 3-D Siddon
+    projector (:func:`project_volume_3d`) over the geometry's ray grid
+    and A^T its ``jax.linear_transpose`` — the 3-D analog of
+    :func:`dexct_tpu.ops.iterative.cg_recon`.  ``vol_shape``:
+    (Nz, Ny, Nx); ``voxel``: (dx, dy, dz) [cm].  Returns
+    ``(volume [Nz, Ny, Nx] cm^-1, residual-norm history)``.
+    """
+    from .iterative import _cg
+
+    src, dirs = geometry.ray_geometry_3d()
+    src = jnp.asarray(src, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    dx, dy, dz = (float(v) for v in voxel)
+
+    def apply_fn(vol):
+        return project_volume_3d(vol, src, dirs, dx, dy, dz)
+
+    if x0 is None:
+        x0 = jnp.zeros(tuple(vol_shape), jnp.float32)
+    return _cg(apply_fn, jnp.asarray(sino, jnp.float32), x0, n_iters, 0.0)

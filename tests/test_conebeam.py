@@ -266,3 +266,76 @@ class TestHelical:
         mid = vol[vol.shape[0] // 2]
         # helical scan of a z-uniform object reproduces the fan recon
         assert np.abs(mid - img2)[interior].max() < 0.06 * img2.max()
+
+
+class TestIterative3D:
+    def _geom(self):
+        return ConeBeamGeometry(N_channels=32, N_proj=48, N_rows=4,
+                                gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                                h_iso=0.5)
+
+    def test_projector_matches_material_paths(self):
+        # continuous projector of mu-from-labels == paths @ mu
+        import dataclasses
+
+        ct = self._geom()
+        ph2 = water_cylinder_phantom(N=24, dx=1.0)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 24, 24)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=1.0)
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        ref = np.asarray(jnp.einsum(
+            "vrcm,m->vrc", cone_material_paths(ph3, ct),
+            jnp.asarray(mu, jnp.float32)))
+        from dexct_tpu.ops.conebeam import project_volume_3d
+
+        vol = jnp.asarray(mu, jnp.float32)[lab3]
+        src, dirs = ct.ray_geometry_3d()
+        got = np.asarray(project_volume_3d(
+            vol, jnp.asarray(src, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), 1.0, 1.0, 1.0))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_adjoint_dot_product(self):
+        # <A x, y> == <x, A^T y> to float precision — the exact-adjoint
+        # guarantee of jax.linear_transpose on the linear DDA operator
+        import jax
+
+        from dexct_tpu.ops.conebeam import project_volume_3d
+
+        ct = self._geom()
+        src, dirs = ct.ray_geometry_3d()
+        src = jnp.asarray(src, jnp.float32)
+        dirs = jnp.asarray(dirs, jnp.float32)
+
+        def A(v):
+            return project_volume_3d(v, src, dirs, 1.0, 1.0, 1.0)
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(4, 24, 24)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(48, 4, 32)), jnp.float32)
+        at = jax.linear_transpose(A, x)
+        lhs = float(jnp.vdot(A(x), y))
+        rhs = float(jnp.vdot(x, at(y)[0]))
+        assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+    def test_cg_recovers_cylinder(self):
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import cone_cg_recon, project_volume_3d
+
+        ct = self._geom()
+        ph2 = water_cylinder_phantom(N=24, dx=1.0)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 24, 24)).copy()
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        mu_w = float(mu[1])
+        vol_true = jnp.asarray(mu, jnp.float32)[lab3]
+        src, dirs = ct.ray_geometry_3d()
+        sino = project_volume_3d(
+            vol_true, jnp.asarray(src, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), 1.0, 1.0, 1.0)
+        vol, hist = cone_cg_recon(sino, ct, (4, 24, 24), (1.0, 1.0, 1.0),
+                                  n_iters=25)
+        vol = np.asarray(vol)
+        center = vol[1:3, 10:14, 10:14].mean()
+        assert abs(center - mu_w) < 0.05 * mu_w
+        assert float(hist[-1]) < float(hist[0]) * 1e-3
