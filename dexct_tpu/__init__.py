@@ -27,7 +27,9 @@ from .pipeline import (
 )
 from .physics import mixatten
 from .system import (
+    ConeBeamGeometry,
     FanBeamGeometry,
+    HelicalConeBeamGeometry,
     VoxelPhantom,
     read_parameter_file,
     water_cylinder_phantom,
@@ -49,6 +51,8 @@ __all__ = [
     "mixatten",
     "xRaySpectrum",
     "FanBeamGeometry",
+    "ConeBeamGeometry",
+    "HelicalConeBeamGeometry",
     "VoxelPhantom",
     "read_parameter_file",
     "water_cylinder_phantom",
