@@ -339,3 +339,47 @@ class TestIterative3D:
         center = vol[1:3, 10:14, 10:14].mean()
         assert abs(center - mu_w) < 0.05 * mu_w
         assert float(hist[-1]) < float(hist[0]) * 1e-3
+
+
+class TestConeDominant:
+    def test_matches_dda_on_cone_geometry(self):
+        from dexct_tpu.ops.conebeam import trace_cone_dominant
+
+        rng = np.random.default_rng(9)
+        nz, N = 8, 32
+        labels = rng.integers(0, 5, (nz, N, N)).astype(np.int32)
+        ct = ConeBeamGeometry(N_channels=48, N_proj=40, N_rows=6,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.4)
+        src, dirs = ct.ray_geometry_3d()
+        dda = np.asarray(trace_paths_3d(
+            jnp.asarray(labels), jnp.asarray(src, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), 0.4, 0.4, 0.4, n_materials=5))
+        fast = np.asarray(trace_cone_dominant(
+            labels, np.asarray(src, np.float32),
+            np.asarray(dirs, np.float32), 0.4, 0.4, 0.4, n_materials=5))
+        np.testing.assert_allclose(fast, dda, atol=2e-3)
+
+    def test_steep_slope_rejected(self):
+        from dexct_tpu.ops.conebeam import trace_cone_dominant
+
+        labels = np.zeros((4, 32, 32), np.int32)
+        src = np.array([[0.0, 40.0, 0.0]], np.float32)
+        d = np.array([[0.0, -0.9, 0.44]], np.float32)  # steep cone ray
+        with pytest.raises(ValueError, match="slope"):
+            trace_cone_dominant(labels, src, d, 0.4, 0.4, 0.4,
+                                n_materials=1)
+
+    def test_auto_path_selects_dominant(self):
+        # cone_material_paths('auto') must agree with forced 'dda'
+        import dataclasses
+
+        ct = ConeBeamGeometry(N_channels=48, N_proj=32, N_rows=4,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.4)
+        ph2 = water_cylinder_phantom(N=32, dx=0.4)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 32, 32)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        a = np.asarray(cone_material_paths(ph3, ct, method="auto"))
+        b = np.asarray(cone_material_paths(ph3, ct, method="dda"))
+        np.testing.assert_allclose(a, b, atol=2e-3)
