@@ -39,7 +39,7 @@ import numpy as np
 __all__ = ["trace_paths_3d", "trace_cone_dominant",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
            "helical_fdk_reconstruct", "project_volume_3d",
-           "cone_cg_recon"]
+           "cone_cg_recon", "simulate_cone_dect"]
 
 _BIG = 1e30
 
@@ -831,3 +831,72 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
         lbits=lb)[:max(n_x, 1)]
     cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
     return cat[jnp.asarray(inv)].reshape(*batch_shape, n_materials)
+
+
+def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
+                       n_iters=10, noise="none", key=None,
+                       recon="fdk", **recon_kw):
+    """Full 3-D dual-energy cone-beam pipeline: trace ONCE -> two
+    polyenergetic acquisitions -> per-ray GN decomposition -> FDK (or
+    helical Feldkamp) of both HU volumes and both basis-material
+    volumes.
+
+    The 3-D analog of :func:`dexct_tpu.pipeline.api.simulate_dect`
+    (reference main loop, /root/reference/main.py:101-176): the
+    decomposition solver is geometry-agnostic, so the cone data
+    decomposes row-by-row with the identical
+    :mod:`~dexct_tpu.ops.matdecomp` machinery.  Returns a dict with
+    ``sino_raw``/``sino_log`` pairs [V, R, C], ``mat_sinos`` [V, R, C]
+    (g/cm²), ``recon_HU`` pair and ``mat_recons`` pair (volumes
+    [nz, N, N]).  ``recon='helical'`` selects
+    :func:`helical_fdk_reconstruct` (for
+    :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`).
+    """
+    from . import matdecomp as md
+    from . import spectral as sp_ops
+
+    dtype = jnp.float32
+    paths = cone_material_paths(phantom, ct)
+    mu_t1 = jnp.asarray(phantom.materials.mu_table(spec1.E), dtype)
+    mu_t2 = jnp.asarray(phantom.materials.mu_table(spec2.E), dtype)
+    i0_1 = sp_ops.effective_fluence(spec1, ct)
+    i0_2 = sp_ops.effective_fluence(spec2, ct)
+    c1 = sp_ops.counts_from_paths(paths, mu_t1, jnp.asarray(i0_1, dtype))
+    c2 = sp_ops.counts_from_paths(paths, mu_t2, jnp.asarray(i0_2, dtype))
+    if noise != "none":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        c1 = sp_ops.sample_noise(k1, c1, noise)
+        c2 = sp_ops.sample_noise(k2, c2, noise)
+    log1 = sp_ops.log_sinogram(c1, float(np.sum(i0_1)))
+    log2 = sp_ops.log_sinogram(c2, float(np.sum(i0_2)))
+
+    _, dec_i0, dec_mus = md.prepare_decomposition(ct, spec1, spec2)
+    flat = jnp.stack([c1.reshape(-1), c2.reshape(-1)])
+    ab = md.gauss_newton_solve(
+        flat, jnp.asarray(dec_i0, dtype), jnp.asarray(dec_mus, dtype),
+        n_iters=n_iters)
+    mask = (c1 >= 0.95 * jnp.max(c1)).reshape(-1)  # air rays (SURVEY §2.5)
+    mat1 = jnp.where(mask, 0.0, ab[:, 0]).reshape(c1.shape)
+    mat2 = jnp.where(mask, 0.0, ab[:, 1]).reshape(c1.shape)
+
+    rec = (helical_fdk_reconstruct if recon == "helical"
+           else fdk_reconstruct)
+    vols = [np.asarray(rec(s, ct, n_matrix, fov, ramp, **recon_kw))
+            for s in (log1, log2, mat1, mat2)]
+    # same 10-cm-water-calibrated effective mu the 2-D pipeline uses
+    from ..pipeline.api import effective_water_mu
+
+    mu_w1 = effective_water_mu(spec1, ct)
+    mu_w2 = effective_water_mu(spec2, ct)
+    hu = [1000.0 * (vols[0] - mu_w1) / mu_w1,
+          1000.0 * (vols[1] - mu_w2) / mu_w2]
+    return {
+        "sino_raw": (c1, c2),
+        "sino_log": (log1, log2),
+        "mat_sinos": (mat1, mat2),
+        "recon_raw": (vols[0], vols[1]),
+        "recon_HU": tuple(hu),
+        "mat_recons": (vols[2], vols[3]),
+    }

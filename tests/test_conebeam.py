@@ -383,3 +383,26 @@ class TestConeDominant:
         a = np.asarray(cone_material_paths(ph3, ct, method="auto"))
         b = np.asarray(cone_material_paths(ph3, ct, method="dda"))
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_simulate_cone_dect_end_to_end(cone_system):
+    # full 3-D DE pipeline: trace once, decompose, FDK all four volumes
+    from dexct_tpu.ops.conebeam import simulate_cone_dect
+    from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum
+
+    ct, ph2, ph3 = cone_system
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    out = simulate_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+    assert out["sino_raw"][0].shape == (96, 8, 64)
+    assert out["recon_HU"][0].shape == (8, 48, 48)
+    hu = out["recon_HU"][1]  # 80 kV
+    mid = 0.5 * (hu[3] + hu[4])
+    # water center near 0 HU (noiseless, single-energy-effective beam
+    # hardening of the synthetic raw-tube 80 kV: tolerate the BH dip)
+    assert -200.0 < mid[22:26, 22:26].mean() < 60.0
+    assert mid[:4, :4].mean() < -900.0  # air
+    t = out["mat_recons"][0]
+    assert abs(0.5 * (t[3] + t[4])[22:26, 22:26].mean() - 1.0) < 0.12
