@@ -900,3 +900,87 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "recon_HU": tuple(hu),
         "mat_recons": (vols[2], vols[3]),
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+)
+def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
+                           n_matrix, nz_out, fov, dz_out, dbeta, *,
+                           view_block=8):
+    """Voxel-driven FDK backprojection of K filtered stacks at once.
+
+    qs: [K, V, R, C].  One (channel, row) tap geometry pass serves all
+    K volumes — the row-4K gather packs both channel taps of both
+    bracketing rows of every image (the cone analog of
+    ``ops/fbp_fast.fan_backproject_multi``).  Returns [K, nz, N, N].
+    """
+    K, V, R, C = qs.shape
+    dtype = qs.dtype
+    N = n_matrix
+    px_size = fov / N
+    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)
+    in_circle = np.hypot(XX, YY) <= fov / 2.0
+    sel = np.nonzero(in_circle.reshape(-1))[0]
+    P = len(sel)
+    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
+    zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
+                     dtype)
+
+    vb = max(1, min(view_block, V))
+    while V % vb:
+        vb -= 1
+    bb = betas.reshape(V // vb, vb)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    def block(acc, args):
+        beta, vo = args
+        cb, sb = jnp.cos(beta), jnp.sin(beta)
+        ell = sid - (X[None, :] * cb[:, None] + Y[None, :] * sb[:, None])
+        vt = -X[None, :] * sb[:, None] + Y[None, :] * cb[:, None]
+        gam = jnp.arctan2(-vt, ell)
+        h2 = ell * ell + vt * vt
+        inv_h = jax.lax.rsqrt(h2)
+        cidx = gam / dgamma - 0.5 + C / 2.0
+        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
+        fc = jnp.clip(cidx - c0, 0.0, 1.0)
+        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
+        w_amp = w_in / h2
+
+        qb = qs[:, vo]  # [K, vb, R, C]
+        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
+        qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
+        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        packed_flat = jnp.stack(
+            [qb, qb_c1, qb_r1, qb_r1c1], -1
+        ).transpose(1, 2, 3, 4, 0).reshape(vb * R * C, 4 * K)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
+
+        def one_slice(z):
+            zt = z * sid * inv_h
+            ridx = zt / row_h - 0.5 + R / 2.0
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(
+                idx.shape + (4, K))
+            fce = fc[..., None]
+            fre = fr[..., None]
+            top = rows[..., 0, :] * (1 - fce) + rows[..., 1, :] * fce
+            bot = rows[..., 2, :] * (1 - fce) + rows[..., 3, :] * fce
+            val = top * (1 - fre) + bot * fre  # [vb, P, K]
+            return jnp.sum(val * (w_amp * w_z)[..., None], axis=0)
+
+        return acc + jax.vmap(one_slice)(zc), None
+
+    acc0 = jnp.zeros((nz_out, P, K), dtype)
+    acc, _ = jax.lax.scan(block, acc0, (bb, voff))
+    out = acc.transpose(2, 0, 1) * dbeta  # [K, nz, P]
+    vol = jnp.zeros((K, nz_out, N * N), dtype)
+    vol = vol.at[:, :, jnp.asarray(sel)].set(out)
+    return vol.reshape(K, nz_out, N, N)

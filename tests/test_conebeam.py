@@ -406,3 +406,25 @@ def test_simulate_cone_dect_end_to_end(cone_system):
     assert mid[:4, :4].mean() < -900.0  # air
     t = out["mat_recons"][0]
     assert abs(0.5 * (t[3] + t[4])[22:26, 22:26].mean() - 1.0) < 0.12
+
+
+def test_fused_cone_pipeline_matches_stateless(cone_system):
+    # pack-once fused path == the stateless simulate_cone_dect
+    from dexct_tpu.ops.conebeam import simulate_cone_dect
+    from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum
+    from dexct_tpu.pipeline.cone import make_jitted_cone_step, pack_cone_dect
+
+    ct, _, ph3 = cone_system
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    ref = simulate_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+    arrays, meta = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+    out = make_jitted_cone_step(meta)(arrays)
+    np.testing.assert_allclose(np.asarray(out["sino_log"][0]),
+                               np.asarray(ref["sino_log"][0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["recon_HU"][1]),
+                               np.asarray(ref["recon_HU"][1]), atol=2.0)
+    np.testing.assert_allclose(np.asarray(out["mat_recons"][0]),
+                               np.asarray(ref["mat_recons"][0]), atol=5e-3)
