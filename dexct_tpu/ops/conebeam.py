@@ -36,12 +36,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["trace_paths_3d", "trace_cone_dominant",
+__all__ = ["ConeDominantUnsupported", "trace_paths_3d",
+           "trace_cone_dominant",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
            "helical_fdk_reconstruct", "project_volume_3d",
            "cone_cg_recon", "simulate_cone_dect"]
 
 _BIG = 1e30
+
+
+class ConeDominantUnsupported(ValueError):
+    """The packed dominant cone kernel cannot handle this input
+    (capability limit, not a bug) — callers may fall back to the DDA."""
+
 
 
 @functools.partial(jax.jit, static_argnames=("n_materials", "n_steps"))
@@ -163,7 +170,8 @@ def cone_material_paths(phantom, geometry, *, dtype=jnp.float32,
                 labels_np, np.asarray(src, np.float32),
                 np.asarray(dirs, np.float32), phantom.dx, phantom.dy,
                 phantom.dz, n_materials=phantom.n_materials)
-        except ValueError:
+        except ConeDominantUnsupported:
+            # capability limits only — genuine input errors propagate
             if method == "dominant":
                 raise
     labels = jnp.asarray(labels_np)
@@ -207,84 +215,6 @@ def cone_sinogram(phantom, geometry, spectrum, *, dtype=jnp.float32,
     return counts, sino_log
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
-)
-def _fdk_backproject(q, betas, sid, dgamma, row_h, n_rows, n_matrix,
-                     nz_out, fov, dz_out, dbeta, *, view_block=8):
-    """Voxel-driven FDK backprojection of filtered data q [V, R, C]."""
-    V, R, C = q.shape
-    dtype = q.dtype
-    N = n_matrix
-    px_size = fov / N
-    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
-    XX, YY = np.meshgrid(c_np, c_np)
-    in_circle = np.hypot(XX, YY) <= fov / 2.0
-    sel = np.nonzero(in_circle.reshape(-1))[0]
-    P = len(sel)
-    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
-    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
-    zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
-                     dtype)  # [Z]
-
-    vb = max(1, min(view_block, V))
-    while V % vb:
-        vb -= 1
-    bb = betas.reshape(V // vb, vb)
-    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
-
-    def block(acc, args):
-        beta, vo = args
-        cb, sb = jnp.cos(beta), jnp.sin(beta)  # [vb]
-        # in-plane geometry shared by every z-slice; the gamma convention
-        # matches ops/fbp.fan_backproject (atan2(-vt, -vr)) exactly so the
-        # central slice reproduces the 2-D fan reconstruction
-        ell = sid - (X[None, :] * cb[:, None] + Y[None, :] * sb[:, None])
-        vt = -X[None, :] * sb[:, None] + Y[None, :] * cb[:, None]
-        gam = jnp.arctan2(-vt, ell)  # [vb, P]
-        h2 = ell * ell + vt * vt
-        inv_h = jax.lax.rsqrt(h2)
-        cidx = gam / dgamma - 0.5 + C / 2.0
-        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
-        fc = jnp.clip(cidx - c0, 0.0, 1.0)
-        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
-        w_amp = w_in / h2  # 1/L^2 distance weight (ops/fbp.py convention)
-        # pack channel-adjacent taps of both bracketing rows into one
-        # row-4 gather, built PER VIEW BLOCK so the [vb*R*C, 4] table
-        # stays small whatever layout XLA picks (a full-run [V*R*C, 4]
-        # array risks the 128-lane trailing-dim padding — CLAUDE.md)
-        qb = q[vo]  # [vb, R, C]
-        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
-        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
-        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
-        packed_flat = jnp.stack(
-            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
-        voff_b = jnp.arange(vb, dtype=jnp.int32)
-
-        def one_slice(z):
-            zt = z * sid * inv_h  # detector row coord at isocenter scale
-            ridx = zt / row_h - 0.5 + R / 2.0
-            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
-            fr = jnp.clip(ridx - r0, 0.0, 1.0)
-            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
-            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
-                   + voff_b[:, None] * (R * C))
-            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
-            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
-            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
-            val = top * (1 - fr) + bot * fr
-            return jnp.sum(val * w_amp * w_z, axis=0)  # [P]
-
-        return acc + jax.vmap(one_slice)(zc), None
-
-    acc0 = jnp.zeros((nz_out, P), dtype)
-    acc, _ = jax.lax.scan(block, acc0, (bb, voff))
-    vol = jnp.zeros((nz_out, N * N), dtype)
-    vol = vol.at[:, jnp.asarray(sel)].set(acc * dbeta)
-    return vol.reshape(nz_out, N, N)
-
-
 def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
                     nz_out=None, dz_out=None, window="sinc",
                     view_block=8):
@@ -301,6 +231,11 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     from .filters import filter_frequency_response
 
     ct = geometry
+    if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
+        raise ValueError(
+            "geometry has a helical pitch; use helical_fdk_reconstruct "
+            "(the circular FDK assumes a z=0 source orbit)"
+        )
     V, R, C = sino_log.shape
     if R != ct.N_rows:
         raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
@@ -323,10 +258,12 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
                       axis=-1)[..., :C] * ct.dgamma
 
     betas = jnp.asarray(ct.betas, dtype)
-    return _fdk_backproject(
-        q, betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
+    # K=1 case of the shared multi-volume backprojector (one tap
+    # geometry/pack/gather body to maintain, not three)
+    return _fdk_backproject_multi(
+        q[None], betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
         int(R), int(n_matrix), int(nz), float(fov), dz,
-        float(ct.rotation_total / V), view_block=int(view_block))
+        float(ct.rotation_total / V), view_block=int(view_block))[0]
 
 @functools.partial(
     jax.jit,
@@ -438,8 +375,21 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     if R != ct.N_rows:
         raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
     if abs(getattr(ct, "pitch", 0.0)) < 1e-12:
+        kw = {}
+        if z_out is not None:
+            zo = np.asarray(z_out, np.float64)
+            dzs = np.diff(zo)
+            if len(zo) > 1 and not np.allclose(dzs, dzs[0]):
+                raise ValueError("z_out must be uniformly spaced")
+            dz0 = float(dzs[0]) if len(zo) > 1 else float(ct.h_iso)
+            if abs(zo.mean()) > 1e-9 + 1e-6 * abs(dz0):
+                raise ValueError(
+                    "circular FDK slice grids are centered on z=0; "
+                    f"got mean z {zo.mean():g}")
+            kw = dict(nz_out=len(zo), dz_out=dz0)
         return fdk_reconstruct(sino_log, ct, n_matrix, fov, ramp,
-                               window=window, view_block=view_block)
+                               window=window, view_block=view_block,
+                               **kw)
     dtype = jnp.result_type(sino_log.dtype, jnp.float32)
 
     if z_out is None:
@@ -749,6 +699,42 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
     return acc
 
 
+def validate_cone_dominant(labels_shape, n_materials, dx, dy, dz,
+                           max_slope, group=16):
+    """The SINGLE capability check for the packed dominant cone kernel
+    (used by :func:`trace_cone_dominant` and
+    ``pipeline.cone.pack_cone_dect`` — keeps them from drifting).
+    Raises :class:`ConeDominantUnsupported`; returns (lbits, words).
+    """
+    from .siddon_fast import (_rowwin_cols_per_word, _rowwin_words,
+                              rowwin_lbits)
+
+    nz, ny, nx = labels_shape
+    if abs(dx - dy) > 1e-9 * max(dx, dy):
+        raise ConeDominantUnsupported(
+            "cone dominant tracing requires square in-plane cells")
+    if n_materials > 31:
+        raise ConeDominantUnsupported(
+            "cone dominant tracing supports < 32 labels")
+    lb = rowwin_lbits(n_materials)
+    W = _rowwin_words(group, lb)
+    if (ny % group or nx % group
+            or min(ny, nx) < _rowwin_cols_per_word(lb) * W):
+        raise ConeDominantUnsupported(
+            f"grid {ny}x{nx} does not fit group={group} windows")
+    if group * dx * max_slope > dz * (1.0 + 1e-9):
+        raise ConeDominantUnsupported(
+            f"cone z-slope too steep for group={group}: "
+            f"{group} * {dx} * {max_slope:.4f} > dz={dz}; use "
+            "trace_paths_3d")
+    table_bytes = 2 * nz * (ny // group) * nx * group * W * 4
+    if table_bytes > 512 << 20:
+        raise ConeDominantUnsupported(
+            f"packed cone tables would need {table_bytes >> 20} MiB HBM; "
+            "use trace_paths_3d for volumes this large")
+    return lb, W
+
+
 def plan_cone_dominant(dirs3, pad_to=1024):
     """Host-side 3-D ray partition by in-plane dominant axis.
 
@@ -766,46 +752,25 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
                         group=16):
     """Exact cone-beam paths via dominant-axis packed marching.
 
-    Requirements (ValueError otherwise — callers can fall back to
-    :func:`trace_paths_3d`): square in-plane cells, dims divisible by
-    ``group``, window fit on both in-plane dims, < 32 materials, and a
-    z-slope bound ``group * cell * max|dz_dir/dominant_dir| <= dz`` so
-    one row group spans at most two z-layers.
+    Requirements (:class:`ConeDominantUnsupported` otherwise — callers
+    can fall back to :func:`trace_paths_3d`): square in-plane cells,
+    dims divisible by ``group``, window fit on both in-plane dims,
+    < 32 materials, a z-slope bound
+    ``group * cell * max|dz_dir/dominant_dir| <= dz`` (one row group
+    then spans at most two z-layers), and packed tables under 512 MiB
+    (see :func:`validate_cone_dominant`).
     """
-    from .siddon_fast import (_rowwin_cols_per_word, _rowwin_words,
-                              pack_labels_rowwin, rowwin_lbits)
+    from .siddon_fast import _rowwin_words, pack_labels_rowwin
 
     nz, ny, nx = labels3.shape
-    if abs(dx - dy) > 1e-9 * max(dx, dy):
-        raise ValueError("cone dominant tracing requires square in-plane "
-                         "cells")
-    if n_materials > 31:
-        raise ValueError("cone dominant tracing supports < 32 labels")
-    lb = rowwin_lbits(n_materials)
-    win = _rowwin_cols_per_word(lb) * _rowwin_words(group, lb)
-    if ny % group or nx % group or min(ny, nx) < win:
-        raise ValueError(
-            f"grid {ny}x{nx} does not fit group={group} windows")
-
     d = np.asarray(dirs).reshape(-1, 3)
     dom = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
     max_slope = float(np.max(np.abs(d[:, 2]) / np.maximum(dom, 1e-12)))
-    if group * dx * max_slope > dz * (1.0 + 1e-9):
-        raise ValueError(
-            f"cone z-slope too steep for group={group}: "
-            f"{group} * {dx} * {max_slope:.4f} > dz={dz}; use "
-            "trace_paths_3d")
-
-    table_bytes = 2 * nz * (ny // group) * nx * group * \
-        _rowwin_words(group, lb) * 4  # both orientations
-    if table_bytes > 512 << 20:
-        raise ValueError(
-            f"packed cone tables would need {table_bytes >> 20} MiB HBM; "
-            "use trace_paths_3d for volumes this large")
+    lb, W = validate_cone_dominant((nz, ny, nx), n_materials, dx, dy, dz,
+                                   max_slope, group)
 
     idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
     labels3 = jnp.asarray(labels3)
-    W = _rowwin_words(group, lb)
     # ONE vmapped pack over the layer axis (per-layer calls would
     # compile/launch nz times each)
     pack_y = jax.vmap(
@@ -835,7 +800,7 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
 
 def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                        n_iters=10, noise="none", key=None,
-                       recon="fdk", **recon_kw):
+                       recon="auto", mask_thresh=0.95, **recon_kw):
     """Full 3-D dual-energy cone-beam pipeline: trace ONCE -> two
     polyenergetic acquisitions -> per-ray GN decomposition -> FDK (or
     helical Feldkamp) of both HU volumes and both basis-material
@@ -867,8 +832,16 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         if key is None:
             key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
-        c1 = sp_ops.sample_noise(k1, c1, noise)
-        c2 = sp_ops.sample_noise(k2, c2, noise)
+        v1 = v2 = None
+        if noise == "compound":
+            i2_1 = jnp.asarray(sp_ops.second_moment_fluence(spec1, ct),
+                               dtype)
+            i2_2 = jnp.asarray(sp_ops.second_moment_fluence(spec2, ct),
+                               dtype)
+            v1 = sp_ops.counts_from_paths(paths, mu_t1, i2_1)
+            v2 = sp_ops.counts_from_paths(paths, mu_t2, i2_2)
+        c1 = sp_ops.sample_noise(k1, c1, noise, var=v1)
+        c2 = sp_ops.sample_noise(k2, c2, noise, var=v2)
     log1 = sp_ops.log_sinogram(c1, float(np.sum(i0_1)))
     log2 = sp_ops.log_sinogram(c2, float(np.sum(i0_2)))
 
@@ -877,10 +850,14 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     ab = md.gauss_newton_solve(
         flat, jnp.asarray(dec_i0, dtype), jnp.asarray(dec_mus, dtype),
         n_iters=n_iters)
-    mask = (c1 >= 0.95 * jnp.max(c1)).reshape(-1)  # air rays (SURVEY §2.5)
+    mask = (c1 >= mask_thresh * jnp.max(c1)).reshape(-1)  # air rays
+    #                                                    (SURVEY §2.5)
     mat1 = jnp.where(mask, 0.0, ab[:, 0]).reshape(c1.shape)
     mat2 = jnp.where(mask, 0.0, ab[:, 1]).reshape(c1.shape)
 
+    if recon == "auto":  # helical geometries MUST NOT hit circular FDK
+        recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
+                 else "fdk")
     rec = (helical_fdk_reconstruct if recon == "helical"
            else fdk_reconstruct)
     vols = [np.asarray(rec(s, ct, n_matrix, fov, ramp, **recon_kw))

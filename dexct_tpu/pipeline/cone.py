@@ -30,12 +30,7 @@ from ..ops.conebeam import (
     plan_cone_dominant,
 )
 from ..ops.filters import filter_frequency_response
-from ..ops.siddon_fast import (
-    _rowwin_cols_per_word,
-    _rowwin_words,
-    pack_labels_rowwin,
-    rowwin_lbits,
-)
+from ..ops.siddon_fast import pack_labels_rowwin
 
 __all__ = ["ConeDectMeta", "pack_cone_dect", "cone_dect_step",
            "make_jitted_cone_step"]
@@ -82,27 +77,26 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     silent DDA fallback here; use
     :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect` for odd shapes.
     """
+    from ..ops.conebeam import validate_cone_dominant
     from ..pipeline.api import effective_water_mu
 
+    if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
+        raise ValueError(
+            "helical geometries are not supported by the fused circular "
+            "pipeline (the FDK stage assumes a z=0 orbit); use "
+            "ops.conebeam.simulate_cone_dect, which routes helical "
+            "scans through helical_fdk_reconstruct"
+        )
     labels3 = np.asarray(phantom.labels).astype(np.int32)
     nz, ny, nx = labels3.shape
     dxc, dyc, dzc = float(phantom.dx), float(phantom.dy), float(phantom.dz)
-    if abs(dxc - dyc) > 1e-9 * max(dxc, dyc):
-        raise ValueError("square in-plane cells required")
-    if phantom.n_materials > 31:
-        raise ValueError("< 32 material labels required")
-    lb = rowwin_lbits(phantom.n_materials)
-    W = _rowwin_words(group, lb)
-    if (ny % group or nx % group
-            or min(ny, nx) < _rowwin_cols_per_word(lb) * W):
-        raise ValueError(f"grid {ny}x{nx} does not fit group={group}")
-
     src, dirs = ct.ray_geometry_3d()
     d = np.asarray(dirs).reshape(-1, 3)
     dom = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
     max_slope = float(np.max(np.abs(d[:, 2]) / np.maximum(dom, 1e-12)))
-    if group * dxc * max_slope > dzc * (1.0 + 1e-9):
-        raise ValueError("cone z-slope too steep for the packed kernel")
+    # the single shared capability check (incl. the 512 MiB table guard)
+    lb, W = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
+                                   dxc, dyc, dzc, max_slope, group)
 
     idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
     labj = jnp.asarray(labels3)
@@ -143,6 +137,11 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     }
     if noise != "none":
         arrays["noise_key"] = jax.random.PRNGKey(seed)
+    if noise == "compound":
+        arrays["i2_1"] = jnp.asarray(
+            sp_ops.second_moment_fluence(spec1, ct), dtype)
+        arrays["i2_2"] = jnp.asarray(
+            sp_ops.second_moment_fluence(spec2, ct), dtype)
     meta = ConeDectMeta(
         n_materials=int(phantom.n_materials),
         n_matrix=int(n_matrix),
@@ -185,15 +184,24 @@ def cone_dect_step(arrays, meta: ConeDectMeta):
         group=meta.group, lbits=meta.lbits)
     paths = jnp.concatenate([out_y[:meta.n_y], out_x[:meta.n_x]], axis=0)
 
-    c1p = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
-    c2p = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])
-    packed = jnp.stack([c1p, c2p], axis=-1)[a["inv"]]
+    cols = [sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
+            sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])]
+    if meta.noise == "compound":  # second-moment tables for EID noise
+        cols.append(sp_ops.counts_from_paths(paths, a["mu_t1"],
+                                             a["i2_1"]))
+        cols.append(sp_ops.counts_from_paths(paths, a["mu_t2"],
+                                             a["i2_2"]))
+    packed = jnp.stack(cols, axis=-1)[a["inv"]]  # one row-K unpermute
     counts1 = packed[..., 0].reshape(V, R, C)
     counts2 = packed[..., 1].reshape(V, R, C)
     if meta.noise != "none":
         k1, k2 = jax.random.split(a["noise_key"])
-        counts1 = sp_ops.sample_noise(k1, counts1, meta.noise)
-        counts2 = sp_ops.sample_noise(k2, counts2, meta.noise)
+        v1 = (packed[..., 2].reshape(V, R, C)
+              if meta.noise == "compound" else None)
+        v2 = (packed[..., 3].reshape(V, R, C)
+              if meta.noise == "compound" else None)
+        counts1 = sp_ops.sample_noise(k1, counts1, meta.noise, var=v1)
+        counts2 = sp_ops.sample_noise(k2, counts2, meta.noise, var=v2)
     log1 = sp_ops.log_sinogram(counts1, meta.air1)
     log2 = sp_ops.log_sinogram(counts2, meta.air2)
 

@@ -98,8 +98,19 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             continue
         spec1 = _resolve_spectrum(spec_id1, d1, cfg.ct, spectrum_dir, gens)
         spec2 = _resolve_spectrum(spec_id2, d2, cfg.ct, spectrum_dir, gens)
+        from ..system.geometry import ConeBeamGeometry as _Cone
         from ..system.geometry import FanBeamGeometry as _Fan
 
+        if isinstance(cfg.ct, _Cone):
+            # a ConeBeamGeometry IS a FanBeamGeometry subclass — without
+            # this guard a cone/helical config would silently run as a
+            # single-slice 2-D fan scan
+            raise ValueError(
+                "cone/helical configs are 3-D: reconstruct via "
+                "ops.conebeam.simulate_cone_dect or pipeline.cone; the "
+                "runner's 2-D output contract (flat [V, C] sinograms, "
+                "main.py:121-169) cannot represent [V, R, C] data"
+            )
         if engine == "fused" and not isinstance(cfg.ct, _Fan):
             # the fused fast path is fan-beam; other geometries run the
             # composed op path (get_sino/get_recon dispatch per geometry)

@@ -428,3 +428,104 @@ def test_fused_cone_pipeline_matches_stateless(cone_system):
                                np.asarray(ref["recon_HU"][1]), atol=2.0)
     np.testing.assert_allclose(np.asarray(out["mat_recons"][0]),
                                np.asarray(ref["mat_recons"][0]), atol=5e-3)
+
+
+class TestReviewRegressions:
+    """Round-2 self-review findings (helical/circular routing, compound
+    noise, capability-error scoping)."""
+
+    def test_circular_fdk_rejects_helical_geometry(self):
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(N_channels=32, N_proj=16, N_rows=4,
+                                     pitch=2.0)
+        with pytest.raises(ValueError, match="helical"):
+            fdk_reconstruct(jnp.zeros((16, 4, 32)), ct, 16, 10.0, 0.8)
+
+    def test_fused_cone_pack_rejects_helical(self):
+        import dataclasses
+
+        from dexct_tpu.physics.spectrum import kramers_spectrum
+        from dexct_tpu.pipeline.cone import pack_cone_dect
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(N_channels=32, N_proj=16, N_rows=4,
+                                     pitch=2.0)
+        ph2 = water_cylinder_phantom(N=32, dx=0.4)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 32, 32)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        s = kramers_spectrum(80.0)
+        with pytest.raises(ValueError, match="helical"):
+            pack_cone_dect(ct, ph3, s, s, 32, 10.0, 0.8)
+
+    def test_simulate_auto_routes_helical(self):
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import simulate_cone_dect
+        from dexct_tpu.physics.spectrum import (kramers_spectrum,
+                                                linac_spectrum)
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=32, N_proj=64, N_rows=4, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.4, pitch=1.0,
+            rotation_total=4.0 * np.pi)
+        ph2 = water_cylinder_phantom(N=32, dx=0.4)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 32, 32)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        out = simulate_cone_dect(ct, ph3, s1, s2, 32, 10.0, 0.8)
+        # helical Feldkamp output (z grid from the source travel, not
+        # the row count) — the circular path would return N_rows slices
+        assert out["recon_HU"][0].shape[1:] == (32, 32)
+        assert np.isfinite(out["recon_HU"][0]).all()
+
+    def test_compound_noise_on_cone_paths(self, cone_system):
+        import jax
+
+        from dexct_tpu.ops.conebeam import simulate_cone_dect
+        from dexct_tpu.physics.spectrum import (kramers_spectrum,
+                                                linac_spectrum)
+        from dexct_tpu.pipeline.cone import (make_jitted_cone_step,
+                                             pack_cone_dect)
+
+        ct, _, ph3 = cone_system
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        out = simulate_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8,
+                                 noise="compound",
+                                 key=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out["recon_HU"][0])).all()
+        arrays, meta = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8,
+                                      noise="compound", seed=1)
+        out2 = make_jitted_cone_step(meta)(arrays)
+        assert np.isfinite(np.asarray(out2["recon_HU"][0])).all()
+
+    def test_dominant_fallback_only_on_capability_errors(self):
+        # a genuine input error must NOT be silently swallowed into the
+        # DDA path
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import ConeDominantUnsupported
+
+        ph2 = water_cylinder_phantom(N=30, dx=0.4)  # 30 % 16 != 0
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 30, 30)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        ct = ConeBeamGeometry(N_channels=32, N_proj=16, N_rows=4,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.4)
+        with pytest.raises(ConeDominantUnsupported):
+            from dexct_tpu.ops.conebeam import trace_cone_dominant
+
+            src, dirs = ct.ray_geometry_3d()
+            trace_cone_dominant(lab3, np.asarray(src, np.float32),
+                                np.asarray(dirs, np.float32),
+                                0.4, 0.4, 0.4, n_materials=2)
+        # auto still succeeds via the DDA
+        p = cone_material_paths(ph3, ct, method="auto")
+        assert np.isfinite(np.asarray(p)).all()
