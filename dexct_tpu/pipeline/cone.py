@@ -33,7 +33,8 @@ from ..ops.filters import filter_frequency_response
 from ..ops.siddon_fast import pack_labels_rowwin
 
 __all__ = ["ConeDectMeta", "pack_cone_dect", "cone_dect_step",
-           "make_jitted_cone_step"]
+           "make_jitted_cone_step", "pack_cone_dect_sharded",
+           "make_sharded_cone_step"]
 
 
 class ConeDectMeta(NamedTuple):
@@ -167,9 +168,14 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     return arrays, meta
 
 
-def cone_dect_step(arrays, meta: ConeDectMeta):
+def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
     """One fused cone-DE step (pure; jit via
-    :func:`make_jitted_cone_step`)."""
+    :func:`make_jitted_cone_step`).
+
+    Under ``shard_map`` (``axis_name`` set), ``meta.vrc`` carries the
+    SHARD-LOCAL view count: every stage is view-local except the air
+    mask (pmax) and the final volume accumulation (psum) — cone FDK
+    needs no halo exchange at all."""
     a = arrays
     nz, ny, nx = meta.labels_shape
     V, R, C = meta.vrc
@@ -208,7 +214,10 @@ def cone_dect_step(arrays, meta: ConeDectMeta):
     flat = jnp.stack([counts1.reshape(-1), counts2.reshape(-1)])
     ab = md_ops.gauss_newton_solve(
         flat, a["dec_i0"], a["dec_mus"], n_iters=meta.n_iters)
-    mask = counts1 >= meta.mask_thresh * jnp.max(counts1)
+    cmax = jnp.max(counts1)
+    if axis_name is not None:
+        cmax = jax.lax.pmax(cmax, axis_name)
+    mask = counts1 >= meta.mask_thresh * cmax
     mat1 = jnp.where(mask, 0.0, ab[:, 0].reshape(counts1.shape))
     mat2 = jnp.where(mask, 0.0, ab[:, 1].reshape(counts1.shape))
 
@@ -219,6 +228,8 @@ def cone_dect_step(arrays, meta: ConeDectMeta):
     vols = _fdk_backproject_multi(
         qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
         meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta)
+    if axis_name is not None:  # accumulate the view wedges' volumes
+        vols = jax.lax.psum(vols, axis_name)
     hu1 = 1000.0 * (vols[0] - meta.mu_w1) / meta.mu_w1
     hu2 = 1000.0 * (vols[1] - meta.mu_w2) / meta.mu_w2
     return {
@@ -234,3 +245,88 @@ def cone_dect_step(arrays, meta: ConeDectMeta):
 def make_jitted_cone_step(meta: ConeDectMeta):
     """jit of :func:`cone_dect_step` with the meta closed over."""
     return jax.jit(functools.partial(cone_dect_step, meta=meta))
+
+
+def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
+                           ramp, *, n_devices, **pack_kw):
+    """Shard the fused cone pipeline over the ``views`` mesh axis.
+
+    Cone FDK needs NO halo exchange: every stage is view-local, so the
+    only collectives are a pmax (air mask) and one psum of the four
+    partial volumes.  View balance uses the paired-quarter layout
+    (each shard owns four 90°-rotated view blocks, so its y/x-dominant
+    ray split is even — ``parallel/halo.py``); requires
+    ``N_proj % (4*n_devices) == 0`` and a full 2π orbit.
+
+    Returns ``(arrays, meta, view_perm)``: run via
+    :func:`make_sharded_cone_step`; sinogram-shaped outputs come back
+    in permuted view order — reorder with ``np.argsort(view_perm)``.
+    """
+    from ..parallel.halo import _dominant_plans_sharded
+
+    D = int(n_devices)
+    base_arrays, meta = pack_cone_dect(ct, phantom, spec1, spec2,
+                                       n_matrix, fov, ramp, **pack_kw)
+    V, R, C = meta.vrc
+    if V % (4 * D):
+        raise ValueError(
+            f"sharded cone pipeline needs N_proj % (4*D) == 0 "
+            f"(got {V} % {4 * D})")
+    if abs(ct.rotation_total - 2.0 * np.pi) > 1e-3:
+        raise ValueError("paired-quarter sharding needs a 2*pi orbit")
+
+    vq = V // (4 * D)
+    i_ix, b_ix, k_ix = np.meshgrid(np.arange(D), np.arange(4),
+                                   np.arange(vq), indexing="ij")
+    view_perm = (b_ix * (V // 4) + i_ix * vq + k_ix).reshape(-1)
+
+    src, dirs = ct.ray_geometry_3d()
+    srcp = np.asarray(src, np.float32)[view_perm].reshape(-1, 3)
+    dirp = np.asarray(dirs, np.float32)[view_perm].reshape(-1, 3)
+    idx_y, idx_x, inv, py, px, pad_factor = _dominant_plans_sharded(
+        dirp[:, :2], D)
+    rs = dirp.shape[0] // D
+    # shard-local ray ids -> global rows of the permuted ray list
+    shard_of_y = np.repeat(np.arange(D), py)
+    shard_of_x = np.repeat(np.arange(D), px)
+    gy = shard_of_y * rs + idx_y
+    gx = shard_of_x * rs + idx_x
+    swap = [1, 0, 2]
+
+    arrays = dict(base_arrays)
+    arrays.update({
+        "src_y": jnp.asarray(srcp[gy]),
+        "dirs_y": jnp.asarray(dirp[gy]),
+        "src_x": jnp.asarray(srcp[gx][:, swap]),
+        "dirs_x": jnp.asarray(dirp[gx][:, swap]),
+        "inv": jnp.asarray(inv),
+        "betas": jnp.asarray(np.asarray(ct.betas)[view_perm], jnp.float32),
+    })
+    meta = meta._replace(vrc=(V // D, R, C), n_y=int(py), n_x=int(px))
+    return arrays, meta, view_perm
+
+
+_CONE_VIEW_SHARDED = ("src_y", "dirs_y", "src_x", "dirs_x", "inv",
+                      "betas")
+
+
+def make_sharded_cone_step(mesh, meta: ConeDectMeta, arrays_keys,
+                           axis="views"):
+    """jitted shard_map of :func:`cone_dect_step` over ``axis``."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    in_specs = {k: (P(axis) if k in _CONE_VIEW_SHARDED else P())
+                for k in arrays_keys}
+    out_specs = {
+        "sino_raw": (P(axis), P(axis)),
+        "sino_log": (P(axis), P(axis)),
+        "mat_sinos": (P(axis), P(axis)),
+        "recon_raw": (P(), P()),
+        "recon_HU": (P(), P()),
+        "mat_recons": (P(), P()),
+    }
+    body = functools.partial(cone_dect_step, meta=meta, axis_name=axis)
+    mapped = shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)

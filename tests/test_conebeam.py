@@ -529,3 +529,43 @@ class TestReviewRegressions:
         # auto still succeeds via the DDA
         p = cone_material_paths(ph3, ct, method="auto")
         assert np.isfinite(np.asarray(p)).all()
+
+
+def test_sharded_cone_pipeline_matches_single_device(cone_system):
+    # view-sharded cone DE on the virtual mesh == the single-device
+    # fused result; the only collectives are pmax (mask) + psum (vols)
+    import numpy as _np
+
+    from dexct_tpu.parallel.mesh import view_mesh
+    from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum
+    from dexct_tpu.pipeline.cone import (
+        make_jitted_cone_step,
+        make_sharded_cone_step,
+        pack_cone_dect,
+        pack_cone_dect_sharded,
+    )
+
+    ct, _, ph3 = cone_system
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+
+    arrays0, meta0 = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+    ref = make_jitted_cone_step(meta0)(arrays0)
+
+    mesh = view_mesh(4)
+    arrays, meta, perm = pack_cone_dect_sharded(
+        ct, ph3, s1, s2, 48, 20.0, 0.8, n_devices=4)
+    out = make_sharded_cone_step(mesh, meta, tuple(arrays))(arrays)
+
+    _np.testing.assert_allclose(
+        _np.asarray(out["recon_HU"][0]),
+        _np.asarray(ref["recon_HU"][0]), atol=0.02)
+    _np.testing.assert_allclose(
+        _np.asarray(out["mat_recons"][0]),
+        _np.asarray(ref["mat_recons"][0]), atol=1e-4)
+    # sinograms return in permuted view order
+    nat = _np.asarray(out["sino_log"][0])[_np.argsort(perm)]
+    _np.testing.assert_allclose(nat, _np.asarray(ref["sino_log"][0]),
+                                atol=2e-3)
