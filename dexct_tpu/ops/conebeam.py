@@ -563,11 +563,13 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
                          group_block=4):
     """Exact cone paths for in-plane-y-dominant rays via packed marching.
 
-    packed_z: [Nz * (Ny/group * Nx), group*W] — per-z-layer row-window
-    packs (:func:`dexct_tpu.ops.siddon_fast.pack_labels_rowwin`) stacked
-    along a leading layer axis and flattened.  src/dirs: [R, 3] with
-    |dir_y| >= |dir_x| and a z-slope small enough that one group spans
-    <= 2 layers (callers must enforce ``group * dy * max|dz/dy| <= dzc``).
+    packed_z: [(Ny/group * Nx) * Nz, 2*group*W] — LAYER-INTERLEAVED
+    row-window packs (:func:`build_cone_pack`): row ``base * Nz + L``
+    holds layer L's window words followed by layer L+1's (clamped at
+    Nz-1), so the group's two bracketing z-layers arrive in ONE row
+    gather.  src/dirs: [R, 3] with |dir_y| >= |dir_x| and a z-slope
+    small enough that one group spans <= 2 layers (callers must enforce
+    ``group * dy * max|dz/dy| <= dzc``).
     """
     from .siddon_fast import _rowwin_cols_per_word, _rowwin_words
 
@@ -582,7 +584,6 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
     p = src.astype(dtype)
     d = dirs.astype(dtype)
     n_rays = p.shape[0]
-    gnx = (ny // group) * nx
 
     px, py, pz = p[:, 0], p[:, 1], p[:, 2]
     dxr, dyr, dzr = d[:, 0], d[:, 1], d[:, 2]
@@ -640,8 +641,12 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
         anchor = jnp.clip(jm, 0, nx - cpw * W)
         L = jnp.clip(lzm, 0, max(nz - 2, 0))
         base = ig * nx + anchor
-        codes_a = packed_z[L * gnx + base]          # layer L
-        codes_b = packed_z[jnp.minimum(L + 1, nz - 1) * gnx + base]
+        # ONE row gather fetches both bracketing layers (interleaved
+        # table rows: base * nz + L holds layers L and L+1)
+        codes = packed_z[base * nz + L]
+        gw = group * W
+        codes_a = codes[:, :gw]
+        codes_b = codes[:, gw:]
 
         out = 0.0
         for k, (tA, tB, ja, jb, valid) in enumerate(rows):
@@ -735,6 +740,25 @@ def validate_cone_dominant(labels_shape, n_materials, dx, dy, dz,
     return lb, W
 
 
+def build_cone_pack(labels3, group, lbits):
+    """Layer-interleaved row-window pack for the dominant cone kernel.
+
+    [Nz, Ny, Nx] labels -> [(Ny/group * Nx) * Nz, 2*group*W] int32:
+    row ``base * Nz + L`` = layer L's pack row ``base`` followed by
+    layer L+1's (clamped), so both bracketing layers of a row group
+    arrive in ONE row gather.  Built with one vmapped
+    :func:`~dexct_tpu.ops.siddon_fast.pack_labels_rowwin` (per-layer
+    calls would compile/launch Nz times).
+    """
+    from .siddon_fast import pack_labels_rowwin
+
+    pz = jax.vmap(lambda l: pack_labels_rowwin(l, group, lbits))(labels3)
+    pz_next = jnp.concatenate([pz[1:], pz[-1:]], axis=0)
+    paired = jnp.concatenate([pz, pz_next], axis=-1)  # [nz, Gnx, 2gW]
+    return paired.transpose(1, 0, 2).reshape(
+        paired.shape[1] * paired.shape[0], paired.shape[2])
+
+
 def plan_cone_dominant(dirs3, pad_to=1024):
     """Host-side 3-D ray partition by in-plane dominant axis.
 
@@ -760,8 +784,6 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
     then spans at most two z-layers), and packed tables under 512 MiB
     (see :func:`validate_cone_dominant`).
     """
-    from .siddon_fast import _rowwin_words, pack_labels_rowwin
-
     nz, ny, nx = labels3.shape
     d = np.asarray(dirs).reshape(-1, 3)
     dom = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
@@ -771,15 +793,8 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
 
     idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
     labels3 = jnp.asarray(labels3)
-    # ONE vmapped pack over the layer axis (per-layer calls would
-    # compile/launch nz times each)
-    pack_y = jax.vmap(
-        lambda l: pack_labels_rowwin(l, group, lb))(labels3)
-    pack_y = pack_y.reshape(-1, group * W)
-    pack_x = jax.vmap(
-        lambda l: pack_labels_rowwin(l, group, lb))(
-            labels3.transpose(0, 2, 1))
-    pack_x = pack_x.reshape(-1, group * W)
+    pack_y = build_cone_pack(labels3, group, lb)
+    pack_x = build_cone_pack(labels3.transpose(0, 2, 1), group, lb)
 
     src2 = jnp.asarray(np.asarray(src).reshape(-1, 3))
     dirs2 = jnp.asarray(d)

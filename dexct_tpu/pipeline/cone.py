@@ -27,10 +27,10 @@ from ..ops import spectral as sp_ops
 from ..ops.conebeam import (
     _fdk_backproject_multi,
     _trace_cone_dominant,
+    build_cone_pack,
     plan_cone_dominant,
 )
 from ..ops.filters import filter_frequency_response
-from ..ops.siddon_fast import pack_labels_rowwin
 
 __all__ = ["ConeDectMeta", "pack_cone_dect", "cone_dect_step",
            "make_jitted_cone_step", "pack_cone_dect_sharded",
@@ -101,9 +101,8 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
 
     idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
     labj = jnp.asarray(labels3)
-    pack = jax.vmap(lambda l: pack_labels_rowwin(l, group, lb))
-    pack_y = pack(labj).reshape(-1, group * W)
-    pack_x = pack(labj.transpose(0, 2, 1)).reshape(-1, group * W)
+    pack_y = build_cone_pack(labj, group, lb)
+    pack_x = build_cone_pack(labj.transpose(0, 2, 1), group, lb)
 
     dtype = jnp.float32
     src2 = np.asarray(src, np.float32).reshape(-1, 3)
