@@ -263,7 +263,9 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     return _fdk_backproject_multi(
         q[None], betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
         int(R), int(n_matrix), int(nz), float(fov), dz,
-        float(ct.rotation_total / V), view_block=int(view_block))[0]
+        float(ct.rotation_total / V), view_block=int(view_block),
+        pair_mode=_fdk_pair_ok(float(ct.SID), float(fov),
+                               float(ct.h_iso), dz, int(nz), int(R)))[0]
 
 @functools.partial(
     jax.jit,
@@ -894,19 +896,37 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     }
 
 
+def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
+    """Static decision: can output z-slices pair over a 4-detector-row
+    window?  Worst-case adjacent-slice detector-row spacing must stay
+    under 2 (callers hold these as Python floats; the kernel's are
+    traced)."""
+    h_min = max(sid - fov / 2.0, 1e-6)
+    spacing = abs(dz_out) * sid / (h_min * row_h)
+    return (nz_out % 2 == 0 and nz_out >= 2 and n_rows >= 4
+            and spacing <= 1.9)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block",
+                     "pair_mode"),
 )
 def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                            n_matrix, nz_out, fov, dz_out, dbeta, *,
-                           view_block=8):
+                           view_block=8, pair_mode=False):
     """Voxel-driven FDK backprojection of K filtered stacks at once.
 
     qs: [K, V, R, C].  One (channel, row) tap geometry pass serves all
-    K volumes — the row-4K gather packs both channel taps of both
-    bracketing rows of every image (the cone analog of
-    ``ops/fbp_fast.fan_backproject_multi``).  Returns [K, nz, N, N].
+    K volumes — the row gather packs both channel taps of the
+    bracketing detector rows of every image (the cone analog of
+    ``ops/fbp_fast.fan_backproject_multi``).  Adjacent OUTPUT z-slices
+    read adjacent detector rows (ridx spacing = dz_out*SID*inv_h/row_h
+    <= ~1.5 at default settings), so when the worst-case spacing stays
+    under 2, z-slices process in PAIRS over a 4-detector-row window —
+    one row-8K gather serves two slices, halving the gather count
+    (the discipline of CLAUDE.md).  Falls back to the per-slice 2-row
+    path otherwise.  Returns [K, nz, N, N].
     """
     K, V, R, C = qs.shape
     dtype = qs.dtype
@@ -943,17 +963,77 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
         w_amp = w_in / h2
 
         qb = qs[:, vo]  # [K, vb, R, C]
-        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
-        qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
-        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
+        fce = fc[..., None]
+
+        def shift_r(x, n):
+            return jnp.concatenate([x[:, :, n:],
+                                    jnp.repeat(x[:, :, -1:], n, 2)], 2) \
+                if n else x
+
+        def shift_c(x):
+            return jnp.concatenate([x[..., 1:], x[..., -1:]], -1)
+
+        def ridx_of(z):
+            return z * sid * inv_h / row_h - 0.5 + R / 2.0
+
+        def interp_at(cr, win, ridx):
+            """Bilinear value of one slice from channel-interp'd window
+            rows ``cr [vb, P, 4, K]`` fetched at base row ``win``:
+            selects rows r0-win, r0-win+1 by where-chain (no second
+            gather)."""
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            rel = jnp.clip(r0 - win, 0, 2).astype(jnp.int32)
+            top = cr[..., 2, :]
+            bot = cr[..., 3, :]
+            for w in (1, 0):
+                pick = (rel == w)[..., None]
+                top = jnp.where(pick, cr[..., w, :], top)
+                bot = jnp.where(pick, cr[..., w + 1, :], bot)
+            fre = fr[..., None]
+            return (top * (1 - fre) + bot * fre), (w_amp * w_z)
+
+        if pair_mode:
+            # 4-row window pack: taps (r+w, c+t) for w<4, t<2 -> row-8K
+            vars_ = []
+            for w in range(4):
+                qr = shift_r(qb, w)
+                vars_ += [qr, shift_c(qr)]
+            packed_flat = jnp.stack(vars_, -1).transpose(
+                1, 2, 3, 4, 0).reshape(vb * R * C, 8 * K)
+
+            def one_pair(z2):
+                ra_idx = ridx_of(z2[0])
+                rb_idx = ridx_of(z2[1])
+                win = jnp.clip(
+                    jnp.floor(jnp.minimum(ra_idx, rb_idx)),
+                    0, max(R - 4, 0))
+                idx = (win.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                       + voff_b[:, None] * (R * C))
+                rows = packed_flat[idx.reshape(-1)].reshape(
+                    idx.shape + (4, 2, K))  # taps (row w, ctap t)
+                cr = (rows[..., 0, :] * (1 - fce[..., None, :])
+                      + rows[..., 1, :] * fce[..., None, :])  # [vb,P,4,K]
+                va, wa_ = interp_at(cr, win, ra_idx)
+                vb_, wb2 = interp_at(cr, win, rb_idx)
+                return (jnp.sum(va * wa_[..., None], axis=0),
+                        jnp.sum(vb_ * wb2[..., None], axis=0))
+
+            pa, pb = jax.vmap(one_pair)(zc.reshape(-1, 2))
+            contrib = jnp.stack([pa, pb], 1).reshape(nz_out, P, K)
+            return acc + contrib, None
+
+        qb_c1 = shift_c(qb)
+        qb_r1 = shift_r(qb, 1)
+        qb_r1c1 = shift_c(qb_r1)
         packed_flat = jnp.stack(
             [qb, qb_c1, qb_r1, qb_r1c1], -1
         ).transpose(1, 2, 3, 4, 0).reshape(vb * R * C, 4 * K)
-        voff_b = jnp.arange(vb, dtype=jnp.int32)
 
         def one_slice(z):
-            zt = z * sid * inv_h
-            ridx = zt / row_h - 0.5 + R / 2.0
+            ridx = ridx_of(z)
             r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
             fr = jnp.clip(ridx - r0, 0.0, 1.0)
             w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
@@ -961,7 +1041,6 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                    + voff_b[:, None] * (R * C))
             rows = packed_flat[idx.reshape(-1)].reshape(
                 idx.shape + (4, K))
-            fce = fc[..., None]
             fre = fr[..., None]
             top = rows[..., 0, :] * (1 - fce) + rows[..., 1, :] * fce
             bot = rows[..., 2, :] * (1 - fce) + rows[..., 3, :] * fce

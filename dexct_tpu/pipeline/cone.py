@@ -224,9 +224,13 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
     spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
     qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
                        axis=-1)[..., :C] * meta.dgamma
+    from ..ops.conebeam import _fdk_pair_ok
+
     vols = _fdk_backproject_multi(
         qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
-        meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta)
+        meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta,
+        pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
+                               meta.dz_out, meta.nz_out, R))
     if axis_name is not None:  # accumulate the view wedges' volumes
         vols = jax.lax.psum(vols, axis_name)
     hu1 = 1000.0 * (vols[0] - meta.mu_w1) / meta.mu_w1
