@@ -1,6 +1,11 @@
 """Per-stage TPU timing of the reference workload (dev tool).
 
 Usage: python tools/profile_stages.py [N_PROJ N_CHANNELS N_PHANTOM N_MATRIX]
+
+CAVEAT (CLAUDE.md): standalone kernel reruns measure ~5x their
+in-program times (gather residency) and include per-call host
+plan/pack overhead — compare stages RELATIVELY here, and take absolute
+stage budgets from the fused-program XLA trace (vm.xplane.pb) instead.
 """
 
 import sys
@@ -55,6 +60,14 @@ def main():
         a["labels"], a["src"], a["dirs"], meta.dx, meta.dy,
         n_materials=meta.n_materials))
 
+    # the PRODUCTION exact trace (what the 0.28 s headline runs):
+    # dominant-axis 16-row groups, 3-bit labels, row-32 gathers
+    from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+
+    timeit("trace (dominant grp16)", lambda: trace_paths_dominant(
+        a["labels"], a["src"], a["dirs"], meta.dx, meta.dy,
+        n_materials=meta.n_materials, group=16))
+
     # the production fast-path stages (what bench.py actually runs)
     from dexct_tpu.ops.fourier import fourier_paths, plan_fourier_projector
 
@@ -66,9 +79,12 @@ def main():
         sp.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
         sp.counts_from_paths(paths, a["mu_t2"], a["i0_2"])))[0]
     l1 = timeit("log", lambda: sp.log_sinogram(c1, meta.air1))
-    timeit("gn50", lambda: md.gauss_newton_solve(
+    timeit("gn50 (reference iters)", lambda: md.gauss_newton_solve(
         jnp.stack([c1.reshape(-1)] * 2), a["dec_i0"], a["dec_mus"],
         n_iters=50, pixel_block=meta.pixel_block))
+    timeit("gn10 (production)", lambda: md.gauss_newton_solve(
+        jnp.stack([c1.reshape(-1)] * 2), a["dec_i0"], a["dec_mus"],
+        n_iters=10, pixel_block=meta.pixel_block))
     q = timeit("filter", lambda: _filter_views(
         l1, a["cos_w"], a["filt_H"], meta.fft_len, meta.dgamma))
     timeit("backproject (direct fan)", lambda: fan_backproject(
@@ -106,6 +122,28 @@ def main():
         )
 
     timeit("backproject x4 (8-fold sym)", bp8)
+
+    # 3-D extension stages (round-2 cone subsystem, small config)
+    import dataclasses
+
+    from dexct_tpu.ops.conebeam import cone_material_paths, fdk_reconstruct
+    from dexct_tpu.system import ConeBeamGeometry
+
+    cct = ConeBeamGeometry(N_channels=min(C, 256), N_proj=min(V, 360),
+                           N_rows=16, gamma_fan=0.8230337, SID=60.0,
+                           SDD=100.0, h_iso=0.25)
+    cph = dataclasses.replace(
+        ph, labels=np.broadcast_to(
+            ph.labels[0][:256, :256] if NP >= 256 else ph.labels[0],
+            (32,) + ((256, 256) if NP >= 256 else ph.labels[0].shape)
+        ).copy(), dz=ph.dx)
+    mu60 = ph.materials.mu_table(np.array([60.0]))[:, 0]
+    cpaths = timeit("cone trace (dominant)", lambda: cone_material_paths(
+        cph, cct))
+    csino = jnp.einsum("vrcm,m->vrc", cpaths,
+                       jnp.asarray(mu60, jnp.float32))
+    timeit("cone FDK x1 (z-pair)", lambda: fdk_reconstruct(
+        csino, cct, cph.Nx, 40.0, 0.8))
 
 
 if __name__ == "__main__":
