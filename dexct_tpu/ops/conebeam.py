@@ -734,7 +734,9 @@ def validate_cone_dominant(labels_shape, n_materials, dx, dy, dz,
             f"cone z-slope too steep for group={group}: "
             f"{group} * {dx} * {max_slope:.4f} > dz={dz}; use "
             "trace_paths_3d")
-    table_bytes = 2 * nz * (ny // group) * nx * group * W * 4
+    # layer-interleaved rows hold BOTH bracketing layers (2*group*W
+    # words) and both orientations pack: 2 (orient) * 2 (layers)
+    table_bytes = 4 * nz * (ny // group) * nx * group * W * 4
     if table_bytes > 512 << 20:
         raise ConeDominantUnsupported(
             f"packed cone tables would need {table_bytes >> 20} MiB HBM; "

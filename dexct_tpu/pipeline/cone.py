@@ -26,6 +26,7 @@ from ..ops import matdecomp as md_ops
 from ..ops import spectral as sp_ops
 from ..ops.conebeam import (
     _fdk_backproject_multi,
+    _fdk_pair_ok,
     _trace_cone_dominant,
     build_cone_pack,
     plan_cone_dominant,
@@ -68,7 +69,8 @@ class ConeDectMeta(NamedTuple):
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    n_iters=10, nz_out=None, dz_out=None, window="sinc",
-                   noise="none", seed=0, group=16, mask_thresh=0.95):
+                   noise="none", seed=0, group=16, mask_thresh=0.95,
+                   _ray_plan=True):
     """Lower a cone-beam DE scan to ``(arrays, meta)`` for
     :func:`make_jitted_cone_step`.
 
@@ -99,14 +101,11 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     lb, W = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
                                    dxc, dyc, dzc, max_slope, group)
 
-    idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
     labj = jnp.asarray(labels3)
     pack_y = build_cone_pack(labj, group, lb)
     pack_x = build_cone_pack(labj.transpose(0, 2, 1), group, lb)
 
     dtype = jnp.float32
-    src2 = np.asarray(src, np.float32).reshape(-1, 3)
-    swap = [1, 0, 2]
     i0_1 = sp_ops.effective_fluence(spec1, ct)
     i0_2 = sp_ops.effective_fluence(spec2, ct)
     _, dec_i0, dec_mus = md_ops.prepare_decomposition(ct, spec1, spec2)
@@ -119,11 +118,6 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     arrays = {
         "pack_y": pack_y,
         "pack_x": pack_x,
-        "src_y": jnp.asarray(src2[idx_y]),
-        "dirs_y": jnp.asarray(d[idx_y].astype(np.float32)),
-        "src_x": jnp.asarray(src2[idx_x][:, swap]),
-        "dirs_x": jnp.asarray(d[idx_x][:, swap].astype(np.float32)),
-        "inv": jnp.asarray(inv),
         "mu_t1": jnp.asarray(phantom.materials.mu_table(spec1.E), dtype),
         "mu_t2": jnp.asarray(phantom.materials.mu_table(spec2.E), dtype),
         "i0_1": jnp.asarray(i0_1, dtype),
@@ -135,6 +129,18 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "filt_H": jnp.asarray(H, dtype),
         "betas": jnp.asarray(ct.betas, dtype),
     }
+    n_y = n_x = 0
+    if _ray_plan:  # the sharded pack builds per-shard plans instead
+        idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
+        src2 = np.asarray(src, np.float32).reshape(-1, 3)
+        swap = [1, 0, 2]
+        arrays.update({
+            "src_y": jnp.asarray(src2[idx_y]),
+            "dirs_y": jnp.asarray(d[idx_y].astype(np.float32)),
+            "src_x": jnp.asarray(src2[idx_x][:, swap]),
+            "dirs_x": jnp.asarray(d[idx_x][:, swap].astype(np.float32)),
+            "inv": jnp.asarray(inv),
+        })
     if noise != "none":
         arrays["noise_key"] = jax.random.PRNGKey(seed)
     if noise == "compound":
@@ -200,7 +206,10 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
     counts1 = packed[..., 0].reshape(V, R, C)
     counts2 = packed[..., 1].reshape(V, R, C)
     if meta.noise != "none":
-        k1, k2 = jax.random.split(a["noise_key"])
+        key = a["noise_key"]
+        if axis_name is not None:  # distinct noise per view shard
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k1, k2 = jax.random.split(key)
         v1 = (packed[..., 2].reshape(V, R, C)
               if meta.noise == "compound" else None)
         v2 = (packed[..., 3].reshape(V, R, C)
@@ -224,8 +233,6 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
     spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
     qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
                        axis=-1)[..., :C] * meta.dgamma
-    from ..ops.conebeam import _fdk_pair_ok
-
     vols = _fdk_backproject_multi(
         qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
         meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta,
@@ -269,7 +276,8 @@ def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
 
     D = int(n_devices)
     base_arrays, meta = pack_cone_dect(ct, phantom, spec1, spec2,
-                                       n_matrix, fov, ramp, **pack_kw)
+                                       n_matrix, fov, ramp,
+                                       _ray_plan=False, **pack_kw)
     V, R, C = meta.vrc
     if V % (4 * D):
         raise ValueError(

@@ -569,3 +569,23 @@ def test_sharded_cone_pipeline_matches_single_device(cone_system):
     nat = _np.asarray(out["sino_log"][0])[_np.argsort(perm)]
     _np.testing.assert_allclose(nat, _np.asarray(ref["sino_log"][0]),
                                 atol=2e-3)
+
+
+def test_fdk_pair_mode_matches_per_slice():
+    # the z-pair windowed gather must equal the per-slice 2-row path on
+    # the SAME data (pins the 4-row window select chain and the
+    # _fdk_pair_ok spacing bound)
+    from dexct_tpu.ops.conebeam import _fdk_backproject_multi, _fdk_pair_ok
+
+    rng = np.random.default_rng(3)
+    K, V, R, C = 2, 24, 8, 48
+    qs = jnp.asarray(rng.normal(size=(K, V, R, C)).astype(np.float32))
+    betas = jnp.asarray(np.arange(V) * (2 * np.pi / V), jnp.float32)
+    sid, dgamma, row_h = 60.0, 0.8230337 / C, 0.5
+    for dz_out in (0.5, 0.75):  # spacing 1.2 and 1.8 (bound: 1.9)
+        assert _fdk_pair_ok(sid, 20.0, row_h, dz_out, 8, R)
+        args = (qs, betas, sid, dgamma, row_h, R, 32, 8, 20.0, dz_out,
+                2 * np.pi / V)
+        a = np.asarray(_fdk_backproject_multi(*args, pair_mode=True))
+        b = np.asarray(_fdk_backproject_multi(*args, pair_mode=False))
+        np.testing.assert_allclose(a, b, atol=1e-5)
