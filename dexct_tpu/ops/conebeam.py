@@ -17,9 +17,12 @@ framework to true 3-D acquisition over a circular source trajectory:
   ``cos(gamma) * SID/sqrt(SID^2 + z_iso^2)``, the shared sinc-windowed
   ramp along channels, and a voxel-driven backprojection with bilinear
   (channel, row) detector interpolation and the ``1/h^2``
-  source-distance weight.  The central slice of an FDK volume equals
-  the 2-D equiangular fan FBP of the central row exactly (the geometry
-  guarantees it; the tests pin it).
+  source-distance weight.  When the output grid places a slice at
+  z = 0 (odd ``nz_out``, or explicit ``dz_out``), that slice equals the
+  2-D equiangular fan FBP of the central detector row exactly (the
+  geometry guarantees it).  The default even-``nz_out`` grid samples at
+  z = +-dz/2, so ``test_central_rows_match_fan`` pins the *average* of
+  the two central slices instead (ADVICE round 2).
 
 TPU shape notes: the backprojection shares one in-plane (gamma, h)
 computation across all z-slices of a view block and packs the two
@@ -260,12 +263,15 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     betas = jnp.asarray(ct.betas, dtype)
     # K=1 case of the shared multi-volume backprojector (one tap
     # geometry/pack/gather body to maintain, not three)
+    orbit4 = bool(V % 4 == 0 and int(n_matrix) % 2 == 0
+                  and abs(ct.rotation_total - 2.0 * np.pi) < 1e-9)
     return _fdk_backproject_multi(
         q[None], betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
         int(R), int(n_matrix), int(nz), float(fov), dz,
         float(ct.rotation_total / V), view_block=int(view_block),
         pair_mode=_fdk_pair_ok(float(ct.SID), float(fov),
-                               float(ct.h_iso), dz, int(nz), int(R)))[0]
+                               float(ct.h_iso), dz, int(nz), int(R)),
+        orbit4=orbit4)[0]
 
 @functools.partial(
     jax.jit,
@@ -912,11 +918,11 @@ def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
-                     "pair_mode"),
+                     "pair_mode", "orbit4"),
 )
 def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                            n_matrix, nz_out, fov, dz_out, dbeta, *,
-                           view_block=8, pair_mode=False):
+                           view_block=8, pair_mode=False, orbit4=False):
     """Voxel-driven FDK backprojection of K filtered stacks at once.
 
     qs: [K, V, R, C].  One (channel, row) tap geometry pass serves all
@@ -929,6 +935,17 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
     one row-8K gather serves two slices, halving the gather count
     (the discipline of CLAUDE.md).  Falls back to the per-slice 2-row
     path otherwise.  Returns [K, nz, N, N].
+
+    ``orbit4`` (round 3): a uniform full-2*pi view grid with V % 4 == 0
+    is closed under the quarter-turn — view i + V/4 at the 90-degree-
+    rotated pixel has EXACTLY the same (gamma, h^2, detector-row)
+    coordinates as view i at p (rotations preserve the source-voxel
+    radius, so unlike the 2-D mirror pairing even ridx is shared).
+    The four orbit legs {i, i+V/4, i+V/2, i+3V/4} are concatenated
+    into the image axis (K_eff = 4K), ONE gather serves all four, and
+    the legs recompose with three rot90s after the scan: 4x fewer
+    gathers at 4x the row width (32K floats in pair mode).  Validated
+    equal to orbit4=False within float-rounding in tests.
     """
     K, V, R, C = qs.shape
     dtype = qs.dtype
@@ -944,11 +961,20 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
     zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
                      dtype)
 
-    vb = max(1, min(view_block, V))
-    while V % vb:
+    n_legs = 4 if orbit4 else 1
+    if orbit4 and (V % 4 or N % 2):
+        raise ValueError("orbit4 needs V % 4 == 0 and an even matrix")
+    vq = V // n_legs
+    row_floats = (8 if pair_mode else 4) * n_legs * K
+    vb = max(1, min(view_block, vq))
+    # bound one z-window's gathered block (vb * P rows of row_floats) to
+    # ~400 MB — the wide orbit4 rows otherwise OOM at trace time
+    while vb > 1 and vb * P * row_floats * 4 > (400 << 20):
         vb -= 1
-    bb = betas.reshape(V // vb, vb)
-    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+    while vq % vb:
+        vb -= 1
+    bb = betas[:vq].reshape(vq // vb, vb)
+    voff = jnp.arange(vq, dtype=jnp.int32).reshape(vq // vb, vb)
 
     def block(acc, args):
         beta, vo = args
@@ -964,7 +990,13 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
         w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
         w_amp = w_in / h2
 
-        qb = qs[:, vo]  # [K, vb, R, C]
+        if orbit4:
+            # orbit legs stacked into the image axis: [4K, vb, R, C]
+            qb = jnp.concatenate(
+                [qs[:, vo + l * vq] for l in range(n_legs)], axis=0)
+        else:
+            qb = qs[:, vo]  # [K, vb, R, C]
+        Ke = n_legs * K  # image axis width after leg folding
         voff_b = jnp.arange(vb, dtype=jnp.int32)
         fce = fc[..., None]
 
@@ -1004,7 +1036,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                 qr = shift_r(qb, w)
                 vars_ += [qr, shift_c(qr)]
             packed_flat = jnp.stack(vars_, -1).transpose(
-                1, 2, 3, 4, 0).reshape(vb * R * C, 8 * K)
+                1, 2, 3, 4, 0).reshape(vb * R * C, 8 * Ke)
 
             def one_pair(z2):
                 ra_idx = ridx_of(z2[0])
@@ -1015,7 +1047,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                 idx = (win.astype(jnp.int32) * C + c0.astype(jnp.int32)
                        + voff_b[:, None] * (R * C))
                 rows = packed_flat[idx.reshape(-1)].reshape(
-                    idx.shape + (4, 2, K))  # taps (row w, ctap t)
+                    idx.shape + (4, 2, Ke))  # taps (row w, ctap t)
                 cr = (rows[..., 0, :] * (1 - fce[..., None, :])
                       + rows[..., 1, :] * fce[..., None, :])  # [vb,P,4,K]
                 va, wa_ = interp_at(cr, win, ra_idx)
@@ -1024,7 +1056,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                         jnp.sum(vb_ * wb2[..., None], axis=0))
 
             pa, pb = jax.vmap(one_pair)(zc.reshape(-1, 2))
-            contrib = jnp.stack([pa, pb], 1).reshape(nz_out, P, K)
+            contrib = jnp.stack([pa, pb], 1).reshape(nz_out, P, Ke)
             return acc + contrib, None
 
         qb_c1 = shift_c(qb)
@@ -1032,7 +1064,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
         qb_r1c1 = shift_c(qb_r1)
         packed_flat = jnp.stack(
             [qb, qb_c1, qb_r1, qb_r1c1], -1
-        ).transpose(1, 2, 3, 4, 0).reshape(vb * R * C, 4 * K)
+        ).transpose(1, 2, 3, 4, 0).reshape(vb * R * C, 4 * Ke)
 
         def one_slice(z):
             ridx = ridx_of(z)
@@ -1042,7 +1074,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
             rows = packed_flat[idx.reshape(-1)].reshape(
-                idx.shape + (4, K))
+                idx.shape + (4, Ke))
             fre = fr[..., None]
             top = rows[..., 0, :] * (1 - fce) + rows[..., 1, :] * fce
             bot = rows[..., 2, :] * (1 - fce) + rows[..., 3, :] * fce
@@ -1051,9 +1083,16 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
 
         return acc + jax.vmap(one_slice)(zc), None
 
-    acc0 = jnp.zeros((nz_out, P, K), dtype)
+    acc0 = jnp.zeros((nz_out, P, n_legs * K), dtype)
     acc, _ = jax.lax.scan(block, acc0, (bb, voff))
-    out = acc.transpose(2, 0, 1) * dbeta  # [K, nz, P]
-    vol = jnp.zeros((K, nz_out, N * N), dtype)
+    out = acc.transpose(2, 0, 1) * dbeta  # [n_legs*K, nz, P]
+    vol = jnp.zeros((n_legs * K, nz_out, N * N), dtype)
     vol = vol.at[:, :, jnp.asarray(sel)].set(out)
-    return vol.reshape(K, nz_out, N, N)
+    vol = vol.reshape(n_legs, K, nz_out, N, N)
+    if not orbit4:
+        return vol[0]
+    # leg l accumulated view (i + l*V/4) values at the UNROTATED pixel;
+    # they belong at the quarter-turn-rotated pixel rot^l(p), so the leg
+    # images recompose with pure layout ops (no gathers): out[p'] =
+    # sum_l leg_l[rot^{-l}(p')] = sum_l rot90(leg_l, -l).
+    return sum(jnp.rot90(vol[l], -l, axes=(-2, -1)) for l in range(4))

@@ -197,13 +197,21 @@ def plan_halo(geometry, n_devices, n_theta, nt, t_max=None):
         idx_b, w_b, ok_b = fan_taps(th + gam + 1.5 * np.pi, -gam)
         # every in-fan tap must have landed inside this shard's halo
         # buffer — the layout guarantees it; a failure here means the
-        # halo width H is miscomputed
-        assert np.all(ok_a[valid]) and np.all(ok_b[valid]), (
-            f"shard {i}: rebin tap outside the halo buffer"
-        )
+        # halo width H is miscomputed (hard error, not an assert: this is
+        # plan-time validation that must survive python -O)
+        if not (np.all(ok_a[valid]) and np.all(ok_b[valid])):
+            raise ValueError(
+                f"shard {i}: rebin tap outside the halo buffer "
+                "(halo width H miscomputed)"
+            )
         idx = np.concatenate([idx_a, idx_b], -1).reshape(-1, 8)
         w = 0.5 * np.concatenate([w_a, w_b], -1).reshape(-1, 8)
-        w = w * valid.reshape(-1, 1)
+        # fold tap-resolved flags into the weights too, so an unresolved
+        # tap can never gather buffer row 0 with nonzero weight
+        ok = np.concatenate(
+            [np.repeat(ok_a[..., None], 4, -1),
+             np.repeat(ok_b[..., None], 4, -1)], -1).reshape(-1, 8)
+        w = w * ok * valid.reshape(-1, 1)
         # flat tap layout, matching fbp_fast.parallel_rebin_plan
         return idx.reshape(-1), w.reshape(-1), thetas
 

@@ -12,9 +12,12 @@ coefficient mu/rho in cm^2/g of the mixture.
 The elemental curves come from two sources (see
 :mod:`dexct_tpu.physics.nist_data`):
 
-* **Anchor elements** (H, C, N, O, Al, Si, Ti, Fe, Cu, W, Pb): vendored
+* **Anchor elements** (25 as of round 3: H, C, N, O, Na, Mg, Al, Si, P, S,
+  Cl, K, Ca, Ti, V, Cr, Mn, Fe, Co, Ni, Cu, Mo, I, W, Pb): vendored
   NIST-grid mass-attenuation tables with exact absorption-edge rows —
-  accurate to ~1-2 % over 5 keV - 10 MeV.
+  accurate to ~1-2 % over 5 keV - 10 MeV (<=1 % for Ca/P/I and the ICRU
+  tissue/bone compound closures; see :mod:`nist_data_ext`).  This covers
+  every element appearing in the reference study's materials.
 * **Every other element**: edge-aligned log-Z interpolation between the two
   bracketing anchors.  The Compton part is exact Klein-Nishina times Z/A;
   the non-Compton residual (photoelectric + coherent + pair + binding
@@ -22,9 +25,8 @@ The elemental curves come from two sources (see
   *reduced energy* u = E/E_K (so every anchor's K edge maps onto the
   target's exact tabulated K-edge energy), above ~400 keV at fixed E (pair
   production has no edge structure), with a smooth log-E crossfade between.
-  Accuracy ~2-5 % for elements near an anchor (Ca, V, Cr, Mn, Co, Ni),
-  ~5-10 % mid-gap between Cu and W (Nb, Mo, I, Ba, Gd) at diagnostic
-  energies — versus 5-80 % for the round-1 analytic synthesis it replaces.
+  Accuracy ~2-4 % at diagnostic energies with the round-3 anchor set (the
+  widest remaining gaps are Cu-Mo, Mo-I and I-W).
 
 The framework remains internally self-consistent (simulation and
 decomposition share these tables), and exact per-element tables can still be
@@ -149,8 +151,15 @@ def klein_nishina_cross_section(energy_keV):
 # absorption edges stay sharp).
 ENERGY_GRID_KEV = np.logspace(0.0, 4.0, 512)
 
-# Ordered element anchors (water is a validation curve, not an element).
-_ANCHOR_SYMBOLS = ("H", "C", "N", "O", "Al", "Si", "Ti", "Fe", "Cu", "W", "Pb")
+# Ordered element anchors in Z order (water is a validation curve, not an
+# element).  Round 3 widened this from 11 to 25 vendored elements
+# (nist_data_ext), so bracket interpolation now only serves elements the
+# reference study never touches — and with much tighter brackets (e.g. Nb
+# from Mo-Cu, Ba/Gd from I-W instead of Cu-W).
+_ANCHOR_SYMBOLS = (
+    "H", "C", "N", "O", "Na", "Mg", "Al", "Si", "P", "S", "Cl", "K", "Ca",
+    "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Mo", "I", "W", "Pb",
+)
 
 # Reduced-energy warp applies below ~200 keV (all edges sit below 116 keV),
 # fixed-energy interpolation above ~400 keV; log-E crossfade between.

@@ -65,6 +65,7 @@ class ConeDectMeta(NamedTuple):
     mu_w2: float
     mask_thresh: float
     noise: str
+    fdk_orbit4: bool = False
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
@@ -169,6 +170,12 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         mu_w2=float(effective_water_mu(spec2, ct)),
         mask_thresh=float(mask_thresh),
         noise=str(noise),
+        # quarter-turn FDK orbit fold (round 3): a uniform full-2*pi
+        # grid with V % 4 == 0; the sharded paired-quarter layout
+        # preserves it per shard (local views = 4 blocks at 90 degrees)
+        fdk_orbit4=bool(
+            V % 4 == 0 and n_matrix % 2 == 0
+            and abs(ct.rotation_total - 2.0 * np.pi) < 1e-9),
     )
     return arrays, meta
 
@@ -237,7 +244,8 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
         qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
         meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta,
         pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
-                               meta.dz_out, meta.nz_out, R))
+                               meta.dz_out, meta.nz_out, R),
+        orbit4=meta.fdk_orbit4)
     if axis_name is not None:  # accumulate the view wedges' volumes
         vols = jax.lax.psum(vols, axis_name)
     hu1 = 1000.0 * (vols[0] - meta.mu_w1) / meta.mu_w1

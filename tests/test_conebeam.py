@@ -589,3 +589,26 @@ def test_fdk_pair_mode_matches_per_slice():
         a = np.asarray(_fdk_backproject_multi(*args, pair_mode=True))
         b = np.asarray(_fdk_backproject_multi(*args, pair_mode=False))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fdk_orbit4_matches_plain():
+    # round-3 symmetry packing: the quarter-turn orbit fold (views
+    # {i, i+V/4, i+V/2, i+3V/4} share one gather, legs recompose by
+    # rot90) must reproduce the plain path on the same data.  Only
+    # float-rounding differences are allowed (trig of beta vs
+    # beta + l*pi/2).
+    from dexct_tpu.ops.conebeam import _fdk_backproject_multi
+
+    rng = np.random.default_rng(5)
+    K, V, R, C = 2, 24, 8, 48
+    qs = jnp.asarray(rng.normal(size=(K, V, R, C)).astype(np.float32))
+    betas = jnp.asarray(np.arange(V) * (2 * np.pi / V), jnp.float32)
+    sid, dgamma, row_h = 60.0, 0.8230337 / C, 0.5
+    for pair in (True, False):
+        args = (qs, betas, sid, dgamma, row_h, R, 32, 8, 20.0, 0.5,
+                2 * np.pi / V)
+        a = np.asarray(_fdk_backproject_multi(*args, pair_mode=pair))
+        b = np.asarray(_fdk_backproject_multi(*args, pair_mode=pair,
+                                              orbit4=True))
+        np.testing.assert_allclose(a, b, rtol=2e-4,
+                                   atol=2e-5 * np.abs(a).max())

