@@ -275,11 +275,12 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block",
+                     "weighting"),
 )
 def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
                          pitch, n_matrix, nz_out, fov, dz_out, z0,
-                         beta_mid, *, view_block=8):
+                         beta_mid, *, view_block=8, weighting="full"):
     """Generalized-Feldkamp backprojection for a helical orbit.
 
     Per voxel, views inside a 2*pi window centered on the source's
@@ -340,8 +341,110 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
             r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
             fr = jnp.clip(ridx - r0, 0.0, 1.0)
             w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
-            w_win = jnp.where(jnp.abs(beta - bc) <= np.pi, 1.0, 0.0)
-            w = w_z * w_win[:, None]
+            if weighting == "td":
+                # Tam-Danielsson window: use a ray for a voxel only
+                # while the voxel projects between the detector traces
+                # of the previous/next helix turn (curved-detector
+                # bounds from the pi-line chord 2*SID*cos g):
+                #   h in [-(P/4pi)(pi+2g)/cos g, +(P/4pi)(pi-2g)/cos g]
+                qp = pitch / (4.0 * np.pi)
+                cg = jnp.cos(gam)
+                htop = qp * (np.pi - 2.0 * gam) / cg
+                hbot = -qp * (np.pi + 2.0 * gam) / cg
+                taper = 0.5 * row_h
+                w_td = (jnp.clip((zt - hbot) / taper, 0.0, 1.0)
+                        * jnp.clip((htop - zt) / taper, 0.0, 1.0))
+                arc = jnp.where(jnp.abs(beta - bc) <= 1.5 * np.pi,
+                                1.0, 0.0)
+                w = w_z * w_td * arc[:, None]
+            elif weighting == "cosz":
+                # smooth z-distance redundancy weighting (Tang-style
+                # 3-D weighted helical FDK): favor the conjugate copy
+                # whose detector-row height is smaller; the den
+                # normalization turns the kernel into a proper
+                # conjugate partition of unity per voxel.
+                arc = jnp.where(jnp.abs(beta - bc) <= 1.5 * np.pi,
+                                1.0, 0.0)
+                # kernel scale: the half-turn feed P/2 (the conjugate
+                # copies' zt differ by ~P/2); epsilon floor keeps den
+                # covered in the coverage gaps between turns
+                hmax = 0.5 * jnp.abs(pitch) + 0.25 * row_h
+                kz = jnp.cos(jnp.clip(zt / hmax, -1.0, 1.0)
+                             * (0.5 * np.pi)) ** 2 + 1e-3
+                w = w_z * kz * arc[:, None]
+            elif weighting == "short":
+                # voxel-centered short scan (pi + fan) with Parker
+                # weights: in-plane exact (the 2-D short-scan identity,
+                # ops/fbp.parker_weights) while halving the window's
+                # source-z spread — the dominant helical z-blur term.
+                gm = 0.5 * C * dgamma
+                d = (beta - bc)[:, None]
+                alpha = d + 0.5 * np.pi + gm  # 0 .. pi + 2*gm in-scan
+                g = gam
+                lo_den = jnp.maximum(gm - g, 1e-3)
+                hi_den = jnp.maximum(gm + g, 1e-3)
+                w_lo = jnp.sin((0.25 * np.pi)
+                               * jnp.clip(alpha / lo_den, 0.0, 2.0)) ** 2
+                w_hi = jnp.sin((0.25 * np.pi) * jnp.clip(
+                    (np.pi + 2.0 * gm - alpha) / hi_den, 0.0, 2.0)) ** 2
+                w_park = jnp.where(
+                    alpha < 2.0 * (gm - g), w_lo,
+                    jnp.where(alpha > np.pi - 2.0 * g, w_hi, 1.0))
+                in_scan = ((alpha >= 0.0)
+                           & (alpha <= np.pi + 2.0 * gm))
+                w = w_z * jnp.where(in_scan, w_park, 0.0)
+            elif weighting == "pair":
+                # Conjugate-pair z-preference weighting (Tang-style 3-D
+                # weighted helical FDK).  Every line appears twice in
+                # the voxel's 2*pi window: at (beta, gam) and at the
+                # conjugate view beta' = beta + pi + 2*gam (gamma' =
+                # -gam).  The fan redundancy identity makes the two
+                # contributions interchangeable in-plane (same reason
+                # Parker weights are exact), so a SMOOTH pairwise
+                # partition w + w' = 1 that prefers the copy with the
+                # smaller detector-row height |zt| keeps the in-plane
+                # sum exact while suppressing the large-cone-angle copy
+                # whose z-inconsistency drives the helical artifact.
+                d = (beta - bc)[:, None]
+                two_g = 2.0 * gam
+                dbc = jnp.where(d > -two_g, -(np.pi - two_g),
+                                (np.pi + two_g))
+                sz_conj = sz[:, None] + dbc * pitch / (2.0 * np.pi)
+                h_own = h2 * inv_h
+                h_conj = jnp.maximum(2.0 * sid * jnp.cos(gam) - h_own,
+                                     1e-3)
+                zt_c = (z - sz_conj) * sid / h_conj
+                hdet = 0.5 * row_h * R + 0.5 * row_h
+                # scale ~ quarter feed: the two copies' zt spread is
+                # +-P/4 over the window; in-plane exactness is carried
+                # by the pairwise partition, so the kernel can be sharp
+                scale = jnp.maximum(0.25 * jnp.abs(pitch), 0.75 * row_h)
+
+                def kfun(t):
+                    return jnp.cos(jnp.clip(t / scale, -1.0, 1.0)
+                                   * (0.5 * np.pi)) ** 2 + 1e-4
+
+                k_own = kfun(zt)
+                # a conjugate that falls off the detector cannot carry
+                # its share: claim the full pair weight instead
+                k_c = kfun(zt_c) * jnp.where(jnp.abs(zt_c) <= hdet,
+                                             1.0, 0.0)
+                w_pair = k_own / (k_own + k_c + 1e-30)
+                w_win = jnp.where(jnp.abs(d) <= np.pi, 1.0, 0.0)
+                w = w_z * w_pair * w_win
+            elif weighting == "feather":
+                # feathered window edge: the hard +-pi cutoff enters/
+                # leaves per voxel mid-view and streaks; a cos^2 taper
+                # over the outer delta of the (overcomplete) 1.25*pi
+                # half-window removes the discontinuity and the den
+                # normalization keeps the partition exact.
+                d = jnp.abs(beta - bc) / np.pi  # 0..
+                w_win = jnp.cos(jnp.clip((d - 0.75) / 0.5, 0.0, 1.0)
+                                * (0.5 * np.pi)) ** 2
+                w = w_z * w_win[:, None]
+            else:
+                w_win = jnp.where(jnp.abs(beta - bc) <= np.pi, 1.0, 0.0)
+                w = w_z * w_win[:, None]
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
             rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
@@ -364,7 +467,8 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
 
 
 def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
-                            z_out=None, window="sinc", view_block=8):
+                            z_out=None, window="sinc", view_block=8,
+                            weighting="full"):
     """Helical generalized-Feldkamp reconstruction -> [nz, N, N] cm^-1.
 
     ``geometry``: :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`
@@ -375,6 +479,29 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     circular FDK; each voxel backprojects over the 2*pi of views
     centered on the source's passage of its z, normalized by the
     accumulated window weight.
+
+    ``weighting`` selects the per-voxel view-window weights (round-3
+    study, measured on the z-varying sphere phantom of
+    tests/test_conebeam.py; VALIDATION.md "helical" rows):
+
+    * ``"full"`` (default): hard 2*pi window + weight normalization.
+      Exact (<=1e-4) for z-uniform objects; sloped-boundary z-artifact
+      ~4% max / ~1.1% rms at pitch = R*h/2.  Measured BEST.
+    * ``"feather"``: cos^2-tapered window edge (equal to full within
+      0.1%).
+    * ``"short"``: voxel-centered pi+fan Parker window — halves the
+      source-z spread but the short-scan in-plane residual dominates
+      (~7%).
+    * ``"pair"``: Tang-style conjugate-pair z-preference partition
+      (~ equal to full; sharper kernels degrade).
+    * ``"cosz"``, ``"td"``: z-kernel and Tam-Danielsson single-copy
+      windows — the TD pi-window is NOT in-plane exact in native fan
+      coordinates (conjugate 1/h^2 asymmetry, ~20%); kept for study.
+
+    The residual z-varying artifact is intrinsic to the
+    interpolating-gFDK class (it grows with edge sharpness, not with
+    pitch); the exact-helical path (Katsevich / rebinned PI methods)
+    remains the documented ROADMAP item.
     """
     from .filters import filter_frequency_response
 
@@ -423,12 +550,15 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
                       axis=-1)[..., :C] * ct.dgamma
 
+    if weighting not in ("td", "full", "cosz", "feather", "pair",
+                         "short"):
+        raise ValueError(f"unknown helical weighting {weighting!r}")
     return _helical_backproject(
         q, jnp.asarray(ct.betas, dtype), jnp.asarray(ct.source_z, dtype),
         float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
         float(ct.pitch), int(n_matrix), int(len(z_out)), float(fov),
         dz, float(z_out[0]), float(0.5 * ct.rotation_total),
-        view_block=int(view_block))
+        view_block=int(view_block), weighting=weighting)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "parallel_backproject_sym8_qs",
     "pack_filtered",
     "fan_backproject_multi",
     "parallel_rebin_plan",
@@ -685,6 +686,140 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
 
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
+    accT = acc.reshape(8, K, P).transpose(0, 2, 1).reshape(8 * P, K)
+    out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]
+           + accT[jnp.asarray(g3)] + accT[jnp.asarray(g4)]).T * dtheta
+    full = jnp.zeros((K, N * N), dtype)
+    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    return full.reshape(K, N, N)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_images", "nt", "n_matrix", "fov", "view_block"),
+)
+def parallel_backproject_sym8_qs(qs, n_images, thetas_q, t0, dt, nt,
+                                 n_matrix, fov, dtheta, *, view_block=64):
+    """8-fold symmetry BP with PER-BLOCK tap packing (the 1024^2 path).
+
+    Same math and output as
+    ``parallel_backproject_sym8(pack_filtered_sym8(qs), ...)``, but the
+    16K-float gather rows are built inside each scan block from the raw
+    filtered sinograms ``qs [K, V, T]`` instead of materializing the
+    whole [(V/4-1)*T, 16K] table up front.  The whole-run table OOMs
+    above G=1024 (XLA lays the wide stacked copies out channel-minor and
+    pads 64 lanes to the 128 tile — CLAUDE.md packing rule); a
+    [vb*T, 16K] block is ~16 MB and measured FASTER in the cone analog
+    (per-view-block packing was 2.3x in ops/conebeam FDK).
+    """
+    K = n_images
+    dtype = qs.dtype
+    V = qs.shape[1]
+    vq = thetas_q.shape[0]
+    T = qs.shape[2]
+    if T != nt:
+        raise ValueError(f"qs channel dim {T} != nt {nt}")
+    N = n_matrix
+    px_size = fov / N
+    half = N / 2.0
+
+    c_np = (np.arange(N) + 0.5 - half) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)  # [iy, ix]
+    in_circle = (np.hypot(XX, YY) <= fov / 2.0).reshape(-1)
+    ys = YY.reshape(-1)
+    slot_sel = np.nonzero(in_circle & (ys >= 0))[0]
+    P_real = len(slot_sel)
+    P = max(-(-P_real // 8) * 8, 8)
+    slot_flat = np.pad(slot_sel, (0, P - P_real),
+                       constant_values=slot_sel[-1] if P_real else 0)
+    valid_np = np.zeros(P, np.float32)
+    valid_np[:P_real] = 1.0
+    slot_of = np.full(N * N, -1, np.int64)
+    slot_of[slot_sel] = np.arange(P_real)
+
+    full_sel = np.nonzero(in_circle)[0]
+    Pf = max(-(-len(full_sel) // 8) * 8, 8)
+    full_flat = np.pad(full_sel, (0, Pf - len(full_sel)),
+                       constant_values=full_sel[-1] if len(full_sel) else 0)
+    iy, ix = full_flat // N, full_flat % N
+    miy, mix = N - 1 - iy, N - 1 - ix
+    xv, yv = c_np[ix], c_np[iy]
+    g1 = np.where(yv >= 0, 0 * P + slot_of[iy * N + ix],
+                  4 * P + slot_of[miy * N + mix])
+    g2 = np.where(xv < 0, 1 * P + slot_of[mix * N + iy],
+                  5 * P + slot_of[ix * N + miy])
+    g3 = np.where(xv > 0, 2 * P + slot_of[ix * N + iy],
+                  6 * P + slot_of[mix * N + miy])
+    g4 = np.where(yv >= 0, 3 * P + slot_of[iy * N + mix],
+                  7 * P + slot_of[miy * N + ix])
+
+    X = jnp.asarray(XX.reshape(-1)[slot_flat], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[slot_flat], dtype)
+    valid = jnp.asarray(valid_np, dtype)
+
+    # bound the per-block gather working set as in the packed variant
+    view_block = max(8, min(view_block, (7 << 20) // max(P, 1)))
+    view_block = min(view_block, max(-(-vq // 8) * 8, 8))
+    n_blocks = -(-vq // view_block)
+    pad = n_blocks * view_block - vq
+    thp = jnp.pad(thetas_q.astype(dtype), (0, pad))
+    vw = jnp.pad(jnp.ones((vq,), dtype), (0, pad))
+    tb = thp.reshape(n_blocks, view_block)
+    wb = vw.reshape(n_blocks, view_block)
+    # absolute orbit-base view ids i = 1..vq (padded entries repeat i=1
+    # at weight 0)
+    ids = (jnp.arange(n_blocks * view_block, dtype=jnp.int32)
+           % jnp.int32(max(vq, 1)) + 1).reshape(n_blocks, view_block)
+    vb_ = view_block
+    voff_loc = jnp.arange(vb_, dtype=jnp.int32) * nt
+
+    def block(acc, args):
+        th, wv, ids_b = args
+        # per-block 16K-wide pack of the orbit views {i, V/2+i, V/2-i,
+        # V-i} (group order identical to pack_filtered_sym8)
+        legs = [qs[:, ids_b], qs[:, V // 2 + ids_b],
+                qs[:, V // 2 - ids_b], qs[:, V - ids_b]]  # [K, B, T] each
+
+        def groups(q):
+            nxt = jnp.concatenate([q[..., 1:], q[..., -1:]], -1)
+            rev = q[..., ::-1]
+            m0 = jnp.concatenate([rev[..., 1:], rev[..., -1:]], -1)
+            return [q, nxt, m0, rev]
+
+        gs = []
+        for leg in legs:
+            gs += groups(leg)
+        packed_b = jnp.stack(gs, axis=-1)  # [K, B, T, 16]
+        packed_b = packed_b.transpose(1, 2, 3, 0).reshape(vb_ * nt, 16 * K)
+
+        ct_, st_ = jnp.cos(th), jnp.sin(th)
+        c = (X[None, :] * ct_[:, None] + Y[None, :] * st_[:, None]
+             - t0) / dt
+        c0 = jnp.clip(jnp.floor(c), 0, nt - 2)
+        f = jnp.clip(c - c0, 0.0, 1.0)
+        inside = (c >= 0.0) & (c <= nt - 1.0)
+        w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
+        idx = voff_loc[:, None] + c0.astype(jnp.int32)
+        rows = packed_b[idx.reshape(-1)].reshape(idx.shape + (16 * K,))
+        wa, wb2 = (1.0 - f)[..., None], f[..., None]
+
+        def lerp(g):
+            return rows[..., g * K:(g + 1) * K] * wa \
+                + rows[..., (g + 1) * K:(g + 2) * K] * wb2
+
+        def lerp_m(g):
+            return rows[..., g * K:(g + 1) * K] * wb2 \
+                + rows[..., (g + 1) * K:(g + 2) * K] * wa
+
+        taps = jnp.concatenate([
+            lerp(0), lerp(4), lerp(8), lerp(12),
+            lerp_m(2), lerp_m(6), lerp_m(10), lerp_m(14),
+        ], axis=-1)  # [B, P, 8K]
+        return acc + jnp.einsum("bp,bpk->kp", w, taps,
+                               precision=jax.lax.Precision.HIGHEST), None
+
+    acc0 = jnp.zeros((8 * K, P), dtype)
+    acc, _ = jax.lax.scan(block, acc0, (tb, wb, ids))
     accT = acc.reshape(8, K, P).transpose(0, 2, 1).reshape(8 * P, K)
     out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]
            + accT[jnp.asarray(g3)] + accT[jnp.asarray(g4)]).T * dtheta

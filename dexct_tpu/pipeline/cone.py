@@ -66,6 +66,7 @@ class ConeDectMeta(NamedTuple):
     mask_thresh: float
     noise: str
     fdk_orbit4: bool = False
+    gn_warm_nodes: int = 32
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
@@ -228,7 +229,8 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
 
     flat = jnp.stack([counts1.reshape(-1), counts2.reshape(-1)])
     ab = md_ops.gauss_newton_solve(
-        flat, a["dec_i0"], a["dec_mus"], n_iters=meta.n_iters)
+        flat, a["dec_i0"], a["dec_mus"], n_iters=meta.n_iters,
+        warm_nodes=meta.gn_warm_nodes)
     cmax = jnp.max(counts1)
     if axis_name is not None:
         cmax = jax.lax.pmax(cmax, axis_name)

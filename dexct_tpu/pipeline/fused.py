@@ -57,6 +57,9 @@ class DectMeta(NamedTuple):
     par_meta: tuple = ()  # (n_theta, nt, t0, dt, fft_len)
     noise: str = "none"  # 'none' | 'poisson' | 'compound'
     par_sym: bool = True  # symmetry-packed BP (single-device fast path)
+    # GN warm-phase quadrature nodes (0 = full union grid; see
+    # ops/matdecomp.gauss_newton_solve warm_nodes)
+    gn_warm_nodes: int = 32
     # cross-shard rebin strategy: () = all_gather the fan sinograms;
     # ("halo", D, Vq, H, nh) = paired-quarter sharding + ring halo
     # exchange (parallel/halo.py), O(H*C) bytes/chip instead of O(V*C)
@@ -273,15 +276,25 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
             from ..ops.fbp_fast import (pack_filtered_sym,
                                         pack_filtered_sym8,
                                         parallel_backproject_sym,
-                                        parallel_backproject_sym8)
+                                        parallel_backproject_sym8,
+                                        parallel_backproject_sym8_qs)
 
             th = a["par_thetas"]
             bsel = np.array([0, n_th // 4, n_th // 2, 3 * n_th // 4])
-            imgs = parallel_backproject_sym8(
-                pack_filtered_sym8(qs), n_img, th[1: n_th // 4],
-                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
-                jnp.pi / n_th_total,
-            ) + parallel_backproject_sym(
+            if meta.n_matrix >= 1024:
+                # whole-run 16K table OOMs above G=1024 (BASELINE.md);
+                # per-block packing keeps the 8-fold path alive there
+                orbit_img = parallel_backproject_sym8_qs(
+                    qs, n_img, th[1: n_th // 4], par_t0, par_dt, nt,
+                    meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+                )
+            else:
+                orbit_img = parallel_backproject_sym8(
+                    pack_filtered_sym8(qs), n_img, th[1: n_th // 4],
+                    par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                    jnp.pi / n_th_total,
+                )
+            imgs = orbit_img + parallel_backproject_sym(
                 pack_filtered_sym(qs[:, bsel]), n_img, th[bsel[:2]],
                 par_t0, par_dt, nt, meta.n_matrix, meta.fov,
                 jnp.pi / n_th_total,
@@ -420,7 +433,7 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
     flat = jnp.stack([counts1.reshape(-1), counts2.reshape(-1)])
     ab = md_ops.gauss_newton_solve(
         flat, a["dec_i0"], a["dec_mus"], n_iters=meta.n_iters,
-        pixel_block=meta.pixel_block,
+        pixel_block=meta.pixel_block, warm_nodes=meta.gn_warm_nodes,
     )
     cmax = jnp.max(counts1)
     if axis_name is not None:

@@ -220,6 +220,47 @@ class TestRecovery:
         np.testing.assert_allclose(a1, a2, atol=1e-5)
 
 
+class TestWarmCompression:
+    """VERDICT round-2 item 5: the moment-compressed warm-phase table
+    must not move the fixed point — the full-table polish owns it."""
+
+    def test_compressed_vs_full_noiseless(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        assert len(ee) > 64  # the compression actually engages
+        rng = np.random.default_rng(7)
+        a_true = np.stack([rng.uniform(0.0, 45.0, 4096),
+                           rng.uniform(0.0, 10.0, 4096)], -1)
+        y = synth_counts(i0, mus, a_true)
+        sol = {}
+        for nodes in (0, 32):
+            sol[nodes] = np.asarray(gauss_newton_solve(
+                jnp.asarray(y, jnp.float32), jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32), n_iters=12,
+                warm_nodes=nodes))
+        scale = np.abs(a_true).max()
+        err = np.abs(sol[32] - sol[0]).max() / scale
+        assert err < 1e-4, err
+        # and both still recover the truth
+        np.testing.assert_allclose(sol[32], a_true, atol=2e-3)
+
+    def test_compressed_vs_full_noisy(self, de_setup):
+        ct, s1, s2, ee, i0, mus = de_setup
+        rng = np.random.default_rng(11)
+        a_true = np.stack([rng.uniform(0.0, 40.0, 2048),
+                           rng.uniform(0.0, 8.0, 2048)], -1)
+        y = synth_counts(i0, mus, a_true)
+        y = rng.poisson(np.maximum(y, 0.0)).astype(np.float64)
+        sol = {}
+        for nodes in (0, 32):
+            sol[nodes] = np.asarray(gauss_newton_solve(
+                jnp.asarray(y, jnp.float32), jnp.asarray(i0, jnp.float32),
+                jnp.asarray(mus, jnp.float32), n_iters=12,
+                warm_nodes=nodes))
+        # identical data -> identical MLE root, to float32 polish noise
+        err = np.abs(sol[32] - sol[0]).max() / np.abs(a_true).max()
+        assert err < 1e-4, err
+
+
 class TestSinogramDecomposition:
     def test_air_mask(self):
         s = np.array([[100.0, 96.0, 50.0], [10.0, 94.0, 99.0]])

@@ -233,3 +233,28 @@ class TestSymBackprojection:
         mt = np.asarray(outs[True]["mat_recons"][0])
         mf = np.asarray(outs[False]["mat_recons"][0])
         np.testing.assert_allclose(mt, mf, atol=1e-4)
+
+
+def test_sym8_blocked_pack_matches_table_pack():
+    """Round-3 1024^2 path: the per-block-packed sym8 kernel must equal
+    the whole-table variant bit-for-bit on the same data (identical
+    arithmetic, only the pack materialization moves into the scan)."""
+    from dexct_tpu.ops.fbp_fast import (
+        pack_filtered_sym8,
+        parallel_backproject_sym8,
+        parallel_backproject_sym8_qs,
+    )
+
+    rng = np.random.default_rng(9)
+    K, nth, nt, N, fov = 3, 40, 48, 40, 18.0
+    dt = fov / nt
+    t0 = -fov / 2 + dt / 2
+    qs = jnp.asarray(rng.standard_normal((K, nth, nt)), jnp.float32)
+    thetas = jnp.asarray(np.arange(nth) * (np.pi / nth), jnp.float32)
+    a = parallel_backproject_sym8(
+        pack_filtered_sym8(qs), K, thetas[1: nth // 4], t0, dt, nt, N,
+        fov, np.pi / nth)
+    b = parallel_backproject_sym8_qs(
+        qs, K, thetas[1: nth // 4], t0, dt, nt, N, fov, np.pi / nth)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6 * float(jnp.abs(a).max()))
