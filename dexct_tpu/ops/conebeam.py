@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ConeDominantUnsupported", "trace_paths_3d",
+__all__ = ["ConeDominantUnsupported", "validate_cone_hbm",
+           "trace_paths_3d",
            "trace_cone_dominant",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
            "helical_fdk_reconstruct", "project_volume_3d",
@@ -880,6 +881,43 @@ def validate_cone_dominant(labels_shape, n_materials, dx, dy, dz,
     return lb, W
 
 
+def validate_cone_hbm(n_matrix, nz_out, n_volumes=4, *, n_zslab=1,
+                      orbit4=True, budget_bytes=12 << 30):
+    """Volume-state HBM estimate for the fused cone pipeline (VERDICT
+    round-2 item 8: the guard extended to the sharded case).
+
+    The FDK stage's resident state per chip: the (leg-folded)
+    accumulator [nz_local, P, legs*K], the scattered full-grid buffer
+    [legs*K, nz_local, N^2] before recomposition, and the output
+    volumes [K, nz_local, N^2] — all shrink with ``n_zslab``.  Raises
+    with a concrete ``n_zslab`` recommendation when the estimate
+    exceeds ``budget_bytes`` (~12 GiB usable of a 16 GiB v5e, leaving
+    room for the trace tables and gather blocks, which are separately
+    bounded).  Returns the per-chip byte estimate.
+    """
+    import numpy as _np
+
+    if nz_out % max(n_zslab, 1):
+        raise ConeDominantUnsupported(
+            f"nz_out={nz_out} not divisible by n_zslab={n_zslab}")
+    nz_local = nz_out // max(n_zslab, 1)
+    P = int(_np.pi / 4.0 * n_matrix * n_matrix)
+    legs = 4 if orbit4 else 1
+    acc = nz_local * P * legs * n_volumes * 4
+    scatter = legs * n_volumes * nz_local * n_matrix * n_matrix * 4
+    out = n_volumes * nz_local * n_matrix * n_matrix * 4
+    gather_block = 400 << 20  # the kernel's own per-block bound
+    total = acc + scatter + out + gather_block
+    if total > budget_bytes:
+        need = -(-total * n_zslab // budget_bytes)
+        raise ConeDominantUnsupported(
+            f"cone FDK volume state ~{total >> 20} MiB/chip exceeds the "
+            f"{budget_bytes >> 30} GiB budget at nz_out={nz_out}, "
+            f"N={n_matrix}; shard the z axis: n_zslab>={need} "
+            "(pack_cone_dect_sharded(..., n_zslab=...))")
+    return total
+
+
 def build_cone_pack(labels3, group, lbits):
     """Layer-interleaved row-window pack for the dominant cone kernel.
 
@@ -1051,7 +1089,8 @@ def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
                      "pair_mode", "orbit4"),
 )
 def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
-                           n_matrix, nz_out, fov, dz_out, dbeta, *,
+                           n_matrix, nz_out, fov, dz_out, dbeta,
+                           z_center=0.0, *,
                            view_block=8, pair_mode=False, orbit4=False):
     """Voxel-driven FDK backprojection of K filtered stacks at once.
 
@@ -1088,8 +1127,10 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
     P = len(sel)
     X = jnp.asarray(XX.reshape(-1)[sel], dtype)
     Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
-    zc = jnp.asarray((np.arange(nz_out) + 0.5 - nz_out / 2.0) * dz_out,
-                     dtype)
+    # z_center shifts the slice grid (zslab sharding: each shard owns a
+    # contiguous slab of the global z grid)
+    zc = (jnp.arange(nz_out, dtype=dtype) + 0.5 - nz_out / 2.0) * dz_out \
+        + z_center
 
     n_legs = 4 if orbit4 else 1
     if orbit4 and (V % 4 or N % 2):

@@ -184,6 +184,11 @@ def rebin_to_parallel(sinos, idx, w, nt):
     so the resident arrays don't pad their tap dim to the lane tile).
     nθ is inferred from the table length, so θ-sharded tables under
     shard_map produce the local wedge.
+
+    Large grids process in θ chunks: the gathered [bins*4, 2K] rows
+    lane-pad 2K -> 128 when XLA materializes them, which at the
+    1440x2048 high-res grid blew a 738 MB temp up to 16.9 GB (round-3
+    OOM); bounding the chunk keeps the padded temp under ~150 MB.
     """
     k = sinos.shape[0]
     n_theta = idx.size // (8 * nt)
@@ -196,9 +201,29 @@ def rebin_to_parallel(sinos, idx, w, nt):
     pair_tab = jnp.concatenate([table, jnp.roll(table, -1, axis=0)],
                                axis=1)  # [V*C, 2K]
     starts = idx.reshape(-1, 8)[:, 0::2].reshape(-1)
-    rows = pair_tab[starts].reshape(-1, 8, k)
-    vals = jnp.einsum("rt,rtk->rk", w.reshape(-1, 8), rows,
-                     precision=jax.lax.Precision.HIGHEST)
+    w8 = w.reshape(-1, 8)
+    n_bins = n_theta * nt
+
+    def chunk_vals(args):
+        st, wc = args  # [B*4], [B, 8]
+        rows = pair_tab[st].reshape(-1, 4, 2 * k)
+        rows = rows.reshape(-1, 8, k)
+        return jnp.einsum("rt,rtk->rk", wc, rows,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # chunk bound: padded gather temp = B*4 rows * 128 lanes * 4 B
+    max_bins = max((150 << 20) // (4 * 128 * 4), nt)
+    if n_bins <= max_bins:
+        vals = chunk_vals((starts, w8))
+    else:
+        n_chunks = -(-n_bins // max_bins)
+        while n_bins % n_chunks:
+            n_chunks += 1
+        b = n_bins // n_chunks
+        vals = jax.lax.map(
+            chunk_vals,
+            (starts.reshape(n_chunks, b * 4), w8.reshape(n_chunks, b, 8)),
+        ).reshape(n_bins, k)
     return vals.T.reshape(k, n_theta, nt)
 
 

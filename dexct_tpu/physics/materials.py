@@ -75,6 +75,12 @@ STEEL_316L = Material(
     "Mn(2.0)Si(0.75)Cu(0.5)",
 )
 COCRMO = Material("Co-28Cr-6Mo", 8.5, "Co(66)Cr(28)Mo(6)")
+# ICRU-44 red bone marrow (the trabecular interior of the round-3 3-D
+# pelvis; cortical bone = BONE above)
+MARROW = Material(
+    "red marrow", 1.03,
+    "H(10.5)C(41.4)N(3.4)O(43.9)P(0.1)S(0.2)Cl(0.2)K(0.2)Fe(0.1)",
+)
 ADIPOSE = Material(
     "adipose", 0.95, "H(11.4)C(59.8)N(0.7)O(27.8)Na(0.1)S(0.1)Cl(0.1)"
 )
@@ -86,7 +92,7 @@ MUSCLE = Material(
 BUILTIN_MATERIALS = {
     m.name: m
     for m in [AIR, WATER, TISSUE, BONE, TITANIUM, TI_6AL_4V, STEEL_316L,
-              COCRMO, ADIPOSE, MUSCLE]
+              COCRMO, ADIPOSE, MUSCLE, MARROW]
 }
 
 

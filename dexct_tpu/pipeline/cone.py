@@ -67,12 +67,17 @@ class ConeDectMeta(NamedTuple):
     noise: str
     fdk_orbit4: bool = False
     gn_warm_nodes: int = 32
+    fdk_view_block: int = 32  # measured best on v5e (tools/bench_r3b)
+    # z-slab mesh factor: the FDK accumulation (the HBM-dominant state
+    # at volumetric scale) splits its output z grid over a second mesh
+    # axis; all sinogram-domain stages stay view-sharded/replicated
+    n_zslab: int = 1
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    n_iters=10, nz_out=None, dz_out=None, window="sinc",
                    noise="none", seed=0, group=16, mask_thresh=0.95,
-                   _ray_plan=True):
+                   _ray_plan=True, _n_zslab=1):
     """Lower a cone-beam DE scan to ``(arrays, meta)`` for
     :func:`make_jitted_cone_step`.
 
@@ -82,7 +87,7 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     silent DDA fallback here; use
     :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect` for odd shapes.
     """
-    from ..ops.conebeam import validate_cone_dominant
+    from ..ops.conebeam import validate_cone_dominant, validate_cone_hbm
     from ..pipeline.api import effective_water_mu
 
     if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
@@ -102,6 +107,9 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     # the single shared capability check (incl. the 512 MiB table guard)
     lb, W = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
                                    dxc, dyc, dzc, max_slope, group)
+    validate_cone_hbm(
+        int(n_matrix), int(ct.N_rows if nz_out is None else nz_out),
+        n_zslab=int(_n_zslab))
 
     labj = jnp.asarray(labels3)
     pack_y = build_cone_pack(labj, group, lb)
@@ -181,14 +189,24 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     return arrays, meta
 
 
-def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
+def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
+                   zslab_axis=None):
     """One fused cone-DE step (pure; jit via
     :func:`make_jitted_cone_step`).
 
     Under ``shard_map`` (``axis_name`` set), ``meta.vrc`` carries the
     SHARD-LOCAL view count: every stage is view-local except the air
     mask (pmax) and the final volume accumulation (psum) — cone FDK
-    needs no halo exchange at all."""
+    needs no halo exchange at all.
+
+    With ``zslab_axis`` set (a second mesh axis of size
+    ``meta.n_zslab``), each shard backprojects only its contiguous
+    slab of the output z grid (``z_center`` offset into the shared
+    kernel) — the volume accumulator, the psum payload, and the
+    resident output volumes all shrink by the slab factor, which is
+    what lets 512^2 x 64+ x 4-volume scans fit chip HBM (VERDICT
+    round-2 item 8).  Sinogram-domain stages are replicated across the
+    slab axis (compute duplication, no extra memory)."""
     a = arrays
     nz, ny, nx = meta.labels_shape
     V, R, C = meta.vrc
@@ -242,11 +260,19 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None):
     spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
     qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
                        axis=-1)[..., :C] * meta.dgamma
+    nz_local = meta.nz_out
+    z_center = 0.0
+    if zslab_axis is not None and meta.n_zslab > 1:
+        nz_local = meta.nz_out // meta.n_zslab
+        j = jax.lax.axis_index(zslab_axis).astype(jnp.float32)
+        z_center = (nz_local * meta.dz_out
+                    * (j - 0.5 * (meta.n_zslab - 1)))
     vols = _fdk_backproject_multi(
         qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
-        meta.n_matrix, meta.nz_out, meta.fov, meta.dz_out, meta.dbeta,
+        meta.n_matrix, nz_local, meta.fov, meta.dz_out, meta.dbeta,
+        z_center, view_block=meta.fdk_view_block,
         pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
-                               meta.dz_out, meta.nz_out, R),
+                               meta.dz_out, nz_local, R),
         orbit4=meta.fdk_orbit4)
     if axis_name is not None:  # accumulate the view wedges' volumes
         vols = jax.lax.psum(vols, axis_name)
@@ -268,7 +294,7 @@ def make_jitted_cone_step(meta: ConeDectMeta):
 
 
 def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
-                           ramp, *, n_devices, **pack_kw):
+                           ramp, *, n_devices, n_zslab=1, **pack_kw):
     """Shard the fused cone pipeline over the ``views`` mesh axis.
 
     Cone FDK needs NO halo exchange: every stage is view-local, so the
@@ -287,7 +313,14 @@ def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
     D = int(n_devices)
     base_arrays, meta = pack_cone_dect(ct, phantom, spec1, spec2,
                                        n_matrix, fov, ramp,
-                                       _ray_plan=False, **pack_kw)
+                                       _ray_plan=False,
+                                       _n_zslab=int(n_zslab), **pack_kw)
+    if int(n_zslab) > 1:
+        if meta.nz_out % int(n_zslab):
+            raise ValueError(
+                f"nz_out={meta.nz_out} not divisible by "
+                f"n_zslab={n_zslab}")
+        meta = meta._replace(n_zslab=int(n_zslab))
     V, R, C = meta.vrc
     if V % (4 * D):
         raise ValueError(
@@ -332,22 +365,28 @@ _CONE_VIEW_SHARDED = ("src_y", "dirs_y", "src_x", "dirs_x", "inv",
 
 
 def make_sharded_cone_step(mesh, meta: ConeDectMeta, arrays_keys,
-                           axis="views"):
-    """jitted shard_map of :func:`cone_dect_step` over ``axis``."""
+                           axis="views", zslab_axis=None):
+    """jitted shard_map of :func:`cone_dect_step` over ``axis`` (and,
+    when ``meta.n_zslab > 1``, the ``zslab_axis`` of the composite
+    views x zslab mesh: volumes come back z-sharded over it)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     in_specs = {k: (P(axis) if k in _CONE_VIEW_SHARDED else P())
                 for k in arrays_keys}
+    zs = zslab_axis if (zslab_axis is not None and meta.n_zslab > 1) \
+        else None
+    vol_spec = P(zs) if zs else P()
     out_specs = {
         "sino_raw": (P(axis), P(axis)),
         "sino_log": (P(axis), P(axis)),
         "mat_sinos": (P(axis), P(axis)),
-        "recon_raw": (P(), P()),
-        "recon_HU": (P(), P()),
-        "mat_recons": (P(), P()),
+        "recon_raw": (vol_spec, vol_spec),
+        "recon_HU": (vol_spec, vol_spec),
+        "mat_recons": (vol_spec, vol_spec),
     }
-    body = functools.partial(cone_dect_step, meta=meta, axis_name=axis)
+    body = functools.partial(cone_dect_step, meta=meta, axis_name=axis,
+                             zslab_axis=zs)
     mapped = shard_map(body, mesh=mesh, in_specs=(in_specs,),
                        out_specs=out_specs, check_vma=False)
     return jax.jit(mapped)

@@ -13,6 +13,7 @@ from .phantom import (
     VoxelPhantom,
     contrast_rods_phantom,
     pelvis_phantom,
+    pelvis_phantom_3d,
     water_cylinder_phantom,
 )
 
@@ -29,4 +30,5 @@ __all__ = [
     "water_cylinder_phantom",
     "contrast_rods_phantom",
     "pelvis_phantom",
+    "pelvis_phantom_3d",
 ]
