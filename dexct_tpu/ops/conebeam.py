@@ -1086,12 +1086,13 @@ def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
-                     "pair_mode", "orbit4"),
+                     "pair_mode", "orbit4", "bf16_taps", "pair_seq"),
 )
 def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                            n_matrix, nz_out, fov, dz_out, dbeta,
                            z_center=0.0, *,
-                           view_block=8, pair_mode=False, orbit4=False):
+                           view_block=8, pair_mode=False, orbit4=False,
+                           bf16_taps=False, pair_seq=True):
     """Voxel-driven FDK backprojection of K filtered stacks at once.
 
     qs: [K, V, R, C].  One (channel, row) tap geometry pass serves all
@@ -1208,6 +1209,12 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                 vars_ += [qr, shift_c(qr)]
             packed_flat = jnp.stack(vars_, -1).transpose(
                 1, 2, 3, 4, 0).reshape(vb * R * C, 8 * Ke)
+            if bf16_taps:
+                # halve the gathered row bytes (the orbit4-pair row-32K
+                # f32 rows sit past the ~256 B width knee); values
+                # convert back to f32 right after the gather so all
+                # interpolation/accumulation stays f32
+                packed_flat = packed_flat.astype(jnp.bfloat16)
 
             def one_pair(z2):
                 ra_idx = ridx_of(z2[0])
@@ -1218,7 +1225,8 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                 idx = (win.astype(jnp.int32) * C + c0.astype(jnp.int32)
                        + voff_b[:, None] * (R * C))
                 rows = packed_flat[idx.reshape(-1)].reshape(
-                    idx.shape + (4, 2, Ke))  # taps (row w, ctap t)
+                    idx.shape + (4, 2, Ke)).astype(dtype)
+                # taps (row w, ctap t)
                 cr = (rows[..., 0, :] * (1 - fce[..., None, :])
                       + rows[..., 1, :] * fce[..., None, :])  # [vb,P,4,K]
                 va, wa_ = interp_at(cr, win, ra_idx)
@@ -1226,7 +1234,15 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
                 return (jnp.sum(va * wa_[..., None], axis=0),
                         jnp.sum(vb_ * wb2[..., None], axis=0))
 
-            pa, pb = jax.vmap(one_pair)(zc.reshape(-1, 2))
+            if pair_seq:
+                # sequence the z-pairs: the vmap batches ALL pairs'
+                # gathered rows into one [nz/2 * vb * P, row] buffer
+                # (3.2 GB at the cone bench shape — profiled as an HBM
+                # materialization round-trip, ~40% of the FDK stage);
+                # lax.map keeps one pair's rows in flight at a time
+                pa, pb = jax.lax.map(one_pair, zc.reshape(-1, 2))
+            else:
+                pa, pb = jax.vmap(one_pair)(zc.reshape(-1, 2))
             contrib = jnp.stack([pa, pb], 1).reshape(nz_out, P, Ke)
             return acc + contrib, None
 

@@ -798,6 +798,28 @@ def parallel_backproject_sym8_qs(qs, n_images, thetas_q, t0, dt, nt,
     vb_ = view_block
     voff_loc = jnp.arange(vb_, dtype=jnp.int32) * nt
 
+    # Static tap-selection matrices: the per-bucket lerp
+    #   taps[:, out] = wa * rows[:, colA(out)] + wb * rows[:, colB(out)]
+    # becomes two dense [16K, 8K] 0/1 matmuls HOISTED OUTSIDE the pixel
+    # reduction:  acc += (sum_b u.rows) @ Sa + (sum_b v.rows) @ Sb with
+    # u = w*(1-f), v = w*f.  This removes the [B, P, K]-piece
+    # intermediates whose 4-wide lane dim padded 32x and forced ~400 ms
+    # of layout copies at the 1024^2 scale (round-3 profile).
+    sa = np.zeros((16 * K, 8 * K), np.float32)
+    sb = np.zeros((16 * K, 8 * K), np.float32)
+    for j, (g, mirrored) in enumerate(
+            [(0, False), (4, False), (8, False), (12, False),
+             (2, True), (6, True), (10, True), (14, True)]):
+        for k in range(K):
+            if mirrored:  # lerp_m: wa on group g+1, wb on group g
+                sa[(g + 1) * K + k, j * K + k] = 1.0
+                sb[g * K + k, j * K + k] = 1.0
+            else:         # lerp: wa on group g, wb on group g+1
+                sa[g * K + k, j * K + k] = 1.0
+                sb[(g + 1) * K + k, j * K + k] = 1.0
+    Sa = jnp.asarray(sa)
+    Sb = jnp.asarray(sb)
+
     def block(acc, args):
         th, wv, ids_b = args
         # per-block 16K-wide pack of the orbit views {i, V/2+i, V/2-i,
@@ -826,22 +848,12 @@ def parallel_backproject_sym8_qs(qs, n_images, thetas_q, t0, dt, nt,
         w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
         idx = voff_loc[:, None] + c0.astype(jnp.int32)
         rows = packed_b[idx.reshape(-1)].reshape(idx.shape + (16 * K,))
-        wa, wb2 = (1.0 - f)[..., None], f[..., None]
-
-        def lerp(g):
-            return rows[..., g * K:(g + 1) * K] * wa \
-                + rows[..., (g + 1) * K:(g + 2) * K] * wb2
-
-        def lerp_m(g):
-            return rows[..., g * K:(g + 1) * K] * wb2 \
-                + rows[..., (g + 1) * K:(g + 2) * K] * wa
-
-        taps = jnp.concatenate([
-            lerp(0), lerp(4), lerp(8), lerp(12),
-            lerp_m(2), lerp_m(6), lerp_m(10), lerp_m(14),
-        ], axis=-1)  # [B, P, 8K]
-        return acc + jnp.einsum("bp,bpk->kp", w, taps,
-                               precision=jax.lax.Precision.HIGHEST), None
+        u = w * (1.0 - f)
+        v = w * f
+        hi = jax.lax.Precision.HIGHEST
+        A = jnp.einsum("bp,bpc->pc", u, rows, precision=hi)  # [P, 16K]
+        Bm = jnp.einsum("bp,bpc->pc", v, rows, precision=hi)
+        return acc + (A @ Sa + Bm @ Sb).T, None
 
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, ids))

@@ -67,7 +67,7 @@ class ConeDectMeta(NamedTuple):
     noise: str
     fdk_orbit4: bool = False
     gn_warm_nodes: int = 32
-    fdk_view_block: int = 32  # measured best on v5e (tools/bench_r3b)
+    fdk_view_block: int = 8  # with sequenced z-pairs (tools/bench_r3d)
     # z-slab mesh factor: the FDK accumulation (the HBM-dominant state
     # at volumetric scale) splits its output z grid over a second mesh
     # axis; all sinogram-domain stages stay view-sharded/replicated

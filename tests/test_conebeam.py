@@ -670,6 +670,18 @@ def test_fdk_orbit4_matches_plain():
                                               orbit4=True))
         np.testing.assert_allclose(a, b, rtol=2e-4,
                                    atol=2e-5 * np.abs(a).max())
+    # sequenced z-pairs are arithmetically identical to the vmap
+    args = (qs, betas, sid, dgamma, row_h, R, 32, 8, 20.0, 0.5,
+            2 * np.pi / V)
+    a = np.asarray(_fdk_backproject_multi(*args, pair_mode=True,
+                                          orbit4=True))
+    c = np.asarray(_fdk_backproject_multi(*args, pair_mode=True,
+                                          orbit4=True, pair_seq=True))
+    np.testing.assert_allclose(a, c, atol=1e-6 * np.abs(a).max())
+    # bf16 rows stay within bf16 rounding of the f32 path
+    d = np.asarray(_fdk_backproject_multi(*args, pair_mode=True,
+                                          orbit4=True, bf16_taps=True))
+    np.testing.assert_allclose(a, d, atol=2e-2 * np.abs(a).max())
 
 
 def test_zslab_sharded_cone_matches_single_device(cone_system):
