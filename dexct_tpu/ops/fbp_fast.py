@@ -176,8 +176,8 @@ def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
             w.astype(np.float32).reshape(-1), float(t0), float(dt))
 
 
-@functools.partial(jax.jit, static_argnames=("nt",))
-def rebin_to_parallel(sinos, idx, w, nt):
+@functools.partial(jax.jit, static_argnames=("nt", "quad"))
+def rebin_to_parallel(sinos, idx, w, nt, quad=True):
     """[K, V, C] fan sinograms -> [K, nθ, nt] parallel sinograms.
 
     idx/w are FLAT [nθ*nt*8] tables (8 taps per parallel bin; flattened
@@ -189,30 +189,46 @@ def rebin_to_parallel(sinos, idx, w, nt):
     lane-pad 2K -> 128 when XLA materializes them, which at the
     1440x2048 high-res grid blew a 738 MB temp up to 16.9 GB (round-3
     OOM); bounding the chunk keeps the padded temp under ~150 MB.
+
+    ``quad=True`` (tables from :func:`parallel_rebin_plan`, where view
+    ib1 is always the NEXT row of ib0): each bilinear quad is ONE
+    row-4K fetch of a channel- and view-rolled table — 2 gathers per
+    bin.  The halo-sharded tables (parallel/halo.py) index a
+    quarter-major buffer where ib1 can map across a block boundary:
+    pass ``quad=False`` there to use the 4 channel-pair gathers.
     """
     k = sinos.shape[0]
     n_theta = idx.size // (8 * nt)
+    vc = sinos.shape[1] * sinos.shape[2]
     table = sinos.reshape(k, -1).T  # [V*C, K]
-    # the 8 taps come in (j, j+1) channel-adjacent pairs (fan_taps emits
-    # ig0/ig0+1 for each of the 4 (view, copy) combinations) — pack
-    # q[j], q[j+1] into one row so each pair is ONE row-2K gather:
-    # 4 gathers per parallel bin instead of 8 (gather COUNT sets the
-    # rate at these widths, CLAUDE.md)
-    pair_tab = jnp.concatenate([table, jnp.roll(table, -1, axis=0)],
-                               axis=1)  # [V*C, 2K]
-    starts = idx.reshape(-1, 8)[:, 0::2].reshape(-1)
+    # the 8 taps per parallel bin are two bilinear quads: per fan copy,
+    # (ib0, ig0) (ib0, ig0+1) (ib1, ig0) (ib1, ig0+1) with ib1 = ib0+1
+    # (mod V) and ig1 = ig0+1 — so ONE row of a channel-rolled AND
+    # view-rolled table fetches the whole quad: 2 gathers per bin
+    # instead of 8 (gather COUNT sets the rate, CLAUDE.md).  The view
+    # roll by -C wraps v=V-1 to v=0, exactly the periodic grid.
+    c1 = jnp.roll(table, -1, axis=0)
+    if quad:
+        v1 = jnp.roll(table, -sinos.shape[2], axis=0)
+        v1c1 = jnp.roll(c1, -sinos.shape[2], axis=0)
+        tab = jnp.concatenate([table, c1, v1, v1c1], axis=1)  # [V*C,4K]
+        starts = idx.reshape(-1, 8)[:, 0::4].reshape(-1)  # [bins*2]
+        g_per = 2
+    else:
+        tab = jnp.concatenate([table, c1], axis=1)  # [V*C, 2K]
+        starts = idx.reshape(-1, 8)[:, 0::2].reshape(-1)  # [bins*4]
+        g_per = 4
     w8 = w.reshape(-1, 8)
     n_bins = n_theta * nt
 
     def chunk_vals(args):
-        st, wc = args  # [B*4], [B, 8]
-        rows = pair_tab[st].reshape(-1, 4, 2 * k)
-        rows = rows.reshape(-1, 8, k)
+        st, wc = args  # [B*g_per], [B, 8]
+        rows = tab[st].reshape(-1, 8, k)
         return jnp.einsum("rt,rtk->rk", wc, rows,
                           precision=jax.lax.Precision.HIGHEST)
 
-    # chunk bound: padded gather temp = B*4 rows * 128 lanes * 4 B
-    max_bins = max((150 << 20) // (4 * 128 * 4), nt)
+    # chunk bound: padded gather temp = B*g_per rows * 128 lanes * 4 B
+    max_bins = max((150 << 20) // (g_per * 128 * 4), nt)
     if n_bins <= max_bins:
         vals = chunk_vals((starts, w8))
     else:
@@ -222,7 +238,8 @@ def rebin_to_parallel(sinos, idx, w, nt):
         b = n_bins // n_chunks
         vals = jax.lax.map(
             chunk_vals,
-            (starts.reshape(n_chunks, b * 4), w8.reshape(n_chunks, b, 8)),
+            (starts.reshape(n_chunks, b * g_per),
+             w8.reshape(n_chunks, b, 8)),
         ).reshape(n_bins, k)
     return vals.T.reshape(k, n_theta, nt)
 

@@ -757,3 +757,64 @@ def test_pelvis3d_cone_pipeline():
     soft = float(np.median(mid[np.isfinite(mid)]))
     assert cort > 0.5 and abs(soft) < 0.3
     assert (z_sel == 6).sum() > 0 and (z_sel == 4).sum() > 0
+
+
+class TestHelicalPI:
+    """Cone-parallel PI path (ops/helical_pi.py): the measured
+    alternative helical reconstruction (module docstring has the
+    gFDK-vs-PI study verdict)."""
+
+    def _system(self):
+        import dataclasses
+
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        ph2 = water_cylinder_phantom(N=48, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (16, 48, 48)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        return ct, ph2, ph3
+
+    def test_z_uniform_matches_fan(self):
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.helical_pi import helical_pi_reconstruct
+        from dexct_tpu.ops.siddon import (material_path_sinogram,
+                                          mono_sinogram)
+
+        ct, ph2, ph3 = self._system()
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct),
+                          jnp.asarray(mu, jnp.float32))
+        vol = np.asarray(helical_pi_reconstruct(
+            sino, ct, 48, 20.0, 0.8, z_out=np.array([0.25])))
+        fan = FanBeamGeometry(N_channels=64, N_proj=96,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        img2 = np.asarray(fan_backproject(
+            filter_sinogram(
+                mono_sinogram(material_path_sinogram(ph2, fan),
+                              jnp.asarray(mu, jnp.float32)), fan, 0.8),
+            jnp.asarray(fan.betas, jnp.float32), fan.SID, fan.dgamma,
+            48, 20.0))
+        interior = np.hypot(
+            *np.meshgrid(*[np.arange(48) - 23.5] * 2)) < 16
+        e = np.abs(vol[0] - img2)[interior]
+        # the PI resampling floor (azimuthal rebin + pi coverage)
+        assert e.max() < 0.05 * img2.max()
+        # quantitative scale: partition-of-unity weights keep the DC
+        # gain exact
+        ratio = vol[0][interior].mean() / img2[interior].mean()
+        assert abs(ratio - 1.0) < 0.01, ratio
+
+    def test_rejects_pitch_zero(self):
+        import dataclasses
+
+        from dexct_tpu.ops.helical_pi import helical_pi_reconstruct
+
+        ct, ph2, ph3 = self._system()
+        ct0 = dataclasses.replace(ct, pitch=0.0)
+        with pytest.raises(ValueError):
+            helical_pi_reconstruct(jnp.zeros((384, 8, 64)), ct0, 48,
+                                   20.0, 0.8)
