@@ -177,7 +177,7 @@ def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
 
 
 @functools.partial(jax.jit, static_argnames=("nt", "quad"))
-def rebin_to_parallel(sinos, idx, w, nt, quad=True):
+def rebin_to_parallel(sinos, idx, w, nt, quad=False):
     """[K, V, C] fan sinograms -> [K, nθ, nt] parallel sinograms.
 
     idx/w are FLAT [nθ*nt*8] tables (8 taps per parallel bin; flattened
@@ -190,12 +190,14 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=True):
     1440x2048 high-res grid blew a 738 MB temp up to 16.9 GB (round-3
     OOM); bounding the chunk keeps the padded temp under ~150 MB.
 
-    ``quad=True`` (tables from :func:`parallel_rebin_plan`, where view
-    ib1 is always the NEXT row of ib0): each bilinear quad is ONE
-    row-4K fetch of a channel- and view-rolled table — 2 gathers per
-    bin.  The halo-sharded tables (parallel/halo.py) index a
-    quarter-major buffer where ib1 can map across a block boundary:
-    pass ``quad=False`` there to use the 4 channel-pair gathers.
+    ``quad=True`` (valid only for :func:`parallel_rebin_plan` tables,
+    where view ib1 is always the NEXT row of ib0): each bilinear quad
+    is ONE row-4K fetch of a channel- and view-rolled table — 2
+    gathers per bin.  MEASURED SLOWER at the 1024^2 scale (1.815 vs
+    1.769/1.730 s e2e: building the three rolled table copies costs
+    more than the count halving saves), so the 4-gather pair path is
+    the default; the halo-sharded tables (quarter-major buffer breaks
+    row adjacency) must keep quad=False regardless.
     """
     k = sinos.shape[0]
     n_theta = idx.size // (8 * nt)

@@ -261,10 +261,7 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
                                             tiled=True)
         else:
             sinos_full = sinos
-        halo_tables = bool(axis_name is not None and meta.comm
-                           and meta.comm[0] == "halo")
-        par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt,
-                                quad=not halo_tables)
+        par = rebin_to_parallel(sinos_full, a["rb_idx"], a["rb_w"], nt)
         qs = _filter_views(par, 1.0, a["par_H"], par_m, par_dt)
         n_th_total = n_th
         if (axis_name is None and meta.par_sym and n_th % 4 == 0
