@@ -264,8 +264,7 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     betas = jnp.asarray(ct.betas, dtype)
     # K=1 case of the shared multi-volume backprojector (one tap
     # geometry/pack/gather body to maintain, not three)
-    orbit4 = bool(V % 4 == 0 and int(n_matrix) % 2 == 0
-                  and abs(ct.rotation_total - 2.0 * np.pi) < 1e-9)
+    orbit4 = _fdk_orbit4_ok(V, int(n_matrix), ct.rotation_total)
     return _fdk_backproject_multi(
         q[None], betas, float(ct.SID), float(ct.dgamma), float(ct.h_iso),
         int(R), int(n_matrix), int(nz), float(fov), dz,
@@ -1070,6 +1069,15 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "recon_HU": tuple(hu),
         "mat_recons": (vols[2], vols[3]),
     }
+
+
+def _fdk_orbit4_ok(n_proj, n_matrix, rotation_total):
+    """Static eligibility of the quarter-turn FDK orbit fold: uniform
+    full-2*pi view grid closed under the quarter turn and an even
+    recon matrix (shared by fdk_reconstruct and pipeline/cone.py so
+    the two sites can never diverge)."""
+    return bool(n_proj % 4 == 0 and n_matrix % 2 == 0
+                and abs(rotation_total - 2.0 * np.pi) < 1e-9)
 
 
 def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):

@@ -601,6 +601,49 @@ def parallel_backproject_sym2(packed, n_images, thetas, t0, dt, nt,
 # a 4-view sub-sinogram (see pipeline/fused.py).
 
 
+def _sym8_pixel_tables(N, fov, px_size):
+    """Host-side pixel/symmetry tables shared by the 8-fold kernels.
+
+    Returns (slot_flat, valid_np, full_flat, g1, g2, g3, g4, XX, YY, P)
+    — the y>=0 half-disc slot list, its validity mask, the full-disc
+    pixel list, and the four accumulator-bucket gather maps
+    (A/B/C/D x point-mirror) used to recompose the disc.
+    """
+    half = N / 2.0
+    c_np = (np.arange(N) + 0.5 - half) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)  # [iy, ix]
+    in_circle = (np.hypot(XX, YY) <= fov / 2.0).reshape(-1)
+    ys = YY.reshape(-1)
+    slot_sel = np.nonzero(in_circle & (ys >= 0))[0]
+    P_real = len(slot_sel)
+    P = max(-(-P_real // 8) * 8, 8)
+    slot_flat = np.pad(slot_sel, (0, P - P_real),
+                       constant_values=slot_sel[-1] if P_real else 0)
+    valid_np = np.zeros(P, np.float32)
+    valid_np[:P_real] = 1.0
+    slot_of = np.full(N * N, -1, np.int64)
+    slot_of[slot_sel] = np.arange(P_real)
+
+    full_sel = np.nonzero(in_circle)[0]
+    Pf = max(-(-len(full_sel) // 8) * 8, 8)
+    full_flat = np.pad(full_sel, (0, Pf - len(full_sel)),
+                       constant_values=full_sel[-1] if len(full_sel) else 0)
+    iy, ix = full_flat // N, full_flat % N
+    miy, mix = N - 1 - iy, N - 1 - ix
+    xv, yv = c_np[ix], c_np[iy]
+    g1 = np.where(yv >= 0, 0 * P + slot_of[iy * N + ix],
+                  4 * P + slot_of[miy * N + mix])
+    g2 = np.where(xv < 0, 1 * P + slot_of[mix * N + iy],
+                  5 * P + slot_of[ix * N + miy])
+    g3 = np.where(xv > 0, 2 * P + slot_of[ix * N + iy],
+                  6 * P + slot_of[mix * N + miy])
+    g4 = np.where(yv >= 0, 3 * P + slot_of[iy * N + mix],
+                  7 * P + slot_of[miy * N + ix])
+    for g in (g1, g2, g3, g4):  # every referenced slot must exist
+        assert (g % P < P_real).all() if P_real else True
+    return slot_flat, valid_np, full_flat, g1, g2, g3, g4, XX, YY, P
+
+
 def pack_filtered_sym8(qs):
     """[K, V, T] filtered parallel sinograms -> packed [(V/4-1)*T, 16K].
 
@@ -648,40 +691,11 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
     px_size = fov / N
     half = N / 2.0
 
-    c_np = (np.arange(N) + 0.5 - half) * px_size
-    XX, YY = np.meshgrid(c_np, c_np)  # [iy, ix]
-    in_circle = (np.hypot(XX, YY) <= fov / 2.0).reshape(-1)
-    ys = YY.reshape(-1)
-    slot_sel = np.nonzero(in_circle & (ys >= 0))[0]
-    P_real = len(slot_sel)
-    P = max(-(-P_real // 8) * 8, 8)
-    slot_flat = np.pad(slot_sel, (0, P - P_real),
-                       constant_values=slot_sel[-1] if P_real else 0)
-    valid_np = np.zeros(P, np.float32)
-    valid_np[:P_real] = 1.0
-    slot_of = np.full(N * N, -1, np.int64)
-    slot_of[slot_sel] = np.arange(P_real)
-
-    full_sel = np.nonzero(in_circle)[0]
-    Pf = max(-(-len(full_sel) // 8) * 8, 8)
-    full_flat = np.pad(full_sel, (0, Pf - len(full_sel)),
-                       constant_values=full_sel[-1] if len(full_sel) else 0)
-    iy, ix = full_flat // N, full_flat % N
-    miy, mix = N - 1 - iy, N - 1 - ix
-    xv, yv = c_np[ix], c_np[iy]
     # accumulator block offsets: [A+, B+, C+, D+, A-, B-, C-, D-]
     # A: view i at p;        B: view V/2+i at rot90(p) = (-y, x);
     # C: view V/2-i at (y, x); D: view V-i at (-x, y); '-' = point mirror
-    g1 = np.where(yv >= 0, 0 * P + slot_of[iy * N + ix],
-                  4 * P + slot_of[miy * N + mix])
-    g2 = np.where(xv < 0, 1 * P + slot_of[mix * N + iy],
-                  5 * P + slot_of[ix * N + miy])
-    g3 = np.where(xv > 0, 2 * P + slot_of[ix * N + iy],
-                  6 * P + slot_of[mix * N + miy])
-    g4 = np.where(yv >= 0, 3 * P + slot_of[iy * N + mix],
-                  7 * P + slot_of[miy * N + ix])
-    for g in (g1, g2, g3, g4):  # every referenced slot must exist
-        assert (g % P < P_real).all() if P_real else True
+    (slot_flat, valid_np, full_flat, g1, g2, g3, g4, XX, YY,
+     P) = _sym8_pixel_tables(N, fov, px_size)
 
     X = jnp.asarray(XX.reshape(-1)[slot_flat], dtype)
     Y = jnp.asarray(YY.reshape(-1)[slot_flat], dtype)
@@ -872,7 +886,11 @@ def parallel_backproject_sym8_qs(qs, n_images, thetas_q, t0, dt, nt,
         hi = jax.lax.Precision.HIGHEST
         A = jnp.einsum("bp,bpc->pc", u, rows, precision=hi)  # [P, 16K]
         Bm = jnp.einsum("bp,bpc->pc", v, rows, precision=hi)
-        return acc + (A @ Sa + Bm @ Sb).T, None
+        # HIGHEST here too: the TPU default matmul precision would
+        # truncate the accumulated partials to bf16 every block
+        sel = (jnp.matmul(A, Sa, precision=hi)
+               + jnp.matmul(Bm, Sb, precision=hi))
+        return acc + sel.T, None
 
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, ids))

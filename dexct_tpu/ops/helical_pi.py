@@ -74,8 +74,8 @@ def _conepar_rebin_plan(ct, nt):
     Target grid: theta_j = beta_j + pi/2 (same count/spacing as views,
     so the unwrapped scan range maps 1:1), t_k symmetric over the fan.
     Returns (idx [nT*nt*4] int32 into V*C, w [nT*nt*4] f32, t0, dt,
-    thetas [nT], beta_of [nT*nt] f32 — the exact source angle of each
-    parallel sample, for z_s in the backprojector).
+    thetas [nT]); the backprojector recomputes each sample's source
+    angle from (theta, t) in closed form.
     """
     sid = ct.SID
     v, c = ct.N_proj, ct.N_channels
@@ -117,8 +117,7 @@ def _conepar_rebin_plan(ct, nt):
     return (idx.astype(np.int32).reshape(-1),
             w.astype(np.float32).reshape(-1),
             float(t0), float(dt),
-            thetas.astype(np.float32),
-            beta_need.astype(np.float32).reshape(-1))
+            thetas.astype(np.float32))
 
 
 @functools.partial(
@@ -126,7 +125,7 @@ def _conepar_rebin_plan(ct, nt):
     static_argnames=("n_matrix", "nz_out", "nt", "n_rows",
                      "view_block", "fov"),
 )
-def _pi_backproject(par, sid, dgamma_unused, row_h, n_rows, pitch, z0_src,
+def _pi_backproject(par, sid, row_h, n_rows, pitch, z0_src,
                     thetas, t0, dt, nt, n_matrix, nz_out, fov, dz_out,
                     z_lo, dtheta, *, view_block=8):
     """TD-windowed cone-parallel backprojection.
@@ -286,11 +285,33 @@ def helical_pi_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     # cone pre-weight (cos kappa per row) then azimuthal rebin per row
     cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
     pw = sino_log.astype(dtype) * jnp.asarray(cosk, dtype)[None, :, None]
-    idx, w, t0, dt, thetas, _ = _conepar_rebin_plan(ct, nt)
+    idx, w, t0, dt, thetas = _conepar_rebin_plan(ct, nt)
     table = pw.transpose(0, 2, 1).reshape(V * C, R)  # [V*C, R]
-    taps = table[jnp.asarray(idx)].reshape(-1, 4, R)
-    par = jnp.einsum("bt,btr->br", jnp.asarray(w).reshape(-1, 4), taps,
-                     precision=jax.lax.Precision.HIGHEST)
+    # theta-chunked gathers: the [bins, 4, R] tap intermediate lane-pads
+    # its small trailing dims when materialized (the CLAUDE.md packing
+    # rule; same blowup class as the round-3 rebin_to_parallel OOM), so
+    # bound the padded temp to ~150 MB
+    idx_j = jnp.asarray(idx)
+    w_j = jnp.asarray(w).reshape(-1, 4)
+    n_bins = V * nt
+
+    def chunk(args):
+        ii, ww = args
+        taps = table[ii].reshape(-1, 4, R)
+        return jnp.einsum("bt,btr->br", ww, taps,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    max_bins = max((150 << 20) // (4 * 128 * 4), nt)
+    if n_bins <= max_bins:
+        par = chunk((idx_j, w_j))
+    else:
+        n_chunks = -(-n_bins // max_bins)
+        while n_bins % n_chunks:
+            n_chunks += 1
+        b = n_bins // n_chunks
+        par = jax.lax.map(
+            chunk, (idx_j.reshape(n_chunks, b * 4),
+                    w_j.reshape(n_chunks, b, 4))).reshape(n_bins, R)
     par = par.reshape(V, nt, R)
 
     # parallel ramp filter along t, per (theta-line, row)
@@ -303,7 +324,7 @@ def helical_pi_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     # the scan center)
     z0_src = float(np.asarray(ct.source_z)[0])
     return _pi_backproject(
-        par, float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
+        par, float(ct.SID), float(ct.h_iso), int(R),
         pitch, z0_src, jnp.asarray(thetas, dtype), t0, dt, nt,
         int(n_matrix), int(len(z_out)), float(fov), dz, float(z_out[0]),
         float(ct.rotation_total / V), view_block=int(view_block))

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from .fourier import FourierProjectorPlan, fourier_project_images
 
-__all__ = ["make_projection_operator", "cg_recon", "sirt_recon"]
+__all__ = ["make_projection_operator", "cg_recon", "sirt_recon",
+           "pwls_recon"]
 
 
 def make_projection_operator(plan: FourierProjectorPlan, view_shape):
@@ -132,3 +133,98 @@ def sirt_recon(plan: FourierProjectorPlan, sino, view_shape, *, n_iters=50,
 
     x, _ = jax.lax.scan(body, x0, None, length=n_iters)
     return x
+
+
+def _huber_grad(d, delta):
+    """Gradient of the Huber potential (quadratic core, linear tails)."""
+    return jnp.clip(d, -delta, delta)
+
+
+def _neighbor_penalty_grad(x, delta):
+    """Gradient of the 4-neighbor edge-preserving Huber roughness
+    penalty R(x) = sum_j sum_{k in N(j)} huber(x_j - x_k)."""
+    g = jnp.zeros_like(x)
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        g = g + _huber_grad(x - jnp.roll(x, sh, ax), delta)
+    return g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "n_iters", "beta", "delta", "nonneg",
+                     "power_iters"),
+)
+def _pwls_fista(apply_fn, y, w, x0, n_iters, beta, delta, nonneg,
+                power_iters):
+    at = jax.linear_transpose(apply_fn, x0)
+
+    def grad_data(x):
+        (g,) = at(w * (apply_fn(x) - y))
+        return g
+
+    # Lipschitz bound: ||A^T W A|| by power iteration + the penalty's
+    # curvature bound 8*beta (4 neighbor pairs, |huber''| <= 1)
+    v = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+
+    def power(v, _):
+        (nv,) = at(w * apply_fn(v))
+        return nv / jnp.maximum(jnp.linalg.norm(nv), 1e-30), None
+
+    v, _ = jax.lax.scan(power, v, None, length=power_iters)
+    (nv,) = at(w * apply_fn(v))
+    lmax = jnp.maximum(jnp.vdot(v, nv).real, 1e-30)
+    # beta is RELATIVE to the data-term curvature (scale-free API):
+    # beta_abs = beta * lmax makes the tuning independent of geometry,
+    # view count, and count normalization
+    beta_abs = beta * lmax
+    step = 1.0 / (lmax + 8.0 * beta_abs)
+
+    def body(carry, _):
+        x, z, t = carry
+        g = grad_data(z)
+        if beta:
+            g = g + beta_abs * _neighbor_penalty_grad(z, delta)
+        x_new = z - step * g
+        if nonneg:
+            x_new = jnp.maximum(x_new, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return (x_new, z_new, t_new), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x0, x0, jnp.float32(1.0)), None,
+                                length=n_iters)
+    return x
+
+
+def pwls_recon(plan: FourierProjectorPlan, sino_log, counts, view_shape,
+               *, n_iters=60, beta=1e-3, delta=5e-3, nonneg=True,
+               x0=None, power_iters=12):
+    """Penalized weighted least-squares statistical reconstruction.
+
+    Minimizes  1/2 ||A x - y||^2_W + beta * R(x)  with
+
+    * y the log sinogram, W = diag(counts / mean(counts)) — the inverse
+      log-domain noise variance (var[-ln(N/N0)] ~ 1/N), so photon-
+      starved rays (metal shadows, low dose) are down-weighted instead
+      of streaking through FBP's uniform view weighting;
+    * R the 4-neighbor Huber roughness penalty (quadratic smoothing in
+      flat regions, linear — edge-preserving — across boundaries of
+      height >> ``delta`` [1/cm]); ``beta`` is RELATIVE to the data
+      curvature ||A^T W A|| so its useful range (~1e-4..1e-1) is
+      geometry- and dose-independent;
+    * monotone-free FISTA with a power-iteration Lipschitz step and
+      optional nonnegativity, the whole loop one ``lax.scan`` in jit.
+
+    The statistical-recon family of modern CT frameworks (the reference
+    is FBP-only).  Warm-starting from the FBP image (``x0``) cuts the
+    iteration count several-fold.  Returns the [N, N] image in 1/cm.
+    """
+    apply_fn = make_projection_operator(plan, view_shape)
+    y = jnp.asarray(sino_log, jnp.float32)
+    c = jnp.asarray(counts, jnp.float32)
+    w = c / jnp.maximum(jnp.mean(c), 1e-30)
+    if x0 is None:
+        x0 = jnp.zeros((plan.n_img, plan.n_img), jnp.float32)
+    return _pwls_fista(apply_fn, y, w, jnp.asarray(x0, jnp.float32),
+                       int(n_iters), float(beta), float(delta),
+                       bool(nonneg), int(power_iters))

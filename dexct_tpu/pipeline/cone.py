@@ -87,7 +87,8 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     silent DDA fallback here; use
     :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect` for odd shapes.
     """
-    from ..ops.conebeam import validate_cone_dominant, validate_cone_hbm
+    from ..ops.conebeam import (_fdk_orbit4_ok, validate_cone_dominant,
+                                validate_cone_hbm)
     from ..pipeline.api import effective_water_mu
 
     if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
@@ -107,9 +108,11 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     # the single shared capability check (incl. the 512 MiB table guard)
     lb, W = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
                                    dxc, dyc, dzc, max_slope, group)
+    fdk_orbit4 = _fdk_orbit4_ok(ct.N_proj, int(n_matrix),
+                                ct.rotation_total)
     validate_cone_hbm(
         int(n_matrix), int(ct.N_rows if nz_out is None else nz_out),
-        n_zslab=int(_n_zslab))
+        n_zslab=int(_n_zslab), orbit4=fdk_orbit4)
 
     labj = jnp.asarray(labels3)
     pack_y = build_cone_pack(labj, group, lb)
@@ -182,9 +185,7 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # quarter-turn FDK orbit fold (round 3): a uniform full-2*pi
         # grid with V % 4 == 0; the sharded paired-quarter layout
         # preserves it per shard (local views = 4 blocks at 90 degrees)
-        fdk_orbit4=bool(
-            V % 4 == 0 and n_matrix % 2 == 0
-            and abs(ct.rotation_total - 2.0 * np.pi) < 1e-9),
+        fdk_orbit4=fdk_orbit4,
     )
     return arrays, meta
 

@@ -674,7 +674,7 @@ def test_fdk_orbit4_matches_plain():
     args = (qs, betas, sid, dgamma, row_h, R, 32, 8, 20.0, 0.5,
             2 * np.pi / V)
     a = np.asarray(_fdk_backproject_multi(*args, pair_mode=True,
-                                          orbit4=True))
+                                          orbit4=True, pair_seq=False))
     c = np.asarray(_fdk_backproject_multi(*args, pair_mode=True,
                                           orbit4=True, pair_seq=True))
     np.testing.assert_allclose(a, c, atol=1e-6 * np.abs(a).max())

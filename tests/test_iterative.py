@@ -86,3 +86,44 @@ class TestSirt:
         assert img.min() >= 0.0
         center = img[44:52, 44:52]
         assert abs(center.mean() - mu[1]) / mu[1] < 0.15
+
+
+class TestPwls:
+    def test_noiseless_recovers_cylinder(self, setup):
+        """Noiseless PWLS with uniform weights converges to the object
+        (center within 2% of mu_water)."""
+        from dexct_tpu.ops.iterative import pwls_recon
+
+        ph, ct, plan, mu, mu_img, sino = setup
+        counts = jnp.ones_like(sino)
+        x = np.asarray(pwls_recon(plan, sino, counts, (128, 128),
+                                  n_iters=120, beta=1e-5))
+        c = x[44:52, 44:52].mean()
+        assert abs(c - float(mu[1])) / float(mu[1]) < 0.02
+
+    def test_low_dose_noise_suppression(self, setup):
+        """At low dose, statistically weighted + Huber-regularized PWLS
+        must cut flat-region noise well below FBP at matched center
+        value — the raison d'etre of statistical recon."""
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.iterative import pwls_recon
+
+        ph, ct, plan, mu, mu_img, sino = setup
+        rng = np.random.default_rng(3)
+        n0 = 2000.0  # photons per ray: very low dose
+        counts = rng.poisson(n0 * np.exp(-np.asarray(sino)))
+        counts = np.maximum(counts, 1)
+        y = -np.log(counts / n0)
+
+        fbp = np.asarray(fan_backproject(
+            filter_sinogram(jnp.asarray(y, jnp.float32), ct, 0.8),
+            jnp.asarray(ct.betas, jnp.float32), ct.SID, ct.dgamma,
+            plan.n_img, 24.0))
+        x = np.asarray(pwls_recon(plan, y, counts, (128, 128),
+                                  n_iters=150, beta=3e-2, delta=5e-3,
+                                  x0=jnp.maximum(jnp.asarray(fbp), 0.0)))
+        flat = (slice(56, 72), slice(56, 72))
+        mu_w = float(mu[1])
+        assert abs(x[flat].mean() - mu_w) / mu_w < 0.05
+        assert x[flat].std() < 0.5 * fbp[flat].std(), (
+            x[flat].std(), fbp[flat].std())
