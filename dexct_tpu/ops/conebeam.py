@@ -44,7 +44,7 @@ __all__ = ["ConeDominantUnsupported", "validate_cone_hbm",
            "trace_cone_dominant",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
            "helical_fdk_reconstruct", "project_volume_3d",
-           "cone_cg_recon", "simulate_cone_dect"]
+           "cone_cg_recon", "cone_pwls_recon", "simulate_cone_dect"]
 
 _BIG = 1e30
 
@@ -1291,3 +1291,38 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
     # images recompose with pure layout ops (no gathers): out[p'] =
     # sum_l leg_l[rot^{-l}(p')] = sum_l rot90(leg_l, -l).
     return sum(jnp.rot90(vol[l], -l, axes=(-2, -1)) for l in range(4))
+
+
+def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
+                    n_iters=60, beta=1e-2, delta=5e-3, nonneg=True,
+                    x0=None):
+    """3-D penalized weighted least-squares statistical reconstruction.
+
+    The volumetric analog of
+    :func:`dexct_tpu.ops.iterative.pwls_recon`: count-weighted data
+    term over the exact 3-D Siddon operator
+    (:func:`project_volume_3d`, exact adjoint via
+    ``jax.linear_transpose``) plus the 6-neighbor edge-preserving
+    Huber penalty, solved by FISTA in one ``lax.scan``.  ``beta`` is
+    relative to ||A^T W A|| (scale-free).  Warm-start ``x0`` from
+    :func:`fdk_reconstruct` to cut iterations several-fold.  Returns
+    the [Nz, Ny, Nx] volume in cm^-1.
+    """
+    from .iterative import _pwls_fista
+
+    src, dirs = geometry.ray_geometry_3d()
+    src = jnp.asarray(src, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    dx, dy, dz = (float(v) for v in voxel)
+
+    def apply_fn(vol):
+        return project_volume_3d(vol, src, dirs, dx, dy, dz)
+
+    y = jnp.asarray(sino_log, jnp.float32)
+    c = jnp.asarray(counts, jnp.float32)
+    w = c / jnp.maximum(jnp.mean(c), 1e-30)
+    if x0 is None:
+        x0 = jnp.zeros(tuple(vol_shape), jnp.float32)
+    return _pwls_fista(apply_fn, y, w, jnp.asarray(x0, jnp.float32),
+                       int(n_iters), float(beta), float(delta),
+                       bool(nonneg), 12)

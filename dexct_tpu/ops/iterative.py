@@ -141,11 +141,13 @@ def _huber_grad(d, delta):
 
 
 def _neighbor_penalty_grad(x, delta):
-    """Gradient of the 4-neighbor edge-preserving Huber roughness
-    penalty R(x) = sum_j sum_{k in N(j)} huber(x_j - x_k)."""
+    """Gradient of the 2*ndim-neighbor edge-preserving Huber roughness
+    penalty R(x) = sum_j sum_{k in N(j)} huber(x_j - x_k) (4 neighbors
+    for images, 6 for volumes)."""
     g = jnp.zeros_like(x)
-    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        g = g + _huber_grad(x - jnp.roll(x, sh, ax), delta)
+    for ax in range(x.ndim):
+        for sh in (1, -1):
+            g = g + _huber_grad(x - jnp.roll(x, sh, ax), delta)
     return g
 
 
@@ -163,7 +165,7 @@ def _pwls_fista(apply_fn, y, w, x0, n_iters, beta, delta, nonneg,
         return g
 
     # Lipschitz bound: ||A^T W A|| by power iteration + the penalty's
-    # curvature bound 8*beta (4 neighbor pairs, |huber''| <= 1)
+    # curvature bound 4*ndim*beta (2*ndim neighbor pairs, |huber''| <= 1)
     v = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
 
     def power(v, _):
@@ -177,7 +179,7 @@ def _pwls_fista(apply_fn, y, w, x0, n_iters, beta, delta, nonneg,
     # beta_abs = beta * lmax makes the tuning independent of geometry,
     # view count, and count normalization
     beta_abs = beta * lmax
-    step = 1.0 / (lmax + 8.0 * beta_abs)
+    step = 1.0 / (lmax + 4.0 * x0.ndim * beta_abs)
 
     def body(carry, _):
         x, z, t = carry

@@ -818,3 +818,36 @@ class TestHelicalPI:
         with pytest.raises(ValueError):
             helical_pi_reconstruct(jnp.zeros((384, 8, 64)), ct0, 48,
                                    20.0, 0.8)
+
+
+def test_cone_pwls_low_dose(cone_system):
+    """3-D PWLS: noisy low-dose cone scan reconstructs with flat-region
+    noise well below FDK at matched mean (the volumetric statistical-
+    recon check, mirroring tests/test_iterative.py::TestPwls)."""
+    from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                        cone_pwls_recon, fdk_reconstruct)
+
+    ct, ph2, ph3 = cone_system
+    mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+    sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct),
+                      jnp.asarray(mu, jnp.float32))
+    rng = np.random.default_rng(5)
+    n0 = 1500.0
+    counts = np.maximum(
+        rng.poisson(n0 * np.exp(-np.asarray(sino))), 1)
+    y = -np.log(counts / n0)
+    nz, nyx = ph3.labels.shape[0], ph3.labels.shape[1]
+    fdk = np.asarray(fdk_reconstruct(
+        jnp.asarray(y, jnp.float32), ct, nyx, 20.0, 0.8,
+        nz_out=nz, dz_out=float(ph3.dz)))
+    x = np.asarray(cone_pwls_recon(
+        y, counts, ct, (nz, nyx, nyx),
+        (float(ph3.dx), float(ph3.dy), float(ph3.dz)),
+        n_iters=60, beta=3e-2,
+        x0=jnp.maximum(jnp.asarray(fdk), 0.0)))
+    mid = nz // 2
+    flat = (slice(26, 36), slice(26, 36))
+    mu_w = float(mu[1])
+    assert abs(x[mid][flat].mean() - mu_w) / mu_w < 0.05
+    assert x[mid][flat].std() < 0.6 * fdk[mid][flat].std(), (
+        x[mid][flat].std(), fdk[mid][flat].std())
