@@ -1,6 +1,6 @@
 """dexct_tpu: a TPU-native dual-energy CT simulation framework.
 
-Ground-up JAX/XLA/Pallas rebuild of the capabilities of gjadick/dex-ct-sim
+Ground-up JAX/XLA rebuild of the capabilities of gjadick/dex-ct-sim
 (reference at /root/reference; structural map in SURVEY.md): Siddon forward
 projection, fan-beam filtered back-projection, Gauss-Newton basis material
 decomposition, the physics substrate (attenuation/spectra/detectors), the

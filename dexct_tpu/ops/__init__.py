@@ -1,12 +1,15 @@
 """Core compute ops: projection, spectral forward, FBP, decomposition,
-beam-hardening correction."""
+beam-hardening correction, cone-beam/helical 3-D, iterative recon."""
 
 from . import (
     bhc,
+    conebeam,
     fbp,
     fbp_fast,
     filters,
     fourier,
+    helical_pi,
+    iterative,
     matdecomp,
     siddon,
     siddon_fast,
@@ -23,4 +26,7 @@ __all__ = [
     "filters",
     "matdecomp",
     "bhc",
+    "conebeam",
+    "helical_pi",
+    "iterative",
 ]

@@ -102,20 +102,19 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         from ..system.geometry import FanBeamGeometry as _Fan
 
         if isinstance(cfg.ct, _Cone):
-            # a ConeBeamGeometry IS a FanBeamGeometry subclass — without
-            # this guard a cone/helical config would silently run as a
-            # single-slice 2-D fan scan
-            raise ValueError(
-                "cone/helical configs are 3-D: reconstruct via "
-                "ops.conebeam.simulate_cone_dect or pipeline.cone; the "
-                "runner's 2-D output contract (flat [V, C] sinograms, "
-                "main.py:121-169) cannot represent [V, R, C] data"
-            )
-        if engine == "fused" and not isinstance(cfg.ct, _Fan):
+            # 3-D branch (round 3): cone/helical configs run the 3-D
+            # pipelines and persist the natural volume extension of the
+            # §2.6 contract — same filenames, flat float32, shapes
+            # [V, R, C] (sinograms) and [nz, N, N] (volumes)
+            dect = _cone_dect(cfg, spec1, spec2, n_iters=n_iters,
+                              noise=noise, seed=seed)
+        elif engine == "fused" and not isinstance(cfg.ct, _Fan):
             # the fused fast path is fan-beam; other geometries run the
             # composed op path (get_sino/get_recon dispatch per geometry)
             engine = "composed"
-        if engine == "fused":
+        if isinstance(cfg.ct, _Cone):
+            pass  # dect already computed by the 3-D branch above
+        elif engine == "fused":
             from .fused import make_jitted_step, pack_dect
 
             import numpy as _np
@@ -180,7 +179,9 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             mat_recons=(None if dect.mat_recons[0] is None
                         else [np.asarray(m) for m in dect.mat_recons]),
         )
-        if bhc and cfg.do_back_projection:
+        if bhc and cfg.do_back_projection and not isinstance(cfg.ct,
+                                                            _Cone):
+            # (BHC polynomials are calibrated on the 2-D fan path)
             from ..ops.bhc import bone_bhc_recon, water_bhc_recon
 
             for i, (sid, spec) in enumerate(((spec_id1, spec1),
@@ -202,6 +203,39 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         results.append(RunResult(cfg.run_id, (spec_id1, spec_id2, d1, d2),
                                  dect, wall))
     return results
+
+
+def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed):
+    """Run a cone/helical config through the 3-D pipelines.
+
+    Circular orbits use the pack-once fused pipeline
+    (:mod:`dexct_tpu.pipeline.cone`); helical orbits route through the
+    stateless :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect`
+    (which selects the generalized-Feldkamp reconstruction).
+    """
+    nz = ("compound" if noise == "poisson" and cfg.ct.eid else noise)
+    if abs(getattr(cfg.ct, "pitch", 0.0)) > 1e-12:
+        from ..ops.conebeam import simulate_cone_dect
+
+        key = jax.random.PRNGKey(seed) if nz != "none" else None
+        out = simulate_cone_dect(
+            cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
+            cfg.ramp, n_iters=n_iters, noise=nz, key=key)
+    else:
+        from .cone import make_jitted_cone_step, pack_cone_dect
+
+        arrays, meta = pack_cone_dect(
+            cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
+            cfg.ramp, n_iters=n_iters, noise=nz, seed=seed)
+        out = make_jitted_cone_step(meta)(arrays)
+    bp = cfg.do_back_projection
+    return api.DectResult(
+        sino_raw=out["sino_raw"], sino_log=out["sino_log"],
+        recon_raw=out["recon_raw"] if bp else (None, None),
+        recon_HU=out["recon_HU"] if bp else (None, None),
+        mat_sinos=out["mat_sinos"],
+        mat_recons=out["mat_recons"] if bp else (None, None),
+    )
 
 
 def _pair_complete(out_dir, cfg, spec_id1, spec_id2, d1, d2):

@@ -224,3 +224,48 @@ class TestRunnerContract:
         assert parse_pairs(["detunedMV,80kV,9,1"]) == (
             ("detunedMV", "80kV", 9.0, 1.0),
         )
+
+
+def test_cone_config_through_runner(tmp_path):
+    """Round-3 L3 completion: a cone_beam config runs end-to-end through
+    the CLI runner and persists the volume extension of the output
+    contract ([V, R, C] sinograms, [nz, N, N] volumes, same filenames)."""
+    import json
+
+    import dexct_tpu.pipeline.runner as runner
+    from dexct_tpu.system.phantom import VoxelPhantom
+
+    ph = water_cylinder_phantom(N=48, dx=0.5)
+    ph3 = VoxelPhantom("w3", np.broadcast_to(
+        ph.labels[0], (16, 48, 48)).copy(), ph.materials, 0.5, 0.5, 0.5)
+    ph3.to_file(str(tmp_path / "ph.bin"), str(tmp_path / "ph.csv"))
+    params = {
+        "RUN_ID": "vcone", "forward_project": True, "back_project": True,
+        "phantom_type": "voxel", "phantom_id": "w3",
+        "phantom_filename": str(tmp_path / "ph.bin"),
+        "matcomp_filename": str(tmp_path / "ph.csv"),
+        "Nx": 48, "Ny": 48, "Nz": 16, "dx": 0.5, "dy": 0.5, "dz": 0.5,
+        "z_index": 0,
+        "scanner_geometry": "cone_beam", "SID": 60.0, "SDD": 100.0,
+        "N_channels": 64, "N_projections": 48, "N_rows": 8,
+        "fan_angle_total": 0.8230337,
+        "rotation_angle_total": 6.283185307,
+        "detector_px_height": 0.5, "detector_mode": "eid",
+        "detector_filename": "NA",
+        "spectrum_id": "NA", "spectrum_filename": "NA",
+        "N_photons_per_cm2_per_scan": "NA",
+        "N_recon_matrix": 48, "FOV_recon": 20.0,
+        "ramp_filter_percent_Nyquist": 0.8,
+    }
+    pf = tmp_path / "params.txt"
+    pf.write_text(json.dumps(params))
+    out = tmp_path / "out"
+    runner.run_parameter_file(str(pf), out_dir=str(out), n_iters=8,
+                              verbose=False)
+    acq = out / "vcone" / "80kV_1000uGy"
+    sino = np.fromfile(acq / "sino_raw_float32.bin", np.float32)
+    assert sino.size == 48 * 8 * 64  # [V, R, C]
+    vol = np.fromfile(acq / "recon_raw_float32.bin", np.float32)
+    assert vol.size == 8 * 48 * 48  # [nz, N, N]
+    center = vol.reshape(8, 48, 48)[4, 22:26, 22:26].mean()
+    assert 0.18 < center < 0.28  # water at a soft 80 kV beam
