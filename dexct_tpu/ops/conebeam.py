@@ -992,7 +992,8 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
 
 def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                        n_iters=10, noise="none", key=None,
-                       recon="auto", mask_thresh=0.95, **recon_kw):
+                       recon="auto", mask_thresh=0.95, do_recon=True,
+                       **recon_kw):
     """Full 3-D dual-energy cone-beam pipeline: trace ONCE -> two
     polyenergetic acquisitions -> per-ray GN decomposition -> FDK (or
     helical Feldkamp) of both HU volumes and both basis-material
@@ -1047,6 +1048,16 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     mat1 = jnp.where(mask, 0.0, ab[:, 0]).reshape(c1.shape)
     mat2 = jnp.where(mask, 0.0, ab[:, 1]).reshape(c1.shape)
 
+    if not do_recon:  # forward-projection-only config skips the
+        #   reconstruction stage (the dominant cost) entirely
+        return {
+            "sino_raw": (c1, c2),
+            "sino_log": (log1, log2),
+            "mat_sinos": (mat1, mat2),
+            "recon_raw": (None, None),
+            "recon_HU": (None, None),
+            "mat_recons": (None, None),
+        }
     if recon == "auto":  # helical geometries MUST NOT hit circular FDK
         recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
                  else "fdk")
@@ -1295,7 +1306,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
 
 def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
                     n_iters=60, beta=1e-2, delta=5e-3, nonneg=True,
-                    x0=None):
+                    x0=None, power_iters=12):
     """3-D penalized weighted least-squares statistical reconstruction.
 
     The volumetric analog of
@@ -1325,4 +1336,4 @@ def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
         x0 = jnp.zeros(tuple(vol_shape), jnp.float32)
     return _pwls_fista(apply_fn, y, w, jnp.asarray(x0, jnp.float32),
                        int(n_iters), float(beta), float(delta),
-                       bool(nonneg), 12)
+                       bool(nonneg), int(power_iters))

@@ -143,11 +143,24 @@ def _huber_grad(d, delta):
 def _neighbor_penalty_grad(x, delta):
     """Gradient of the 2*ndim-neighbor edge-preserving Huber roughness
     penalty R(x) = sum_j sum_{k in N(j)} huber(x_j - x_k) (4 neighbors
-    for images, 6 for volumes)."""
+    for images, 6 for volumes).
+
+    Differences are edge-clamped, NOT circulant: a wrapped pair would
+    make slice 0 and slice nz-1 of a volume Huber neighbors, pulling
+    physically unrelated end-of-volume anatomy together (benign in 2-D
+    where the FOV edge is air, a real mu bias along z).  The boundary
+    sample's missing neighbor is replicated, so its difference term is
+    exactly zero and the 4*ndim curvature bound still holds."""
     g = jnp.zeros_like(x)
     for ax in range(x.ndim):
-        for sh in (1, -1):
-            g = g + _huber_grad(x - jnp.roll(x, sh, ax), delta)
+        n = x.shape[ax]
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=ax)
+        last = jax.lax.slice_in_dim(x, n - 1, n, axis=ax)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 1, n, axis=ax), last], axis=ax)
+        prv = jnp.concatenate(
+            [first, jax.lax.slice_in_dim(x, 0, n - 1, axis=ax)], axis=ax)
+        g = g + _huber_grad(x - nxt, delta) + _huber_grad(x - prv, delta)
     return g
 
 

@@ -72,12 +72,15 @@ class ConeDectMeta(NamedTuple):
     # at volumetric scale) splits its output z grid over a second mesh
     # axis; all sinogram-domain stages stay view-sharded/replicated
     n_zslab: int = 1
+    # back_project false configs stop after the material sinograms —
+    # the FDK stage (the pipeline's dominant cost) is never traced
+    do_recon: bool = True
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    n_iters=10, nz_out=None, dz_out=None, window="sinc",
                    noise="none", seed=0, group=16, mask_thresh=0.95,
-                   _ray_plan=True, _n_zslab=1):
+                   do_recon=True, _ray_plan=True, _n_zslab=1):
     """Lower a cone-beam DE scan to ``(arrays, meta)`` for
     :func:`make_jitted_cone_step`.
 
@@ -110,9 +113,10 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                                    dxc, dyc, dzc, max_slope, group)
     fdk_orbit4 = _fdk_orbit4_ok(ct.N_proj, int(n_matrix),
                                 ct.rotation_total)
-    validate_cone_hbm(
-        int(n_matrix), int(ct.N_rows if nz_out is None else nz_out),
-        n_zslab=int(_n_zslab), orbit4=fdk_orbit4)
+    if do_recon:  # the guard bounds the FDK volume working set
+        validate_cone_hbm(
+            int(n_matrix), int(ct.N_rows if nz_out is None else nz_out),
+            n_zslab=int(_n_zslab), orbit4=fdk_orbit4)
 
     labj = jnp.asarray(labels3)
     pack_y = build_cone_pack(labj, group, lb)
@@ -186,6 +190,7 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # grid with V % 4 == 0; the sharded paired-quarter layout
         # preserves it per shard (local views = 4 blocks at 90 degrees)
         fdk_orbit4=fdk_orbit4,
+        do_recon=bool(do_recon),
     )
     return arrays, meta
 
@@ -257,6 +262,15 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
     mat1 = jnp.where(mask, 0.0, ab[:, 0].reshape(counts1.shape))
     mat2 = jnp.where(mask, 0.0, ab[:, 1].reshape(counts1.shape))
 
+    if not meta.do_recon:  # forward-projection-only config
+        return {
+            "sino_raw": (counts1, counts2),
+            "sino_log": (log1, log2),
+            "mat_sinos": (mat1, mat2),
+            "recon_raw": (None, None),
+            "recon_HU": (None, None),
+            "mat_recons": (None, None),
+        }
     qs = jnp.stack([log1, log2, mat1, mat2]) * a["fdk_w"][None, None]
     spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
     qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,

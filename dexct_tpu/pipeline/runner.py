@@ -101,6 +101,8 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
         from ..system.geometry import ConeBeamGeometry as _Cone
         from ..system.geometry import FanBeamGeometry as _Fan
 
+        if engine not in ("fused", "composed"):
+            raise ValueError(f"unknown engine {engine!r}")
         if isinstance(cfg.ct, _Cone):
             # 3-D branch (round 3): cone/helical configs run the 3-D
             # pipelines and persist the natural volume extension of the
@@ -108,13 +110,10 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             # [V, R, C] (sinograms) and [nz, N, N] (volumes)
             dect = _cone_dect(cfg, spec1, spec2, n_iters=n_iters,
                               noise=noise, seed=seed)
-        elif engine == "fused" and not isinstance(cfg.ct, _Fan):
-            # the fused fast path is fan-beam; other geometries run the
-            # composed op path (get_sino/get_recon dispatch per geometry)
-            engine = "composed"
-        if isinstance(cfg.ct, _Cone):
-            pass  # dect already computed by the 3-D branch above
-        elif engine == "fused":
+        elif engine == "fused" and isinstance(cfg.ct, _Fan):
+            # the fused fast path is fan-beam; other geometries fall
+            # through to the composed op path below (get_sino/get_recon
+            # dispatch per geometry)
             from .fused import make_jitted_step, pack_dect
 
             import numpy as _np
@@ -141,9 +140,7 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             arrays, meta = pack_dect(
                 cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
                 cfg.ramp, n_iters=n_iters, projector=proj, recon=rec,
-                noise=("compound" if noise == "poisson" and cfg.ct.eid
-                       else noise),
-                seed=seed,
+                noise=_effective_noise(noise, cfg.ct), seed=seed,
             )
             out = make_jitted_step(meta)(arrays)
             bp = cfg.do_back_projection
@@ -154,15 +151,14 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                 mat_sinos=out["mat_sinos"],
                 mat_recons=out["mat_recons"] if bp else (None, None),
             )
-        elif engine == "composed":
+        else:  # composed (or fused downgraded on a non-fan geometry)
             key = jax.random.PRNGKey(seed) if noise != "none" else None
             dect = api.simulate_dect(
                 cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-                cfg.ramp, n_iters=n_iters, noise=noise, key=key,
+                cfg.ramp, n_iters=n_iters,
+                noise=_effective_noise(noise, cfg.ct), key=key,
                 do_recon=cfg.do_back_projection,
             )
-        else:
-            raise ValueError(f"unknown engine {engine!r}")
         for i, (sid, dose) in enumerate(((spec_id1, d1), (spec_id2, d2))):
             writer.acquisition(
                 sid, dose,
@@ -179,6 +175,13 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             mat_recons=(None if dect.mat_recons[0] is None
                         else [np.asarray(m) for m in dect.mat_recons]),
         )
+        if bhc and cfg.do_back_projection and isinstance(cfg.ct, _Cone):
+            import warnings
+
+            warnings.warn(
+                "bhc=True is ignored for cone/helical configs (the BHC "
+                "polynomials are calibrated on the 2-D fan path); no "
+                "recon_*BHC_* artifacts will be written", stacklevel=2)
         if bhc and cfg.do_back_projection and not isinstance(cfg.ct,
                                                             _Cone):
             # (BHC polynomials are calibrated on the 2-D fan path)
@@ -205,6 +208,17 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
     return results
 
 
+def _effective_noise(noise, ct):
+    """The noise model a detector actually realizes: EID detectors
+    integrate energy-weighted counts, so their ``poisson`` request is
+    promoted to the compound (energy-weighted Poisson) model — the
+    Gaussian-limit machinery in :func:`ops.spectral.sample_noise` is
+    also what stays numerically correct at EID-scale rates (CLAUDE.md
+    numerical rules).  One shared rule so the fused / composed / cone
+    branches can never diverge."""
+    return "compound" if noise == "poisson" and ct.eid else noise
+
+
 def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed):
     """Run a cone/helical config through the 3-D pipelines.
 
@@ -212,29 +226,31 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed):
     (:mod:`dexct_tpu.pipeline.cone`); helical orbits route through the
     stateless :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect`
     (which selects the generalized-Feldkamp reconstruction).
+    ``back_project false`` configs skip the reconstruction stage
+    entirely (the FDK stage is the dominant cost of the 3-D pipeline).
     """
-    nz = ("compound" if noise == "poisson" and cfg.ct.eid else noise)
+    eff_noise = _effective_noise(noise, cfg.ct)
+    bp = bool(cfg.do_back_projection)
     if abs(getattr(cfg.ct, "pitch", 0.0)) > 1e-12:
         from ..ops.conebeam import simulate_cone_dect
 
-        key = jax.random.PRNGKey(seed) if nz != "none" else None
+        key = jax.random.PRNGKey(seed) if eff_noise != "none" else None
         out = simulate_cone_dect(
             cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-            cfg.ramp, n_iters=n_iters, noise=nz, key=key)
+            cfg.ramp, n_iters=n_iters, noise=eff_noise, key=key,
+            do_recon=bp)
     else:
         from .cone import make_jitted_cone_step, pack_cone_dect
 
         arrays, meta = pack_cone_dect(
             cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-            cfg.ramp, n_iters=n_iters, noise=nz, seed=seed)
+            cfg.ramp, n_iters=n_iters, noise=eff_noise, seed=seed,
+            do_recon=bp)
         out = make_jitted_cone_step(meta)(arrays)
-    bp = cfg.do_back_projection
     return api.DectResult(
         sino_raw=out["sino_raw"], sino_log=out["sino_log"],
-        recon_raw=out["recon_raw"] if bp else (None, None),
-        recon_HU=out["recon_HU"] if bp else (None, None),
-        mat_sinos=out["mat_sinos"],
-        mat_recons=out["mat_recons"] if bp else (None, None),
+        recon_raw=out["recon_raw"], recon_HU=out["recon_HU"],
+        mat_sinos=out["mat_sinos"], mat_recons=out["mat_recons"],
     )
 
 

@@ -127,3 +127,20 @@ class TestPwls:
         assert abs(x[flat].mean() - mu_w) / mu_w < 0.05
         assert x[flat].std() < 0.5 * fbp[flat].std(), (
             x[flat].std(), fbp[flat].std())
+
+    def test_neighbor_penalty_has_no_wraparound(self):
+        """The Huber roughness gradient must be edge-clamped, not
+        circulant: in 3-D a wrapped pair would couple slice 0 and slice
+        nz-1 (real anatomy at both ends of a volume), biasing the end
+        slices toward each other every FISTA iteration."""
+        from dexct_tpu.ops.iterative import _neighbor_penalty_grad
+
+        x = jnp.zeros((4, 3, 3), jnp.float32).at[0].set(1.0)
+        g = np.asarray(_neighbor_penalty_grad(x, delta=10.0))
+        # the far slice has no nonzero neighbor -> zero gradient there
+        assert np.all(g[-1] == 0.0), g[-1]
+        # slice 0 feels only its ONE interior z neighbor (difference 1,
+        # inside the quadratic core) -- a wrap would double it
+        assert np.allclose(g[0], 1.0), g[0]
+        # interior slice 1 is pulled up by slice 0 only
+        assert np.allclose(g[1], -1.0), g[1]

@@ -269,3 +269,56 @@ def test_cone_config_through_runner(tmp_path):
     assert vol.size == 8 * 48 * 48  # [nz, N, N]
     center = vol.reshape(8, 48, 48)[4, 22:26, 22:26].mean()
     assert 0.18 < center < 0.28  # water at a soft 80 kV beam
+
+
+def test_cone_forward_only_skips_recon(tmp_path):
+    """back_project=False on a cone config must skip the FDK stage (the
+    3-D pipeline's dominant cost) and write sinograms only."""
+    from dexct_tpu.pipeline.cone import make_jitted_cone_step, pack_cone_dect
+    from dexct_tpu.pipeline.runner import run_config
+    from dexct_tpu.system.config import RunConfig
+    from dexct_tpu.system.geometry import ConeBeamGeometry
+    from dexct_tpu.system.phantom import VoxelPhantom
+
+    ph = water_cylinder_phantom(N=48, dx=0.5)
+    ph3 = VoxelPhantom("w3f", np.broadcast_to(
+        ph.labels[0], (16, 48, 48)).copy(), ph.materials, 0.5, 0.5, 0.5)
+    ct = ConeBeamGeometry(N_channels=64, N_proj=48, N_rows=8,
+                          gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                          h_iso=0.5)
+    cfg = RunConfig("t_cfp", True, False, ct, ph3, None, 48, 20.0, 0.8)
+    run_config(cfg, out_dir=str(tmp_path / "o"), n_iters=5,
+               spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+               spectrum_dir=str(tmp_path / "none"), verbose=False)
+    acq = tmp_path / "o" / "t_cfp" / "80kV_1000uGy"
+    assert (acq / "sino_raw_float32.bin").exists()
+    assert not (acq / "recon_raw_float32.bin").exists()
+    # and the packed pipeline's jitted program itself returns no volumes
+    from dexct_tpu.pipeline.runner import _resolve_spectrum, default_generators
+
+    gens = default_generators()
+    s1 = _resolve_spectrum("detunedMV", 9.0, ct, str(tmp_path / "none"),
+                           gens)
+    s2 = _resolve_spectrum("80kV", 1.0, ct, str(tmp_path / "none"), gens)
+    arrays, meta = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8,
+                                  n_iters=5, do_recon=False)
+    out = make_jitted_cone_step(meta)(arrays)
+    assert out["recon_raw"] == (None, None)
+    assert out["sino_log"][0].shape == (48, 8, 64)
+
+
+def test_unknown_engine_raises_for_all_geometries(small_de, tmp_path):
+    """engine validation happens before geometry dispatch — a typo'd
+    engine string must raise even on cone configs."""
+    import pytest as _pytest
+
+    from dexct_tpu.pipeline.runner import run_config
+    from dexct_tpu.system.config import RunConfig
+
+    ct, ph, s1, s2 = small_de
+    cfg = RunConfig("t_eng", True, True, ct, ph, None, 64, 24.0, 0.8)
+    with _pytest.raises(ValueError, match="unknown engine"):
+        run_config(cfg, out_dir=str(tmp_path / "o"), n_iters=5,
+                   spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+                   spectrum_dir=str(tmp_path / "none"), verbose=False,
+                   engine="bogus")
