@@ -10,6 +10,7 @@ from . import (
     fourier,
     helical_pi,
     iterative,
+    katsevich,
     matdecomp,
     siddon,
     siddon_fast,
@@ -29,4 +30,5 @@ __all__ = [
     "conebeam",
     "helical_pi",
     "iterative",
+    "katsevich",
 ]

@@ -500,8 +500,12 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
 
     The residual z-varying artifact is intrinsic to the
     interpolating-gFDK class (it grows with edge sharpness, not with
-    pitch); the exact-helical path (Katsevich / rebinned PI methods)
-    remains the documented ROADMAP item.
+    pitch); the exact-helical alternative is
+    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct` — at
+    clinical pitch (~R*h/2) gFDK's view redundancy wins (1-5% vs
+    Katsevich's 3-15% row-sampling floor), at high pitch (>= 2x that)
+    Katsevich is ~5x more accurate (4% vs 20%, z-varying sphere
+    study).
     """
     from .filters import filter_frequency_response
 
@@ -1008,7 +1012,10 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     (g/cm²), ``recon_HU`` pair and ``mat_recons`` pair (volumes
     [nz, N, N]).  ``recon='helical'`` selects
     :func:`helical_fdk_reconstruct` (for
-    :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`).
+    :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`);
+    ``recon='katsevich'`` selects the exact
+    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct` (``ramp``
+    is ignored — the Katsevich filter chain is fixed).
     """
     from . import matdecomp as md
     from . import spectral as sp_ops
@@ -1061,10 +1068,19 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     if recon == "auto":  # helical geometries MUST NOT hit circular FDK
         recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
                  else "fdk")
-    rec = (helical_fdk_reconstruct if recon == "helical"
-           else fdk_reconstruct)
-    vols = [np.asarray(rec(s, ct, n_matrix, fov, ramp, **recon_kw))
-            for s in (log1, log2, mat1, mat2)]
+    if recon == "katsevich":
+        # exact helical path; its filter chain is fixed (derivative +
+        # Hilbert), so the ``ramp`` apodization parameter does not apply
+        from .katsevich import katsevich_reconstruct
+
+        vols = [np.asarray(katsevich_reconstruct(
+                    s, ct, n_matrix, fov, **recon_kw))
+                for s in (log1, log2, mat1, mat2)]
+    else:
+        rec = (helical_fdk_reconstruct if recon == "helical"
+               else fdk_reconstruct)
+        vols = [np.asarray(rec(s, ct, n_matrix, fov, ramp, **recon_kw))
+                for s in (log1, log2, mat1, mat2)]
     # same 10-cm-water-calibrated effective mu the 2-D pipeline uses
     from ..pipeline.api import effective_water_mu
 

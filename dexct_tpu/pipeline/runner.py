@@ -75,7 +75,7 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                spectrum_dir="./input/spectrum", noise="none", seed=0,
                n_iters=50, param_file=None, verbose=True, bhc=False,
                engine="fused", projector="fourier", recon="parallel",
-               resume=False):
+               recon3d="auto", resume=False):
     """Execute one run config over its DE spectrum pairs (main.py:90-178).
 
     engine='fused' runs the single-jit fast pipeline (projector/recon
@@ -109,7 +109,7 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             # §2.6 contract — same filenames, flat float32, shapes
             # [V, R, C] (sinograms) and [nz, N, N] (volumes)
             dect = _cone_dect(cfg, spec1, spec2, n_iters=n_iters,
-                              noise=noise, seed=seed)
+                              noise=noise, seed=seed, recon3d=recon3d)
         elif engine == "fused" and isinstance(cfg.ct, _Fan):
             # the fused fast path is fan-beam; other geometries fall
             # through to the composed op path below (get_sino/get_recon
@@ -219,26 +219,39 @@ def _effective_noise(noise, ct):
     return "compound" if noise == "poisson" and ct.eid else noise
 
 
-def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed):
+def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
+               recon3d="auto"):
     """Run a cone/helical config through the 3-D pipelines.
 
     Circular orbits use the pack-once fused pipeline
     (:mod:`dexct_tpu.pipeline.cone`); helical orbits route through the
     stateless :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect`
-    (which selects the generalized-Feldkamp reconstruction).
+    (``recon3d`` selects generalized Feldkamp — the 'auto' default —
+    or the exact ``'katsevich'`` path).
     ``back_project false`` configs skip the reconstruction stage
     entirely (the FDK stage is the dominant cost of the 3-D pipeline).
     """
     eff_noise = _effective_noise(noise, cfg.ct)
     bp = bool(cfg.do_back_projection)
-    if abs(getattr(cfg.ct, "pitch", 0.0)) > 1e-12:
+    helical = abs(getattr(cfg.ct, "pitch", 0.0)) > 1e-12
+    if not helical and recon3d in ("helical", "katsevich"):
+        raise ValueError(
+            f"recon3d={recon3d!r} requires a helical config (pitch>0); "
+            f"config {cfg.run_id!r} is a circular orbit")
+    if helical and recon3d == "fdk":
+        raise ValueError(
+            "recon3d='fdk' (circular FDK) cannot reconstruct a helical "
+            f"scan; config {cfg.run_id!r} has pitch "
+            f"{getattr(cfg.ct, 'pitch', 0.0)!r} — use 'helical', "
+            "'katsevich', or 'auto'")
+    if helical:
         from ..ops.conebeam import simulate_cone_dect
 
         key = jax.random.PRNGKey(seed) if eff_noise != "none" else None
         out = simulate_cone_dect(
             cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
             cfg.ramp, n_iters=n_iters, noise=eff_noise, key=key,
-            do_recon=bp)
+            do_recon=bp, recon=recon3d)
     else:
         from .cone import make_jitted_cone_step, pack_cone_dect
 

@@ -51,6 +51,12 @@ def main(argv=None):
                    default="fourier")
     p.add_argument("--recon", choices=["parallel", "fan"],
                    default="parallel")
+    p.add_argument("--recon3d",
+                   choices=["auto", "fdk", "helical", "katsevich"],
+                   default="auto",
+                   help="3-D reconstruction for cone/helical configs "
+                   "(auto: FDK for circular, generalized Feldkamp for "
+                   "helical; katsevich: exact helical FBP)")
     p.add_argument("--bhc", action="store_true",
                    help="also write water/bone BHC reconstructions")
     p.add_argument("--resume", action="store_true",
@@ -70,6 +76,7 @@ def main(argv=None):
         engine=args.engine,
         projector=args.projector,
         recon=args.recon,
+        recon3d=args.recon3d,
         bhc=args.bhc,
         resume=args.resume,
     )

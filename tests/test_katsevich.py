@@ -1,0 +1,153 @@
+"""Katsevich exact helical reconstruction (ops/katsevich.py).
+
+Beyond-reference subsystem (the reference is strictly 2-D,
+/root/reference/plots.py:124-126): the exact member of the helical
+family next to the generalized-Feldkamp path.  Pins the round-3
+measured accuracy study: amplitude-exact on z-uniform objects once the
+TD window spans >= ~3 detector rows, and ~5x more accurate than gFDK
+at high pitch on z-varying content (where gFDK's interpolation error
+explodes but Katsevich's PI-line inversion does not).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                    helical_fdk_reconstruct)
+from dexct_tpu.ops.katsevich import katsevich_reconstruct
+from dexct_tpu.physics.materials import AIR, BONE, WATER, MaterialTable
+from dexct_tpu.system import HelicalConeBeamGeometry
+from dexct_tpu.system.phantom import VoxelPhantom, water_cylinder_phantom
+
+N, NZ, DX = 48, 16, 0.5
+
+
+def _mono_helical_sino(ph3, ct, mt):
+    mu = mt.mu_table(np.array([60.0]))[:, 0]
+    sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct),
+                      jnp.asarray(mu, jnp.float32))
+    return sino, mu
+
+
+class TestKatsevich:
+    def test_offcenter_cylinder_amplitude(self):
+        """Off-center z-uniform cylinder reconstructs at unit
+        amplitude (measured 0.999-1.001 at R=16).  The off-center
+        placement is essential: it is what exposed the
+        derivative-stencil resolution bug (a centered object has
+        view-independent projections, so the d/dbeta term vanishes)."""
+        cy = (np.arange(N) + 0.5 - N / 2) * DX
+        Y, X = np.meshgrid(cy, cy)
+        lab = np.zeros((NZ, N, N), np.uint8)
+        lab[:, (X ** 2 + (Y - 2.0) ** 2) < 36.0] = 1
+        mt = MaterialTable([AIR, WATER])
+        ph = VoxelPhantom("cyl", lab, mt, DX, DX, DX)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=16, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.25, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        sino, mu = _mono_helical_sino(ph, ct, mt)
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * DX
+        vol = np.asarray(katsevich_reconstruct(sino, ct, N, 20.0,
+                                               z_out=cz[6:10]))
+        inner = (X ** 2 + (Y - 2.0) ** 2) < 16.0
+        mu_w = float(mu[1])
+        for i in range(vol.shape[0]):
+            assert abs(vol[i][inner].mean() / mu_w - 1.0) < 0.01, i
+            assert vol[i][inner].std() / mu_w < 0.05, i
+
+    def test_high_pitch_beats_gfdk(self):
+        """At pitch 5.5 (2.75x R*h/2) on a z-varying sphere, Katsevich
+        holds ~4% max interior error vs the per-slice fan truth while
+        gFDK's 2*pi-window interpolation degrades to ~20% (measured
+        0.043 vs 0.204 at R=8) — the regime the exact method exists
+        for."""
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.siddon import (material_path_sinogram,
+                                          mono_sinogram)
+        from dexct_tpu.system.geometry import FanBeamGeometry
+
+        ph2 = water_cylinder_phantom(N=N, dx=DX)
+        lab3 = np.broadcast_to(ph2.labels[0], (NZ, N, N)).copy()
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * DX
+        cy = (np.arange(N) + 0.5 - N / 2) * DX
+        Z, Y, X = np.meshgrid(cz, cy, cy, indexing="ij")
+        mt = MaterialTable([AIR, WATER, BONE])
+        lab3[(X ** 2 + (Y - 2.0) ** 2 + Z ** 2) < 9.0] = 2
+        ph3 = VoxelPhantom("zvar", lab3, mt, DX, DX, DX)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=768, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=5.5,
+            rotation_total=16.0 * np.pi)
+        sino, mu = _mono_helical_sino(ph3, ct, mt)
+        z_out = cz[5:11]
+        kat = np.asarray(katsevich_reconstruct(sino, ct, N, 20.0,
+                                               z_out=z_out))
+        gfdk = np.asarray(helical_fdk_reconstruct(sino, ct, N, 20.0,
+                                                  0.8, z_out=z_out))
+        fan = FanBeamGeometry(N_channels=64, N_proj=96,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        interior = np.hypot(
+            *np.meshgrid(*[np.arange(N) - 23.5] * 2)) < 16
+        e_kat, e_gfdk = 0.0, 0.0
+        for i, iz in enumerate(range(5, 11)):
+            ph_s = VoxelPhantom("s", lab3[iz][None], mt, DX, DX, DX)
+            g = np.asarray(fan_backproject(
+                filter_sinogram(
+                    mono_sinogram(material_path_sinogram(ph_s, fan),
+                                  jnp.asarray(mu, jnp.float32)),
+                    fan, 0.8),
+                jnp.asarray(fan.betas, jnp.float32), fan.SID,
+                fan.dgamma, N, 20.0))
+            e_kat = max(e_kat,
+                        np.abs(kat[i] - g)[interior].max() / g.max())
+            e_gfdk = max(e_gfdk,
+                         np.abs(gfdk[i] - g)[interior].max() / g.max())
+        assert e_kat < 0.06, e_kat
+        assert e_gfdk > 2.0 * e_kat, (e_kat, e_gfdk)  # gFDK ~5x worse
+
+    def test_pitch_zero_raises(self):
+        ct0 = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=96, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=0.0)
+        with pytest.raises(ValueError, match="PI window"):
+            katsevich_reconstruct(jnp.zeros((96, 8, 64)), ct0, N, 20.0)
+
+    def test_td_window_exceeding_detector_raises(self):
+        """Pitch so high the Tam-Danielsson window falls off the
+        detector -> PI data truncated -> hard error at plan time."""
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=4, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=6.0,
+            rotation_total=8.0 * np.pi)
+        with pytest.raises(ValueError, match="TD window"):
+            katsevich_reconstruct(jnp.zeros((384, 4, 64)), ct, N, 20.0)
+
+    def test_row_mismatch_raises(self):
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        with pytest.raises(ValueError, match="rows"):
+            katsevich_reconstruct(jnp.zeros((384, 4, 64)), ct, N, 20.0)
+
+    def test_default_z_range_inside_scan(self):
+        """Default z_out keeps every full PI interval inside the scan
+        and reconstructs z-uniform content at unit amplitude there."""
+        cy = (np.arange(N) + 0.5 - N / 2) * DX
+        Y, X = np.meshgrid(cy, cy)
+        lab = np.zeros((NZ, N, N), np.uint8)
+        lab[:, (X ** 2 + (Y - 2.0) ** 2) < 36.0] = 1
+        mt = MaterialTable([AIR, WATER])
+        ph = VoxelPhantom("cyl", lab, mt, DX, DX, DX)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=16, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.25, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        sino, mu = _mono_helical_sino(ph, ct, mt)
+        vol = np.asarray(katsevich_reconstruct(sino, ct, N, 20.0))
+        assert vol.shape[1:] == (N, N) and vol.shape[0] >= 4
+        inner = (X ** 2 + (Y - 2.0) ** 2) < 16.0
+        mid = vol[vol.shape[0] // 2]
+        assert abs(mid[inner].mean() / float(mu[1]) - 1.0) < 0.02

@@ -307,6 +307,55 @@ def test_cone_forward_only_skips_recon(tmp_path):
     assert out["sino_log"][0].shape == (48, 8, 64)
 
 
+def test_helical_katsevich_through_runner(tmp_path):
+    """recon3d='katsevich' routes a helical config through the exact
+    Katsevich reconstructor; mismatched geometry/recon3d combinations
+    fail fast with a clear error instead of producing a wrong volume."""
+    import pytest as _pytest
+
+    from dexct_tpu.pipeline.runner import run_config
+    from dexct_tpu.system.config import RunConfig
+    from dexct_tpu.system.geometry import (ConeBeamGeometry,
+                                           HelicalConeBeamGeometry)
+    from dexct_tpu.system.phantom import VoxelPhantom
+
+    ph = water_cylinder_phantom(N=48, dx=0.5)
+    ph3 = VoxelPhantom("wk3", np.broadcast_to(
+        ph.labels[0], (16, 48, 48)).copy(), ph.materials, 0.5, 0.5, 0.5)
+    ct = HelicalConeBeamGeometry(
+        N_channels=64, N_proj=384, N_rows=16, gamma_fan=0.8230337,
+        SID=60.0, SDD=100.0, h_iso=0.25, pitch=2.0,
+        rotation_total=8.0 * np.pi)
+    cfg = RunConfig("t_kat", True, True, ct, ph3, None, 48, 20.0, 0.8)
+    run_config(cfg, out_dir=str(tmp_path / "o"), n_iters=5,
+               spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+               spectrum_dir=str(tmp_path / "none"), verbose=False,
+               recon3d="katsevich")
+    acq = tmp_path / "o" / "t_kat" / "80kV_1000uGy"
+    vol = np.fromfile(acq / "recon_raw_float32.bin", np.float32)
+    nz = vol.size // (48 * 48)
+    assert nz >= 4 and vol.size == nz * 48 * 48
+    center = vol.reshape(nz, 48, 48)[nz // 2, 22:26, 22:26].mean()
+    assert 0.18 < center < 0.28  # water at a soft 80 kV beam
+
+    # katsevich on a circular orbit: hard error, not a silent fallback
+    ct0 = ConeBeamGeometry(N_channels=64, N_proj=48, N_rows=8,
+                           gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                           h_iso=0.5)
+    cfg0 = RunConfig("t_kat0", True, True, ct0, ph3, None, 48, 20.0, 0.8)
+    with _pytest.raises(ValueError, match="helical config"):
+        run_config(cfg0, out_dir=str(tmp_path / "o2"), n_iters=5,
+                   spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+                   spectrum_dir=str(tmp_path / "none"), verbose=False,
+                   recon3d="katsevich")
+    # circular FDK on a helical scan: equally wrong, equally fatal
+    with _pytest.raises(ValueError, match="helical scan"):
+        run_config(cfg, out_dir=str(tmp_path / "o3"), n_iters=5,
+                   spec_pairs=(("detunedMV", "80kV", 9.0, 1.0),),
+                   spectrum_dir=str(tmp_path / "none"), verbose=False,
+                   recon3d="fdk")
+
+
 def test_unknown_engine_raises_for_all_geometries(small_de, tmp_path):
     """engine validation happens before geometry dispatch — a typo'd
     engine string must raise even on cone configs."""
