@@ -7,6 +7,7 @@ from . import (
     fbp,
     fbp_fast,
     filters,
+    ffs,
     fourier,
     helical_pi,
     iterative,
@@ -28,6 +29,7 @@ __all__ = [
     "matdecomp",
     "bhc",
     "conebeam",
+    "ffs",
     "helical_pi",
     "iterative",
     "katsevich",

@@ -171,6 +171,14 @@ def fbp_recon(sino_log, geometry, n_matrix, fov, ramp=0.8, window="sinc",
     if isinstance(geometry, ParallelBeamGeometry):
         img = parallel_fbp(sino_log, geometry, n_matrix, fov, ramp,
                            window, dtype)
+    elif getattr(geometry, "ffs", "none") != "none":
+        # deflected-spot views break the uniform-gamma fan assumption of
+        # the direct backprojector (a ~0.8-channel effective shift);
+        # FFS data reconstructs through the interleaved parallel rebin
+        from .ffs import ffs_fbp_recon
+
+        img = ffs_fbp_recon(sino_log, geometry, n_matrix, fov, ramp,
+                            window, dtype=dtype)
     else:
         sino_log = jnp.asarray(sino_log, dtype)
         if geometry.rotation_total < 2.0 * np.pi - 1e-6:

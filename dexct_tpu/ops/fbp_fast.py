@@ -126,6 +126,10 @@ def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
             f"(rotation_total={geometry.rotation_total}); use the direct "
             "fan backprojector for partial scans"
         )
+    if getattr(geometry, "ffs", "none") != "none":
+        raise ValueError(
+            "this plan assumes a static focal spot; flying-focal-spot "
+            "scans rebin through ops.ffs.parallel_rebin_plan_ffs")
     sid = geometry.SID
     v, c = geometry.N_proj, geometry.N_channels
     dgamma = geometry.dgamma
@@ -176,11 +180,13 @@ def parallel_rebin_plan(geometry, n_theta=512, nt=1024, t_max=None):
             w.astype(np.float32).reshape(-1), float(t0), float(dt))
 
 
-@functools.partial(jax.jit, static_argnames=("nt", "quad"))
-def rebin_to_parallel(sinos, idx, w, nt, quad=False):
+@functools.partial(jax.jit, static_argnames=("nt", "quad", "taps"))
+def rebin_to_parallel(sinos, idx, w, nt, quad=False, taps=8):
     """[K, V, C] fan sinograms -> [K, nθ, nt] parallel sinograms.
 
-    idx/w are FLAT [nθ*nt*8] tables (8 taps per parallel bin; flattened
+    idx/w are FLAT [nθ*nt*taps] tables (``taps`` taps per parallel bin,
+    ordered as adjacent-channel pairs; 8 for the standard plan, 16 for
+    the flying-focal-spot plan of :mod:`dexct_tpu.ops.ffs`; flattened
     so the resident arrays don't pad their tap dim to the lane tile).
     nθ is inferred from the table length, so θ-sharded tables under
     shard_map produce the local wedge.
@@ -200,7 +206,7 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=False):
     row adjacency) must keep quad=False regardless.
     """
     k = sinos.shape[0]
-    n_theta = idx.size // (8 * nt)
+    n_theta = idx.size // (taps * nt)
     vc = sinos.shape[1] * sinos.shape[2]
     table = sinos.reshape(k, -1).T  # [V*C, K]
     # the 8 taps per parallel bin are two bilinear quads: per fan copy,
@@ -211,6 +217,8 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=False):
     # roll by -C wraps v=V-1 to v=0, exactly the periodic grid.
     c1 = jnp.roll(table, -1, axis=0)
     if quad:
+        if taps != 8:
+            raise ValueError("quad fetch is defined for 8-tap plans only")
         v1 = jnp.roll(table, -sinos.shape[2], axis=0)
         v1c1 = jnp.roll(c1, -sinos.shape[2], axis=0)
         tab = jnp.concatenate([table, c1, v1, v1c1], axis=1)  # [V*C,4K]
@@ -218,14 +226,14 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=False):
         g_per = 2
     else:
         tab = jnp.concatenate([table, c1], axis=1)  # [V*C, 2K]
-        starts = idx.reshape(-1, 8)[:, 0::2].reshape(-1)  # [bins*4]
-        g_per = 4
-    w8 = w.reshape(-1, 8)
+        starts = idx.reshape(-1, taps)[:, 0::2].reshape(-1)
+        g_per = taps // 2
+    w8 = w.reshape(-1, taps)
     n_bins = n_theta * nt
 
     def chunk_vals(args):
-        st, wc = args  # [B*g_per], [B, 8]
-        rows = tab[st].reshape(-1, 8, k)
+        st, wc = args  # [B*g_per], [B, taps]
+        rows = tab[st].reshape(-1, taps, k)
         return jnp.einsum("rt,rtk->rk", wc, rows,
                           precision=jax.lax.Precision.HIGHEST)
 
@@ -241,7 +249,7 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=False):
         vals = jax.lax.map(
             chunk_vals,
             (starts.reshape(n_chunks, b * g_per),
-             w8.reshape(n_chunks, b, 8)),
+             w8.reshape(n_chunks, b, taps)),
         ).reshape(n_bins, k)
     return vals.T.reshape(k, n_theta, nt)
 

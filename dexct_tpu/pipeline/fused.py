@@ -83,6 +83,11 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     """
     from .api import effective_water_mu
 
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError(
+            "the fused pipeline's recon tables assume a static focal "
+            "spot; run flying-focal-spot scans through the composed "
+            "path (engine='composed' / simulate_dect)")
     src, dirs = ct.ray_geometry()
     i0_1 = sp_ops.effective_fluence(spec1, ct)
     i0_2 = sp_ops.effective_fluence(spec2, ct)

@@ -110,10 +110,12 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             # [V, R, C] (sinograms) and [nz, N, N] (volumes)
             dect = _cone_dect(cfg, spec1, spec2, n_iters=n_iters,
                               noise=noise, seed=seed, recon3d=recon3d)
-        elif engine == "fused" and isinstance(cfg.ct, _Fan):
-            # the fused fast path is fan-beam; other geometries fall
-            # through to the composed op path below (get_sino/get_recon
-            # dispatch per geometry)
+        elif (engine == "fused" and isinstance(cfg.ct, _Fan)
+              and getattr(cfg.ct, "ffs", "none") == "none"):
+            # the fused fast path is fan-beam with a static spot; other
+            # geometries (and flying-focal-spot scans) fall through to
+            # the composed op path below (get_sino/get_recon dispatch
+            # per geometry)
             from .fused import make_jitted_step, pack_dect
 
             import numpy as _np

@@ -88,6 +88,10 @@ def _build_geometry(cfg):
             SDD=float(cfg.get("SDD", 100.0)),
             gamma_fan=float(cfg.get("fan_angle_total", 0.8230337)),
         )
+        if kind == "fan_beam":
+            kw["ffs"] = str(cfg.get("flying_focal_spot", "none")).lower()
+            if not _na(cfg.get("ffs_delta")):
+                kw["ffs_delta"] = float(cfg["ffs_delta"])
         if kind in ("cone_beam", "helical_cone_beam"):
             kw["N_rows"] = int(cfg.get("N_rows", 16))
         if kind == "helical_cone_beam":
@@ -131,7 +135,7 @@ _KNOWN_KEYS = frozenset({
     "phantom_type", "phantom_id", "phantom_filename", "matcomp_filename",
     "Nx", "Ny", "Nz", "dx", "dy", "dz", "z_index",
     "scanner_geometry", "SID", "SDD", "N_channels", "N_projections",
-    "N_rows", "pitch",
+    "N_rows", "pitch", "flying_focal_spot", "ffs_delta",
     "fan_angle_total", "rotation_angle_total", "detector_px_height",
     "detector_mode", "detector_filename", "detector_width",
     "spectrum_id", "spectrum_filename", "N_photons_per_cm2_per_scan",

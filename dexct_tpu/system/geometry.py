@@ -74,11 +74,39 @@ class ScannerGeometry:
 
 @dataclasses.dataclass
 class FanBeamGeometry(ScannerGeometry):
-    """Equiangular fan-beam geometry (params.txt:18-28)."""
+    """Equiangular fan-beam geometry (params.txt:18-28).
+
+    ``ffs='inplane'`` enables the in-plane flying focal spot: the focal
+    spot alternates between two positions displaced tangentially by
+    ``±ffs_delta/2`` on successive views (the anode-deflection trick of
+    clinical scanners — beyond the reference, whose geometry is static).
+    The detector arc stays centered on the NOMINAL focal spot, so the
+    two view subsets sample interleaved radial positions; rebinning
+    both subsets onto one parallel grid doubles the radial sampling
+    density (see :mod:`dexct_tpu.ops.ffs`).  ``ffs_delta=None`` picks
+    the quarter-offset optimum ``SID·dγ/2 · SDD/(SDD−SID)`` — the
+    displacement whose central-ray interleave is exactly half a radial
+    sample.
+    """
 
     SID: float = 60.0  # source-isocenter distance [cm]
     SDD: float = 100.0  # source-detector distance [cm]
     gamma_fan: float = 0.8230337  # total fan angle [rad]
+    ffs: str = "none"  # 'none' | 'inplane'
+    ffs_delta: float | None = None  # tangential spot separation [cm]
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.ffs not in ("none", "inplane"):
+            raise ValueError(f"unknown ffs mode {self.ffs!r}")
+        if self.ffs == "inplane":
+            if self.N_proj % 2:
+                raise ValueError(
+                    "inplane FFS alternates the spot per view; N_proj "
+                    f"must be even (got {self.N_proj})")
+            if self.ffs_delta is None:
+                self.ffs_delta = (self.SID * self.dgamma / 2.0
+                                  * self.SDD / (self.SDD - self.SID))
 
     @property
     def dgamma(self):
@@ -100,19 +128,45 @@ class FanBeamGeometry(ScannerGeometry):
         """Radius of the fully-sampled field of view [cm]."""
         return self.SID * np.sin(self.gamma_fan / 2.0)
 
+    @property
+    def ffs_view_offsets(self):
+        """Per-view tangential focal-spot displacement [cm], shape
+        [N_proj]: even views +delta/2, odd views -delta/2 (zeros when
+        ffs='none')."""
+        if self.ffs == "none":
+            return np.zeros(self.N_proj)
+        half = 0.5 * float(self.ffs_delta)
+        return np.where(np.arange(self.N_proj) % 2 == 0, half, -half)
+
     def ray_geometry(self):
         """All source points and unit ray directions.
 
         Returns ``(src, dirs)``, both shaped [N_proj, N_channels, 2]
         (float64) — the uniform contract shared by all geometries.
+        With ``ffs='inplane'`` the source is displaced tangentially per
+        view while the detector cells stay at their nominal positions
+        (``p_det = SID·û(β) − SDD·û(β+γ)``), so rays are exact for the
+        deflected spot.
         """
         betas = self.betas
-        src = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+        ang = betas[:, None] + self.gammas[None, :]
+        if self.ffs == "none":
+            src = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+            src = np.broadcast_to(
+                src[:, None, :], (self.N_proj, self.N_channels, 2)
+            ).copy()
+            dirs = -np.stack([np.cos(ang), np.sin(ang)], -1)
+            return src, dirs
+        u = np.stack([np.cos(betas), np.sin(betas)], -1)  # radial
+        t_hat = np.stack([-np.sin(betas), np.cos(betas)], -1)
+        src = self.SID * u + self.ffs_view_offsets[:, None] * t_hat
+        det = (self.SID * u)[:, None, :] - self.SDD * np.stack(
+            [np.cos(ang), np.sin(ang)], -1)
+        d = det - src[:, None, :]
+        dirs = d / np.linalg.norm(d, axis=-1, keepdims=True)
         src = np.broadcast_to(
             src[:, None, :], (self.N_proj, self.N_channels, 2)
         ).copy()
-        ang = betas[:, None] + self.gammas[None, :]
-        dirs = -np.stack([np.cos(ang), np.sin(ang)], -1)
         return src, dirs
 
 
@@ -171,6 +225,13 @@ class ConeBeamGeometry(FanBeamGeometry):
     """
 
     N_rows: int = 16
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.ffs != "none":
+            raise ValueError(
+                "flying focal spot is implemented for the 2-D fan-beam "
+                "geometry only (ffs='inplane' on FanBeamGeometry)")
 
     @property
     def z_iso(self):
