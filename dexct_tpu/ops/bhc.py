@@ -33,7 +33,8 @@ from ..physics import xcom
 from ..physics.materials import BONE
 from .spectral import effective_fluence
 
-__all__ = ["WaterBhc", "fit_water_bhc", "apply_water_bhc", "bone_bhc_recon"]
+__all__ = ["WaterBhc", "fit_water_bhc", "fit_water_bhc_from_scan",
+           "apply_water_bhc", "bone_bhc_recon"]
 
 
 @dataclasses.dataclass
@@ -78,6 +79,54 @@ def fit_water_bhc(spec, geometry, *, t_max=50.0, degree=6, n_cal=256,
 def apply_water_bhc(bhc: WaterBhc, sino_log):
     """Linearize a log sinogram (device op)."""
     return bhc(jnp.asarray(sino_log))
+
+
+def fit_water_bhc_from_scan(sino_log, geometry, radius, *,
+                            center=(0.0, 0.0), degree=6,
+                            calibration_cm=10.0, mu_eff=None,
+                            t_min=0.25):
+    """Scanner-style auto-calibration: fit the water-linearization
+    polynomial from a measured scan of a known water cylinder, with NO
+    spectrum model.
+
+    This is how physical scanners calibrate BHC (the spectrum is never
+    known exactly): every measured ray of the calibration phantom pairs
+    a known water path — the exact chord of the cylinder (``radius``,
+    ``center``) along the ray from ``geometry.ray_geometry()`` — with a
+    measured log value, and the L -> mu_eff*t polynomial is a
+    least-squares fit over all object-intersecting rays.  ``mu_eff``
+    (the HU reference) defaults to the measured slope at the
+    ``calibration_cm`` water path — the same 10-cm convention as the
+    analytic :func:`fit_water_bhc` / ``effective_water_mu`` — so
+    scan-calibrated and spectrum-calibrated corrections agree to the
+    fit residual (noiseless parity ≤0.5%, pinned in ``test_bhc.py``).
+
+    Rays with chord < ``t_min`` cm are excluded (air rays carry no
+    calibration information, only noise).
+    """
+    sino_log = np.asarray(sino_log, np.float64)
+    src, dirs = geometry.ray_geometry()
+    rel = np.asarray(center, np.float64) - src
+    dist = np.abs(dirs[..., 0] * rel[..., 1] - dirs[..., 1] * rel[..., 0])
+    t = 2.0 * np.sqrt(np.maximum(radius * radius - dist * dist, 0.0))
+    sel = t >= t_min
+    if not np.any(sel):
+        raise ValueError("no ray intersects the calibration cylinder")
+    L, tw = sino_log[sel], t[sel]
+    if mu_eff is None:
+        near = np.abs(tw - calibration_cm) <= 0.1 * calibration_cm
+        if not np.any(near):
+            raise ValueError(
+                f"no calibration ray near t = {calibration_cm} cm "
+                f"(chords span {tw.min():.2f}-{tw.max():.2f} cm); pass "
+                "mu_eff or adjust calibration_cm")
+        mu_eff = float(np.sum(L[near] * tw[near])
+                       / np.sum(tw[near] * tw[near]))
+    powers = np.arange(1, degree + 1)
+    A = L[:, None] ** powers[None, :]
+    sol, *_ = np.linalg.lstsq(A, mu_eff * tw, rcond=None)
+    coeffs = np.concatenate([sol[::-1], [0.0]])
+    return WaterBhc(coeffs, float(mu_eff), float(tw.max()))
 
 
 def bone_bhc_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
