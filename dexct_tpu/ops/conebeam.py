@@ -219,6 +219,31 @@ def cone_sinogram(phantom, geometry, spectrum, *, dtype=jnp.float32,
     return counts, sino_log
 
 
+def _fdk_filter_zffs(sino_log, ct, ramp, window, dtype):
+    """Filtered, preweighted projections for a z-FFS scan [V, R, C].
+
+    Identical filter chain to the static FDK path except the cone
+    factor uses each view subset's TRUE deflected-ray cone angle,
+    ``cos(kappa) = SDD/sqrt(SDD^2 + (z_det[r] - delta_v)^2)``
+    (``delta_v = 0`` recovers ``SID/sqrt(SID^2 + z_iso^2)`` exactly).
+    """
+    from .filters import filter_frequency_response
+
+    V, R, C = sino_log.shape
+    cosg = np.cos(ct.gammas)  # [C]
+    z_det = np.asarray(ct.z_iso) * ct.SDD / ct.SID  # [R]
+    off = np.asarray(ct.ffs_view_offsets, np.float64)  # [V]
+    cosk = ct.SDD / np.sqrt(ct.SDD ** 2
+                            + (z_det[None, :] - off[:, None]) ** 2)
+    w = jnp.asarray(cosg[None, None, :] * cosk[:, :, None] * ct.SID,
+                    dtype)
+    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
+    pw = sino_log.astype(dtype) * w
+    spec = jnp.fft.rfft(pw, n=m, axis=-1)
+    return jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                         axis=-1)[..., :C] * ct.dgamma
+
+
 def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
                     nz_out=None, dz_out=None, window="sinc",
                     view_block=8):
@@ -246,6 +271,25 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     nz = R if nz_out is None else int(nz_out)
     dz = float(ct.h_iso if dz_out is None else dz_out)
     dtype = jnp.result_type(sino_log.dtype, jnp.float32)
+
+    if getattr(ct, "ffs", "none") == "z":
+        # Z flying focal spot: per-view source deflection + per-parity
+        # cone preweight + per-view detector-row offsets — needs the
+        # general backprojector (the packed multi-volume path assumes
+        # one shared row grid).  Circular orbit => constant window
+        # center; the den normalization reduces exactly to the
+        # circular dbeta sum at full coverage.
+        q = _fdk_filter_zffs(sino_log, ct, ramp, window, dtype)
+        off = np.asarray(ct.ffs_view_offsets, np.float64)
+        row_off = off * ct.SID / (ct.SDD * ct.h_iso)
+        z0 = (0.5 - nz / 2.0) * dz
+        beta_c = np.full(nz, 0.5 * ct.rotation_total)
+        return _helical_backproject(
+            q, jnp.asarray(ct.betas, dtype), jnp.asarray(off, dtype),
+            jnp.asarray(row_off, dtype), jnp.asarray(beta_c, dtype),
+            float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
+            0.0, int(n_matrix), int(nz), float(fov), dz, float(z0),
+            view_block=int(view_block), weighting="full")
 
     # FDK pre-weight: the 2-D fan weighting cos(gamma) * SID
     # (ops/fbp.filter_sinogram) times the cone factor cos(kappa) =
@@ -278,9 +322,9 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
                      "weighting"),
 )
-def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
-                         pitch, n_matrix, nz_out, fov, dz_out, z0,
-                         beta_mid, *, view_block=8, weighting="full"):
+def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
+                         row_h, n_rows, pitch, n_matrix, nz_out, fov,
+                         dz_out, z0, *, view_block=8, weighting="full"):
     """Generalized-Feldkamp backprojection for a helical orbit.
 
     Per voxel, views inside a 2*pi window centered on the source's
@@ -289,6 +333,13 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
     partially-covered voxels (Wang et al. 1993 helical Feldkamp).  In
     the full-coverage limit (every view weight 1 over one turn) the
     normalization reduces exactly to the circular dbeta sum.
+
+    ``beta_c``: [nz_out] per-slice window-center view angle (the
+    wrapper computes ``beta_mid + 2*pi*z/pitch``, or a constant for a
+    circular orbit).  ``row_off``: [N_proj] additive detector-row
+    offset in row units — the exact z-flying-focal-spot term
+    ``delta_v*SID/(SDD*row_h)`` (``src_z`` then carries the deflected
+    source z ``sz + delta_v``); zeros for a static spot.
     """
     V, R, C = q.shape
     dtype = q.dtype
@@ -302,19 +353,18 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
     X = jnp.asarray(XX.reshape(-1)[sel], dtype)
     Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
     zc = jnp.asarray(z0 + np.arange(nz_out) * dz_out, dtype)  # [Z]
-    # view at which the source passes height z (betas are unwrapped)
-    beta_c = beta_mid + 2.0 * np.pi * zc / pitch  # [Z]
 
     vb = max(1, min(view_block, V))
     while V % vb:
         vb -= 1
     bb = betas.reshape(V // vb, vb)
     zb = src_z.reshape(V // vb, vb)
+    rob = row_off.reshape(V // vb, vb)
     voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
 
     def block(carry, args):
         num, den = carry
-        beta, sz, vo = args
+        beta, sz, ro, vo = args
         cb, sb = jnp.cos(beta), jnp.sin(beta)
         ell = sid - (X[None, :] * cb[:, None] + Y[None, :] * sb[:, None])
         vt = -X[None, :] * sb[:, None] + Y[None, :] * cb[:, None]
@@ -337,7 +387,7 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
 
         def one_slice(z, bc):
             zt = (z - sz)[:, None] * sid * inv_h  # [vb, P]
-            ridx = zt / row_h - 0.5 + R / 2.0
+            ridx = zt / row_h - 0.5 + R / 2.0 + ro[:, None]
             r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
             fr = jnp.clip(ridx - r0, 0.0, 1.0)
             w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
@@ -458,7 +508,7 @@ def _helical_backproject(q, betas, src_z, sid, dgamma, row_h, n_rows,
         return (num + dn, den + dd), None
 
     acc0 = (jnp.zeros((nz_out, P), dtype), jnp.zeros((nz_out, P), dtype))
-    (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, voff))
+    (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, rob, voff))
     out = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
     out = out * (2.0 * np.pi)
     vol = jnp.zeros((nz_out, N * N), dtype)
@@ -545,23 +595,38 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     else:
         dz = float(ct.h_iso)
 
-    cosg = np.cos(ct.gammas)
-    cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
-    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
-    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
-    pw = sino_log.astype(dtype) * w[None]
-    spec = jnp.fft.rfft(pw, n=m, axis=-1)
-    q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
-                      axis=-1)[..., :C] * ct.dgamma
+    zffs = getattr(ct, "ffs", "none") == "z"
+    if zffs:
+        if weighting not in ("full", "feather"):
+            raise ValueError(
+                "z-FFS helical reconstruction supports the 'full' and "
+                f"'feather' weightings (got {weighting!r}); the other "
+                "study windows assume a static spot")
+        q = _fdk_filter_zffs(sino_log, ct, ramp, window, dtype)
+    else:
+        cosg = np.cos(ct.gammas)
+        cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
+        w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
+        H, m = filter_frequency_response(C, ct.dgamma, ramp, window,
+                                         "fan")
+        pw = sino_log.astype(dtype) * w[None]
+        spec = jnp.fft.rfft(pw, n=m, axis=-1)
+        q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                          axis=-1)[..., :C] * ct.dgamma
 
     if weighting not in ("td", "full", "cosz", "feather", "pair",
                          "short"):
         raise ValueError(f"unknown helical weighting {weighting!r}")
+    off = np.asarray(ct.ffs_view_offsets, np.float64)  # zeros if none
+    sz = np.asarray(ct.source_z, np.float64) + off
+    row_off = off * ct.SID / (ct.SDD * ct.h_iso)
+    beta_c = 0.5 * ct.rotation_total + 2.0 * np.pi * z_out / ct.pitch
     return _helical_backproject(
-        q, jnp.asarray(ct.betas, dtype), jnp.asarray(ct.source_z, dtype),
+        q, jnp.asarray(ct.betas, dtype), jnp.asarray(sz, dtype),
+        jnp.asarray(row_off, dtype), jnp.asarray(beta_c, dtype),
         float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
         float(ct.pitch), int(n_matrix), int(len(z_out)), float(fov),
-        dz, float(z_out[0]), float(0.5 * ct.rotation_total),
+        dz, float(z_out[0]),
         view_block=int(view_block), weighting=weighting)
 
 

@@ -271,6 +271,10 @@ def helical_pi_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     if abs(pitch) < 1e-9:
         raise ValueError(
             "pitch = 0 has no Tam-Danielsson window; use fdk_reconstruct")
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError(
+            "the PI rebinning assumes a static focal spot; "
+            "reconstruct z-FFS scans with helical_fdk_reconstruct")
     nt = int(2 * C) if nt is None else int(nt)
     dtype = jnp.result_type(sino_log.dtype, jnp.float32)
 

@@ -322,6 +322,10 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
     if abs(pitch) < 1e-9:
         raise ValueError(
             "pitch = 0 has no PI window; use fdk_reconstruct")
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError(
+            "the Katsevich chain assumes a static focal spot; "
+            "reconstruct z-FFS scans with helical_fdk_reconstruct")
     dtype = jnp.result_type(sino_log.dtype, jnp.float32)
     dgamma = float(ct.dgamma)
     dbeta = float(ct.rotation_total / V)

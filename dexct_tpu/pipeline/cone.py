@@ -101,6 +101,13 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "ops.conebeam.simulate_cone_dect, which routes helical "
             "scans through helical_fdk_reconstruct"
         )
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError(
+            "flying-focal-spot geometries are not supported by the "
+            "fused circular pipeline (the packed FDK assumes one shared "
+            "detector-row grid); use ops.conebeam.simulate_cone_dect, "
+            "whose fdk_reconstruct handles ffs='z' exactly"
+        )
     labels3 = np.asarray(phantom.labels).astype(np.int32)
     nz, ny, nx = labels3.shape
     dxc, dyc, dzc = float(phantom.dx), float(phantom.dy), float(phantom.dz)

@@ -246,7 +246,9 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
             f"scan; config {cfg.run_id!r} has pitch "
             f"{getattr(cfg.ct, 'pitch', 0.0)!r} — use 'helical', "
             "'katsevich', or 'auto'")
-    if helical:
+    if helical or getattr(cfg.ct, "ffs", "none") != "none":
+        # z-FFS circular scans also take the stateless path: the fused
+        # pipeline's packed FDK assumes one shared detector-row grid
         from ..ops.conebeam import simulate_cone_dect
 
         key = jax.random.PRNGKey(seed) if eff_noise != "none" else None

@@ -88,10 +88,11 @@ def _build_geometry(cfg):
             SDD=float(cfg.get("SDD", 100.0)),
             gamma_fan=float(cfg.get("fan_angle_total", 0.8230337)),
         )
-        if kind == "fan_beam":
-            kw["ffs"] = str(cfg.get("flying_focal_spot", "none")).lower()
-            if not _na(cfg.get("ffs_delta")):
-                kw["ffs_delta"] = float(cfg["ffs_delta"])
+        # 'inplane' on fan beams, 'z' on cone/helical; the geometry
+        # constructors validate mode-vs-class
+        kw["ffs"] = str(cfg.get("flying_focal_spot", "none")).lower()
+        if not _na(cfg.get("ffs_delta")):
+            kw["ffs_delta"] = float(cfg["ffs_delta"])
         if kind in ("cone_beam", "helical_cone_beam"):
             kw["N_rows"] = int(cfg.get("N_rows", 16))
         if kind == "helical_cone_beam":

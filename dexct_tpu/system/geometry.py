@@ -92,21 +92,31 @@ class FanBeamGeometry(ScannerGeometry):
     SID: float = 60.0  # source-isocenter distance [cm]
     SDD: float = 100.0  # source-detector distance [cm]
     gamma_fan: float = 0.8230337  # total fan angle [rad]
-    ffs: str = "none"  # 'none' | 'inplane'
-    ffs_delta: float | None = None  # tangential spot separation [cm]
+    ffs: str = "none"  # 'none' | 'inplane' ('z' on cone geometries)
+    ffs_delta: float | None = None  # spot separation [cm]
+
+    _FFS_MODES = ("none", "inplane")
 
     def __post_init__(self):
         super().__post_init__()
-        if self.ffs not in ("none", "inplane"):
-            raise ValueError(f"unknown ffs mode {self.ffs!r}")
-        if self.ffs == "inplane":
+        if self.ffs not in self._FFS_MODES:
+            raise ValueError(
+                f"unknown ffs mode {self.ffs!r} for "
+                f"{type(self).__name__} (supports {self._FFS_MODES})")
+        if self.ffs != "none":
             if self.N_proj % 2:
                 raise ValueError(
-                    "inplane FFS alternates the spot per view; N_proj "
+                    "FFS alternates the spot per view; N_proj "
                     f"must be even (got {self.N_proj})")
             if self.ffs_delta is None:
-                self.ffs_delta = (self.SID * self.dgamma / 2.0
-                                  * self.SDD / (self.SDD - self.SID))
+                self.ffs_delta = self._ffs_default_delta()
+
+    def _ffs_default_delta(self):
+        """Quarter-offset optimum tangential spot separation [cm]: the
+        displacement whose central-ray interleave is exactly half a
+        radial sample (see class docstring)."""
+        return (self.SID * self.dgamma / 2.0
+                * self.SDD / (self.SDD - self.SID))
 
     @property
     def dgamma(self):
@@ -130,9 +140,9 @@ class FanBeamGeometry(ScannerGeometry):
 
     @property
     def ffs_view_offsets(self):
-        """Per-view tangential focal-spot displacement [cm], shape
-        [N_proj]: even views +delta/2, odd views -delta/2 (zeros when
-        ffs='none')."""
+        """Per-view focal-spot displacement [cm] (tangential for
+        ffs='inplane', axial for ffs='z'), shape [N_proj]: even views
+        +delta/2, odd views -delta/2 (zeros when ffs='none')."""
         if self.ffs == "none":
             return np.zeros(self.N_proj)
         half = 0.5 * float(self.ffs_delta)
@@ -222,16 +232,28 @@ class ConeBeamGeometry(FanBeamGeometry):
     pitch there, matching the 2-D convention).  The central row (z=0) is
     exactly the parent fan-beam geometry, which anchors the test
     strategy: single-row cone scans must reproduce the fan pipeline.
+
+    ``ffs='z'`` enables the Z flying focal spot (the longitudinal
+    anode-deflection trick of clinical multi-row scanners): the focal
+    spot alternates axially by ``±ffs_delta/2`` on successive views
+    while the detector rows stay at their nominal gantry positions.
+    The two view subsets sample row grids offset at the isocenter by
+    ``∓(δ/2)·(SDD−SID)/SDD``, interleaving the longitudinal samples —
+    the z-resolution/anti-aliasing analog of the in-plane FFS.
+    ``ffs_delta=None`` picks ``h_iso·SDD / (2(SDD−SID))``, whose
+    isocenter interleave is exactly half a row pitch.  (The in-plane
+    mode stays 2-D-only: the packed cone tracer and FDK paths assume a
+    circular in-plane orbit.)
     """
 
     N_rows: int = 16
 
-    def __post_init__(self):
-        super().__post_init__()
-        if self.ffs != "none":
-            raise ValueError(
-                "flying focal spot is implemented for the 2-D fan-beam "
-                "geometry only (ffs='inplane' on FanBeamGeometry)")
+    _FFS_MODES = ("none", "z")
+
+    def _ffs_default_delta(self):
+        """Axial spot separation [cm] whose isocenter row interleave is
+        exactly half the row pitch ``h_iso``."""
+        return self.h_iso * self.SDD / (2.0 * (self.SDD - self.SID))
 
     @property
     def z_iso(self):
@@ -251,18 +273,25 @@ class ConeBeamGeometry(FanBeamGeometry):
         (float64).  The source circles in the z=0 plane; a detector
         element at (row r, channel gamma) sits at
         ``S - SDD*e(beta+gamma) + (0,0, z_iso[r]*SDD/SID)``.
+
+        With ``ffs='z'`` the source of view v is displaced axially by
+        ``delta_v = ±ffs_delta/2`` while the detector element stays at
+        its nominal gantry height, so the deflected ray's axial slope
+        is ``(z_det[r] − delta_v)/SDD`` — exact, not a grid shift.
         """
         betas = self.betas
         V, R, C = self.N_proj, self.N_rows, self.N_channels
         src2 = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+        off = self.ffs_view_offsets  # axial for ffs='z' (zeros if none)
         src = np.zeros((V, R, C, 3))
         src[..., :2] = src2[:, None, None, :]
+        src[..., 2] = off[:, None, None]
         ang = betas[:, None] + self.gammas[None, :]  # [V, C]
         e = np.stack([np.cos(ang), np.sin(ang)], -1)  # [V, C, 2]
         z_det = self.z_iso * self.SDD / self.SID  # [R]
         d = np.zeros((V, R, C, 3))
         d[..., :2] = -self.SDD * e[:, None, :, :]
-        d[..., 2] = z_det[None, :, None]
+        d[..., 2] = z_det[None, :, None] - off[:, None, None]
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         return src, d
 

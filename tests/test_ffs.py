@@ -87,9 +87,11 @@ class TestFfsGeometry:
             FanBeamGeometry(N_channels=C, N_proj=191, ffs="inplane")
         with pytest.raises(ValueError, match="unknown ffs"):
             FanBeamGeometry(N_channels=C, N_proj=V, ffs="zwobble")
-        with pytest.raises(ValueError, match="fan-beam geometry only"):
+        with pytest.raises(ValueError, match="ConeBeamGeometry"):
             ConeBeamGeometry(N_channels=C, N_proj=V, N_rows=4,
                              ffs="inplane")
+        with pytest.raises(ValueError, match="FanBeamGeometry"):
+            FanBeamGeometry(N_channels=C, N_proj=V, ffs="z")
         with pytest.raises(ValueError, match="flying-focal-spot"):
             parallel_rebin_plan(_geom("inplane"), 96, 2 * C)
         with pytest.raises(ValueError, match="no in-plane"):
@@ -186,3 +188,187 @@ class TestFfsRecon:
         assert abs(m1[22:26, 22:26].mean() - 1.0) < 0.08
         hu = np.asarray(out.recon_HU[1])
         assert abs(hu[1, 1]) > 900.0  # air
+
+
+class TestZFfs:
+    """Z flying focal spot on cone geometries (the longitudinal analog:
+    the spot alternates axially by ±delta/2, interleaving the detector
+    row samples at the isocenter at half the row pitch)."""
+
+    N = 48
+
+    def _cone(self, ffs="none", **kw):
+        from dexct_tpu.system.geometry import ConeBeamGeometry
+
+        return ConeBeamGeometry(N_channels=64, N_proj=96, N_rows=8,
+                                gamma_fan=0.8230337, SID=60.0,
+                                SDD=100.0, h_iso=0.5, ffs=ffs, **kw)
+
+    def _slab_phantom(self, shift, nzv=16):
+        """Water cylinder with 0.5 cm bone/water slabs (1.0 cm z-period
+        = the static row grid's Nyquist period at h_iso=0.5)."""
+        import dataclasses
+
+        from dexct_tpu.system.phantom import (AIR, BONE, WATER,
+                                              MaterialTable,
+                                              water_cylinder_phantom)
+
+        ph2 = water_cylinder_phantom(N=self.N, dx=0.5)
+        lab2 = ph2.labels[0]
+        inside = lab2 == 1
+        lab3 = np.broadcast_to(lab2, (nzv, self.N, self.N)).copy()
+        par = ((np.arange(nzv) + shift) // 2) % 2
+        for z in range(nzv):
+            if par[z]:
+                lab3[z][inside] = 2
+        mt = MaterialTable([AIR, WATER, BONE])
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.25,
+                                  materials=mt)
+        return ph3, par, mt.mu_table(np.array([60.0]))[:, 0]
+
+    def _recon(self, ph3, mu, ct, **kw):
+        from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                            fdk_reconstruct)
+
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph3, ct),
+                          jnp.asarray(mu, jnp.float32))
+        return np.asarray(fdk_reconstruct(sino, ct, self.N, 20.0, 0.8,
+                                          **kw))
+
+    def test_deflected_ray_geometry_exact(self):
+        """src z rides the deflection, the detector cell stays at its
+        nominal gantry height: following the returned ray from the
+        deflected source over the in-plane distance SDD lands exactly
+        on z_det[r] (and the default delta interleaves the isocenter
+        row grids at half the row pitch)."""
+        ct = self._cone("z")
+        src, dirs = ct.ray_geometry_3d()
+        off = ct.ffs_view_offsets
+        assert np.allclose(off[0::2], 0.5 * ct.ffs_delta, atol=1e-15)
+        assert np.allclose(off[1::2], -0.5 * ct.ffs_delta, atol=1e-15)
+        assert np.allclose(src[..., 2], off[:, None, None], atol=1e-12)
+        # in-plane length of each unit direction scales the ray to the
+        # detector cylinder at in-plane distance SDD from the source
+        rho = np.linalg.norm(dirs[..., :2], axis=-1)
+        z_hit = src[..., 2] + dirs[..., 2] * (ct.SDD / rho)
+        z_det = ct.z_iso * ct.SDD / ct.SID
+        assert np.abs(z_hit - z_det[None, :, None]).max() < 1e-9
+        # quarter-offset optimum: the subsets' isocenter row grids sit
+        # at z_iso ± h_iso/4 (spacing h_iso/2)
+        shift_iso = off * (ct.SDD - ct.SID) / ct.SDD
+        assert np.allclose(np.abs(shift_iso), ct.h_iso / 4, atol=1e-12)
+
+    def test_delta_zero_matches_static_path(self):
+        """ffs='z' with delta=0 routes through the generalized
+        backprojector and must reproduce the packed static FDK on every
+        slice away from the axial coverage boundary."""
+        ph3, _, mu = self._slab_phantom(0, nzv=8)
+        import dataclasses
+
+        ph3 = dataclasses.replace(ph3, dz=0.5)
+        v0 = self._recon(ph3, mu, self._cone("none"))
+        vd0 = self._recon(ph3, mu, self._cone("z", ffs_delta=0.0))
+        assert np.abs(v0[1:-1] - vd0[1:-1]).max() < 1e-5
+
+    def test_z_resolution_phase_robustness(self):
+        """The quantitative z-FFS claim: at the static grid's Nyquist
+        period the static scan's recovered modulation collapses when
+        the phantom sits a quarter period off the row grid (measured
+        -0.004 of 0.398), while the interleaved z-FFS sampling holds
+        (measured 0.146) with a phase-independent profile error."""
+        sl = slice(3, 13)
+        res = {}
+        for ffs in ("none", "z"):
+            ph3, par, mu = self._slab_phantom(1)
+            gt = np.where(par, float(mu[2]), float(mu[1]))
+            v = self._recon(ph3, mu, self._cone(ffs), nz_out=16,
+                            dz_out=0.25)
+            p = v[:, 22:26, 22:26].mean((1, 2))
+            mod = (p[sl][par[sl] == 1].mean()
+                   - p[sl][par[sl] == 0].mean())
+            rms = float(np.sqrt(((p - gt)[sl] ** 2).mean()))
+            res[ffs] = (mod, rms)
+        assert abs(res["none"][0]) < 0.05, res
+        assert res["z"][0] > 0.10, res
+        assert res["z"][1] < 0.75 * res["none"][1], res
+
+    def test_zffs_paths_guarded(self):
+        """Paths whose packing/rebinning assumes a static spot refuse
+        z-FFS geometries instead of silently mis-reconstructing."""
+        from dexct_tpu.ops.helical_pi import helical_pi_reconstruct
+        from dexct_tpu.ops.katsevich import katsevich_reconstruct
+        from dexct_tpu.pipeline.cone import pack_cone_dect
+        from dexct_tpu.physics.spectrum import kramers_spectrum
+        from dexct_tpu.system.geometry import HelicalConeBeamGeometry
+
+        hel = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=96, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=2.0, ffs="z")
+        sino = jnp.zeros((96, 8, 64))
+        with pytest.raises(ValueError, match="static focal"):
+            katsevich_reconstruct(sino, hel, 32, 20.0)
+        with pytest.raises(ValueError, match="static focal"):
+            helical_pi_reconstruct(sino, hel, 32, 20.0, 0.8)
+        ph3, _, _ = self._slab_phantom(0, nzv=8)
+        s = kramers_spectrum(80.0)
+        with pytest.raises(ValueError, match="flying-focal-spot"):
+            pack_cone_dect(self._cone("z"), ph3, s, s, 32, 20.0, 0.8)
+
+    def test_config_builds_zffs_cone(self, tmp_path):
+        import json
+
+        from dexct_tpu.system import read_parameter_file
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ph = water_cylinder_phantom(N=16, dx=0.5)
+        ph.to_file(str(tmp_path / "p.bin"), str(tmp_path / "p.csv"))
+        cfg = {
+            "RUN_ID": "zffs", "scanner_geometry": "cone_beam",
+            "N_rows": 8, "N_channels": 32, "N_projections": 16,
+            "SID": 60.0, "SDD": 100.0, "detector_px_height": 0.5,
+            "flying_focal_spot": "z",
+            "phantom_filename": str(tmp_path / "p.bin"),
+            "matcomp_filename": str(tmp_path / "p.csv"),
+            "Nx": 16, "Ny": 16,
+        }
+        (tmp_path / "params.txt").write_text(json.dumps(cfg))
+        run = read_parameter_file(tmp_path / "params.txt")[0]
+        assert run.ct.ffs == "z"
+        assert run.ct.ffs_delta == pytest.approx(
+            0.5 * 100.0 / (2.0 * 40.0))
+
+    def test_helical_zffs_z_uniform_invariance(self):
+        """On a z-uniform object the axial deflection must not change
+        the helical reconstruction materially (same in-plane paths,
+        interleaved z-samples of a z-constant signal)."""
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                            helical_fdk_reconstruct)
+        from dexct_tpu.system.geometry import HelicalConeBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ph2 = water_cylinder_phantom(N=self.N, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (16, self.N, self.N)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.25)
+        mu = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+
+        def rec(ffs):
+            ct = HelicalConeBeamGeometry(
+                N_channels=64, N_proj=192, N_rows=8,
+                gamma_fan=0.8230337, SID=60.0, SDD=100.0, h_iso=0.5,
+                pitch=2.0, rotation_total=4.0 * np.pi, ffs=ffs)
+            sino = jnp.einsum("vrcm,m->vrc",
+                              cone_material_paths(ph3, ct),
+                              jnp.asarray(mu, jnp.float32))
+            z_out = (np.arange(8) - 3.5) * 0.25
+            return np.asarray(helical_fdk_reconstruct(
+                sino, ct, self.N, 20.0, 0.8, z_out=z_out))
+
+        v0, vz = rec("none"), rec("z")
+        interior = np.hypot(
+            *np.meshgrid(*[np.arange(self.N) - self.N / 2 + 0.5] * 2)
+        ) < 14
+        mu_w = float(mu[1])
+        d = np.abs(v0[2:-2] - vz[2:-2])[:, interior]
+        assert d.max() < 0.05 * mu_w, d.max()
