@@ -40,7 +40,8 @@ import numpy as np
 __all__ = ["pack_prefix_table", "trace_paths_fast", "PACK_WIDTH",
            "pack_labels_2band", "pack_labels_rowwin8", "pack_labels_rowwin",
            "pack_labels_rowwin16", "plan_dominant_split",
-           "select_dominant_pack", "trace_paths_dominant"]
+           "plan_dominant_split_bundled", "select_dominant_pack",
+           "trace_paths_dominant", "trace_paths_dominant_bundled"]
 
 PACK_WIDTH = 8
 _BIG = 1e30
@@ -329,7 +330,16 @@ def _rowwin_words(group, lbits=5):
     return -(-(group + 2) // _rowwin_cols_per_word(lbits))
 
 
-def pack_labels_rowwin(labels, group, lbits=5):
+def rowwin_slope_max(group, words, lbits):
+    """Largest folded slope |d_minor/d_major| a ``group``-row window of
+    ``words`` int32s per row can cover exactly: the ray's column span
+    across the group is <= floor(group*s) + 2, so the
+    ``cpw*words``-column window suffices iff
+    ``s <= (cpw*words - 2) / group``."""
+    return (_rowwin_cols_per_word(lbits) * words - 2) / group
+
+
+def pack_labels_rowwin(labels, group, lbits=5, words=None):
     """[Ny, Nx] labels -> [Ny/group * Nx, group*W] int32 row-window codes.
 
     Row ``g * Nx + a`` packs, for each of the ``group`` image rows
@@ -346,13 +356,19 @@ def pack_labels_rowwin(labels, group, lbits=5):
     width cliff).  ``lbits=3`` (labels < 8 — the PACK_WIDTH regime)
     packs 10 columns per word, keeping wide groups under the cliff.
     Ny must be a multiple of ``group``; labels must be < 2**lbits.
+
+    ``words`` overrides the per-row word count W (default: wide enough
+    for any y-dominant slope).  A NARROWER window (e.g. words=1 at
+    group=32) is exact only for rays whose folded slope is
+    <= :func:`rowwin_slope_max` — the slope-adaptive tracer partitions
+    rays so each bucket's kernel/pack pair satisfies its bound.
     """
     ny, nx = labels.shape
     if ny % group:
         raise ValueError(f"Ny must be a multiple of {group} for "
                          "row-window packing")
     cpw = _rowwin_cols_per_word(lbits)
-    W = _rowwin_words(group, lbits)
+    W = _rowwin_words(group, lbits) if words is None else int(words)
     lab = labels.astype(jnp.int32)
     cols = [lab]
     for _ in range(cpw * W - 1):
@@ -398,6 +414,166 @@ def plan_dominant_split(dirs, pad_to=1024):
     inv[np.concatenate([idx_y, idx_x]).astype(np.int64)] = np.arange(
         d.shape[0])
     return pad(idx_y), pad(idx_x), inv.astype(np.int32), len(idx_y), len(idx_x)
+
+
+def plan_dominant_split_bundled(src, dirs, labels_shape, dx, dy, *,
+                                lbits=3, group=16, words=3, bundle=8,
+                                pad_rays=1024, pad_bundles=128):
+    """Host-side bundled ray partition for the dominant-axis tracer.
+
+    The measured trace rate is set by gather COUNT, not fetch width
+    (CLAUDE.md), and the B near-parallel adjacent channels of one fan
+    view access almost the same label window in every row group — so
+    letting a bundle of B rays share ONE anchor and one row-window
+    gather per group divides the dominant gather cost by B (measured
+    1.26x on the 1024^2 trace stage; window coverage 100% of bundles on
+    the high-res fan geometry).
+
+    src, dirs: [V, C, 2] NumPy view-major ray arrays — bundles are runs
+    of ``bundle`` consecutive same-dominance channels within one view.
+    labels_shape, dx, dy: the marched grid (y-dominant frame; the
+    x-dominant side is planned on the swapped frame internally).
+
+    A bundle is eligible only when the shared ``cpw*words``-column
+    window provably covers every member's columns in every row group:
+    ``floor(group*s_max) + 3 + ceil(spread)`` <= window, with ``spread``
+    the bundle's worst in-grid column divergence (linear in y, so the
+    extremes bound it).  Ineligible bundles and run tails go to the
+    per-ray ``rest`` arrays — the plan is always exact, bundling is
+    only a fast path for the rays it covers.
+
+    Returns a dict:
+      ``bun_y``/``bun_x``: [bundle * NBp] int32 ray indices in
+        bundle-TRANSPOSED order (member b of bundle nb at position
+        ``b * NBp + nb`` — the layout the ``bundle=`` kernel requires),
+      ``rest_y``/``rest_x``: padded per-ray leftover indices,
+      ``nb_y``/``nb_x``/``n_rest_y``/``n_rest_x``: real counts,
+      ``inv``: [V*C] int32 positions of every input ray in
+        ``concat(out_bun_y, out_rest_y, out_bun_x, out_rest_x)`` (the
+        four FULL padded kernel outputs, in that order),
+      ``frac_bundled``, plus the ``bundle``/``words``/``group``/
+      ``lbits`` the kernels must be called with.
+    """
+    src = np.asarray(src)
+    dirs = np.asarray(dirs)
+    if src.ndim != 3 or src.shape[-1] != 2:
+        raise ValueError("bundled planning needs [V, C, 2] ray arrays "
+                         "(bundles are consecutive same-view channels)")
+    V, C, _ = dirs.shape
+    s2 = src.reshape(-1, 2)
+    d2 = dirs.reshape(-1, 2)
+    y_dom = np.abs(d2[:, 1]) >= np.abs(d2[:, 0])
+    cpw = _rowwin_cols_per_word(lbits)
+    win = cpw * words
+    ny, nx = labels_shape
+
+    def side(mask, swap):
+        sd = s2[:, ::-1] if swap else s2
+        dd = d2[:, ::-1] if swap else d2
+        fny = nx if swap else ny
+        fdx = dx if swap else dy  # transposed pass swaps cell sizes too
+        fdy = dy if swap else dx
+        half = 0.5 * fny * fdx
+        idx = np.arange(V * C).reshape(V, C)
+        mask2d = mask.reshape(V, C)
+        bundles, rest = [], []
+        for v in range(V):
+            cs = np.nonzero(mask2d[v])[0]
+            if len(cs) == 0:
+                continue
+            brk = np.nonzero(np.diff(cs) > 1)[0] + 1
+            for run in np.split(cs, brk):
+                m = len(run) // bundle * bundle
+                for k in range(0, m, bundle):
+                    bundles.append(idx[v, run[k:k + bundle]])
+                rest.extend(idx[v, run[m:]].tolist())
+        bun = (np.array(bundles, np.int64) if bundles
+               else np.zeros((0, bundle), np.int64))
+        if len(bun):
+            bd = dd[bun]  # [NB, B, 2]
+            bs = sd[bun]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                slope = bd[..., 0] / bd[..., 1]
+            # column position is linear in the marched coordinate, so
+            # the in-grid divergence is bounded by the two extremes
+            x_ext = (bs[..., 0]
+                     + (np.array([-half, half])[:, None, None]
+                        - bs[..., 1]) * slope)  # [2, NB, B]
+            spread = (x_ext.max(-1) - x_ext.min(-1)).max(0) / fdy
+            smax = np.abs(slope).max(-1)
+            need = np.floor(group * smax) + 3 + np.ceil(spread)
+            ok = np.isfinite(need) & (need <= win)
+            rest.extend(bun[~ok].reshape(-1).tolist())
+            bun = bun[ok]
+        nb = len(bun)
+        nbp = max(pad_bundles, -(-max(nb, 1) // pad_bundles) * pad_bundles)
+        bun_p = (np.concatenate([bun, np.repeat(bun[-1:], nbp - nb, 0)])
+                 if nb else np.zeros((nbp, bundle), np.int64))
+        order = bun_p.T.reshape(-1)  # member-major (transposed) layout
+        rest = np.asarray(rest, np.int64)
+        n_rest = len(rest)
+        rp = max(pad_rays, -(-max(n_rest, 1) // pad_rays) * pad_rays)
+        rest_p = (np.pad(rest, (0, rp - n_rest), mode="edge") if n_rest
+                  else np.zeros(rp, np.int64))
+        return bun_p, nbp, nb, order, rest_p, n_rest
+
+    by = side(y_dom, False)
+    bx = side(~y_dom, True)
+    inv = np.zeros(V * C, np.int64)
+    off = 0
+    for bun_p, nbp, nb, order, rest_p, n_rest in (by, bx):
+        if nb:
+            nb_i, b_i = np.meshgrid(np.arange(nb), np.arange(bundle),
+                                    indexing="ij")
+            inv[bun_p[:nb].reshape(-1)] = off + (b_i * nbp
+                                                 + nb_i).reshape(-1)
+        off += bundle * nbp
+        if n_rest:
+            inv[rest_p[:n_rest]] = off + np.arange(n_rest)
+        off += len(rest_p)
+    n_dom = int(y_dom.sum())
+    return {
+        "bun_y": by[3].astype(np.int32), "nb_y": by[2], "nbp_y": by[1],
+        "rest_y": by[4].astype(np.int32), "n_rest_y": by[5],
+        "bun_x": bx[3].astype(np.int32), "nb_x": bx[2], "nbp_x": bx[1],
+        "rest_x": bx[4].astype(np.int32), "n_rest_x": bx[5],
+        "inv": inv.astype(np.int32),
+        "frac_bundled": (by[2] + bx[2]) * bundle / max(V * C, 1),
+        "bundle": bundle, "words": words, "group": group, "lbits": lbits,
+    }
+
+
+def trace_paths_dominant_bundled(labels, src, dirs, dx, dy, *,
+                                 n_materials, plan):
+    """Exact Siddon paths via the bundled dominant-axis fast path.
+
+    ``plan`` comes from :func:`plan_dominant_split_bundled` on the SAME
+    [V, C, 2] geometry.  Runs four kernels (bundled + leftover per
+    dominant side) over ONE ``words``-wide pack per side and
+    inverse-permutes; exactness is the planner's window contract.
+    """
+    V, C = src.shape[:2]
+    src2 = jnp.asarray(src).reshape(-1, 2)
+    dirs2 = jnp.asarray(dirs).reshape(-1, 2)
+    labels = jnp.asarray(labels)
+    ny, nx = labels.shape
+    g, w, lb, B = plan["group"], plan["words"], plan["lbits"], plan["bundle"]
+    pack_y = pack_labels_rowwin(labels, g, lbits=lb, words=w)
+    pack_x = pack_labels_rowwin(labels.T, g, lbits=lb, words=w)
+    kern = functools.partial(_trace_dominant_grp, group=g, lbits=lb,
+                             words=w, n_materials=n_materials)
+    outs = []
+    for pk, shp, swap, bun, rest in (
+            (pack_y, (ny, nx), False, plan["bun_y"], plan["rest_y"]),
+            (pack_x, (nx, ny), True, plan["bun_x"], plan["rest_x"])):
+        sw = (slice(None), slice(None, None, -1) if swap else slice(None))
+        fdx, fdy = (dy, dx) if swap else (dx, dy)
+        outs.append(kern(pk, shp, src2[jnp.asarray(bun)][sw],
+                         dirs2[jnp.asarray(bun)][sw], fdx, fdy, bundle=B))
+        outs.append(kern(pk, shp, src2[jnp.asarray(rest)][sw],
+                         dirs2[jnp.asarray(rest)][sw], fdx, fdy))
+    cat = jnp.concatenate(outs, axis=0)
+    return cat[jnp.asarray(plan["inv"])].reshape(V, C, n_materials)
 
 
 @functools.partial(
@@ -607,21 +783,37 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
 @functools.partial(
     jax.jit,
     static_argnames=("labels_shape", "n_materials", "group", "lbits",
-                     "group_block"),
+                     "group_block", "words", "bundle", "_stub_gather"),
 )
 def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
-                        n_materials, group, lbits=5, group_block=4):
+                        n_materials, group, lbits=5, group_block=4,
+                        words=None, bundle=1, _stub_gather=False):
     """Exact paths for y-dominant rays via ``group``-row window marching.
 
     One row-``group*W`` int32 gather per ray per ``group`` image rows:
     the group's shared anchor is the min column over its row-bands, and
     the cpw*W-column per-row windows in ``packed``
-    (:func:`pack_labels_rowwin`, same ``lbits``) cover the
+    (:func:`pack_labels_rowwin`, same ``lbits`` AND ``words``) cover the
     <= group+1-column drift of a y-dominant ray across the group.
-    src/dirs: [R, 2].
+    src/dirs: [R, 2].  With an explicit ``words`` narrower than the
+    default, exactness requires every ray's folded slope to satisfy
+    :func:`rowwin_slope_max` (the adaptive planner's bucket contract).
+
+    ``bundle > 1``: rays arrive in BUNDLE-TRANSPOSED order — member b
+    of bundle nb at flat position ``b * (R/bundle) + nb`` — and each
+    bundle shares ONE anchor (its min) and one gather per group.  The
+    measured trace rate is set by gather COUNT (CLAUDE.md), so bundling
+    the near-parallel adjacent channels of a fan view divides the
+    dominant cost by the bundle size; the transposed [B, NB] layout
+    keeps the big NB axis in the lane dimension (a [NB, B] layout pads
+    B=8 to the 128-lane tile).  Exactness then requires the window to
+    also cover the bundle's in-grid column spread
+    (:func:`plan_dominant_split_bundled` builds bundles that satisfy
+    this and routes the rest to the unbundled kernel); the caller
+    passes a matching wider ``words``.
     """
     cpw = _rowwin_cols_per_word(lbits)
-    W = _rowwin_words(group, lbits)
+    W = _rowwin_words(group, lbits) if words is None else int(words)
     lmask = (1 << lbits) - 1
     ny, nx = labels_shape
     x0 = -0.5 * nx * dx
@@ -630,9 +822,19 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
     p = src.astype(dtype)
     d = dirs.astype(dtype)
     n_rays = p.shape[0]
+    if bundle > 1 and n_rays % bundle:
+        raise ValueError(
+            f"ray count {n_rays} not a multiple of bundle {bundle}")
+    # bundled rays keep the [B, NB] shape end-to-end so the per-bundle
+    # gather rows broadcast as sublane scalars inside fused elementwise
+    # decode — widening them to per-ray [R, g*W] rows is a materialized
+    # copy that was measured to cost MORE than the saved gathers
+    shp = (bundle, n_rays // bundle) if bundle > 1 else (n_rays,)
+    p = p.reshape(*shp, 2)
+    d = d.reshape(*shp, 2)
 
-    px, py = p[:, 0], p[:, 1]
-    dxr, dyr = d[:, 0], d[:, 1]
+    px, py = p[..., 0], p[..., 1]
+    dxr, dyr = d[..., 0], d[..., 1]
     okx = jnp.abs(dxr) > 1e-12
     sdx = jnp.where(okx, dxr, 1.0)
     sdy = dyr
@@ -664,26 +866,44 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
         return tAc, tBc, ja.astype(jnp.int32), jb.astype(jnp.int32), valid
 
     def group_contrib(ig):
-        """Contribution of rows group*ig .. group*ig + group-1: [R, M]."""
+        """Contribution of rows group*ig .. group*ig + group-1:
+        [*shp, M]."""
         rows = [subband(group * ig + k) for k in range(group)]
-        jm = jnp.full((n_rays,), nx, jnp.int32)
+        jm = jnp.full(shp, nx, jnp.int32)
         for tA, tB, ja, jb, valid in rows:
             jm = jnp.minimum(jm, jnp.where(valid, jnp.minimum(ja, jb), nx))
+        if bundle > 1:
+            jm = jm.min(axis=0)  # one shared anchor per bundle
         anchor = jnp.clip(jm, 0, nx - cpw * W)
-        codes = packed[ig * nx + anchor]  # [R, g*W]: ONE gather per group
+        if _stub_gather:
+            # profiling knob (tools/bench_adaptive_trace.py): replace
+            # the per-ray gather with one loop-dependent row broadcast
+            # to expose the kernel's non-gather compute floor.  WRONG
+            # results — never set in production paths.
+            codes = jnp.broadcast_to(
+                jax.lax.dynamic_slice_in_dim(packed, ig * nx, 1)[0],
+                (anchor.shape[0], group * W))
+        else:
+            codes = packed[ig * nx + anchor]  # [R or NB, g*W]: ONE
+            #                                   gather per group
+        anchor_b = anchor[None, :] if bundle > 1 else anchor
 
         out = 0.0
         for k, (tA, tB, ja, jb, valid) in enumerate(rows):
             j_hi = jnp.maximum(ja, jb)
             t_c = (x0 + j_hi * dx - px) / sdx
             t_c = jnp.where(okx, jnp.clip(t_c, tA, tB), tA)
+            # per-bundle words broadcast over the B axis inside the
+            # fused shift/select — no widened per-ray code table
             ws = [codes[:, W * k + w] for w in range(W)]
+            if bundle > 1:
+                ws = [w_[None, :] for w_ in ws]
 
             def lab_at(j):
                 # shifts on the non-selected words may be negative; the
                 # where() discards those lanes (same contract the 8-row
                 # kernel relies on)
-                rel = jnp.clip(j - anchor, 0, cpw * W - 1)
+                rel = jnp.clip(j - anchor_b, 0, cpw * W - 1)
                 sel = ws[W - 1] >> (lbits * (rel - cpw * (W - 1)))
                 for w in range(W - 2, -1, -1):
                     sel = jnp.where(rel <= cpw * w + cpw - 1,
@@ -692,17 +912,18 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
 
             va = jnp.where(valid, t_c - tA, 0.0)
             vb = jnp.where(valid, tB - t_c, 0.0)
-            out = out + va[:, None] * jax.nn.one_hot(
+            out = out + va[..., None] * jax.nn.one_hot(
                 lab_at(ja), n_materials, dtype=dtype)
-            out = out + vb[:, None] * jax.nn.one_hot(
+            out = out + vb[..., None] * jax.nn.one_hot(
                 lab_at(jb), n_materials, dtype=dtype)
         return out
 
     n_groups = ny // group
-    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    acc0 = jnp.zeros((*shp, n_materials), dtype)
     if group_block == 0:
-        return jax.lax.fori_loop(
+        acc = jax.lax.fori_loop(
             0, n_groups, lambda g, a: a + group_contrib(g), acc0)
+        return acc.reshape(n_rays, n_materials)
     block = max(1, min(group_block, n_groups))
     while n_groups % block:
         block -= 1
@@ -714,7 +935,7 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
         return jax.lax.fori_loop(0, block, one, acc), None
 
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
-    return acc
+    return acc.reshape(n_rays, n_materials)
 
 
 def _trace_dominant16(packed16, labels_shape, src, dirs, dx, dy, *,

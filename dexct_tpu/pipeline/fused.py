@@ -71,7 +71,7 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
               mask_thresh=0.95, pixel_block=65536, projector="siddon",
               n_theta=1024, recon="fan", recon_n_theta=512,
               recon_nt=1024, noise="none", seed=0, par_sym=True,
-              trace_group=16):
+              trace_group=16, trace_bundle=8):
     """Lower the system model to (arrays, meta) for :func:`dect_step`.
 
     projector='fourier' selects the O(N^2 log N) Fourier-slice projector
@@ -126,26 +126,59 @@ def pack_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # exact dominant-axis fast path; the ray partition is a global
         # static plan, so this projector is single-device only (the view
         # shards of shard_map would invalidate the indices)
-        from ..ops.siddon_fast import (plan_dominant_split,
-                                       select_dominant_pack)
+        from ..ops.siddon_fast import (pack_labels_rowwin,
+                                       plan_dominant_split,
+                                       plan_dominant_split_bundled,
+                                       rowwin_lbits, select_dominant_pack)
 
-        idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
-            np.asarray(dirs).reshape(-1, 2))
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
         pack, _, grp = select_dominant_pack(
             ny_l, nx_l, phantom.n_materials, phantom.dx, phantom.dy,
             group=trace_group)
-        arrays.update({
-            "dom_idx_y": jnp.asarray(idx_y),
-            "dom_idx_x": jnp.asarray(idx_x),
-            "dom_inv": jnp.asarray(inv),
-            # packed label tables built ONCE here — packing inside the
-            # step costs ~2x17 ms of roll/transpose copies per run
-            "dom_pack_y": pack(lab2d),
-            "dom_pack_x": pack(lab2d.T),
-        })
-        fp_meta = (int(n_y), int(n_x), int(grp))
+        lb = rowwin_lbits(phantom.n_materials)
+        # bundled gathers need the 10-labels/word 3-bit packing to keep
+        # the 30-column shared window under the row-width cliff, and a
+        # row-group kernel; anything else runs the per-ray plan
+        if (trace_bundle and grp > 8 and lb == 3
+                and min(ny_l, nx_l) >= 30  # the 3-word shared window
+                and np.asarray(src).ndim == 3):
+            bplan = plan_dominant_split_bundled(
+                np.asarray(src), np.asarray(dirs), (ny_l, nx_l),
+                phantom.dx, phantom.dy, lbits=lb, group=int(grp),
+                bundle=int(trace_bundle))
+        else:
+            bplan = None
+        if bplan is not None and bplan["frac_bundled"] >= 0.5:
+            w = bplan["words"]
+            arrays.update({
+                "dom_bun_y": jnp.asarray(bplan["bun_y"]),
+                "dom_rest_y": jnp.asarray(bplan["rest_y"]),
+                "dom_bun_x": jnp.asarray(bplan["bun_x"]),
+                "dom_rest_x": jnp.asarray(bplan["rest_x"]),
+                "dom_inv": jnp.asarray(bplan["inv"]),
+                # ONE words-wide pack per side serves both the bundled
+                # and the leftover kernels (the per-ray window need,
+                # group+2 columns, is under the bundled window)
+                "dom_pack_y": pack_labels_rowwin(lab2d, int(grp),
+                                                 lbits=lb, words=w),
+                "dom_pack_x": pack_labels_rowwin(lab2d.T, int(grp),
+                                                 lbits=lb, words=w),
+            })
+            fp_meta = ("bundled", int(grp), int(bplan["bundle"]), int(w))
+        else:
+            idx_y, idx_x, inv, n_y, n_x = plan_dominant_split(
+                np.asarray(dirs).reshape(-1, 2))
+            arrays.update({
+                "dom_idx_y": jnp.asarray(idx_y),
+                "dom_idx_x": jnp.asarray(idx_x),
+                "dom_inv": jnp.asarray(inv),
+                # packed label tables built ONCE here — packing inside
+                # the step costs ~2x17 ms of roll/transpose copies/run
+                "dom_pack_y": pack(lab2d),
+                "dom_pack_x": pack(lab2d.T),
+            })
+            fp_meta = (int(n_y), int(n_x), int(grp))
     elif projector == "analytic":
         from ..system.analytic import AnalyticPhantom
 
@@ -375,28 +408,56 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
                 "per-shard ray plans of parallel.halo.pack_dect_sharded"
             )
         from ..ops.siddon_fast import (_trace_dominant, _trace_dominant8,
-                                       _trace_dominant_grp)
+                                       _trace_dominant_grp, rowwin_lbits)
 
-        n_y, n_x, grp = meta.fp_meta
         src2 = a["src"].reshape(-1, 2)
         dirs2 = a["dirs"].reshape(-1, 2)
         labels = a["labels"]
-        if grp > 8:
-            from ..ops.siddon_fast import rowwin_lbits
-
-            kern = functools.partial(_trace_dominant_grp, group=int(grp),
-                                     lbits=rowwin_lbits(meta.n_materials))
+        if meta.fp_meta[0] == "bundled":
+            # bundled fast path: B adjacent same-view channels share one
+            # row-window gather per group (plan_dominant_split_bundled);
+            # leftover rays run the same kernel per-ray over the SAME
+            # words-wide packs.  cat keeps the four padded outputs —
+            # the inverse permutation skips the pad rows.
+            _, grp, bund, w = meta.fp_meta
+            kern = functools.partial(
+                _trace_dominant_grp, group=int(grp),
+                lbits=rowwin_lbits(meta.n_materials), words=int(w),
+                n_materials=meta.n_materials)
+            cat = jnp.concatenate([
+                kern(a["dom_pack_y"], labels.shape,
+                     src2[a["dom_bun_y"]], dirs2[a["dom_bun_y"]],
+                     meta.dx, meta.dy, bundle=int(bund)),
+                kern(a["dom_pack_y"], labels.shape,
+                     src2[a["dom_rest_y"]], dirs2[a["dom_rest_y"]],
+                     meta.dx, meta.dy),
+                kern(a["dom_pack_x"], labels.shape[::-1],
+                     src2[a["dom_bun_x"]][:, ::-1],
+                     dirs2[a["dom_bun_x"]][:, ::-1],
+                     meta.dy, meta.dx, bundle=int(bund)),
+                kern(a["dom_pack_x"], labels.shape[::-1],
+                     src2[a["dom_rest_x"]][:, ::-1],
+                     dirs2[a["dom_rest_x"]][:, ::-1],
+                     meta.dy, meta.dx),
+            ], axis=0)
         else:
-            kern = _trace_dominant8 if grp == 8 else _trace_dominant
-        out_y = kern(
-            a["dom_pack_y"], labels.shape,
-            src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]], meta.dx, meta.dy,
-            n_materials=meta.n_materials)
-        out_x = kern(
-            a["dom_pack_x"], labels.shape[::-1],
-            src2[a["dom_idx_x"]][:, ::-1], dirs2[a["dom_idx_x"]][:, ::-1],
-            meta.dy, meta.dx, n_materials=meta.n_materials)
-        cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
+            n_y, n_x, grp = meta.fp_meta
+            if grp > 8:
+                kern = functools.partial(
+                    _trace_dominant_grp, group=int(grp),
+                    lbits=rowwin_lbits(meta.n_materials))
+            else:
+                kern = _trace_dominant8 if grp == 8 else _trace_dominant
+            out_y = kern(
+                a["dom_pack_y"], labels.shape,
+                src2[a["dom_idx_y"]], dirs2[a["dom_idx_y"]],
+                meta.dx, meta.dy, n_materials=meta.n_materials)
+            out_x = kern(
+                a["dom_pack_x"], labels.shape[::-1],
+                src2[a["dom_idx_x"]][:, ::-1],
+                dirs2[a["dom_idx_x"]][:, ::-1],
+                meta.dy, meta.dx, n_materials=meta.n_materials)
+            cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
         # compute the spectral contractions in ray-plan order and
         # inverse-permute the scalar results instead of the [R, M] paths:
         # an M-wide row gather pads M to the 128-lane tile (CLAUDE.md),

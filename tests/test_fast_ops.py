@@ -194,6 +194,112 @@ class TestDominantAxisSiddon:
         np.testing.assert_allclose(got[1], [8.0, 8.0], atol=1e-4)
 
 
+class TestBundledDominant:
+    """Bundled-gather dominant tracing: B adjacent same-view channels
+    share one row-window gather per 16-row group
+    (plan_dominant_split_bundled).  Exactness contract: bit-identical
+    to the per-ray kernel — same subband math, same addition order —
+    for every ray, bundled or leftover."""
+
+    def _fan(self, n_ch=160, n_proj=90):
+        ct = FanBeamGeometry(N_channels=n_ch, N_proj=n_proj,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        return ct.ray_geometry()
+
+    def test_matches_per_ray_bit_exact(self):
+        from dexct_tpu.ops.siddon_fast import (
+            plan_dominant_split_bundled, trace_paths_dominant,
+            trace_paths_dominant_bundled)
+
+        rng = np.random.default_rng(5)
+        labels = rng.integers(0, 6, (128, 128)).astype(np.int32)
+        src, dirs = self._fan()
+        dx = 50.0 / 128
+        plan = plan_dominant_split_bundled(
+            np.asarray(src), np.asarray(dirs), labels.shape, dx, dx)
+        assert plan["frac_bundled"] > 0.8  # fan views bundle densely
+        got = np.asarray(trace_paths_dominant_bundled(
+            jnp.asarray(labels), np.asarray(src), np.asarray(dirs),
+            dx, dx, n_materials=6, plan=plan))
+        ref = np.asarray(trace_paths_dominant(
+            jnp.asarray(labels), jnp.asarray(src), jnp.asarray(dirs),
+            dx, dx, n_materials=6, group=16))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_plan_is_a_permutation(self):
+        # every input ray lands on exactly one output position: the
+        # bundled/leftover split plus the inverse map cover the ray set
+        from dexct_tpu.ops.siddon_fast import plan_dominant_split_bundled
+
+        src, dirs = self._fan(96, 40)
+        plan = plan_dominant_split_bundled(
+            np.asarray(src), np.asarray(dirs), (128, 128), 0.4, 0.4)
+        r = np.asarray(src).reshape(-1, 2).shape[0]
+        n_placed = (plan["nb_y"] + plan["nb_x"]) * plan["bundle"] \
+            + plan["n_rest_y"] + plan["n_rest_x"]
+        assert n_placed == r
+        assert len(np.unique(plan["inv"])) == r
+
+    def test_infeasible_bundles_fall_to_rest(self):
+        # a coarse grid makes the bundle spread exceed the 30-column
+        # window: those bundles must route to the per-ray path and the
+        # result must still be exact
+        from dexct_tpu.ops.siddon_fast import (
+            plan_dominant_split_bundled, trace_paths_dominant,
+            trace_paths_dominant_bundled)
+
+        rng = np.random.default_rng(9)
+        labels = rng.integers(0, 6, (32, 32)).astype(np.int32)
+        src, dirs = self._fan(64, 24)
+        dx = 50.0 / 32  # coarse: wide channel spacing in cells
+        plan = plan_dominant_split_bundled(
+            np.asarray(src), np.asarray(dirs), labels.shape, dx, dx)
+        got = np.asarray(trace_paths_dominant_bundled(
+            jnp.asarray(labels), np.asarray(src), np.asarray(dirs),
+            dx, dx, n_materials=6, plan=plan))
+        ref = np.asarray(trace_paths_dominant(
+            jnp.asarray(labels), jnp.asarray(src), jnp.asarray(dirs),
+            dx, dx, n_materials=6, group=16))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_flat_rays_rejected(self):
+        from dexct_tpu.ops.siddon_fast import plan_dominant_split_bundled
+
+        with pytest.raises(ValueError, match="V, C, 2"):
+            plan_dominant_split_bundled(
+                np.zeros((8, 2)), np.zeros((8, 2)), (32, 32), 1.0, 1.0)
+
+    def test_fused_step_parity(self):
+        # the production wiring: pack_dect(trace_bundle=8) must produce
+        # bit-identical pipeline outputs to the per-ray plan
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.pipeline.fused import dect_step, pack_dect
+        from dexct_tpu.system import pelvis_phantom
+
+        ct = FanBeamGeometry(N_channels=96, N_proj=80,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        ph = pelvis_phantom(N=64, dx=0.8)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        outs = {}
+        for tb in (8, 0):
+            a, m = pack_dect(ct, ph, s1, s2, 64, 40.0, 0.8, n_iters=4,
+                             projector="siddon_dominant",
+                             recon="parallel", trace_bundle=tb)
+            if tb:
+                assert m.fp_meta[0] == "bundled"
+            outs[tb] = dect_step(a, meta=m)
+        import jax
+
+        for k, v in outs[8].items():
+            jax.tree.map(
+                lambda x, y: np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y)), v, outs[0][k])
+
+
 class TestPackedBackprojection:
     def test_matches_reference_bp(self):
         ct = FanBeamGeometry(N_channels=96, N_proj=80, gamma_fan=0.8,
