@@ -763,11 +763,11 @@ def cone_cg_recon(sino, geometry, vol_shape, voxel, *, n_iters=30,
 @functools.partial(
     jax.jit,
     static_argnames=("labels_shape", "n_materials", "group", "lbits",
-                     "group_block"),
+                     "group_block", "words", "bundle"),
 )
 def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
                          *, n_materials, group=16, lbits=3,
-                         group_block=4):
+                         group_block=4, words=None, bundle=1):
     """Exact cone paths for in-plane-y-dominant rays via packed marching.
 
     packed_z: [(Ny/group * Nx) * Nz, 2*group*W] — LAYER-INTERLEAVED
@@ -777,12 +777,22 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
     gather.  src/dirs: [R, 3] with |dir_y| >= |dir_x| and a z-slope
     small enough that one group spans <= 2 layers (callers must enforce
     ``group * dy * max|dz/dy| <= dzc``).
+
+    ``bundle > 1``: rays arrive bundle-TRANSPOSED (member b of bundle
+    nb at flat position ``b * (R/bundle) + nb``) and each bundle shares
+    ONE anchor+layer gather per group — the cone analog of the 2-D
+    bundled tracer (ops/siddon_fast.py).  Exactness requires every
+    bundle to satisfy BOTH window contracts per group: the shared
+    ``cpw*words`` column window covers all members' columns AND all
+    members' z-layers sit in the shared {L, L+1} bracket
+    (:func:`plan_cone_dominant_bundled` enforces both; the caller
+    passes its matching ``words``).
     """
     from .siddon_fast import _rowwin_cols_per_word, _rowwin_words
 
     nz, ny, nx = labels_shape
     cpw = _rowwin_cols_per_word(lbits)
-    W = _rowwin_words(group, lbits)
+    W = _rowwin_words(group, lbits) if words is None else int(words)
     lmask = (1 << lbits) - 1
     x0 = -0.5 * nx * dx
     y0 = -0.5 * ny * dy
@@ -791,9 +801,15 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
     p = src.astype(dtype)
     d = dirs.astype(dtype)
     n_rays = p.shape[0]
+    if bundle > 1 and n_rays % bundle:
+        raise ValueError(
+            f"ray count {n_rays} not a multiple of bundle {bundle}")
+    shp = (bundle, n_rays // bundle) if bundle > 1 else (n_rays,)
+    p = p.reshape(*shp, 3)
+    d = d.reshape(*shp, 3)
 
-    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-    dxr, dyr, dzr = d[:, 0], d[:, 1], d[:, 2]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    dxr, dyr, dzr = d[..., 0], d[..., 1], d[..., 2]
     okx = jnp.abs(dxr) > 1e-12
     okz = jnp.abs(dzr) > 1e-12
     sdx = jnp.where(okx, dxr, 1.0)
@@ -835,8 +851,8 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
 
     def group_contrib(ig):
         rows = [subband(group * ig + k) for k in range(group)]
-        jm = jnp.full((n_rays,), nx, jnp.int32)
-        lzm = jnp.full((n_rays,), nz, jnp.int32)
+        jm = jnp.full(shp, nx, jnp.int32)
+        lzm = jnp.full(shp, nz, jnp.int32)
         for tA, tB, ja, jb, valid in rows:
             jm = jnp.minimum(jm, jnp.where(valid, jnp.minimum(ja, jb), nx))
             za = jnp.clip(jnp.floor((pz + tA * dzr - z0) * inv_dz),
@@ -845,6 +861,9 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
                           0, nz - 1).astype(jnp.int32)
             lzm = jnp.minimum(lzm, jnp.where(valid,
                                              jnp.minimum(za, zb), nz))
+        if bundle > 1:
+            jm = jm.min(axis=0)   # one shared anchor + layer bracket
+            lzm = lzm.min(axis=0)
         anchor = jnp.clip(jm, 0, nx - cpw * W)
         L = jnp.clip(lzm, 0, max(nz - 2, 0))
         base = ig * nx + anchor
@@ -854,6 +873,9 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
         gw = group * W
         codes_a = codes[:, :gw]
         codes_b = codes[:, gw:]
+        if bundle > 1:
+            anchor = anchor[None, :]
+            L = L[None, :]
 
         out = 0.0
         for k, (tA, tB, ja, jb, valid) in enumerate(rows):
@@ -868,6 +890,9 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
 
             wa = [codes_a[:, W * k + w] for w in range(W)]
             wb = [codes_b[:, W * k + w] for w in range(W)]
+            if bundle > 1:
+                wa = [w_[None, :] for w_ in wa]
+                wb = [w_[None, :] for w_ in wb]
 
             def lab_from(ws, rel):
                 sel = ws[W - 1] >> (lbits * (rel - cpw * (W - 1)))
@@ -891,12 +916,12 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
 
             for ts, te in ((tA, t1), (t1, t2), (t2, tB)):
                 ln, lab = seg(ts, te)
-                out = out + ln[:, None] * jax.nn.one_hot(
+                out = out + ln[..., None] * jax.nn.one_hot(
                     lab, n_materials, dtype=dtype)
         return out
 
     n_groups = ny // group
-    acc0 = jnp.zeros((n_rays, n_materials), dtype)
+    acc0 = jnp.zeros((*shp, n_materials), dtype)
     block = max(1, min(group_block, n_groups))
     while n_groups % block:
         block -= 1
@@ -908,7 +933,7 @@ def _trace_cone_dominant(packed_z, labels_shape, src, dirs, dx, dy, dzc,
         return jax.lax.fori_loop(0, block, one, acc), None
 
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
-    return acc
+    return acc.reshape(n_rays, n_materials)
 
 
 def validate_cone_dominant(labels_shape, n_materials, dx, dy, dz,
@@ -986,7 +1011,7 @@ def validate_cone_hbm(n_matrix, nz_out, n_volumes=4, *, n_zslab=1,
     return total
 
 
-def build_cone_pack(labels3, group, lbits):
+def build_cone_pack(labels3, group, lbits, words=None):
     """Layer-interleaved row-window pack for the dominant cone kernel.
 
     [Nz, Ny, Nx] labels -> [(Ny/group * Nx) * Nz, 2*group*W] int32:
@@ -994,11 +1019,13 @@ def build_cone_pack(labels3, group, lbits):
     layer L+1's (clamped), so both bracketing layers of a row group
     arrive in ONE row gather.  Built with one vmapped
     :func:`~dexct_tpu.ops.siddon_fast.pack_labels_rowwin` (per-layer
-    calls would compile/launch Nz times).
+    calls would compile/launch Nz times).  ``words`` widens the per-row
+    window (the bundled tracer's shared-window contract).
     """
     from .siddon_fast import pack_labels_rowwin
 
-    pz = jax.vmap(lambda l: pack_labels_rowwin(l, group, lbits))(labels3)
+    pz = jax.vmap(
+        lambda l: pack_labels_rowwin(l, group, lbits, words=words))(labels3)
     pz_next = jnp.concatenate([pz[1:], pz[-1:]], axis=0)
     paired = jnp.concatenate([pz, pz_next], axis=-1)  # [nz, Gnx, 2gW]
     return paired.transpose(1, 0, 2).reshape(
@@ -1016,6 +1043,136 @@ def plan_cone_dominant(dirs3, pad_to=1024):
 
     return plan_dominant_split(np.asarray(dirs3).reshape(-1, 3)[:, :2],
                                pad_to=pad_to)
+
+
+def plan_cone_dominant_bundled(src, dirs, labels_shape, dx, dy, dzc, *,
+                               lbits=3, group=16, words=3, bundle=8,
+                               pad_rays=1024, pad_bundles=128):
+    """Host-side bundled ray partition for the dominant cone tracer.
+
+    The cone analog of
+    :func:`~dexct_tpu.ops.siddon_fast.plan_dominant_split_bundled`:
+    bundles are runs of ``bundle`` consecutive same-dominance channels
+    within one (view, detector-row), sharing ONE anchor+layer gather
+    per ``group`` image rows.  src/dirs: [V, R, C, 3] view-major ray
+    arrays.  A bundle is eligible only when, for EVERY row group, (a)
+    the shared ``cpw*words``-column window covers all members' columns
+    (same linear-extrapolation bound as 2-D) and (b) all members'
+    z-layers sit inside one shared {L, L+1} bracket — the layer range
+    is evaluated at the group-boundary marched coordinates (z is
+    linear and monotone along the ray, so boundaries bound the range;
+    clipping in the kernel only shrinks it).  Ineligible bundles and
+    run tails go to the per-ray ``rest`` arrays, so the plan is always
+    exact.
+
+    Returns the same dict contract as the 2-D planner (``bun_y``/
+    ``bun_x`` transposed member-major, ``rest_y``/``rest_x``, ``inv``
+    into the four concatenated padded outputs, counts and the
+    ``bundle``/``words``/``group``/``lbits`` to call the kernel with).
+    """
+    from .siddon_fast import _rowwin_cols_per_word
+
+    src = np.asarray(src)
+    dirs = np.asarray(dirs)
+    if src.ndim != 4 or src.shape[-1] != 3:
+        raise ValueError("cone bundled planning needs [V, R, C, 3] ray "
+                         "arrays (bundles are same-view same-row runs)")
+    V, R, C, _ = dirs.shape
+    s2 = src.reshape(-1, 3)
+    d2 = dirs.reshape(-1, 3)
+    y_dom = np.abs(d2[:, 1]) >= np.abs(d2[:, 0])
+    cpw = _rowwin_cols_per_word(lbits)
+    win = cpw * words
+    nz, ny, nx = labels_shape
+    z0 = -0.5 * nz * dzc
+
+    def side(mask, swap):
+        cols = [1, 0, 2] if swap else [0, 1, 2]
+        sd = s2[:, cols]
+        dd = d2[:, cols]
+        fny = nx if swap else ny      # marched row count
+        frow = dx if swap else dy     # marched row cell
+        fcol = dy if swap else dx     # column cell
+        half = 0.5 * fny * frow
+        idx = np.arange(V * R * C).reshape(V * R, C)
+        mask2d = mask.reshape(V * R, C)
+        bundles, rest = [], []
+        for vr in range(V * R):
+            cs = np.nonzero(mask2d[vr])[0]
+            if len(cs) == 0:
+                continue
+            brk = np.nonzero(np.diff(cs) > 1)[0] + 1
+            for run in np.split(cs, brk):
+                m = len(run) // bundle * bundle
+                for k in range(0, m, bundle):
+                    bundles.append(idx[vr, run[k:k + bundle]])
+                rest.extend(idx[vr, run[m:]].tolist())
+        bun = (np.array(bundles, np.int64) if bundles
+               else np.zeros((0, bundle), np.int64))
+        if len(bun):
+            bd = dd[bun]  # [NB, B, 3]
+            bs = sd[bun]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                slope = bd[..., 0] / bd[..., 1]      # d_col / d_row
+                zslope = bd[..., 2] / bd[..., 1]     # d_z / d_row
+            ends = np.array([-half, half])[:, None, None]
+            x_ext = bs[..., 0] + (ends - bs[..., 1]) * slope  # [2,NB,B]
+            spread = (x_ext.max(-1) - x_ext.min(-1)).max(0) / fcol
+            smax = np.abs(slope).max(-1)
+            col_ok = (np.isfinite(spread)
+                      & (np.floor(group * smax) + 3 + np.ceil(spread)
+                         <= win))
+            # z-layer bracket: layers at every group boundary, clipped
+            # exactly as the kernel clips
+            n_groups = fny // group
+            yb = (-half + np.arange(n_groups + 1) * group
+                  * frow)[:, None, None]               # [G+1, 1, 1]
+            z_b = bs[..., 2] + (yb - bs[..., 1]) * zslope  # [G+1,NB,B]
+            lay = np.clip(np.floor((z_b - z0) / dzc), 0,
+                          nz - 1)                      # [G+1, NB, B]
+            # per-group range per member = boundary pair min/max
+            lo = np.minimum(lay[:-1], lay[1:])         # [G, NB, B]
+            hi = np.maximum(lay[:-1], lay[1:])
+            z_ok = ((hi.max(-1) - lo.min(-1)) <= 1).all(0) \
+                & np.isfinite(z_b).all((0, 2))
+            ok = col_ok & z_ok
+            rest.extend(bun[~ok].reshape(-1).tolist())
+            bun = bun[ok]
+        nb = len(bun)
+        nbp = max(pad_bundles, -(-max(nb, 1) // pad_bundles) * pad_bundles)
+        bun_p = (np.concatenate([bun, np.repeat(bun[-1:], nbp - nb, 0)])
+                 if nb else np.zeros((nbp, bundle), np.int64))
+        order = bun_p.T.reshape(-1)
+        rest = np.asarray(rest, np.int64)
+        n_rest = len(rest)
+        rp = max(pad_rays, -(-max(n_rest, 1) // pad_rays) * pad_rays)
+        rest_p = (np.pad(rest, (0, rp - n_rest), mode="edge") if n_rest
+                  else np.zeros(rp, np.int64))
+        return bun_p, nbp, nb, order, rest_p, n_rest
+
+    by = side(y_dom, False)
+    bx = side(~y_dom, True)
+    inv = np.zeros(V * R * C, np.int64)
+    off = 0
+    for bun_p, nbp, nb, order, rest_p, n_rest in (by, bx):
+        if nb:
+            nb_i, b_i = np.meshgrid(np.arange(nb), np.arange(bundle),
+                                    indexing="ij")
+            inv[bun_p[:nb].reshape(-1)] = off + (b_i * nbp
+                                                 + nb_i).reshape(-1)
+        off += bundle * nbp
+        if n_rest:
+            inv[rest_p[:n_rest]] = off + np.arange(n_rest)
+        off += len(rest_p)
+    return {
+        "bun_y": by[3].astype(np.int32), "nb_y": by[2], "nbp_y": by[1],
+        "rest_y": by[4].astype(np.int32), "n_rest_y": by[5],
+        "bun_x": bx[3].astype(np.int32), "nb_x": bx[2], "nbp_x": bx[1],
+        "rest_x": bx[4].astype(np.int32), "n_rest_x": bx[5],
+        "inv": inv.astype(np.int32),
+        "frac_bundled": (by[2] + bx[2]) * bundle / max(V * R * C, 1),
+        "bundle": bundle, "words": words, "group": group, "lbits": lbits,
+    }
 
 
 def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
