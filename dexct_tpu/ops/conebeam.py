@@ -1094,21 +1094,21 @@ def plan_cone_dominant_bundled(src, dirs, labels_shape, dx, dy, dzc, *,
         frow = dx if swap else dy     # marched row cell
         fcol = dy if swap else dx     # column cell
         half = 0.5 * fny * frow
-        idx = np.arange(V * R * C).reshape(V * R, C)
-        mask2d = mask.reshape(V * R, C)
-        bundles, rest = [], []
-        for vr in range(V * R):
-            cs = np.nonzero(mask2d[vr])[0]
-            if len(cs) == 0:
-                continue
-            brk = np.nonzero(np.diff(cs) > 1)[0] + 1
-            for run in np.split(cs, brk):
-                m = len(run) // bundle * bundle
-                for k in range(0, m, bundle):
-                    bundles.append(idx[vr, run[k:k + bundle]])
-                rest.extend(idx[vr, run[m:]].tolist())
-        bun = (np.array(bundles, np.int64) if bundles
-               else np.zeros((0, bundle), np.int64))
+        # FIXED channel blocks (vectorized; a run-based chunking like
+        # the 2-D planner gains only the few dominance-straddling
+        # blocks per row but costs a 30 s Python loop over V*R rows):
+        # block k of a (view, row) bundles iff all its channels share
+        # this dominance
+        nb_per = C // bundle
+        cb = nb_per * bundle
+        idx_f = np.arange(V * R * C).reshape(V * R, C)
+        mask_f = mask.reshape(V * R, C)
+        idx = idx_f[:, :cb].reshape(V * R, nb_per, bundle)
+        mask3 = mask_f[:, :cb].reshape(V * R, nb_per, bundle)
+        blk_ok = mask3.all(-1)
+        bun = idx[blk_ok]                      # [NB, B]
+        rest = list(idx[~blk_ok][mask3[~blk_ok]])  # this side's strays
+        rest.extend(idx_f[:, cb:][mask_f[:, cb:]].tolist())  # C tail
         if len(bun):
             bd = dd[bun]  # [NB, B, 3]
             bs = sd[bun]

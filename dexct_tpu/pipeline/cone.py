@@ -75,12 +75,17 @@ class ConeDectMeta(NamedTuple):
     # back_project false configs stop after the material sinograms —
     # the FDK stage (the pipeline's dominant cost) is never traced
     do_recon: bool = True
+    # bundled-gather tracing (plan_cone_dominant_bundled): bundle size
+    # and shared-window word count; 0 = per-ray plan
+    bundle: int = 0
+    bundle_words: int = 0
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    n_iters=10, nz_out=None, dz_out=None, window="sinc",
                    noise="none", seed=0, group=16, mask_thresh=0.95,
-                   do_recon=True, _ray_plan=True, _n_zslab=1):
+                   do_recon=True, trace_bundle=8, _ray_plan=True,
+                   _n_zslab=1):
     """Lower a cone-beam DE scan to ``(arrays, meta)`` for
     :func:`make_jitted_cone_step`.
 
@@ -126,8 +131,6 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             n_zslab=int(_n_zslab), orbit4=fdk_orbit4)
 
     labj = jnp.asarray(labels3)
-    pack_y = build_cone_pack(labj, group, lb)
-    pack_x = build_cone_pack(labj.transpose(0, 2, 1), group, lb)
 
     dtype = jnp.float32
     i0_1 = sp_ops.effective_fluence(spec1, ct)
@@ -140,8 +143,6 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
 
     arrays = {
-        "pack_y": pack_y,
-        "pack_x": pack_x,
         "mu_t1": jnp.asarray(phantom.materials.mu_table(spec1.E), dtype),
         "mu_t2": jnp.asarray(phantom.materials.mu_table(spec2.E), dtype),
         "i0_1": jnp.asarray(i0_1, dtype),
@@ -154,7 +155,40 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "betas": jnp.asarray(ct.betas, dtype),
     }
     n_y = n_x = 0
-    if _ray_plan:  # the sharded pack builds per-shard plans instead
+    bund = bund_w = 0
+    bplan = None
+    if _ray_plan and trace_bundle and lb == 3 and min(ny, nx) >= 30:
+        from ..ops.conebeam import plan_cone_dominant_bundled
+
+        # the wider shared-window pack must stay under the 512 MiB
+        # table guard (validate_cone_dominant checked the default W)
+        if 4 * nz * ny * nx * 3 * 2 <= 512 << 20:
+            bplan = plan_cone_dominant_bundled(
+                np.asarray(src), np.asarray(dirs), (nz, ny, nx),
+                dxc, dyc, dzc, lbits=lb, group=int(group),
+                bundle=int(trace_bundle))
+            if bplan["frac_bundled"] < 0.25:
+                bplan = None  # W=3 rows without the count win lose
+    if bplan is not None:
+        bund, bund_w = int(bplan["bundle"]), int(bplan["words"])
+        arrays["pack_y"] = build_cone_pack(labj, group, lb, words=bund_w)
+        arrays["pack_x"] = build_cone_pack(labj.transpose(0, 2, 1),
+                                           group, lb, words=bund_w)
+        src2 = np.asarray(src, np.float32).reshape(-1, 3)
+        swap = [1, 0, 2]
+        for key, sw in (("y", None), ("x", swap)):
+            for kind in ("bun", "rest"):
+                sel = bplan[f"{kind}_{key}"]
+                ss, dd2 = src2[sel], d[sel].astype(np.float32)
+                if sw is not None:
+                    ss, dd2 = ss[:, sw], dd2[:, sw]
+                arrays[f"src_{kind}_{key}"] = jnp.asarray(ss)
+                arrays[f"dirs_{kind}_{key}"] = jnp.asarray(dd2)
+        arrays["inv"] = jnp.asarray(bplan["inv"])
+    elif _ray_plan:  # per-ray plan (the sharded pack builds per-shard)
+        arrays["pack_y"] = build_cone_pack(labj, group, lb)
+        arrays["pack_x"] = build_cone_pack(labj.transpose(0, 2, 1),
+                                           group, lb)
         idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
         src2 = np.asarray(src, np.float32).reshape(-1, 3)
         swap = [1, 0, 2]
@@ -165,6 +199,10 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "dirs_x": jnp.asarray(d[idx_x][:, swap].astype(np.float32)),
             "inv": jnp.asarray(inv),
         })
+    else:
+        arrays["pack_y"] = build_cone_pack(labj, group, lb)
+        arrays["pack_x"] = build_cone_pack(labj.transpose(0, 2, 1),
+                                           group, lb)
     if noise != "none":
         arrays["noise_key"] = jax.random.PRNGKey(seed)
     if noise == "compound":
@@ -198,6 +236,7 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # preserves it per shard (local views = 4 blocks at 90 degrees)
         fdk_orbit4=fdk_orbit4,
         do_recon=bool(do_recon),
+        bundle=bund, bundle_words=bund_w,
     )
     return arrays, meta
 
@@ -224,15 +263,35 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
     nz, ny, nx = meta.labels_shape
     V, R, C = meta.vrc
 
-    out_y = _trace_cone_dominant(
-        a["pack_y"], (nz, ny, nx), a["src_y"], a["dirs_y"],
-        meta.dx, meta.dy, meta.dz, n_materials=meta.n_materials,
-        group=meta.group, lbits=meta.lbits)
-    out_x = _trace_cone_dominant(
-        a["pack_x"], (nz, nx, ny), a["src_x"], a["dirs_x"],
-        meta.dy, meta.dx, meta.dz, n_materials=meta.n_materials,
-        group=meta.group, lbits=meta.lbits)
-    paths = jnp.concatenate([out_y[:meta.n_y], out_x[:meta.n_x]], axis=0)
+    if meta.bundle:
+        # bundled-gather trace: the four padded outputs concatenate in
+        # planner order; the inverse permutation skips the pad rows
+        kern = functools.partial(
+            _trace_cone_dominant, n_materials=meta.n_materials,
+            group=meta.group, lbits=meta.lbits, words=meta.bundle_words)
+        paths = jnp.concatenate([
+            kern(a["pack_y"], (nz, ny, nx), a["src_bun_y"],
+                 a["dirs_bun_y"], meta.dx, meta.dy, meta.dz,
+                 bundle=meta.bundle),
+            kern(a["pack_y"], (nz, ny, nx), a["src_rest_y"],
+                 a["dirs_rest_y"], meta.dx, meta.dy, meta.dz),
+            kern(a["pack_x"], (nz, nx, ny), a["src_bun_x"],
+                 a["dirs_bun_x"], meta.dy, meta.dx, meta.dz,
+                 bundle=meta.bundle),
+            kern(a["pack_x"], (nz, nx, ny), a["src_rest_x"],
+                 a["dirs_rest_x"], meta.dy, meta.dx, meta.dz),
+        ], axis=0)
+    else:
+        out_y = _trace_cone_dominant(
+            a["pack_y"], (nz, ny, nx), a["src_y"], a["dirs_y"],
+            meta.dx, meta.dy, meta.dz, n_materials=meta.n_materials,
+            group=meta.group, lbits=meta.lbits)
+        out_x = _trace_cone_dominant(
+            a["pack_x"], (nz, nx, ny), a["src_x"], a["dirs_x"],
+            meta.dy, meta.dx, meta.dz, n_materials=meta.n_materials,
+            group=meta.group, lbits=meta.lbits)
+        paths = jnp.concatenate([out_y[:meta.n_y], out_x[:meta.n_x]],
+                                axis=0)
 
     cols = [sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
             sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])]

@@ -443,6 +443,108 @@ class TestConeDominant:
         np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+class TestConeBundled:
+    """Bundled-gather cone tracing: same-(view,row) channel bundles
+    share one anchor+layer gather per 16-row group.  Exactness
+    contract: bit-identical to the per-ray cone kernel for every ray —
+    the planner's double window contract (column cover AND shared
+    {L, L+1} z-layer bracket) guarantees it."""
+
+    def _system(self):
+        rng = np.random.default_rng(3)
+        nz, N = 16, 64
+        labels = rng.integers(0, 6, (nz, N, N)).astype(np.int32)
+        ct = ConeBeamGeometry(N_channels=64, N_proj=24, N_rows=8,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.25)
+        src, dirs = ct.ray_geometry_3d()
+        return labels, np.asarray(src), np.asarray(dirs), 25.6 / N, 0.4
+
+    def test_matches_per_ray_bit_exact(self):
+        from dexct_tpu.ops.conebeam import (_trace_cone_dominant,
+                                            build_cone_pack,
+                                            plan_cone_dominant_bundled,
+                                            trace_cone_dominant)
+
+        labels, src, dirs, dxy, dz = self._system()
+        nzl = labels.shape[0]
+        N = labels.shape[1]
+        plan = plan_cone_dominant_bundled(src, dirs, labels.shape,
+                                          dxy, dxy, dz)
+        assert plan["frac_bundled"] > 0.4  # z bracket rejects some
+        ref = np.asarray(trace_cone_dominant(
+            labels, src, dirs, dxy, dxy, dz, n_materials=6))
+        lab = jnp.asarray(labels)
+        g, w, lb, B = (plan["group"], plan["words"], plan["lbits"],
+                       plan["bundle"])
+        pk_y = build_cone_pack(lab, g, lb, words=w)
+        pk_x = build_cone_pack(lab.transpose(0, 2, 1), g, lb, words=w)
+        s2 = jnp.asarray(src.reshape(-1, 3))
+        d2 = jnp.asarray(dirs.reshape(-1, 3))
+        swap = jnp.asarray([1, 0, 2])
+        outs = []
+        for pk, sw, bun, rest in (
+                (pk_y, None, plan["bun_y"], plan["rest_y"]),
+                (pk_x, swap, plan["bun_x"], plan["rest_x"])):
+            for ind, bb in ((bun, B), (rest, 1)):
+                si, di = s2[jnp.asarray(ind)], d2[jnp.asarray(ind)]
+                if sw is not None:
+                    si, di = si[:, sw], di[:, sw]
+                outs.append(_trace_cone_dominant(
+                    pk, (nzl, N, N), si, di, dxy, dxy, dz,
+                    n_materials=6, group=g, lbits=lb, words=w,
+                    bundle=bb))
+        got = np.asarray(jnp.concatenate(outs, 0)[
+            jnp.asarray(plan["inv"])]).reshape(ref.shape)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_plan_is_a_permutation(self):
+        from dexct_tpu.ops.conebeam import plan_cone_dominant_bundled
+
+        _, src, dirs, dxy, dz = self._system()
+        plan = plan_cone_dominant_bundled(src, dirs, (16, 64, 64),
+                                          dxy, dxy, dz)
+        r = src.reshape(-1, 3).shape[0]
+        placed = ((plan["nb_y"] + plan["nb_x"]) * plan["bundle"]
+                  + plan["n_rest_y"] + plan["n_rest_x"])
+        assert placed == r
+        assert len(np.unique(plan["inv"])) == r
+
+    def test_fused_cone_step_parity(self):
+        # the production wiring: pack_cone_dect(trace_bundle=8) must be
+        # bit-identical to the per-ray plan end-to-end
+        import dataclasses
+
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.pipeline.cone import (make_jitted_cone_step,
+                                             pack_cone_dect)
+        from dexct_tpu.system import pelvis_phantom
+
+        ct = ConeBeamGeometry(N_channels=64, N_proj=48, N_rows=8,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.5, eid=True)
+        ph = pelvis_phantom(N=64, dx=0.4)
+        ph = dataclasses.replace(
+            ph, labels=np.broadcast_to(ph.labels[0], (16, 64, 64)).copy(),
+            dz=0.4)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        outs = {}
+        for tb in (8, 0):
+            a, m = pack_cone_dect(ct, ph, s1, s2, 64, 20.0, 0.8,
+                                  n_iters=4, trace_bundle=tb)
+            assert (m.bundle == 8) == bool(tb)
+            outs[tb] = make_jitted_cone_step(m)(a)
+        import jax
+
+        for k, v in outs[8].items():
+            jax.tree.map(
+                lambda x, y: np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y)), v, outs[0][k])
+
+
 def test_simulate_cone_dect_end_to_end(cone_system):
     # full 3-D DE pipeline: trace once, decompose, FDK all four volumes
     from dexct_tpu.ops.conebeam import simulate_cone_dect
