@@ -291,6 +291,53 @@ def _dominant_plans_sharded(dirs_permuted, n_shards):
             int(py), int(px), float((py + px) / rs))
 
 
+def _dominant_plans_sharded_bundled(src_permuted, dirs_permuted, n_shards,
+                                    labels_shape, dx, dy, *, lbits=3,
+                                    group=16, bundle=8):
+    """Per-shard BUNDLED dominant-axis plans (SPMD-uniform shapes).
+
+    Each shard plans its own [V_local, C] wedge with
+    :func:`~dexct_tpu.ops.siddon_fast.plan_dominant_split_bundled`
+    (shard-local ray ids fall out of the per-shard [V_local, C, 2]
+    layout), then every shard re-plans with the fleet-max pad bounds so
+    the stacked index arrays are SPMD-uniform.  Returns
+    ``(per_key_stacked_flat_arrays, words, frac_bundled, pad_factor)``.
+    """
+    from ..ops.siddon_fast import plan_dominant_split_bundled
+
+    src = np.asarray(src_permuted)
+    dirs = np.asarray(dirs_permuted)
+    V, C = dirs.shape[:2]
+    vl = V // n_shards
+    kw = dict(lbits=lbits, group=group, bundle=bundle)
+
+    def shard_plans(pad_b, pad_r):
+        return [plan_dominant_split_bundled(
+            src[i * vl:(i + 1) * vl], dirs[i * vl:(i + 1) * vl],
+            labels_shape, dx, dy, pad_bundles=pad_b, pad_rays=pad_r,
+            **kw) for i in range(n_shards)]
+
+    probe = shard_plans(8, 64)
+    nb_max = max(max(p["nb_y"], p["nb_x"]) for p in probe)
+    r_max = max(max(p["n_rest_y"], p["n_rest_x"]) for p in probe)
+    # production shards want the lane-aligned 128-bundle rounding; tiny
+    # virtual-mesh shards keep the pad overhead bounded instead
+    qb = 128 if nb_max >= 512 else 8
+    qr = 1024 if r_max >= 4096 else 64
+    nbp = max(qb, -(-max(nb_max, 1) // qb) * qb)
+    rp = max(qr, -(-max(r_max, 1) // qr) * qr)
+    plans = shard_plans(nbp, rp)
+    keys = ("bun_y", "rest_y", "bun_x", "rest_x", "inv")
+    stacked = {
+        f"dom_{k}": np.concatenate([p[k] for p in plans]).astype(np.int32)
+        for k in keys
+    }
+    rs = vl * C
+    slots = 2 * (bundle * nbp + rp)
+    frac = float(np.mean([p["frac_bundled"] for p in plans]))
+    return stacked, int(plans[0]["words"]), frac, float(slots / rs)
+
+
 def pack_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                       n_devices, projector="siddon", recon_n_theta=512,
                       recon_nt=1024, **pack_kw):
@@ -317,23 +364,51 @@ def pack_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     if projector == "siddon_dominant":
         import jax.numpy as jnp
 
-        from ..ops.siddon_fast import select_dominant_pack
+        from ..ops.siddon_fast import (pack_labels_rowwin, rowwin_lbits,
+                                       select_dominant_pack)
 
-        idx_y, idx_x, inv, py, px, pad_factor = _dominant_plans_sharded(
-            np.asarray(arrays["dirs"]), n_devices)
         lab2d = jnp.asarray(phantom.slice_labels().astype(np.int32))
         ny_l, nx_l = lab2d.shape
         pack, _, grp = select_dominant_pack(
             ny_l, nx_l, phantom.n_materials, phantom.dx, phantom.dy,
             group=pack_kw.get("trace_group", 16))
-        arrays.update({
-            "dom_idx_y": jnp.asarray(idx_y),
-            "dom_idx_x": jnp.asarray(idx_x),
-            "dom_inv": jnp.asarray(inv),
-            "dom_pack_y": pack(lab2d),
-            "dom_pack_x": pack(lab2d.T),
-        })
-        meta = meta._replace(projector="siddon_dominant",
-                             fp_meta=(py, px, int(grp)))
+        lb = rowwin_lbits(phantom.n_materials)
+        trace_bundle = pack_kw.get("trace_bundle", 8)
+        bundled = None
+        if (trace_bundle and grp > 8 and lb == 3
+                and min(ny_l, nx_l) >= 30):
+            bundled = _dominant_plans_sharded_bundled(
+                np.asarray(arrays["src"]), np.asarray(arrays["dirs"]),
+                n_devices, (ny_l, nx_l), phantom.dx, phantom.dy,
+                lbits=lb, group=int(grp), bundle=int(trace_bundle))
+            # stricter than the 1-chip 0.5 guard: the SPMD-uniform slot
+            # padding across shards only stays ~1.0 when nearly all
+            # rays bundle (production fan geometries: 0.99+)
+            if bundled[2] < 0.75:
+                bundled = None
+        if bundled is not None:
+            stacked, w, frac, pad_factor = bundled
+            arrays.update(
+                {k: jnp.asarray(v) for k, v in stacked.items()})
+            arrays["dom_pack_y"] = pack_labels_rowwin(
+                lab2d, int(grp), lbits=lb, words=w)
+            arrays["dom_pack_x"] = pack_labels_rowwin(
+                lab2d.T, int(grp), lbits=lb, words=w)
+            meta = meta._replace(
+                projector="siddon_dominant",
+                fp_meta=("bundled", int(grp), int(trace_bundle), int(w)))
+        else:
+            idx_y, idx_x, inv, py, px, pad_factor = \
+                _dominant_plans_sharded(np.asarray(arrays["dirs"]),
+                                        n_devices)
+            arrays.update({
+                "dom_idx_y": jnp.asarray(idx_y),
+                "dom_idx_x": jnp.asarray(idx_x),
+                "dom_inv": jnp.asarray(inv),
+                "dom_pack_y": pack(lab2d),
+                "dom_pack_x": pack(lab2d.T),
+            })
+            meta = meta._replace(projector="siddon_dominant",
+                                 fp_meta=(py, px, int(grp)))
         plan.dominant_pad_factor = pad_factor
     return arrays, meta, plan

@@ -23,8 +23,10 @@ __all__ = ["sharded_dect_step", "shard_arrays"]
 _VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w",
                  # parallel-recon θ-line tables shard with the θ wedge
                  "rb_idx", "rb_w", "par_thetas",
-                 # per-shard dominant-axis ray plans (parallel/halo.py)
-                 "dom_idx_y", "dom_idx_x", "dom_inv")
+                 # per-shard dominant-axis ray plans (parallel/halo.py),
+                 # per-ray and bundled variants
+                 "dom_idx_y", "dom_idx_x", "dom_inv",
+                 "dom_bun_y", "dom_rest_y", "dom_bun_x", "dom_rest_x")
 
 
 def _in_specs(arrays, axis="views"):

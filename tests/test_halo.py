@@ -121,6 +121,41 @@ class TestHaloShardedStep:
         np.testing.assert_allclose(nat, np.asarray(single["sino_log"][1]),
                                    atol=1e-4)
 
+    def test_siddon_dominant_bundled_under_halo(self):
+        """A geometry fine enough that >=75% of rays bundle exercises
+        the per-shard BUNDLED plans (fp_meta 'bundled'); the sharded
+        result must still match the single-device pipeline."""
+        from dexct_tpu.parallel.halo import pack_dect_sharded
+        from dexct_tpu.system import contrast_rods_phantom
+
+        ct = FanBeamGeometry(N_channels=160, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        ph = contrast_rods_phantom(N=128, dx=0.2)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        single_a, single_m = pack_dect(
+            ct, ph, s1, s2, 64, 20.0, 0.8, n_iters=10,
+            projector="siddon_dominant", recon="parallel",
+            recon_n_theta=N_THETA, recon_nt=NT)
+        single = make_jitted_step(single_m)(single_a)
+        a2, m2, plan = pack_dect_sharded(
+            ct, ph, s1, s2, 64, 20.0, 0.8, n_devices=2,
+            projector="siddon_dominant", recon_n_theta=N_THETA,
+            recon_nt=NT, n_iters=10)
+        assert m2.fp_meta[0] == "bundled"  # the fine grid must bundle
+        assert plan.dominant_pad_factor < 1.25
+        mesh = view_mesh(2)
+        out = sharded_dect_step(mesh, m2, a2.keys())(shard_arrays(a2, mesh))
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(single["recon_raw"][0]), atol=2e-5)
+        nat = plan.to_natural(np.asarray(out["sino_log"][0]))
+        np.testing.assert_allclose(nat, np.asarray(single["sino_log"][0]),
+                                   atol=1e-5)
+
     def test_fourier_projector_under_halo(self, system):
         ct, _, _, _ = system
         from dexct_tpu.system import contrast_rods_phantom
