@@ -40,6 +40,36 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     meta = None
     for z in zs:
         ph_z = dataclasses.replace(phantom, z_index=int(z))
+        if meta is not None and meta.projector in ("siddon",
+                                                   "siddon_dominant"):
+            # geometry/spectra/ray plans are slice-independent for the
+            # grid projectors — rebuild ONLY the label-derived arrays
+            # (the full pack_dect re-runs the host ray planner and
+            # spectral prep per slice: ~10 s/slice at headline scale)
+            a = dict(packs[0])
+            lab = jnp.asarray(ph_z.slice_labels().astype(np.int32))
+            a["labels"] = lab
+            if meta.projector == "siddon_dominant":
+                from ..ops.siddon_fast import (pack_labels_rowwin,
+                                               rowwin_lbits,
+                                               select_dominant_pack)
+
+                lb = rowwin_lbits(meta.n_materials)
+                if meta.fp_meta[0] == "bundled":
+                    _, grp, _b, w = meta.fp_meta
+                    a["dom_pack_y"] = pack_labels_rowwin(
+                        lab, int(grp), lbits=lb, words=int(w))
+                    a["dom_pack_x"] = pack_labels_rowwin(
+                        lab.T, int(grp), lbits=lb, words=int(w))
+                else:
+                    ny_l, nx_l = lab.shape
+                    pack, _, _g = select_dominant_pack(
+                        ny_l, nx_l, meta.n_materials, meta.dx, meta.dy,
+                        group=int(meta.fp_meta[2]))
+                    a["dom_pack_y"] = pack(lab)
+                    a["dom_pack_x"] = pack(lab.T)
+            packs.append(a)
+            continue
         a, m = pack_dect(ct, ph_z, spec1, spec2, n_matrix, fov, ramp,
                          **pack_kw)
         if meta is not None and m != meta:
