@@ -68,6 +68,20 @@ def main():
         a["labels"], a["src"], a["dirs"], meta.dx, meta.dy,
         n_materials=meta.n_materials, group=16))
 
+    # bundled-gather variant (the round-3 production default): 8
+    # adjacent same-view channels share one row-window gather per group
+    from dexct_tpu.ops.siddon_fast import (plan_dominant_split_bundled,
+                                           trace_paths_dominant_bundled)
+
+    bplan = plan_dominant_split_bundled(
+        np.asarray(arrays["src"]), np.asarray(arrays["dirs"]),
+        a["labels"].shape, meta.dx, meta.dy)
+    print(f"{'':24s} (bundled frac "
+          f"{bplan['frac_bundled']:.3f})")
+    timeit("trace (bundled grp16)", lambda: trace_paths_dominant_bundled(
+        a["labels"], np.asarray(arrays["src"]), np.asarray(arrays["dirs"]),
+        meta.dx, meta.dy, n_materials=meta.n_materials, plan=bplan))
+
     # the production fast-path stages (what bench.py actually runs)
     from dexct_tpu.ops.fourier import fourier_paths, plan_fourier_projector
 
