@@ -2,6 +2,7 @@
 
 from . import xcom
 from .detector import DetectorResponse, photon_counting_response, scintillator_response
+from .duallayer import dual_layer_spectra, layer_absorptions, simulate_dual_layer_dect
 from .materials import AIR, BONE, BUILTIN_MATERIALS, Material, MaterialTable, TISSUE, WATER
 from .spectrum import Spectrum, kramers_spectrum, linac_spectrum, xRaySpectrum
 
@@ -17,6 +18,9 @@ __all__ = [
     "DetectorResponse",
     "scintillator_response",
     "photon_counting_response",
+    "layer_absorptions",
+    "dual_layer_spectra",
+    "simulate_dual_layer_dect",
     "Material",
     "MaterialTable",
     "BUILTIN_MATERIALS",

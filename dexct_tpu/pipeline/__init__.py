@@ -9,9 +9,11 @@ from .api import (
     load_spectrum,
     simulate_dect,
 )
+from .kvswitch import simulate_kvswitch_dect
 from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 
 __all__ = [
+    "simulate_kvswitch_dect",
     "get_sino",
     "get_recon",
     "get_basismat_sinos",
