@@ -10,10 +10,13 @@ from .api import (
     simulate_dect,
 )
 from .kvswitch import simulate_kvswitch_dect
+from .tcm import auto_tcm_profile, simulate_tcm_dect
 from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 
 __all__ = [
     "simulate_kvswitch_dect",
+    "auto_tcm_profile",
+    "simulate_tcm_dect",
     "get_sino",
     "get_recon",
     "get_basismat_sinos",
