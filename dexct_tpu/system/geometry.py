@@ -94,6 +94,11 @@ class FanBeamGeometry(ScannerGeometry):
     gamma_fan: float = 0.8230337  # total fan angle [rad]
     ffs: str = "none"  # 'none' | 'inplane' ('z' on cone geometries)
     ffs_delta: float | None = None  # spot separation [cm]
+    # detector arc offset in CHANNELS (miscalibration model / deliberate
+    # quarter-channel offset): shifts every gamma by det_offset_ch*dgamma.
+    # The calibration estimator (ops/calibration.py) recovers it from a
+    # scan's conjugate-view consistency.
+    det_offset_ch: float = 0.0
 
     _FFS_MODES = ("none", "inplane")
 
@@ -125,7 +130,7 @@ class FanBeamGeometry(ScannerGeometry):
     @property
     def gammas(self):
         """Channel fan angles [rad], shape [N_channels]."""
-        return (np.arange(self.N_channels) + 0.5
+        return (np.arange(self.N_channels) + 0.5 + self.det_offset_ch
                 - self.N_channels / 2.0) * self.dgamma
 
     @property
