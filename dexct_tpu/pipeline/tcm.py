@@ -50,7 +50,11 @@ def auto_tcm_profile(ct, phantom, spec, *, strength=1.0, m_min=0.2,
                                       mu_t, i0)
     air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
     w_v = jnp.mean(air / jnp.maximum(counts, air * 1e-8), axis=-1)  # [V]
-    m = jnp.clip(w_v ** (0.5 * float(strength)), m_min, m_max)
+    m = w_v ** (0.5 * float(strength))
+    # normalize BEFORE clipping: the tube limits are relative to the
+    # mean output, and clipping raw sqrt-weights first can saturate
+    # every view to m_max and flatten the profile entirely
+    m = jnp.clip(m / jnp.mean(m), m_min, m_max)
     return m / jnp.mean(m)
 
 

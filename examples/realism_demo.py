@@ -1,0 +1,167 @@
+"""Scanner-realism walkthrough: the non-ideal-detector subsystems on one
+phantom, with the artifact and its correction side by side.
+
+    python examples/realism_demo.py --figdir ./output/realism
+
+Panels (rows):
+  1. detector gain rings          -> air calibration
+  2. scatter cupping (+ grid)     -> kernel correction
+  3. detector offset (COR)        -> conjugate-ray calibration
+  4. FOV truncation               -> water-cylinder completion
+Plus the TCM noise study (flat vs auto-mA at matched output) printed as
+numbers.  Runs on CPU in a couple of minutes at 64^2 demo scale.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from dexct_tpu.ops import spectral as sp_ops
+from dexct_tpu.ops.calibration import estimate_det_offset
+from dexct_tpu.ops.rings import (air_calibration_gains,
+                                 ring_correct_sinogram,
+                                 sample_channel_gains)
+from dexct_tpu.ops.scatter import (add_scatter, correct_scatter,
+                                   scatter_kernel)
+from dexct_tpu.ops.truncation import (pad_truncated_sinogram,
+                                      truncation_severity)
+from dexct_tpu.pipeline.api import get_recon, get_sino
+from dexct_tpu.pipeline.tcm import auto_tcm_profile, simulate_tcm_dect
+from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+from dexct_tpu.system import (FanBeamGeometry, contrast_rods_phantom,
+                              water_cylinder_phantom)
+
+N = 64
+
+
+def _geom(offset=0.0, gamma_fan=0.8230337, n_ch=96):
+    return FanBeamGeometry(N_channels=n_ch, N_proj=128,
+                           gamma_fan=gamma_fan, SID=60.0, SDD=100.0,
+                           eid=True, det_offset_ch=offset)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--figdir", default="./output/realism")
+    args = ap.parse_args()
+    os.makedirs(args.figdir, exist_ok=True)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ct = _geom()
+    ph = contrast_rods_phantom(N=N, dx=0.35)
+    s = kramers_spectrum(80.0)
+    s.rescale_counts(ct.A_iso * 10.0 / ct.N_proj)
+    raw, log = get_sino(ct, ph, s)
+    air = float(np.sum(sp_ops.effective_fluence(s, ct)))
+    rec_clean, _ = get_recon(log, ct, s, N, 20.0, 0.8)
+
+    rows = []
+
+    # 1. gains -> rings -> air calibration
+    gains = sample_channel_gains(1, ct.N_channels, sigma=0.01)
+    log_g = log - jnp.log(gains)[None, :]
+    g_hat = air_calibration_gains(
+        air * jnp.broadcast_to(gains, (ct.N_proj, ct.N_channels)), air)
+    rec_ring, _ = get_recon(log_g, ct, s, N, 20.0, 0.8)
+    rec_cal, _ = get_recon(log_g + jnp.log(g_hat)[None, :], ct, s,
+                           N, 20.0, 0.8)
+    rows.append(("gain rings", rec_ring, "air-calibrated", rec_cal))
+
+    # 2. scatter -> cupping -> kernel correction
+    k = jnp.asarray(scatter_kernel(ct.N_channels, sigma_ch=30.0))
+    meas = add_scatter(raw, air, k, spr=0.4)
+    log_sc = -jnp.log(jnp.maximum(meas / 0.95, 1e-30) / air)
+    rec_sc, _ = get_recon(log_sc, ct, s, N, 20.0, 0.8)
+    fixed = correct_scatter(meas, air, k, spr=0.4)
+    log_fx = -jnp.log(jnp.maximum(fixed, 1e-30) / air)
+    rec_sfix, _ = get_recon(log_fx, ct, s, N, 20.0, 0.8)
+    rows.append(("scatter", rec_sc, "kernel-corrected", rec_sfix))
+
+    # 3. detector offset -> COR artifact -> conjugate-ray calibration
+    ct_off = _geom(offset=1.0)
+    _, log_off = get_sino(ct_off, ph, s)
+    rec_cor, _ = get_recon(log_off, _geom(0.0), s, N, 20.0, 0.8)
+    est = estimate_det_offset(np.asarray(log_off), _geom())
+    rec_corfix, _ = get_recon(log_off, _geom(est), s, N, 20.0, 0.8)
+    rows.append((f"COR offset (est {est:+.2f} ch)", rec_cor,
+                 "calibrated", rec_corfix))
+
+    # 4. truncation -> rim -> completion
+    ph_wide = water_cylinder_phantom(N=N, dx=0.5)
+    yy, xx = np.mgrid[0:N, 0:N]
+    c = (N - 1) / 2
+    ell = (((xx - c) / (0.45 * N)) ** 2
+           + ((yy - c) / (0.28 * N)) ** 2) <= 1
+    ph_wide = dataclasses.replace(
+        ph_wide, labels=np.where(ell, 1, 0).astype(np.uint8)[None])
+    ct_n = _geom(gamma_fan=0.42, n_ch=64)
+    s_n = kramers_spectrum(80.0)
+    s_n.rescale_counts(ct_n.A_iso * 10.0 / ct_n.N_proj)
+    _, log_t = get_sino(ct_n, ph_wide, s_n)
+    rec_tr, _ = get_recon(log_t, ct_n, s_n, N, 20.0, 0.8)
+    padded, pct = pad_truncated_sinogram(log_t, ct_n)
+    rec_tfix, _ = get_recon(padded, pct, s_n, N, 20.0, 0.8)
+    rows.append((f"truncated ({truncation_severity(log_t):.0%} views)",
+                 rec_tr, "completed", rec_tfix))
+
+    fig, axes = plt.subplots(len(rows), 3,
+                             figsize=(10.2, 3.2 * len(rows)))
+    for i, (t1, im1, t2, im2) in enumerate(rows):
+        a1, a2 = np.asarray(im1), np.asarray(im2)
+        lo, hi = np.percentile(a2, [2, 99.5])
+        for j, (t, im) in enumerate(((t1, a1), (t2, a2))):
+            ax = axes[i, j]
+            ax.imshow(im, cmap="gray", vmin=lo, vmax=hi)
+            ax.set_title(t, fontsize=9)
+            ax.axis("off")
+        d = np.abs(a1 - a2)
+        ax = axes[i, 2]
+        ax.imshow(d, cmap="magma", vmin=0, vmax=max(d.max(), 1e-6))
+        ax.set_title(f"|artifact - corrected| (max {d.max():.3f})",
+                     fontsize=9)
+        ax.axis("off")
+    fig.tight_layout()
+    out = os.path.join(args.figdir, "realism_panels.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+    # TCM noise numbers (eccentric object, matched total output)
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 0.2 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 0.03 / ct.N_proj)
+    ph_e = ph_wide
+    m_tcm = auto_tcm_profile(ct, ph_e, s2, strength=1.0)
+    roi = (slice(28, 36), slice(24, 40))
+
+    def roi_noise(m, seed=0):
+        outs = [np.asarray(simulate_tcm_dect(
+            ct, ph_e, s1, s2, N, 20.0, 0.8, n_iters=6, m=m,
+            noise="poisson", key=jax.random.PRNGKey(seed + i)
+        ).recon_raw[1]) for i in range(4)]
+        return float(np.stack(outs).std(axis=0)[roi].mean())
+
+    n_flat = roi_noise(jnp.ones(ct.N_proj))
+    n_tcm = roi_noise(m_tcm)
+    print(f"TCM noise study (80 kV recon ROI, matched output): "
+          f"flat {n_flat:.3e}  auto-mA {n_tcm:.3e} "
+          f"({100 * (1 - n_tcm / n_flat):.1f}% lower)")
+
+
+if __name__ == "__main__":
+    main()
