@@ -35,6 +35,12 @@ def conjugate_inconsistency(sino_log, ct, delta_ch, margin=2):
     s = np.asarray(sino_log)
     v_n, c_n = s.shape
     dg = ct.dgamma
+    rot = float(getattr(ct, "rotation_total", 2.0 * np.pi))
+    if abs(rot - 2.0 * np.pi) > 1e-6:
+        raise ValueError(
+            "conjugate-ray calibration needs a full 2*pi scan (got "
+            f"rotation_total={rot:.4f}): every ray's conjugate must be "
+            "measured")
     dbeta = 2.0 * np.pi / v_n
     g = (np.arange(c_n) + 0.5 + delta_ch - c_n / 2.0) * dg
 

@@ -45,11 +45,12 @@ __all__ = ["scatter_kernel", "add_scatter", "correct_scatter",
 def scatter_kernel(n_channels, sigma_ch=40.0, dtype=np.float32):
     """Normalized broad channel-domain scatter kernel [C_k] (host).
 
-    A Gaussian of ``sigma_ch`` channels, truncated at 3 sigma and
+    A Gaussian of ``sigma_ch`` channels, truncated at 3 sigma (and at
+    the detector width — a wider kernel adds only zero-weight work) and
     renormalized; scatter tails are object- and geometry-dependent in
     reality — the width is a model parameter, not physics.
     """
-    hw = int(3.0 * sigma_ch)
+    hw = min(int(3.0 * sigma_ch), int(n_channels) - 1)
     x = np.arange(-hw, hw + 1, dtype=np.float64)
     g = np.exp(-0.5 * (x / float(sigma_ch)) ** 2)
     return (g / g.sum()).astype(dtype)

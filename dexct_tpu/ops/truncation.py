@@ -13,8 +13,10 @@ implies more unseen object).
 `pad_truncated_sinogram` returns BOTH the channel-extended log sinogram
 and the matching extended equiangular geometry (same dgamma, wider
 gamma_fan), so the standard FBP runs unchanged on the completed data.
-Elementwise per view + a static pad — jit-able, though completion is
-usually a host-side preprocessing step.
+Elementwise per view + a static pad — jit-able when an explicit
+``n_pad`` is passed (the ``n_pad=None`` default sizes the pad from the
+data on the host and cannot trace); completion is usually a host-side
+preprocessing step anyway.
 """
 
 from __future__ import annotations

@@ -81,6 +81,12 @@ def simulate_kvswitch_dect(ct, phantom, spec_a, spec_b, N_matrix, FOV,
     if ct.N_proj % 2:
         raise ValueError("kV-switching needs an even view count "
                          f"(got N_proj={ct.N_proj})")
+    rot = float(getattr(ct, "rotation_total", 2.0 * np.pi))
+    if abs(rot - 2.0 * np.pi) > 1e-6:
+        raise ValueError(
+            "kV-switching view interpolation ring-wraps a full 2*pi "
+            f"rotation (got rotation_total={rot:.4f}); short scans "
+            "would wrap non-adjacent views into each other")
     if phase not in (0, 1):
         raise ValueError(f"phase must be 0 or 1, got {phase}")
     paths = material_path_sinogram(phantom, ct)

@@ -51,11 +51,16 @@ def auto_tcm_profile(ct, phantom, spec, *, strength=1.0, m_min=0.2,
     air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
     w_v = jnp.mean(air / jnp.maximum(counts, air * 1e-8), axis=-1)  # [V]
     m = w_v ** (0.5 * float(strength))
-    # normalize BEFORE clipping: the tube limits are relative to the
-    # mean output, and clipping raw sqrt-weights first can saturate
-    # every view to m_max and flatten the profile entirely
-    m = jnp.clip(m / jnp.mean(m), m_min, m_max)
-    return m / jnp.mean(m)
+    # normalize/clip to a joint fixed point: the tube limits are
+    # relative to the mean output (clipping raw sqrt-weights saturates
+    # every view on strongly attenuating objects), and renormalizing
+    # AFTER a single clip can push capped views back over m_max — so
+    # iterate.  The final clip wins: the returned profile always obeys
+    # the limits; when they bind hard its mean can fall slightly
+    # below 1 (the tube genuinely cannot deliver the requested total).
+    for _ in range(16):
+        m = jnp.clip(m / jnp.mean(m), m_min, m_max)
+    return m
 
 
 def simulate_tcm_dect(ct, phantom, spec1, spec2, N_matrix, FOV, ramp, *,

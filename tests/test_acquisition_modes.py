@@ -140,6 +140,9 @@ class TestKvSwitch:
             simulate_kvswitch_dect(ct, ph, s, s, 64, 20.0, 0.8)
 
     def test_noise_keys_independent(self):
+        # the two spectra must draw INDEPENDENT noise: if the same key
+        # reached both get_sino calls, the (Gaussian-limit) residuals
+        # would be near-perfectly correlated ray for ray
         from dexct_tpu.pipeline.kvswitch import simulate_kvswitch_dect
 
         ct, ph = _system(n_proj=32)
@@ -147,9 +150,17 @@ class TestKvSwitch:
         s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
         s2 = kramers_spectrum(80.0)
         s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
-        out = simulate_kvswitch_dect(ct, ph, s1, s2, 64, 20.0, 0.8,
-                                     n_iters=5, noise="poisson",
-                                     key=jax.random.PRNGKey(3),
-                                     do_recon=False)
-        ra, _ = (np.asarray(x) for x in out.sino_raw)
-        assert np.all(ra[0::2] >= 0) and ra[0::2].std() > 0
+        noisy = simulate_kvswitch_dect(ct, ph, s1, s2, 64, 20.0, 0.8,
+                                       n_iters=5, noise="poisson",
+                                       key=jax.random.PRNGKey(3),
+                                       do_recon=False)
+        clean = simulate_kvswitch_dect(ct, ph, s1, s2, 64, 20.0, 0.8,
+                                       n_iters=5, do_recon=False)
+        ra, rb = (np.asarray(x) for x in noisy.sino_raw)
+        ca, cb = (np.asarray(x) for x in clean.sino_raw)
+        assert ra[0::2].std() > 0
+        # standardized residuals on each spectrum's acquired views
+        res_a = (ra[0::2] - ca[0::2]) / np.sqrt(np.maximum(ca[0::2], 1))
+        res_b = (rb[1::2] - cb[1::2]) / np.sqrt(np.maximum(cb[1::2], 1))
+        r = np.corrcoef(res_a.ravel(), res_b.ravel())[0, 1]
+        assert abs(r) < 0.1, r
