@@ -1,0 +1,369 @@
+"""Rigid patient motion: artifact simulation, motion-compensated
+reconstruction, and sinogram-domain motion estimation.
+
+The reference's acquisition model (main.py:106-124) assumes a static
+object for the whole rotation.  Real patients move — respiratory drift,
+cardiac motion, involuntary jerks — and a rigid in-plane pose change
+during the scan produces the classic double-edge / streak motion
+artifact.  This module adds the three scanner-side pieces as framework
+ops, all beyond the reference's scope:
+
+* **Simulation** — exact: a rigid object pose at view v (rotation
+  ``phi_v`` about isocenter + translation ``d_v``) is equivalent to
+  tracing the view's rays through the STATIC phantom after mapping them
+  into the object frame, ``x_obj = R(-phi_v) (x_world - d_v)``.  No
+  phantom resampling, no interpolation — the static exact Siddon
+  tracers (ops/siddon.py, ops/siddon_fast.py) run on the transformed
+  rays unchanged.
+* **Motion-compensated FBP** — the standard rigid MC backprojection:
+  each view backprojects along its own motion-transformed rays, i.e.
+  pixel x accumulates view v at the world position it occupied then,
+  ``x_v = R(phi_v) x + d_v``.  Same fused per-view-block scan as
+  :func:`~dexct_tpu.ops.fbp.fan_backproject` — two extra rotate/shift
+  FMAs per pixel per view, nothing else changes.
+
+  Measured limits (64-px contrast phantom, 128 views, SID 60; the
+  static-recon rms floor from resampled view angles is ~0.0023):
+  translation and zero-net rotation compensate to that floor (7-8x
+  artifact-rms reduction); a NET rotation drift leaves an uncovered
+  object-frame wedge (2.4 % of the scan for 0.15 rad) and lands at
+  ~1.6x.  Redundancy reweighting does NOT improve it: per-view
+  spacing factors, 2/multiplicity wedge weights, and Parker-style
+  pairwise-conserving weights (pre- and post-filter, several
+  feathers) were all measured WORSE in rms than the plain uniform
+  sum — the unweighted full-scan sum's wedge under-count globally
+  cancels against its spacing over-count, while any reweighting
+  trades the small shading for conjugate-interpolation streaks.
+* **Estimation** — a data-domain translation estimator: the
+  line-integral-weighted centroid of the fan angle tracks the object
+  center of mass, whose apparent fan angle at view v is
+  ``atan2(w·t̂_v, SID - w·û_v)`` with ``w = c0 + d_v``.  Expanding
+  ``d_v`` on a smooth temporal basis and solving the small nonlinear
+  least-squares problem (Gauss-Newton, host-side float64) recovers the
+  translation track without any image-domain iteration.  The centroid
+  is exact for a point mass; for extended objects the fan-beam 1/L ray
+  density and the object's angular structure bias it (measured: rms
+  track error ~0.3x the motion's rms amplitude on a 20 cm contrast
+  phantom at SID=60 — an image-consistency bias-subtract iteration was
+  tried and does NOT reduce it).  That accuracy is still enough for
+  MC-FBP with the estimated track to cut the artifact rms by >=40 %
+  (tests/test_motion.py::TestEstimator) — for tighter tracks use
+  registration/autofocus refinement on the MC reconstruction.
+
+TPU mapping: simulation and MC-FBP are pure elementwise transforms
+feeding the existing gather kernels; the estimator is a [V x (2+2K)]
+host solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MotionProfile", "rays_in_object_frame",
+           "material_path_sinogram_motion", "fan_backproject_motion",
+           "fbp_recon_motion", "estimate_translation",
+           "cosine_motion_basis"]
+
+
+# --------------------------------------------------------------------------
+# motion profiles
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MotionProfile:
+    """Rigid in-plane object pose per view.
+
+    ``phi``: [V] rotation about isocenter [rad]; ``disp``: [V, 2]
+    translation (dx, dy) [cm].  Pose maps object-frame points to world:
+    ``x_world(v) = R(phi_v) x_obj + disp_v``.
+    """
+
+    phi: np.ndarray
+    disp: np.ndarray
+
+    def __post_init__(self):
+        self.phi = np.asarray(self.phi, dtype=np.float64)
+        self.disp = np.asarray(self.disp, dtype=np.float64)
+        if self.phi.ndim != 1 or self.disp.shape != (len(self.phi), 2):
+            raise ValueError("phi must be [V], disp [V, 2]")
+
+    @property
+    def n_views(self):
+        return len(self.phi)
+
+    @classmethod
+    def static(cls, n_views):
+        return cls(np.zeros(n_views), np.zeros((n_views, 2)))
+
+    @classmethod
+    def breathing(cls, n_views, amplitude_cm=0.5, cycles=1.5,
+                  direction=(0.0, 1.0), phase=0.0):
+        """Smooth quasi-periodic drift: raised-cosine displacement along
+        ``direction`` with ``cycles`` periods over the scan (respiratory
+        drift is ~0.2-0.3 Hz vs a 0.25-1 s rotation)."""
+        s = np.arange(n_views) / max(n_views - 1, 1)
+        a = 0.5 * amplitude_cm * (1.0 - np.cos(2 * np.pi * cycles * s
+                                                + phase))
+        d = np.asarray(direction, dtype=np.float64)
+        d = d / np.linalg.norm(d)
+        return cls(np.zeros(n_views), a[:, None] * d[None, :])
+
+    @classmethod
+    def jerk(cls, n_views, at_frac=0.5, disp_cm=(0.3, 0.0), width_frac=0.02):
+        """Step displacement at ``at_frac`` of the scan, smoothed over
+        ``width_frac`` of the views (an involuntary patient shift)."""
+        s = np.arange(n_views) / max(n_views - 1, 1)
+        w = max(width_frac, 1e-6)
+        ramp = np.clip((s - at_frac) / w + 0.5, 0.0, 1.0)
+        return cls(np.zeros(n_views),
+                   ramp[:, None] * np.asarray(disp_cm, np.float64)[None, :])
+
+    @classmethod
+    def rotation_drift(cls, n_views, total_rad=0.02):
+        """Linear rotation drift over the scan (gantry-synchronized
+        rolling motion)."""
+        s = np.arange(n_views) / max(n_views - 1, 1)
+        return cls(total_rad * s, np.zeros((n_views, 2)))
+
+
+# --------------------------------------------------------------------------
+# simulation: rays into the object frame
+# --------------------------------------------------------------------------
+
+def rays_in_object_frame(src, dirs, phi, disp):
+    """Map world-frame rays into the moving object's frame.
+
+    src, dirs: [V, C, 2]; phi: [V]; disp: [V, 2].  Returns (src', dirs')
+    with ``x_obj = R(-phi_v) (x_world - d_v)`` applied per view — the
+    object is static in its own frame, so the static tracer sees the
+    motion-blurred acquisition exactly.
+    """
+    src = jnp.asarray(src)
+    dirs = jnp.asarray(dirs)
+    c = jnp.cos(jnp.asarray(phi, src.dtype))[:, None]
+    s = jnp.sin(jnp.asarray(phi, src.dtype))[:, None]
+    d = jnp.asarray(disp, src.dtype)[:, None, :]
+
+    def rot_neg(p):  # R(-phi) p, per view
+        x, y = p[..., 0], p[..., 1]
+        return jnp.stack([c * x + s * y, -s * x + c * y], axis=-1)
+
+    return rot_neg(src - d), rot_neg(dirs)
+
+
+def material_path_sinogram_motion(phantom, geometry, motion, *,
+                                  dtype=jnp.float32, method="auto"):
+    """Material-path sinogram [V, C, M] of a rigidly moving phantom.
+
+    Exact Siddon on per-view object-frame rays; ``method`` as in
+    :func:`~dexct_tpu.ops.siddon.material_path_sinogram` ('dominant'
+    packed fast path when the grid allows, else the DDA walk).
+    """
+    if motion.n_views != geometry.N_proj:
+        raise ValueError(
+            f"motion has {motion.n_views} views, geometry {geometry.N_proj}")
+    src, dirs = geometry.ray_geometry()
+    # host-side transform (float64): the planners consume numpy rays
+    cph = np.cos(motion.phi)[:, None]
+    sph = np.sin(motion.phi)[:, None]
+    sd = src - motion.disp[:, None, :]
+    src_o = np.stack([cph * sd[..., 0] + sph * sd[..., 1],
+                      -sph * sd[..., 0] + cph * sd[..., 1]], axis=-1)
+    dirs_o = np.stack([cph * dirs[..., 0] + sph * dirs[..., 1],
+                       -sph * dirs[..., 0] + cph * dirs[..., 1]], axis=-1)
+    labels = jnp.asarray(phantom.slice_labels())
+    if method == "auto":
+        ok = (phantom.Ny % 2 == 0 and phantom.Nx % 2 == 0
+              and phantom.n_materials < 32 and phantom.dx == phantom.dy)
+        method = "dominant" if ok else "dda"
+    if method == "dominant":
+        from .siddon_fast import trace_paths_dominant
+
+        return trace_paths_dominant(
+            labels, jnp.asarray(src_o, dtype), jnp.asarray(dirs_o, dtype),
+            float(phantom.dx), float(phantom.dy),
+            n_materials=phantom.n_materials)
+    from .siddon import trace_paths
+
+    return trace_paths(labels, jnp.asarray(src_o, dtype),
+                       jnp.asarray(dirs_o, dtype), float(phantom.dx),
+                       float(phantom.dy), n_materials=phantom.n_materials)
+
+
+# --------------------------------------------------------------------------
+# motion-compensated reconstruction
+# --------------------------------------------------------------------------
+
+def fan_backproject_motion(q, betas, sid, dgamma, n_matrix, fov, phi, disp,
+                           *, view_block=64, dbeta=None):
+    """Motion-compensated distance-weighted equiangular backprojection.
+
+    Identical to :func:`~dexct_tpu.ops.fbp.fan_backproject` except each
+    view evaluates the pixel at its world position under the view's
+    pose, ``x_v = R(phi_v) x + d_v`` — the rigid MC-FBP of clinical
+    motion correction.  ``phi=disp=0`` reproduces the static
+    backprojector bit-for-bit (same op sequence).
+    """
+    dtype = q.dtype
+    n_proj, n_ch = q.shape
+    px_size = fov / n_matrix
+    half = n_matrix / 2.0
+    coord = (jnp.arange(n_matrix, dtype=dtype) + 0.5 - half) * px_size
+    X = jnp.broadcast_to(coord[None, :], (n_matrix, n_matrix))
+    Y = jnp.broadcast_to(coord[:, None], (n_matrix, n_matrix))
+
+    n_blocks = -(-n_proj // view_block)
+    pad = n_blocks * view_block - n_proj
+    qp = jnp.pad(q, ((0, pad), (0, 0)))
+    bp = jnp.pad(betas.astype(dtype), (0, pad))
+    php = jnp.pad(jnp.asarray(phi, dtype), (0, pad))
+    dp = jnp.pad(jnp.asarray(disp, dtype), ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((n_proj,), dtype), (0, pad))
+    qb = qp.reshape(n_blocks, view_block, n_ch)
+    bb = bp.reshape(n_blocks, view_block)
+    phb = php.reshape(n_blocks, view_block)
+    db = dp.reshape(n_blocks, view_block, 2)
+    vb = valid.reshape(n_blocks, view_block)
+
+    def view_contrib(qv, beta, ph, d, v):
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        Xv = cp * X - sp * Y + d[0]
+        Yv = sp * X + cp * Y + d[1]
+        cb, sb = jnp.cos(beta), jnp.sin(beta)
+        vr = Xv * cb + Yv * sb - sid
+        vt = -Xv * sb + Yv * cb
+        gamma = jnp.arctan2(-vt, -vr)
+        L2 = vr * vr + vt * vt
+        c = gamma / dgamma - 0.5 + n_ch / 2.0
+        c0 = jnp.clip(jnp.floor(c), 0, n_ch - 2).astype(jnp.int32)
+        fc = jnp.clip(c - c0, 0.0, 1.0)
+        inside = (c >= 0.0) & (c <= n_ch - 1.0)
+        qi = qv[c0] * (1.0 - fc) + qv[c0 + 1] * fc
+        return jnp.where(inside, qi / L2, 0.0) * v
+
+    def block(acc, args):
+        qv, bv, phv, dv, vv = args
+        contrib = jax.vmap(view_contrib)(qv, bv, phv, dv, vv)
+        return acc + contrib.sum(0), None
+
+    init = jnp.zeros((n_matrix, n_matrix), dtype)
+    img, _ = jax.lax.scan(block, init, (qb, bb, phb, db, vb))
+    if dbeta is None:
+        dbeta = 2.0 * jnp.pi / n_proj if n_proj else 0.0
+    return img * dbeta
+
+
+def fbp_recon_motion(sino_log, geometry, n_matrix, fov, motion, ramp=0.8,
+                     window="sinc", mu_water_eff=None, dtype=jnp.float32):
+    """Motion-compensated fan-beam FBP: (recon_raw, recon_HU or None).
+
+    Filter + Parker weighting exactly as the static
+    :func:`~dexct_tpu.ops.fbp.fbp_recon`; backprojection along the
+    motion-transformed rays.  With the TRUE motion profile this removes
+    the rigid-motion artifact up to fan-angle redundancy weighting
+    (exact for full-scan data of in-FOV motion).
+    """
+    from .fbp import filter_sinogram, hu_image, parker_weights
+
+    sino_log = jnp.asarray(sino_log, dtype)
+    if geometry.rotation_total < 2.0 * np.pi - 1e-6:
+        sino_log = sino_log * jnp.asarray(parker_weights(geometry), dtype)
+    q = filter_sinogram(sino_log, geometry, ramp, window, dtype)
+    img = fan_backproject_motion(
+        q, jnp.asarray(geometry.betas, dtype), float(geometry.SID),
+        float(geometry.dgamma), int(n_matrix), float(fov),
+        jnp.asarray(motion.phi, dtype), jnp.asarray(motion.disp, dtype),
+        dbeta=float(geometry.rotation_total) / geometry.N_proj)
+    if mu_water_eff is None:
+        return img, None
+    return img, hu_image(img, mu_water_eff)
+
+
+# --------------------------------------------------------------------------
+# estimation
+# --------------------------------------------------------------------------
+
+def cosine_motion_basis(n_views, n_modes=6):
+    """Smooth temporal basis B [V, K]: DC-free raised cosines
+    cos(pi k s), k=1..K, s in [0,1] — zero at s=0 so the fitted track
+    is anchored to the scan start (the DC component is degenerate with
+    the unknown static center of mass)."""
+    s = np.arange(n_views) / max(n_views - 1, 1)
+    k = np.arange(1, n_modes + 1)
+    return 1.0 - np.cos(np.pi * k[None, :] * s[:, None])
+
+
+def estimate_translation(sino_log, geometry, *, n_modes=6, n_iters=25,
+                         basis=None, reg=0.01):
+    """Estimate a rigid translation track from the sinogram alone.
+
+    Fits ``d_v = B_v @ coeffs`` (B a smooth ``cosine_motion_basis``) and
+    the static center of mass ``c0`` to the measured fan-angle centroid
+    track by Gauss-Newton on the exact point-projection model
+    ``g_v = atan2(-w_v·t̂_v, SID - w_v·û_v)``, ``w_v = c0 + d_v``
+    (the channel convention of ops/fbp.py's backprojector).
+    Host-side float64 (CLAUDE.md convention); the [V x (2+2K)] normal
+    equations are microscopic next to any recon.
+
+    Returns a :class:`MotionProfile` (phi=0) and the fitted ``c0``.
+    One fan-angle measurement per view cannot separate the radial
+    displacement component at that view — identifiability comes from
+    the basis smoothness across a rotating t̂.  The instantaneous-radial
+    directions are soft eigendirections of the normal matrix, and the
+    extended-object centroid bias would be amplified along them, so the
+    coefficient block carries a relative Tikhonov ridge ``reg``
+    (fraction of the block's mean diagonal) that pins unobservable
+    directions at zero while leaving observable ones untouched
+    (tests/test_motion.py pins the recovered-amplitude bound).
+    """
+    p = np.asarray(sino_log, dtype=np.float64)
+    V, C = p.shape
+    gam = (np.arange(C) + 0.5 - C / 2.0) * geometry.dgamma
+    mass = np.maximum(p.sum(axis=1), 1e-12)
+    g_meas = (p * gam[None, :]).sum(axis=1) / mass  # [V]
+
+    betas = np.asarray(geometry.betas, dtype=np.float64)
+    u = np.stack([np.cos(betas), np.sin(betas)], -1)   # [V,2] radial
+    t = np.stack([-np.sin(betas), np.cos(betas)], -1)  # [V,2] tangential
+    B = (np.asarray(basis, np.float64) if basis is not None
+         else cosine_motion_basis(V, n_modes))
+    K = B.shape[1]
+    sid = float(geometry.SID)
+
+    theta = np.zeros(2 + 2 * K)  # [c0x, c0y, ax(1..K), ay(1..K)]
+
+    def track(th):
+        c0 = th[:2]
+        d = np.stack([B @ th[2:2 + K], B @ th[2 + K:]], axis=-1)
+        w = c0[None, :] + d  # [V,2]
+        wt = (w * t).sum(1)
+        wu = (w * u).sum(1)
+        return np.arctan2(-wt, sid - wu), w, wt, wu
+
+    for _ in range(n_iters):
+        g, w, wt, wu = track(theta)
+        r = g - g_meas
+        # d g / d w = -((sid - wu) t + wt u) / L2
+        L2 = wt * wt + (sid - wu) ** 2
+        dg_dw = -((sid - wu)[:, None] * t + wt[:, None] * u) / L2[:, None]
+        # d w / d theta: c0 -> I; ax_k -> B[:,k] e_x; ay_k -> B[:,k] e_y
+        J = np.empty((V, 2 + 2 * K))
+        J[:, 0:2] = dg_dw
+        J[:, 2:2 + K] = B * dg_dw[:, :1]
+        J[:, 2 + K:] = B * dg_dw[:, 1:2]
+        JtJ = J.T @ J
+        damp = np.zeros(2 + 2 * K)
+        damp[2:] = reg * np.mean(np.diag(JtJ)[2:])
+        JtJ += np.diag(damp) + 1e-14 * np.eye(2 + 2 * K)
+        step = np.linalg.solve(JtJ, J.T @ r + damp * theta)
+        theta = theta - step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+
+    c0 = theta[:2]
+    d = np.stack([B @ theta[2:2 + K], B @ theta[2 + K:]], axis=-1)
+    return MotionProfile(np.zeros(V), d), c0

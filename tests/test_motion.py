@@ -1,0 +1,173 @@
+"""Rigid patient motion (ops/motion.py): exact simulation equivalences,
+motion-compensated FBP, and the sinogram-domain translation estimator.
+
+Contracts pinned here:
+* zero motion is EXACTLY the static path (same tracer, same BP ops);
+* a constant rotation about isocenter over a uniform full scan is a
+  pure view roll of the static sinogram (the simulation's exactness
+  witness — no interpolation anywhere);
+* MC-FBP with the true profile removes the artifact (>=4x rms vs
+  uncorrected against the static recon);
+* the centroid-track Gauss-Newton estimator recovers a smooth
+  translation to a fraction of its amplitude, and reconstructing with
+  the ESTIMATED profile beats no correction.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.ops import fbp as fbp_ops
+from dexct_tpu.ops.motion import (MotionProfile, estimate_translation,
+                                  fan_backproject_motion, fbp_recon_motion,
+                                  material_path_sinogram_motion)
+from dexct_tpu.ops.siddon import material_path_sinogram, mono_sinogram
+from dexct_tpu.system import FanBeamGeometry, contrast_rods_phantom, \
+    water_cylinder_phantom
+
+MU = {"water_cyl": np.array([0.0, 0.20]),
+      "contrast_rods": np.array([0.0, 0.20, 0.21, 0.45, 0.18, 0.22])}
+
+
+def _system(N=64, n_ch=96, n_proj=128, phantom=water_cylinder_phantom):
+    ct = FanBeamGeometry(N_channels=n_ch, N_proj=n_proj,
+                         gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+    ph = phantom(N=N, dx=0.35 * 64 / N)
+    return ct, ph
+
+
+def _mono_sino(ph, ct, motion=None, method="dda"):
+    if motion is None:
+        paths = material_path_sinogram(ph, ct, method=method)
+    else:
+        paths = material_path_sinogram_motion(ph, ct, motion, method=method)
+    return mono_sinogram(paths, MU[ph.name][:ph.n_materials])
+
+
+class TestSimulation:
+    def test_static_profile_matches_static_paths(self):
+        ct, ph = _system()
+        p0 = material_path_sinogram(ph, ct, method="dda")
+        pm = material_path_sinogram_motion(
+            ph, ct, MotionProfile.static(ct.N_proj), method="dda")
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(p0),
+                                   atol=1e-6)
+
+    def test_constant_rotation_is_view_roll(self):
+        """Object rotated by k view-spacings == sinogram rolled by k
+        views (uniform 2-pi scan) — exactness witness for the ray
+        transform."""
+        ct, ph = _system(phantom=contrast_rods_phantom)
+        k = 5
+        dbeta = 2.0 * np.pi / ct.N_proj
+        motion = MotionProfile(np.full(ct.N_proj, k * dbeta),
+                               np.zeros((ct.N_proj, 2)))
+        p0 = np.asarray(material_path_sinogram(ph, ct, method="dda"))
+        pm = np.asarray(material_path_sinogram_motion(ph, ct, motion,
+                                                      method="dda"))
+        np.testing.assert_allclose(pm, np.roll(p0, k, axis=0),
+                                   atol=1e-5)
+
+    def test_dominant_matches_dda_under_motion(self):
+        ct, ph = _system()
+        motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.6,
+                                         cycles=2.0)
+        pd = np.asarray(material_path_sinogram_motion(ph, ct, motion,
+                                                      method="dda"))
+        pf = np.asarray(material_path_sinogram_motion(ph, ct, motion,
+                                                      method="dominant"))
+        np.testing.assert_allclose(pf, pd, atol=5e-4)
+
+
+class TestMotionCompensatedFBP:
+    def test_zero_motion_matches_static_bp(self):
+        ct, ph = _system()
+        sino = _mono_sino(ph, ct)
+        q = fbp_ops.filter_sinogram(sino, ct, 0.8, "sinc", jnp.float32)
+        betas = jnp.asarray(ct.betas, jnp.float32)
+        img0 = fbp_ops.fan_backproject(q, betas, ct.SID, ct.dgamma, 64,
+                                       22.4)
+        imgm = fan_backproject_motion(
+            q, betas, ct.SID, ct.dgamma, 64, 22.4,
+            jnp.zeros((ct.N_proj,)), jnp.zeros((ct.N_proj, 2)))
+        np.testing.assert_allclose(np.asarray(imgm), np.asarray(img0),
+                                   atol=1e-6)
+
+    def test_true_profile_removes_artifact(self):
+        ct, ph = _system(phantom=contrast_rods_phantom)
+        fov = ph.Nx * ph.dx
+        motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.8,
+                                         cycles=1.5, direction=(1.0, 0.4))
+        clean = _mono_sino(ph, ct)
+        moved = _mono_sino(ph, ct, motion)
+        ref, _ = fbp_ops.fbp_recon(clean, ct, 64, fov)
+        bad, _ = fbp_ops.fbp_recon(moved, ct, 64, fov)
+        fixed, _ = fbp_recon_motion(moved, ct, 64, fov, motion)
+        e_bad = float(np.sqrt(np.mean((np.asarray(bad)
+                                       - np.asarray(ref)) ** 2)))
+        e_fix = float(np.sqrt(np.mean((np.asarray(fixed)
+                                       - np.asarray(ref)) ** 2)))
+        assert e_fix < e_bad / 4.0, (e_bad, e_fix)
+
+    def test_rotation_compensation(self):
+        """Zero-net rotations (constant offset, oscillation) compensate
+        to near the resampling floor; a NET drift is limited by its
+        uncovered object-frame wedge (module docstring) — pin the
+        measured ratios for all three."""
+        ct, ph = _system(phantom=contrast_rods_phantom)
+        fov = ph.Nx * ph.dx
+        V = ct.N_proj
+        clean = _mono_sino(ph, ct)
+        ref = np.asarray(fbp_ops.fbp_recon(clean, ct, 64, fov)[0])
+        cases = [
+            (MotionProfile(np.full(V, 0.15), np.zeros((V, 2))), 4.0),
+            (MotionProfile(0.15 * np.sin(2 * np.pi * np.arange(V) / V),
+                           np.zeros((V, 2))), 2.5),
+            (MotionProfile.rotation_drift(V, total_rad=0.15), 1.4),
+        ]
+        for motion, min_ratio in cases:
+            moved = _mono_sino(ph, ct, motion)
+            bad, _ = fbp_ops.fbp_recon(moved, ct, 64, fov)
+            fixed, _ = fbp_recon_motion(moved, ct, 64, fov, motion)
+            e_bad = float(np.sqrt(np.mean((np.asarray(bad) - ref) ** 2)))
+            e_fix = float(np.sqrt(np.mean((np.asarray(fixed) - ref) ** 2)))
+            assert e_fix < e_bad / min_ratio, (min_ratio, e_bad, e_fix)
+
+
+class TestEstimator:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        ct, ph = _system(N=64, n_proj=192, phantom=contrast_rods_phantom)
+        motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.6,
+                                         cycles=1.5, direction=(0.3, 1.0))
+        sino = np.asarray(_mono_sino(ph, ct, motion))
+        est, c0 = estimate_translation(sino, ct, n_modes=6)
+        return ct, ph, motion, sino, est, c0
+
+    def test_recovers_track(self, fitted):
+        ct, ph, motion, sino, est, c0 = fitted
+        err = np.sqrt(np.mean((est.disp - motion.disp) ** 2))
+        amp = np.sqrt(np.mean(motion.disp ** 2))
+        # measured bound: the extended-object centroid bias leaves ~0.3x
+        # rms amplitude (module docstring); pin it with headroom
+        assert err < 0.4 * amp, (err, amp)
+
+    def test_static_scan_fits_near_zero(self):
+        ct, ph = _system(phantom=contrast_rods_phantom)
+        sino = np.asarray(_mono_sino(ph, ct))
+        est, c0 = estimate_translation(sino, ct, n_modes=6)
+        assert np.max(np.abs(est.disp)) < 0.05
+        assert np.max(np.abs(c0)) < 0.2  # phantom is centered
+
+    def test_estimated_profile_improves_recon(self, fitted):
+        ct, ph, motion, sino, est, c0 = fitted
+        fov = ph.Nx * ph.dx
+        clean = _mono_sino(ph, ct)
+        ref, _ = fbp_ops.fbp_recon(clean, ct, 64, fov)
+        bad, _ = fbp_ops.fbp_recon(jnp.asarray(sino), ct, 64, fov)
+        fixed, _ = fbp_recon_motion(jnp.asarray(sino), ct, 64, fov, est)
+        e_bad = float(np.sqrt(np.mean((np.asarray(bad)
+                                       - np.asarray(ref)) ** 2)))
+        e_fix = float(np.sqrt(np.mean((np.asarray(fixed)
+                                       - np.asarray(ref)) ** 2)))
+        assert e_fix < 0.6 * e_bad, (e_bad, e_fix)
