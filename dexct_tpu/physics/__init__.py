@@ -1,6 +1,6 @@
 """Physics substrate: attenuation tables, spectra, detectors, materials."""
 
-from . import xcom
+from . import pileup, xcom
 from .detector import DetectorResponse, photon_counting_response, scintillator_response
 from .duallayer import dual_layer_spectra, layer_absorptions, simulate_dual_layer_dect
 from .materials import AIR, BONE, BUILTIN_MATERIALS, Material, MaterialTable, TISSUE, WATER
@@ -10,6 +10,7 @@ mixatten = xcom.mixatten
 
 __all__ = [
     "xcom",
+    "pileup",
     "mixatten",
     "Spectrum",
     "xRaySpectrum",
