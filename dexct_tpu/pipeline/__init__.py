@@ -10,11 +10,14 @@ from .api import (
     simulate_dect,
 )
 from .kvswitch import simulate_kvswitch_dect
+from .spectralct import SpectralResult, simulate_pcd_spectral
 from .tcm import auto_tcm_profile, simulate_tcm_dect
 from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 
 __all__ = [
     "simulate_kvswitch_dect",
+    "SpectralResult",
+    "simulate_pcd_spectral",
     "auto_tcm_profile",
     "simulate_tcm_dect",
     "get_sino",

@@ -1,0 +1,90 @@
+"""One-call spectral PCD pipeline (pipeline/spectralct.py): basis
+density recovery, VMI synthesis, pileup bias + correction at the
+pipeline level, and noise smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dexct_tpu.physics import kramers_spectrum, xcom
+from dexct_tpu.physics.detector import photon_counting_response
+from dexct_tpu.physics.materials import BONE, WATER
+from dexct_tpu.pipeline.spectralct import simulate_pcd_spectral
+from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+THRESH = [20.0, 34.0, 50.0, 70.0]
+
+
+def _system():
+    ct = FanBeamGeometry(N_channels=96, N_proj=96, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0, eid=False,
+                         detector=photon_counting_response())
+    ph = water_cylinder_phantom(N=64, dx=0.3)
+    s = kramers_spectrum(140.0)
+    s.rescale_counts(ct.A_iso * 10.0 / ct.N_proj)
+    return ct, ph, s
+
+
+class TestSpectralPipeline:
+    @pytest.fixture(scope="class")
+    def clean(self):
+        ct, ph, s = _system()
+        return ct, ph, s, simulate_pcd_spectral(
+            ct, ph, s, THRESH, (WATER, BONE), 64, 19.2)
+
+    def test_water_density_recovered(self, clean):
+        ct, ph, s, res = clean
+        water = np.asarray(res.basis_recons[0])
+        bone = np.asarray(res.basis_recons[1])
+        assert abs(water[28:36, 28:36].mean() - 1.0) < 0.02
+        assert abs(bone[28:36, 28:36].mean()) < 0.02
+        assert abs(water[2:6, 2:6].mean()) < 0.02  # air
+
+    def test_vmi_matches_water_mu(self, clean):
+        ct, ph, s, res = clean
+        vmi = np.asarray(res.vmi(70.0))
+        mu_w = float(xcom.mixatten(WATER.matcomp, np.array([70.0]))[0])
+        assert abs(vmi[28:36, 28:36].mean() - mu_w) / mu_w < 0.02
+
+    def test_eid_geometry_rejected(self):
+        ct, ph, s = _system()
+        import dataclasses
+
+        ct_eid = dataclasses.replace(ct, eid=True)
+        with pytest.raises(ValueError):
+            simulate_pcd_spectral(ct_eid, ph, s, THRESH, (WATER, BONE),
+                                  64, 19.2)
+
+    def test_pileup_bias_removed(self, clean):
+        """Uncorrected pileup biases the basis densities where the ray
+        rates are highest — the object RIM (thin paths), a capping
+        artifact (measured rim +0.018 g/cm^3, peak 0.1 at air-rho 0.5);
+        the in-pipeline correction removes it to float precision."""
+        ct, ph, s, res0 = clean
+        ref = np.asarray(res0.basis_recons[0])
+        air = float(np.asarray(res0.counts).sum(0).max())
+        tau = 0.5 / air  # air rays at rho = 0.5
+        biased = simulate_pcd_spectral(
+            ct, ph, s, THRESH, (WATER, BONE), 64, 19.2,
+            pileup_tau=tau, correct_pileup=False)
+        fixed = simulate_pcd_spectral(
+            ct, ph, s, THRESH, (WATER, BONE), 64, 19.2, pileup_tau=tau)
+        yy, xx = np.mgrid[0:64, 0:64]
+        rim = (np.hypot(yy - 31.5, xx - 31.5) > 20) \
+            & (np.hypot(yy - 31.5, xx - 31.5) < 25)
+        db = np.asarray(biased.basis_recons[0]) - ref
+        df = np.asarray(fixed.basis_recons[0]) - ref
+        assert db[rim].mean() > 0.01, db[rim].mean()  # real artifact
+        assert np.abs(db).max() > 0.05
+        assert abs(df[rim].mean()) < db[rim].mean() / 10.0
+        assert np.abs(df).max() < 0.005, np.abs(df).max()
+
+    def test_noise_smoke(self, clean):
+        ct, ph, s, _ = clean
+        res = simulate_pcd_spectral(
+            ct, ph, s, THRESH, (WATER, BONE), 64, 19.2,
+            noise="poisson", key=jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(res.basis_recons)).all()
+        assert abs(np.asarray(res.basis_recons[0])[28:36, 28:36].mean()
+                   - 1.0) < 0.1
