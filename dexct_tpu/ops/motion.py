@@ -50,7 +50,16 @@ ops, all beyond the reference's scope:
   (tests/test_motion.py::TestEstimator) — for tighter tracks use
   registration/autofocus refinement on the MC reconstruction.
 
-TPU mapping: simulation and MC-FBP are pure elementwise transforms
+The same three pieces extend to 3-D circular cone-beam scans
+(:class:`MotionProfile3D`, :func:`cone_material_paths_motion`,
+:func:`fdk_reconstruct_motion`) — axial (respiratory) drift is the
+clinical cone-beam case; the MC-FDK normalizes by accumulated row
+coverage so z-motion that pushes voxels off the detector for part of
+the orbit renormalizes instead of shading (and as a side effect the
+outermost slices of even a STATIC volume are better than plain FDK,
+which dims them — measured 0.222 vs 0.148 against a 0.22 truth).
+
+TPU mapping: simulation and MC-FBP/FDK are pure elementwise transforms
 feeding the existing gather kernels; the estimator is a [V x (2+2K)]
 host solve.
 """
@@ -58,6 +67,7 @@ host solve.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +76,8 @@ import numpy as np
 __all__ = ["MotionProfile", "rays_in_object_frame",
            "material_path_sinogram_motion", "fan_backproject_motion",
            "fbp_recon_motion", "estimate_translation",
-           "cosine_motion_basis"]
+           "cosine_motion_basis", "MotionProfile3D",
+           "cone_material_paths_motion", "fdk_reconstruct_motion"]
 
 
 # --------------------------------------------------------------------------
@@ -367,3 +378,231 @@ def estimate_translation(sino_log, geometry, *, n_modes=6, n_iters=25,
     c0 = theta[:2]
     d = np.stack([B @ theta[2:2 + K], B @ theta[2 + K:]], axis=-1)
     return MotionProfile(np.zeros(V), d), c0
+
+
+# --------------------------------------------------------------------------
+# 3-D (cone-beam) rigid motion
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MotionProfile3D:
+    """Rigid 3-D object pose per view: rotation ``phi_v`` about the z
+    axis through isocenter plus translation ``disp_v = (dx, dy, dz)``
+    [cm].  Pose maps object-frame points to world:
+    ``x_world(v) = R_z(phi_v) x_obj + disp_v``.  The z component is the
+    clinical case for cone/helical scans (respiratory drift)."""
+
+    phi: np.ndarray
+    disp: np.ndarray
+
+    def __post_init__(self):
+        self.phi = np.asarray(self.phi, dtype=np.float64)
+        self.disp = np.asarray(self.disp, dtype=np.float64)
+        if self.phi.ndim != 1 or self.disp.shape != (len(self.phi), 3):
+            raise ValueError("phi must be [V], disp [V, 3]")
+
+    @property
+    def n_views(self):
+        return len(self.phi)
+
+    @classmethod
+    def static(cls, n_views):
+        return cls(np.zeros(n_views), np.zeros((n_views, 3)))
+
+    @classmethod
+    def breathing_z(cls, n_views, amplitude_cm=0.5, cycles=1.5, phase=0.0):
+        """Raised-cosine axial drift — respiration along the scanner
+        axis during a cone-beam rotation."""
+        s = np.arange(n_views) / max(n_views - 1, 1)
+        a = 0.5 * amplitude_cm * (1.0 - np.cos(2 * np.pi * cycles * s
+                                                + phase))
+        d = np.zeros((n_views, 3))
+        d[:, 2] = a
+        return cls(np.zeros(n_views), d)
+
+    @classmethod
+    def from_2d(cls, motion2d):
+        """Lift a :class:`MotionProfile` into the z=0 plane."""
+        d = np.zeros((motion2d.n_views, 3))
+        d[:, :2] = motion2d.disp
+        return cls(motion2d.phi.copy(), d)
+
+
+def cone_material_paths_motion(phantom, geometry, motion, *,
+                               dtype=jnp.float32, method="auto"):
+    """Exact cone-beam material paths of a rigidly moving phantom:
+    [N_proj, N_rows, N_channels, n_materials].
+
+    Same ray-transform trick as the 2-D path (rays mapped into the
+    object frame, ``x_obj = R_z(-phi_v)(x_world - d_v)``), so both the
+    packed dominant-axis cone kernel and the 3-D DDA stay exact;
+    ``method`` mirrors :func:`~dexct_tpu.ops.conebeam.cone_material_paths`.
+    """
+    from .conebeam import (ConeDominantUnsupported, trace_cone_dominant,
+                           trace_paths_3d)
+
+    if motion.n_views != geometry.N_proj:
+        raise ValueError(
+            f"motion has {motion.n_views} views, geometry {geometry.N_proj}")
+    src, dirs = geometry.ray_geometry_3d()  # [V, R, C, 3] float64
+    cph = np.cos(motion.phi)[:, None, None]
+    sph = np.sin(motion.phi)[:, None, None]
+    sd = src - motion.disp[:, None, None, :]
+
+    def rot_neg(p, px, py):
+        return np.stack([cph * px + sph * py, -sph * px + cph * py,
+                         p[..., 2]], axis=-1)
+
+    src_o = rot_neg(sd, sd[..., 0], sd[..., 1])
+    dirs_o = rot_neg(dirs, dirs[..., 0], dirs[..., 1])
+    labels_np = np.asarray(phantom.labels).astype(np.int32)
+    if method in ("auto", "dominant"):
+        try:
+            return trace_cone_dominant(
+                labels_np, np.asarray(src_o, np.float32),
+                np.asarray(dirs_o, np.float32), phantom.dx, phantom.dy,
+                phantom.dz, n_materials=phantom.n_materials)
+        except ConeDominantUnsupported:
+            if method == "dominant":
+                raise
+    return trace_paths_3d(
+        jnp.asarray(labels_np), jnp.asarray(src_o, dtype),
+        jnp.asarray(dirs_o, dtype), phantom.dx, phantom.dy, phantom.dz,
+        n_materials=phantom.n_materials)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+)
+def _fdk_backproject_motion(q, betas, phi, disp, sid, dgamma, row_h,
+                            n_rows, n_matrix, nz_out, fov, dz_out, z0,
+                            *, view_block=8):
+    """Motion-compensated circular-FDK backprojection: each view
+    evaluates every voxel at its world position under the view's pose
+    (the 3-D analog of :func:`fan_backproject_motion`), with the
+    accumulated-weight normalization of the generalized-Feldkamp
+    backprojector (ops/conebeam.py:325) so z-coverage lost to axial
+    motion normalizes instead of shading."""
+    V, R, C = q.shape
+    dtype = q.dtype
+    N = n_matrix
+    px_size = fov / N
+    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)
+    in_circle = np.hypot(XX, YY) <= fov / 2.0
+    sel = np.nonzero(in_circle.reshape(-1))[0]
+    P = len(sel)
+    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
+    zc = jnp.asarray(z0 + np.arange(nz_out) * dz_out, dtype)
+
+    vb = max(1, min(view_block, V))
+    while V % vb:
+        vb -= 1
+    bb = betas.reshape(V // vb, vb)
+    phb = phi.reshape(V // vb, vb)
+    db = disp.reshape(V // vb, vb, 3)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    def block(carry, args):
+        num, den = carry
+        beta, ph, d, vo = args
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        Xv = cp[:, None] * X[None, :] - sp[:, None] * Y[None, :] \
+            + d[:, 0:1]
+        Yv = sp[:, None] * X[None, :] + cp[:, None] * Y[None, :] \
+            + d[:, 1:2]
+        cb, sb = jnp.cos(beta)[:, None], jnp.sin(beta)[:, None]
+        ell = sid - (Xv * cb + Yv * sb)
+        vt = -Xv * sb + Yv * cb
+        gam = jnp.arctan2(-vt, ell)
+        h2 = ell * ell + vt * vt
+        inv_h = jax.lax.rsqrt(h2)
+        cidx = gam / dgamma - 0.5 + C / 2.0
+        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
+        fc = jnp.clip(cidx - c0, 0.0, 1.0)
+        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
+        w_amp = w_in / h2
+
+        qb = q[vo]
+        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
+        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
+        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        packed_flat = jnp.stack(
+            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
+
+        def one_slice(z):
+            zt = (z + d[:, 2:3]) * sid * inv_h  # [vb, P]
+            ridx = zt / row_h - 0.5 + R / 2.0
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
+            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
+            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
+            val = top * (1 - fr) + bot * fr
+            return (jnp.sum(val * w_amp * w_z, axis=0),
+                    jnp.sum(w_z, axis=0))
+
+        dn, dd = jax.vmap(one_slice)(zc)
+        return (num + dn, den + dd), None
+
+    acc0 = (jnp.zeros((nz_out, P), dtype), jnp.zeros((nz_out, P), dtype))
+    (num, den), _ = jax.lax.scan(block, acc0, (bb, phb, db, voff))
+    out = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    out = out * (2.0 * np.pi)
+    vol = jnp.zeros((nz_out, N * N), dtype)
+    vol = vol.at[:, jnp.asarray(sel)].set(out)
+    return vol.reshape(nz_out, N, N)
+
+
+def fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov, ramp,
+                           motion, *, nz_out=None, dz_out=None,
+                           window="sinc", view_block=8):
+    """Motion-compensated circular FDK -> volume [nz_out, N, N] cm^-1.
+
+    Filtering (FDK cone pre-weight + windowed ramp) is identical to the
+    static :func:`~dexct_tpu.ops.conebeam.fdk_reconstruct`; the
+    backprojection evaluates each voxel at its posed world position per
+    view and normalizes by the accumulated row-coverage weight.
+    Circular orbits without flying focal spot only (helical MC would
+    additionally re-center each voxel's view window per pose).
+    """
+    from .filters import filter_frequency_response
+
+    ct = geometry
+    if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
+        raise ValueError("motion-compensated FDK supports circular "
+                         "orbits (pitch=0) only")
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError("motion-compensated FDK does not support "
+                         "flying-focal-spot geometries")
+    if motion.n_views != ct.N_proj:
+        raise ValueError(
+            f"motion has {motion.n_views} views, geometry {ct.N_proj}")
+    V, R, C = sino_log.shape
+    if R != ct.N_rows:
+        raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
+    nz = R if nz_out is None else int(nz_out)
+    dz = float(ct.h_iso if dz_out is None else dz_out)
+    dtype = jnp.result_type(sino_log.dtype, jnp.float32)
+
+    cosg = np.cos(ct.gammas)
+    cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
+    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
+    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
+    pw = sino_log.astype(dtype) * w[None]
+    spec = jnp.fft.rfft(pw, n=m, axis=-1)
+    q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                      axis=-1)[..., :C] * ct.dgamma
+
+    z0 = (0.5 - nz / 2.0) * dz
+    return _fdk_backproject_motion(
+        q, jnp.asarray(ct.betas, dtype), jnp.asarray(motion.phi, dtype),
+        jnp.asarray(motion.disp, dtype), float(ct.SID), float(ct.dgamma),
+        float(ct.h_iso), int(R), int(n_matrix), int(nz), float(fov), dz,
+        float(z0), view_block=int(view_block))

@@ -171,3 +171,129 @@ class TestEstimator:
         e_fix = float(np.sqrt(np.mean((np.asarray(fixed)
                                        - np.asarray(ref)) ** 2)))
         assert e_fix < 0.6 * e_bad, (e_bad, e_fix)
+
+
+class TestConeMotion:
+    """3-D rigid motion: exact simulation equivalences and MC-FDK."""
+
+    def _system(self):
+        from dexct_tpu.physics.materials import (AIR, BONE, WATER,
+                                                 MaterialTable)
+        from dexct_tpu.system import ConeBeamGeometry
+        from dexct_tpu.system.phantom import VoxelPhantom
+
+        N, NZ, dx = 48, 16, 0.5
+        lab3 = np.broadcast_to(
+            water_cylinder_phantom(N=N, dx=dx).labels[0],
+            (NZ, N, N)).copy()
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * dx
+        cy = (np.arange(N) + 0.5 - N / 2) * dx
+        Z, Y, X = np.meshgrid(cz, cy, cy, indexing="ij")
+        lab3[(X ** 2 + (Y - 2.0) ** 2 + Z ** 2) < 9.0] = 2
+        mt = MaterialTable([AIR, WATER, BONE])
+        ph3 = VoxelPhantom("zvar", lab3, mt, dx, dx, dx)
+        ct = ConeBeamGeometry(N_channels=64, N_proj=96, N_rows=16,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.5)
+        mu = mt.mu_table(np.array([60.0]))[:, 0]
+        return ct, ph3, mu
+
+    def test_static_profile_matches_static_paths(self):
+        from dexct_tpu.ops.conebeam import cone_material_paths
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          cone_material_paths_motion)
+
+        ct, ph3, mu = self._system()
+        p0 = np.asarray(cone_material_paths(ph3, ct, method="dda"))
+        pm = np.asarray(cone_material_paths_motion(
+            ph3, ct, MotionProfile3D.static(ct.N_proj), method="dda"))
+        np.testing.assert_allclose(pm, p0, atol=1e-6)
+
+    def test_constant_rotation_is_view_roll(self):
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          cone_material_paths_motion)
+
+        ct, ph3, mu = self._system()
+        k = 4
+        dbeta = 2.0 * np.pi / ct.N_proj
+        motion = MotionProfile3D(np.full(ct.N_proj, k * dbeta),
+                                 np.zeros((ct.N_proj, 3)))
+        from dexct_tpu.ops.conebeam import cone_material_paths
+
+        p0 = np.asarray(cone_material_paths(ph3, ct, method="dda"))
+        pm = np.asarray(cone_material_paths_motion(ph3, ct, motion,
+                                                   method="dda"))
+        np.testing.assert_allclose(pm, np.roll(p0, k, axis=0), atol=1e-5)
+
+    def test_dominant_matches_dda_under_motion(self):
+        """The packed cone kernel needs a shallow z-slope
+        (validate_cone_dominant); use a half-height detector so the
+        motion-transformed rays stay inside its envelope."""
+        import dataclasses
+
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          cone_material_paths_motion)
+
+        ct, ph3, mu = self._system()
+        ct = dataclasses.replace(ct, N_rows=8, h_iso=0.25)
+        motion = MotionProfile3D.breathing_z(ct.N_proj, amplitude_cm=0.8,
+                                             cycles=1.5)
+        pd = np.asarray(cone_material_paths_motion(ph3, ct, motion,
+                                                   method="dda"))
+        pf = np.asarray(cone_material_paths_motion(ph3, ct, motion,
+                                                   method="dominant"))
+        np.testing.assert_allclose(pf, pd, atol=5e-4)
+
+    def test_zero_motion_matches_static_fdk(self):
+        import jax.numpy as jnp
+
+        from dexct_tpu.ops.conebeam import cone_material_paths, \
+            fdk_reconstruct
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          fdk_reconstruct_motion)
+
+        ct, ph3, mu = self._system()
+        sino = jnp.einsum("vrcm,m->vrc",
+                          jnp.asarray(cone_material_paths(ph3, ct)),
+                          jnp.asarray(mu, jnp.float32))
+        v0 = np.asarray(fdk_reconstruct(sino, ct, 48, 24.0, 0.8))
+        vm = np.asarray(fdk_reconstruct_motion(
+            sino, ct, 48, 24.0, 0.8, MotionProfile3D.static(ct.N_proj)))
+        # same filter, same math: central slices match to float32
+        # rounding.  The OUTERMOST slices differ by design: rows fall
+        # off the detector for part of the orbit there, and the motion
+        # BP renormalizes by the accumulated coverage (gFDK-style)
+        # where static FDK just dims — measured v0 0.148 vs vm 0.222
+        # against a true 0.22 water+bone value at slice 0.
+        assert v0.shape == vm.shape
+        err = np.abs(vm - v0)
+        assert err[2:-2].max() < 1e-5, err[2:-2].max()
+
+    def test_z_breathing_artifact_removed(self):
+        import jax.numpy as jnp
+
+        from dexct_tpu.ops.conebeam import cone_material_paths, \
+            fdk_reconstruct
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          cone_material_paths_motion,
+                                          fdk_reconstruct_motion)
+
+        ct, ph3, mu = self._system()
+        motion = MotionProfile3D.breathing_z(ct.N_proj, amplitude_cm=1.0,
+                                             cycles=1.5)
+        muj = jnp.asarray(mu, jnp.float32)
+        clean = jnp.einsum("vrcm,m->vrc",
+                           jnp.asarray(cone_material_paths(ph3, ct)), muj)
+        moved = jnp.einsum(
+            "vrcm,m->vrc",
+            jnp.asarray(cone_material_paths_motion(ph3, ct, motion)), muj)
+        ref = np.asarray(fdk_reconstruct(clean, ct, 48, 24.0, 0.8))
+        bad = np.asarray(fdk_reconstruct(moved, ct, 48, 24.0, 0.8))
+        fixed = np.asarray(fdk_reconstruct_motion(moved, ct, 48, 24.0,
+                                                  0.8, motion))
+        # judge inside the sphere region, central slices (rim rows lose
+        # coverage to the axial drift)
+        sl = (slice(5, 11), slice(14, 34), slice(14, 34))
+        e_bad = float(np.sqrt(np.mean((bad[sl] - ref[sl]) ** 2)))
+        e_fix = float(np.sqrt(np.mean((fixed[sl] - ref[sl]) ** 2)))
+        assert e_fix < e_bad / 3.0, (e_bad, e_fix)
