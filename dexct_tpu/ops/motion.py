@@ -47,8 +47,15 @@ ops, all beyond the reference's scope:
   phantom at SID=60 — an image-consistency bias-subtract iteration was
   tried and does NOT reduce it).  That accuracy is still enough for
   MC-FBP with the estimated track to cut the artifact rms by >=40 %
-  (tests/test_motion.py::TestEstimator) — for tighter tracks use
-  registration/autofocus refinement on the MC reconstruction.
+  (tests/test_motion.py::TestEstimator).  Autofocus refinement
+  (autodiff through the MC-FBP, minimizing recon TV or intensity
+  entropy over the track coefficients, Adam, init at the centroid
+  fit) was prototyped and REJECTED: both metrics are lower for
+  blurring tracks than for the true one (measured TV 49.7 at a
+  wrong 1.8x-error track vs 55.2 at the truth) — sharpness metrics
+  prefer smearing the ghosts over removing them.  A future tighter
+  estimator needs data consistency (reprojection residual), not
+  image sharpness.
 
 The same three pieces extend to 3-D circular cone-beam scans
 (:class:`MotionProfile3D`, :func:`cone_material_paths_motion`,
