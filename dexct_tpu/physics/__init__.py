@@ -1,6 +1,6 @@
 """Physics substrate: attenuation tables, spectra, detectors, materials."""
 
-from . import pileup, xcom
+from . import pcd_response, pileup, xcom
 from .detector import DetectorResponse, photon_counting_response, scintillator_response
 from .duallayer import dual_layer_spectra, layer_absorptions, simulate_dual_layer_dect
 from .materials import AIR, BONE, BUILTIN_MATERIALS, Material, MaterialTable, TISSUE, WATER
@@ -11,6 +11,7 @@ mixatten = xcom.mixatten
 __all__ = [
     "xcom",
     "pileup",
+    "pcd_response",
     "mixatten",
     "Spectrum",
     "xRaySpectrum",
