@@ -74,7 +74,7 @@ def simulate_pcd_spectral(geometry, phantom, spec, thresholds, basis,
                           n_iters=30, mask_thresh=0.95, noise="none",
                           key=None, pileup_tau=0.0,
                           pileup_model="paralyzable", correct_pileup=True,
-                          paths=None, dtype=jnp.float32):
+                          response=None, paths=None, dtype=jnp.float32):
     """Simulate and reconstruct one multi-bin PCD spectral scan.
 
     geometry must be photon-counting (``eid=False``) — bin fluences
@@ -82,6 +82,10 @@ def simulate_pcd_spectral(geometry, phantom, spec, thresholds, basis,
     edges [keV] (last bin open-ended); ``pileup_tau`` is the
     dimensionless resolving-time fraction tau/T_view (0 disables);
     ``noise`` as in :func:`~dexct_tpu.ops.spectral.sample_noise`.
+    ``response`` folds a detector spectral-response matrix
+    (:func:`~dexct_tpu.physics.pcd_response.pcd_response_matrix`) into
+    the bin fluences — used consistently for simulation AND
+    decomposition, so it degrades conditioning, not accuracy.
     ``paths`` lets callers reuse a traced material-path sinogram.
     """
     if geometry.eid:
@@ -90,7 +94,13 @@ def simulate_pcd_spectral(geometry, phantom, spec, thresholds, basis,
     if len(thresholds) < len(basis):
         raise ValueError(f"{len(basis)} basis materials need >= that "
                          f"many bins (got {len(thresholds)})")
-    i0s = pcd_bin_fluences(geometry, spec, thresholds)  # [M, E] host f64
+    if response is not None:
+        from ..physics.pcd_response import pcd_bin_fluences_realistic
+
+        i0s = pcd_bin_fluences_realistic(geometry, spec, thresholds,
+                                         response=response)
+    else:
+        i0s = pcd_bin_fluences(geometry, spec, thresholds)  # [M, E] f64
     if paths is None:
         paths = material_path_sinogram(phantom, geometry, dtype=dtype)
     mu_table = jnp.asarray(phantom.materials.mu_table(spec.E), dtype)

@@ -88,3 +88,15 @@ class TestSpectralPipeline:
         assert np.isfinite(np.asarray(res.basis_recons)).all()
         assert abs(np.asarray(res.basis_recons[0])[28:36, 28:36].mean()
                    - 1.0) < 0.1
+
+    def test_realistic_response_still_recovers(self, clean):
+        """A consistent spectral-response model (charge sharing +
+        electronic noise) degrades conditioning, not accuracy."""
+        from dexct_tpu.physics.pcd_response import pcd_response_matrix
+
+        ct, ph, s, _ = clean
+        r = pcd_response_matrix(s.E, sigma_e_keV=3.0, share_frac=0.15)
+        res = simulate_pcd_spectral(ct, ph, s, THRESH, (WATER, BONE),
+                                    64, 19.2, response=r)
+        water = np.asarray(res.basis_recons[0])
+        assert abs(water[28:36, 28:36].mean() - 1.0) < 0.03
