@@ -9,6 +9,7 @@ from .api import (
     load_spectrum,
     simulate_dect,
 )
+from .dualsource import simulate_dualsource_dect
 from .kvswitch import simulate_kvswitch_dect
 from .spectralct import SpectralResult, simulate_pcd_spectral
 from .tcm import auto_tcm_profile, simulate_tcm_dect
@@ -16,6 +17,7 @@ from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 
 __all__ = [
     "simulate_kvswitch_dect",
+    "simulate_dualsource_dect",
     "SpectralResult",
     "simulate_pcd_spectral",
     "auto_tcm_profile",
