@@ -90,7 +90,7 @@ def simulate_dualsource_dect(ct, phantom, spec_a, spec_b, N_matrix, FOV,
                              ramp, *, offset_views=None, cross_spr=0.0,
                              kernel_sigma_ch=80.0, correct=True,
                              n_iters=50, noise="none", key=None,
-                             window="sinc", do_recon=True):
+                             window="sinc", do_recon=True, motion=None):
     """One-rotation dual-source DECT.
 
     Tube A (``spec_a``) fires at ``betas[v]``, tube B (``spec_b``) at
@@ -101,6 +101,14 @@ def simulate_dualsource_dect(ct, phantom, spec_a, spec_b, N_matrix, FOV,
     fixed-point removal before decomposition.  Both tubes share one
     detector geometry here (real B detectors have a smaller FOV — model
     that by compositing with ops/truncation if needed).
+
+    ``motion`` (a :class:`~dexct_tpu.ops.motion.MotionProfile` indexed
+    by TIME) makes both tubes see the same instantaneous pose — the
+    mode's temporal-resolution physics: the DE pair is acquired in ONE
+    rotation, so the two spectra of a given ray are measured only a
+    quarter-turn apart instead of a full rotation (dual-scan), and the
+    DE registration error under motion shrinks accordingly
+    (tests/test_acquisition_modes.py pins the comparison).
 
     Returns the standard :class:`~dexct_tpu.pipeline.api.DectResult` on
     tube A's angular grid.
@@ -114,13 +122,30 @@ def simulate_dualsource_dect(ct, phantom, spec_a, spec_b, N_matrix, FOV,
         raise ValueError(
             "dual-source alignment ring-rolls a full 2*pi rotation "
             f"(got rotation_total={rot:.4f})")
-    paths = material_path_sinogram(phantom, ct)
     # tube A: angular == time grid.  tube B: time index v measures the
     # ray set of angular index (v + offset) — one roll of the shared
     # full-grid forward model (simultaneity matters only once the
     # streams couple through cross-scatter or motion).
+    if motion is None:
+        paths = material_path_sinogram(phantom, ct)
+        paths_b_ang = paths
+    else:
+        from ..ops.motion import MotionProfile, \
+            material_path_sinogram_motion
+
+        if motion.n_views != V:
+            raise ValueError(
+                f"motion has {motion.n_views} views, geometry {V}")
+        paths = material_path_sinogram_motion(phantom, ct, motion)
+        # tube B's sample at ANGULAR index w is taken at time w - offset:
+        # its pose track on the angular grid is the time track rolled
+        motion_b = MotionProfile(np.roll(motion.phi, offset_views),
+                                 np.roll(motion.disp, offset_views,
+                                         axis=0))
+        paths_b_ang = material_path_sinogram_motion(phantom, ct,
+                                                    motion_b)
     raw_a, _ = get_sino(ct, phantom, spec_a, paths=paths)
-    raw_b_ang, _ = get_sino(ct, phantom, spec_b, paths=paths)
+    raw_b_ang, _ = get_sino(ct, phantom, spec_b, paths=paths_b_ang)
     raw_b_time = jnp.roll(raw_b_ang, -offset_views, axis=0)
 
     air_a = float(np.sum(sp_ops.effective_fluence(spec_a, ct)))
