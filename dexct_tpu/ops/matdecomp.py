@@ -67,11 +67,19 @@ def _solve_spd(H_tri, dF, n_mats):
     solve: H entries scale as (counts * mu^2)^2 in the determinant and
     overflow float32 for transiently huge iterates, turning the solve
     into inf/inf = NaN.  The normalized solve is algebraically identical.
+
+    Pixels whose H underflowed entirely (photon-starved ray driven deep
+    into the exp clip: atten, g, H all 0) get a ZERO step, not
+    dF / floor -> inf (measured NaN source: inf * 0 in the caller's
+    trust-region scaling): with no curvature information the only safe
+    Newton step is none, and the residual clamps elsewhere keep such
+    pixels recoverable on later iterations.
     """
-    m = jnp.max(jnp.abs(H_tri), axis=-1, keepdims=True)
-    m = jnp.maximum(m, 1e-30)
+    m_raw = jnp.max(jnp.abs(H_tri), axis=-1, keepdims=True)
+    dead = m_raw < 1e-30
+    m = jnp.where(dead, 1.0, m_raw)
     H_tri = H_tri / m
-    dF = dF / m
+    dF = jnp.where(dead, 0.0, dF / m)
     if n_mats == 2:
         H00, H01, H11 = H_tri[:, 0], H_tri[:, 1], H_tri[:, 2]
         det = H00 * H11 - H01 * H01
@@ -201,7 +209,15 @@ def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
                 -1)
         else:
             h = ngh[:, n_meas + n_g:].reshape(B, n_meas, len(tri))
-            nu = jnp.maximum(nu, 1e-35)  # full underflow -> finite weights
+            # floor at the float32 overflow boundary of y/nu^2: y is
+            # normalized by max(i0) but SUMS the energy axis, so it can
+            # reach ~1e2-1e4; nu >= 1e-17 keeps yv2 <= 1e38 finite up to
+            # y ~ 3e4.  A starved measurement entering the polish from a
+            # railed warm iterate (atten fully underflowed) then pulls
+            # back with a finite trust-region-clamped step instead of
+            # inf * 0 = NaN, while genuinely tiny-but-valid rows
+            # (nu ~ 1e-14, kV behind metal) keep their exact MLE weight
+            nu = jnp.maximum(nu, 1e-17)
             r = y / nu - 1.0  # [B, M]
             yv2 = y / (nu * nu)  # [B, M]
             # dF_i = sum_m r_m g_mi   (g already carries the minus sign

@@ -110,3 +110,32 @@ class TestMultibinRecovery:
         with pytest.raises(ValueError):
             gauss_newton_solve(
                 jnp.zeros((2, 4)), jnp.zeros((2, 10)), jnp.zeros((3, 10)))
+
+
+class TestPhotonStarvation:
+    def test_zero_count_bins_stay_finite(self, pcd_setup):
+        """Rays with zero-count bins (photon starvation) must produce
+        FINITE (railed) estimates, never NaN: the round-3 fix zeroes
+        the Newton step when H underflows entirely and floors nu at the
+        float32 overflow boundary of the MLE weights."""
+        ct, spec, i0s = pcd_setup
+        ee = spec.E
+        mus = np.stack([xcom.mixatten(m.matcomp, ee)
+                        for m in (TISSUE, BONE)])
+        a_true = np.array([[5.7, 3.0], [3.0, 1.0], [0.0, 0.0],
+                           [20.0, 8.0]])
+        counts = self_synth(i0s, mus, a_true)  # [M, P]
+        counts[0, 0] = 0.0   # one starved bin of ray 0
+        counts[:, 3] = 0.0   # fully starved ray 3
+        a = np.asarray(gauss_newton_solve(
+            jnp.asarray(counts, jnp.float32), jnp.asarray(i0s, jnp.float32),
+            jnp.asarray(mus, jnp.float32), n_iters=40))
+        assert np.isfinite(a).all()
+        # the healthy rays stay accurate
+        np.testing.assert_allclose(a[1], a_true[1], atol=0.05)
+        np.testing.assert_allclose(a[2], a_true[2], atol=0.05)
+
+
+def self_synth(i0s, mus, a_true):
+    L = a_true @ mus
+    return ((np.exp(-np.clip(L, -700, 700)) @ i0s.T).T).copy()
