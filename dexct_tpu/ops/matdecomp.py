@@ -513,12 +513,18 @@ def pcd_bin_fluences(geometry, spec, thresholds):
 
 def decompose_multibin_grid(sinos, ee, i0s, basis, *, n_iters=30,
                             mask_thresh=0.95, dtype=jnp.float32,
-                            pixel_block=65536, method="gn"):
+                            pixel_block=65536, method="gn",
+                            a_bounds=(-20.0, 500.0)):
     """Multi-measurement basis decomposition on an explicit energy grid.
 
     sinos: [M, V, C] counts; ee: [E] energies [keV]; i0s: [M, E]
     effective fluences; basis: K Materials (K <= M, K in {2, 3}).
     Returns ([K, V, C] basis sinograms [g/cm^2], air mask [V, C]).
+
+    ``a_bounds`` clamps the per-ray area densities; photon-starved rays
+    (zero-count bins) rail at the upper bound, so passing a PHYSICAL
+    limit (e.g. the phantom diameter times the densest material) bounds
+    their FBP streaks at low dose.
     """
     sinos = jnp.asarray(sinos, dtype)
     m, v, c = sinos.shape
@@ -531,6 +537,7 @@ def decompose_multibin_grid(sinos, ee, i0s, basis, *, n_iters=30,
         n_iters=n_iters,
         pixel_block=pixel_block,
         method=method,
+        a_bounds=a_bounds,
     )
     mask = air_mask(sinos[0], mask_thresh)
     mats = jnp.where(mask[None], 0.0, a.T.reshape(len(basis), v, c))

@@ -21,9 +21,22 @@ matmuls exactly as in the forward simulation, the objective gradient
 comes from ``jax.grad`` through the whole chain (no hand-derived
 adjoint), and the optimizer is Adam with a nonnegativity projection
 running as one ``lax.scan`` inside jit.  Initialization at the
-two-step solution makes the nonconvex fit a refinement: measured on a
-noisy 4-bin acquisition, the one-step result cuts basis-image rmse vs
-the two-step baseline (tests/test_onestep.py pins the ratio).
+two-step solution makes the nonconvex fit a refinement.
+
+Measured ladder (bone-rod phantom, 4 bins, 2e-4 dose with zero-count
+starved rays; interior basis rmse vs truth):
+
+* two-step, unbounded decomposition: **1.86** (starvation rails at
+  a_hi=500 g/cm^2, FBP'd into streaks);
+* two-step with PHYSICAL ``a_bounds`` (60 g/cm^2): **0.25** — bound
+  your decomposition before reaching for anything fancier;
+* one-step on top (x0 = clipped two-step, beta=0.03, lr=3e-3,
+  1500 Adam iters): **0.097**, with the bone rod at 1.69/1.92
+  (tests/test_onestep.py pins a 600-iter version of the ratio).
+
+Do NOT benchmark this on a uniform phantom: smoothing penalties win
+there trivially (measured 3x on a plain water cylinder) while saying
+nothing about structure preservation.
 
 Memory note: the gradient materializes a [V, C, E] intermediate; at
 protocol scale (1000 x 800 x 240 bins) that is ~0.7 GB — block the

@@ -74,7 +74,8 @@ def simulate_pcd_spectral(geometry, phantom, spec, thresholds, basis,
                           n_iters=30, mask_thresh=0.95, noise="none",
                           key=None, pileup_tau=0.0,
                           pileup_model="paralyzable", correct_pileup=True,
-                          response=None, paths=None, dtype=jnp.float32):
+                          response=None, paths=None, dtype=jnp.float32,
+                          a_bounds=(-20.0, 500.0)):
     """Simulate and reconstruct one multi-bin PCD spectral scan.
 
     geometry must be photon-counting (``eid=False``) — bin fluences
@@ -126,7 +127,7 @@ def simulate_pcd_spectral(geometry, phantom, spec, thresholds, basis,
 
     mats, mask = decompose_multibin_grid(
         corrected, spec.E, i0s, basis, n_iters=n_iters,
-        mask_thresh=mask_thresh, dtype=dtype)
+        mask_thresh=mask_thresh, dtype=dtype, a_bounds=a_bounds)
     recons = jnp.stack([
         fbp_ops.fbp_recon(mats[k], geometry, int(n_matrix), float(fov),
                           float(ramp), window, dtype=dtype)[0]
