@@ -53,9 +53,17 @@ ops, all beyond the reference's scope:
   fit) was prototyped and REJECTED: both metrics are lower for
   blurring tracks than for the true one (measured TV 49.7 at a
   wrong 1.8x-error track vs 55.2 at the truth) — sharpness metrics
-  prefer smearing the ghosts over removing them.  A future tighter
-  estimator needs data consistency (reprojection residual), not
-  image sharpness.
+  prefer smearing the ghosts over removing them.  The obvious
+  data-consistency alternation (x = MC-FBP(y; c), then register c by
+  reprojecting x through the differentiable Radon resampler) was ALSO
+  prototyped and REJECTED: it is a fixed-point iteration whose fixed
+  points include wrong tracks, because MC-FBP at any c produces an
+  image whose c-reprojection already matches y (FBP and FP are
+  near-inverse for every c) — measured err/amp 0.31 -> 0.30 -> drifts
+  back up.  A genuinely tighter estimator needs recon-independent
+  consistency (Helgason-Ludwig moment conditions beyond order 1 — the
+  order-0/1 moments ARE the mass/centroid tracks already used here)
+  or joint regularized inversion.
 
 The same three pieces extend to 3-D circular cone-beam scans
 (:class:`MotionProfile3D`, :func:`cone_material_paths_motion`,
