@@ -11,7 +11,8 @@ from .api import (
 )
 from .dualsource import simulate_dualsource_dect
 from .kvswitch import simulate_kvswitch_dect
-from .spectralct import SpectralResult, simulate_pcd_spectral
+from .spectralct import (SpectralResult, simulate_pcd_spectral,
+                         simulate_pcd_spectral_cone)
 from .tcm import auto_tcm_profile, simulate_tcm_dect
 from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 
@@ -20,6 +21,7 @@ __all__ = [
     "simulate_dualsource_dect",
     "SpectralResult",
     "simulate_pcd_spectral",
+    "simulate_pcd_spectral_cone",
     "auto_tcm_profile",
     "simulate_tcm_dect",
     "get_sino",

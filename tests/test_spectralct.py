@@ -100,3 +100,48 @@ class TestSpectralPipeline:
                                     64, 19.2, response=r)
         water = np.asarray(res.basis_recons[0])
         assert abs(water[28:36, 28:36].mean() - 1.0) < 0.03
+
+
+class TestSpectralCone:
+    def test_cone_basis_volumes(self):
+        """3-D spectral PCD: a bone sphere in a water cylinder
+        decomposes into basis VOLUMES with correct densities; the VMI
+        volume matches water mu in the water region."""
+        from dexct_tpu.physics.materials import AIR, MaterialTable
+        from dexct_tpu.pipeline.spectralct import \
+            simulate_pcd_spectral_cone
+        from dexct_tpu.system import ConeBeamGeometry
+        from dexct_tpu.system.phantom import (VoxelPhantom, _ellipse_mask,
+                                              water_cylinder_phantom)
+
+        N, NZ, dxp = 48, 8, 0.4
+        lab3 = np.broadcast_to(
+            water_cylinder_phantom(N=N, dx=dxp).labels[0],
+            (NZ, N, N)).copy()
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * dxp
+        cy = (np.arange(N) + 0.5 - N / 2) * dxp
+        Z, Y, X = np.meshgrid(cz, cy, cy, indexing="ij")
+        lab3[(X ** 2 + (Y - 2.0) ** 2 + Z ** 2) < 2.0] = 2
+        ph = VoxelPhantom("wb3", lab3,
+                          MaterialTable([AIR, WATER, BONE]), dxp, dxp,
+                          dxp)
+        ct = ConeBeamGeometry(N_channels=64, N_proj=96, N_rows=8,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.4, eid=False,
+                              detector=photon_counting_response())
+        s = kramers_spectrum(140.0)
+        s.rescale_counts(ct.A_iso * 10.0 / ct.N_proj)
+        res = simulate_pcd_spectral_cone(ct, ph, s, THRESH,
+                                         (WATER, BONE), N, N * dxp,
+                                         n_iters=30)
+        assert res.basis_recons.shape == (2, 8, N, N)
+        water = np.asarray(res.basis_recons[0])
+        bone = np.asarray(res.basis_recons[1])
+        # central-slice water region (away from the sphere)
+        sl = water[4]
+        assert abs(sl[20:28, 12:20].mean() - 1.0) < 0.04
+        # sphere (iy 26-31, ix 21-26 at slice 4) carries bone density
+        assert bone[4, 26:32, 21:27].max() > 1.5
+        vmi = np.asarray(res.vmi(70.0))
+        mu_w = float(xcom.mixatten(WATER.matcomp, np.array([70.0]))[0])
+        assert abs(vmi[4, 20:28, 12:20].mean() - mu_w) / mu_w < 0.04
