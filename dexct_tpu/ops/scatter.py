@@ -58,35 +58,55 @@ def scatter_kernel(n_channels, sigma_ch=40.0, dtype=np.float32):
 
 def _conv_channels(x, kernel):
     """Same-size convolution along the last (channel) axis."""
+    return _conv_axis(x, kernel, -1)
+
+
+def _conv_axis(x, kernel, axis):
+    """Same-size convolution along ``axis`` (edge-padded)."""
+    xm = jnp.moveaxis(x, axis, -1)
     hw = (kernel.shape[0] - 1) // 2
-    pad = [(0, 0)] * (x.ndim - 1) + [(hw, hw)]
-    xp = jnp.pad(x, pad, mode="edge")
+    pad = [(0, 0)] * (xm.ndim - 1) + [(hw, hw)]
+    xp = jnp.pad(xm, pad, mode="edge")
     flat = xp.reshape(-1, xp.shape[-1])
     out = jax.vmap(lambda r: jnp.correlate(r, kernel, mode="valid"))(flat)
-    return out.reshape(*x.shape[:-1], x.shape[-1])
+    return jnp.moveaxis(out.reshape(*xm.shape[:-1], xm.shape[-1]), -1,
+                        axis)
+
+
+def _spread(seed, kernel, row_kernel):
+    """Separable scatter spread: channels always, rows when a cone
+    sinogram [..., R, C] carries a ``row_kernel``."""
+    s = _conv_axis(seed, kernel, -1)
+    if row_kernel is not None:
+        s = _conv_axis(s, row_kernel, -2)
+    return s
 
 
 @functools.partial(jax.jit, static_argnames=("grid_p", "grid_s", "spr"))
 def add_scatter(primary, air, kernel, *, spr=0.2, grid_p=0.95,
-                grid_s=0.2):
+                grid_s=0.2, row_kernel=None):
     """Measured counts with scatter: ``grid_p * P + grid_s * S``.
 
     primary: scatter-free counts [..., V, C]; ``air``: the air-scan
     counts normalizing T (scalar or [C]); ``spr`` scales the seeded
     scatter (the scatter-to-primary ratio behind a fully absorbing
     neighborhood); ``grid_p``/``grid_s``: anti-scatter grid primary /
-    scatter transmissions (1/1 = no grid).
+    scatter transmissions (1/1 = no grid).  For cone-beam data
+    [..., V, R, C] pass ``row_kernel`` (a second 1-D kernel, e.g.
+    ``scatter_kernel(n_rows, sigma_rows)``) — the spread becomes the
+    separable 2-D kernel over the detector face, which is the physical
+    situation (scatter is diffuse in BOTH detector axes).
     """
     t = primary / air
     seed = primary * (1.0 - t)
-    s = spr * _conv_channels(seed, kernel)
+    s = spr * _spread(seed, kernel, row_kernel)
     return grid_p * primary + grid_s * s
 
 
 @functools.partial(jax.jit,
                    static_argnames=("spr", "grid_p", "grid_s", "n_iters"))
 def correct_scatter(measured, air, kernel, *, spr=0.2, grid_p=0.95,
-                    grid_s=0.2, n_iters=2):
+                    grid_s=0.2, n_iters=2, row_kernel=None):
     """Estimate and remove the scatter background from measured counts.
 
     Fixed-point on the same kernel model: start from P ~= M / grid_p,
@@ -97,7 +117,7 @@ def correct_scatter(measured, air, kernel, *, spr=0.2, grid_p=0.95,
     p = measured / grid_p
     for _ in range(n_iters):
         t = jnp.clip(p / air, 0.0, 1.0)
-        s = spr * _conv_channels(p * (1.0 - t), kernel)
+        s = spr * _spread(p * (1.0 - t), kernel, row_kernel)
         p = jnp.maximum((measured - grid_s * s) / grid_p,
                         1e-6 * jnp.asarray(air))
     return p

@@ -108,3 +108,52 @@ class TestScatter:
         assert rel < 0.01  # 2 iterations are converged to <1%
         rel_truth = float(jnp.mean(jnp.abs(p2 - raw) / raw))
         assert rel_truth < 0.02  # and near the true primary
+
+
+class TestConeScatter:
+    """Separable 2-D (rows x channels) scatter for cone-beam data."""
+
+    def test_row_kernel_spreads_across_rows(self):
+        import jax.numpy as jnp
+
+        from dexct_tpu.ops.scatter import add_scatter, scatter_kernel
+
+        k_c = jnp.asarray(scatter_kernel(32, sigma_ch=6.0))
+        k_r = jnp.asarray(scatter_kernel(8, sigma_ch=2.0))
+        air = 1000.0
+        primary = jnp.full((4, 8, 32), air)
+        # one absorbing row-stripe seeds scatter
+        primary = primary.at[:, 3, :].set(50.0)
+        m2d = add_scatter(primary, air, k_c, spr=0.3, grid_p=1.0,
+                          grid_s=1.0, row_kernel=k_r)
+        m1d = add_scatter(primary, air, k_c, spr=0.3, grid_p=1.0,
+                          grid_s=1.0)
+        import numpy as np
+
+        # without the row kernel the scatter stays in the seeded row
+        np.testing.assert_allclose(np.asarray(m1d)[:, 0], air, rtol=1e-6)
+        # with it, neighbor rows receive scatter
+        assert float(m2d[0, 2].mean()) > air + 1.0
+        # totals match to edge-padding leakage (the row kernel is
+        # normalized; edge replication conserves mass only approximately
+        # when the kernel half-width is comparable to the row count)
+        np.testing.assert_allclose(float(m2d.sum()), float(m1d.sum()),
+                                   rtol=3e-4)
+
+    def test_cone_roundtrip(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dexct_tpu.ops.scatter import (add_scatter, correct_scatter,
+                                           scatter_kernel)
+
+        rng = np.random.default_rng(0)
+        air = 1000.0
+        primary = jnp.asarray(rng.uniform(50.0, 900.0, (6, 8, 32)))
+        k_c = jnp.asarray(scatter_kernel(32, sigma_ch=8.0))
+        k_r = jnp.asarray(scatter_kernel(8, sigma_ch=2.0))
+        meas = add_scatter(primary, air, k_c, spr=0.25, row_kernel=k_r)
+        back = correct_scatter(meas, air, k_c, spr=0.25, n_iters=4,
+                               row_kernel=k_r)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(primary),
+                                   rtol=0.02)
