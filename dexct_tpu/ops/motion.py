@@ -60,10 +60,14 @@ ops, all beyond the reference's scope:
   points include wrong tracks, because MC-FBP at any c produces an
   image whose c-reprojection already matches y (FBP and FP are
   near-inverse for every c) — measured err/amp 0.31 -> 0.30 -> drifts
-  back up.  A genuinely tighter estimator needs recon-independent
-  consistency (Helgason-Ludwig moment conditions beyond order 1 — the
-  order-0/1 moments ARE the mass/centroid tracks already used here)
-  or joint regularized inversion.
+  back up.  Higher-order Helgason-Ludwig moment conditions do NOT
+  help for rigid translation either: a shift changes only the
+  t-coordinate, so EVERY t-moment constrains the same per-view scalar
+  c·n̂(θ) the order-1 centroid already measures (the central moments
+  absorb into the rigid object's own degree-n trig polynomials).  A
+  genuinely tighter estimator needs joint regularized inversion over
+  (image, track) — the one-step machinery of ops/onestep.py is the
+  natural host for that extension.
 
 The same three pieces extend to 3-D circular cone-beam scans
 (:class:`MotionProfile3D`, :func:`cone_material_paths_motion`,
