@@ -67,7 +67,10 @@ def apply_afterglow(counts, fractions, decay, *, warm_start=False):
     instead of empty traps (first views after power-on).
     """
     a, b = _check(fractions, decay)
+    # force a float dtype: integer count arrays would truncate the trap
+    # fractions to zero and silently degenerate the model to a gain
     x = jnp.asarray(counts)
+    x = x.astype(jnp.result_type(x.dtype, jnp.float32))
     aj = jnp.asarray(a, x.dtype)
     bj = jnp.asarray(b, x.dtype)
     prompt = 1.0 - a.sum()
@@ -92,6 +95,7 @@ def correct_afterglow(measured, fractions, decay, *, warm_start=False):
     by peeling the known trap-state contribution off each view."""
     a, b = _check(fractions, decay)
     m = jnp.asarray(measured)
+    m = m.astype(jnp.result_type(m.dtype, jnp.float32))
     aj = jnp.asarray(a, m.dtype)
     bj = jnp.asarray(b, m.dtype)
     k = len(a)

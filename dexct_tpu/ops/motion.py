@@ -172,22 +172,32 @@ class MotionProfile:
 # --------------------------------------------------------------------------
 
 def rays_in_object_frame(src, dirs, phi, disp):
-    """Map world-frame rays into the moving object's frame.
+    """Map world-frame rays into the moving object's frame (host,
+    float64 — the ray planners consume NumPy geometry).
 
-    src, dirs: [V, C, 2]; phi: [V]; disp: [V, 2].  Returns (src', dirs')
-    with ``x_obj = R(-phi_v) (x_world - d_v)`` applied per view — the
-    object is static in its own frame, so the static tracer sees the
-    motion-blurred acquisition exactly.
+    src, dirs: [V, ..., D] with D = 2 (fan) or 3 (cone; rotation about
+    z); phi: [V]; disp: [V, D].  Returns (src', dirs') with
+    ``x_obj = R_z(-phi_v) (x_world - d_v)`` applied per view — the
+    object is static in its own frame, so the static exact tracers see
+    the motion-blurred acquisition exactly.  The single shared
+    implementation behind both :func:`material_path_sinogram_motion`
+    and :func:`cone_material_paths_motion`.
     """
-    src = jnp.asarray(src)
-    dirs = jnp.asarray(dirs)
-    c = jnp.cos(jnp.asarray(phi, src.dtype))[:, None]
-    s = jnp.sin(jnp.asarray(phi, src.dtype))[:, None]
-    d = jnp.asarray(disp, src.dtype)[:, None, :]
+    src = np.asarray(src, np.float64)
+    dirs = np.asarray(dirs, np.float64)
+    extra = src.ndim - 2  # batch dims beyond the view axis
+    shape = (-1,) + (1,) * extra
+    c = np.cos(np.asarray(phi, np.float64)).reshape(shape)
+    s = np.sin(np.asarray(phi, np.float64)).reshape(shape)
+    d = np.asarray(disp, np.float64).reshape(
+        (len(phi),) + (1,) * extra + (src.shape[-1],))
 
-    def rot_neg(p):  # R(-phi) p, per view
-        x, y = p[..., 0], p[..., 1]
-        return jnp.stack([c * x + s * y, -s * x + c * y], axis=-1)
+    def rot_neg(p):  # R_z(-phi) p, per view; z (if any) untouched
+        out = [c * p[..., 0] + s * p[..., 1],
+               -s * p[..., 0] + c * p[..., 1]]
+        if p.shape[-1] == 3:
+            out.append(p[..., 2])
+        return np.stack(out, axis=-1)
 
     return rot_neg(src - d), rot_neg(dirs)
 
@@ -197,21 +207,22 @@ def material_path_sinogram_motion(phantom, geometry, motion, *,
     """Material-path sinogram [V, C, M] of a rigidly moving phantom.
 
     Exact Siddon on per-view object-frame rays; ``method`` as in
-    :func:`~dexct_tpu.ops.siddon.material_path_sinogram` ('dominant'
-    packed fast path when the grid allows, else the DDA walk).
+    :func:`~dexct_tpu.ops.siddon.material_path_sinogram`'s voxel paths
+    ('dominant' packed fast path when the grid allows, else the DDA
+    walk).  Voxel phantoms only — the closed-form analytic tracer has
+    no motion dispatch.
     """
     if motion.n_views != geometry.N_proj:
         raise ValueError(
             f"motion has {motion.n_views} views, geometry {geometry.N_proj}")
+    if not hasattr(phantom, "slice_labels"):
+        raise ValueError(
+            "material_path_sinogram_motion supports voxel phantoms only "
+            f"(got {type(phantom).__name__}); rasterize analytic "
+            "phantoms first")
     src, dirs = geometry.ray_geometry()
-    # host-side transform (float64): the planners consume numpy rays
-    cph = np.cos(motion.phi)[:, None]
-    sph = np.sin(motion.phi)[:, None]
-    sd = src - motion.disp[:, None, :]
-    src_o = np.stack([cph * sd[..., 0] + sph * sd[..., 1],
-                      -sph * sd[..., 0] + cph * sd[..., 1]], axis=-1)
-    dirs_o = np.stack([cph * dirs[..., 0] + sph * dirs[..., 1],
-                       -sph * dirs[..., 0] + cph * dirs[..., 1]], axis=-1)
+    src_o, dirs_o = rays_in_object_frame(src, dirs, motion.phi,
+                                         motion.disp)
     labels = jnp.asarray(phantom.slice_labels())
     if method == "auto":
         ok = (phantom.Ny % 2 == 0 and phantom.Nx % 2 == 0
@@ -471,16 +482,8 @@ def cone_material_paths_motion(phantom, geometry, motion, *,
         raise ValueError(
             f"motion has {motion.n_views} views, geometry {geometry.N_proj}")
     src, dirs = geometry.ray_geometry_3d()  # [V, R, C, 3] float64
-    cph = np.cos(motion.phi)[:, None, None]
-    sph = np.sin(motion.phi)[:, None, None]
-    sd = src - motion.disp[:, None, None, :]
-
-    def rot_neg(p, px, py):
-        return np.stack([cph * px + sph * py, -sph * px + cph * py,
-                         p[..., 2]], axis=-1)
-
-    src_o = rot_neg(sd, sd[..., 0], sd[..., 1])
-    dirs_o = rot_neg(dirs, dirs[..., 0], dirs[..., 1])
+    src_o, dirs_o = rays_in_object_frame(src, dirs, motion.phi,
+                                         motion.disp)
     labels_np = np.asarray(phantom.labels).astype(np.int32)
     if method in ("auto", "dominant"):
         try:
@@ -607,6 +610,13 @@ def fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov, ramp,
     if getattr(ct, "ffs", "none") != "none":
         raise ValueError("motion-compensated FDK does not support "
                          "flying-focal-spot geometries")
+    if abs(float(ct.rotation_total) - 2.0 * np.pi) > 1e-6:
+        # the backprojector's accumulated-weight normalization scales by
+        # the full-turn 2*pi; a short scan would come out silently
+        # rescaled and without Parker redundancy weighting
+        raise ValueError(
+            "motion-compensated FDK requires a full 2*pi rotation "
+            f"(got rotation_total={float(ct.rotation_total):.4f})")
     if motion.n_views != ct.N_proj:
         raise ValueError(
             f"motion has {motion.n_views} views, geometry {ct.N_proj}")
@@ -759,17 +769,13 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
 
     grad = jax.grad(loss, argnums=(0, 1))
 
+    from ..utils.optim import adam_step
+
     def body(carry, i):
         x, c, mx, vx, mc, vc = carry
         gx, gc = grad(x, c)
-        mx = 0.9 * mx + 0.1 * gx
-        vx = 0.999 * vx + 0.001 * gx * gx
-        mc = 0.9 * mc + 0.1 * gc
-        vc = 0.999 * vc + 0.001 * gc * gc
-        b1 = 1.0 - 0.9 ** (i + 1.0)
-        b2 = 1.0 - 0.999 ** (i + 1.0)
-        x = x - lr_image * (mx / b1) / (jnp.sqrt(vx / b2) + 1e-8)
-        c = c - lr_track * (mc / b1) / (jnp.sqrt(vc / b2) + 1e-8)
+        x, mx, vx = adam_step(x, gx, mx, vx, i, lr_image)
+        c, mc, vc = adam_step(c, gc, mc, vc, i, lr_track)
         return (x, c, mx, vx, mc, vc), None
 
     z = jnp.zeros_like

@@ -52,6 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..physics import xcom
+from ..utils.optim import adam_step
 from .fourier import FourierProjectorPlan, fourier_project_images
 
 __all__ = ["onestep_spectral_recon", "spectral_forward_images"]
@@ -100,12 +101,7 @@ def _fit(forward_fn, counts, mus, i0s, x0, n_iters, beta, delta,
 
     def body(carry, i):
         x, m, v = carry
-        g = grad(x)
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mh = m / (1.0 - 0.9 ** (i + 1.0))
-        vh = v / (1.0 - 0.999 ** (i + 1.0))
-        x = x - lr * mh / (jnp.sqrt(vh) + 1e-8)
+        x, m, v = adam_step(x, grad(x), m, v, i, lr)
         if nonneg:
             x = jnp.maximum(x, 0.0)
         return (x, m, v), None
@@ -143,8 +139,19 @@ def onestep_spectral_recon(counts, ee, i0s, basis, plan, view_shape, *,
         x0 = jnp.asarray(x0, dtype)
     vs = tuple(view_shape)
 
-    def forward_fn(x, mu_t, i0_t):
-        return spectral_forward_images(plan, x, mu_t, i0_t, vs)
+    # cache the forward closure ON the plan: _fit keys its jit cache on
+    # the function object, so a fresh closure per call would recompile
+    # the whole Adam scan every invocation (minutes through the tunnel)
+    cache = getattr(plan, "_onestep_forward_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(plan, "_onestep_forward_cache", cache)
+    forward_fn = cache.get(vs)
+    if forward_fn is None:
+        def forward_fn(x, mu_t, i0_t, _plan=plan, _vs=vs):
+            return spectral_forward_images(_plan, x, mu_t, i0_t, _vs)
+
+        cache[vs] = forward_fn
 
     return _fit(forward_fn, counts, mus, jnp.asarray(i0s, dtype), x0,
                 int(n_iters), float(beta), float(delta), float(lr),

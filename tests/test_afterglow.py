@@ -78,3 +78,16 @@ class TestArtifact:
         e_fix = np.sqrt(np.mean((recon(fixed) - ref) ** 2))
         assert e_bad > 20.0 * e_fix, (e_bad, e_fix)
         assert e_fix < 1e-4, e_fix
+
+
+class TestDtypeRobustness:
+    def test_integer_counts_lag_correctly(self):
+        """Integer count arrays must NOT truncate the trap fractions
+        (review finding: the float cast has to happen before the
+        parameter cast, else the model degenerates to a pure gain)."""
+        x = np.zeros((24, 2), np.int64)
+        x[0] = 1000
+        m = np.asarray(apply_afterglow(jnp.asarray(x), A, B))
+        h = lag_impulse_response(A, B, 24)
+        np.testing.assert_allclose(m[:, 0], 1000.0 * h, rtol=1e-5,
+                                   atol=1e-4)

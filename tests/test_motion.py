@@ -332,3 +332,29 @@ class TestJointEstimator:
         assert e_fix < e_bad / 4.0, (e_bad, e_fix)
         # the joint image itself is motion-resolved too
         assert np.isfinite(np.asarray(ximg)).all()
+
+
+class TestGuards:
+    def test_analytic_phantom_rejected(self):
+        from dexct_tpu.system.analytic import water_cylinder_analytic
+
+        ct, _ = _system()
+        ph = water_cylinder_analytic()
+        with pytest.raises(ValueError, match="voxel"):
+            material_path_sinogram_motion(
+                ph, ct, MotionProfile.static(ct.N_proj))
+
+    def test_short_scan_mc_fdk_rejected(self):
+        import dataclasses
+
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          fdk_reconstruct_motion)
+        from dexct_tpu.system import ConeBeamGeometry
+
+        ct = ConeBeamGeometry(N_channels=16, N_proj=16, N_rows=4,
+                              gamma_fan=0.8, SID=60.0, SDD=100.0,
+                              h_iso=0.5, rotation_total=np.pi)
+        sino = jnp.zeros((16, 4, 16))
+        with pytest.raises(ValueError, match="2\\*pi"):
+            fdk_reconstruct_motion(sino, ct, 16, 8.0, 0.8,
+                                   MotionProfile3D.static(16))
