@@ -35,7 +35,7 @@ from dexct_tpu.ops import spectral as sp_ops
 from dexct_tpu.ops.afterglow import (apply_afterglow, correct_afterglow,
                                      decay_per_view)
 from dexct_tpu.ops.calibration import estimate_det_offset
-from dexct_tpu.ops.motion import (MotionProfile, estimate_translation,
+from dexct_tpu.ops.motion import (MotionProfile, estimate_motion_joint,
                                   fbp_recon_motion,
                                   material_path_sinogram_motion)
 from dexct_tpu.physics.pileup import recorded_rate, true_rate
@@ -110,15 +110,19 @@ def main():
     rows.append((f"COR offset (est {est:+.2f} ch)", rec_cor,
                  "calibrated", rec_corfix))
 
-    # 4. rigid motion -> double edges -> estimated-track MC-FBP
+    # 4. rigid motion -> double edges -> joint-inversion track + MC-FBP
     motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.7,
                                      cycles=1.5, direction=(1.0, 0.4))
     paths_m = material_path_sinogram_motion(ph, ct, motion)
     _, log_m = get_sino(ct, ph, s, paths=paths_m)
     rec_mot, _ = get_recon(log_m, ct, s, N, 20.0, 0.8)
-    est_track, _ = estimate_translation(np.asarray(log_m), ct)
+    est_track, _ = estimate_motion_joint(log_m, ct, N, 20.0,
+                                         n_iters=500)
     rec_mfix, _ = fbp_recon_motion(log_m, ct, N, 20.0, est_track, 0.8)
-    rows.append(("rigid motion", rec_mot, "MC-FBP (estimated track)",
+    track_err = float(np.sqrt(np.mean(
+        (est_track.disp - motion.disp) ** 2)))
+    rows.append((f"rigid motion", rec_mot,
+                 f"MC-FBP (joint track, rms {track_err:.2f} cm)",
                  rec_mfix))
 
     # 5. pulse pileup -> rate-dependent shading -> dead-time inversion
