@@ -58,14 +58,48 @@ from .fourier import FourierProjectorPlan, fourier_project_images
 __all__ = ["onestep_spectral_recon", "spectral_forward_images"]
 
 
-def spectral_forward_images(plan, x, mus, i0s, view_shape):
-    """Expected counts [M, V, C] from basis images x [K, N, N]."""
-    L = fourier_project_images(plan, x, view_shape)  # [V, C, K]
+def spectral_forward_images(plan, x, mus, i0s, view_shape, disp=None,
+                            resample_meta=None):
+    """Expected counts [M, V, C] from basis images x [K, N, N].
+
+    With ``disp`` [V, 2] (and the precomputed ``resample_meta`` from
+    :func:`_motion_resample_meta`), the line integrals are taken along
+    the MOTION-TRANSFORMED rays — a per-view t-shift resampling of each
+    basis Radon transform — making this the forward model of
+    motion-compensated spectral MBIR.
+    """
     hi = jax.lax.Precision.HIGHEST
+    if disp is None:
+        L = fourier_project_images(plan, x, view_shape)  # [V, C, K]
+    else:
+        from .fourier import fourier_radon
+        from .motion import _radon_resample_fan
+
+        th_w, t_w = resample_meta
+        radon = fourier_radon(plan, x)  # [K, nθ, nt]
+        L = jnp.stack([
+            _radon_resample_fan(radon[k], th_w, t_w, disp,
+                                plan.n_theta, plan.nt, plan.t0,
+                                plan.dt)
+            for k in range(x.shape[0])
+        ], axis=-1)  # [V, C, K]
     E = jnp.matmul(L, mus, precision=hi)  # [V, C, E]
     atten = jnp.exp(jnp.clip(-E, -700.0, 2.0))
     lam = jnp.matmul(atten, i0s.T, precision=hi)  # [V, C, M]
     return jnp.transpose(lam, (2, 0, 1))
+
+
+def _motion_resample_meta(geometry, view_shape):
+    """Static (theta_w, t_w) fan-line coordinates for the motion
+    resampler (host)."""
+    v, c = view_shape
+    betas = np.asarray(geometry.betas, np.float64)
+    gam = (np.arange(c) + 0.5 - c / 2.0) * geometry.dgamma
+    th_w = jnp.asarray(betas[:, None] + gam[None, :] - np.pi / 2.0,
+                       jnp.float32)
+    t_w = jnp.asarray(geometry.SID * np.sin(gam)[None, :]
+                      * np.ones((v, 1)), jnp.float32)
+    return th_w, t_w
 
 
 def _huber(d, delta):
@@ -114,7 +148,8 @@ def _fit(forward_fn, counts, mus, i0s, x0, n_iters, beta, delta,
 
 def onestep_spectral_recon(counts, ee, i0s, basis, plan, view_shape, *,
                            x0=None, n_iters=300, beta=3e-3, delta=1e-2,
-                           lr=2e-3, nonneg=True, dtype=jnp.float32):
+                           lr=2e-3, nonneg=True, dtype=jnp.float32,
+                           motion=None, geometry=None):
     """Fit basis images [K, N, N] to multi-bin counts [M, V, C].
 
     counts: measured counts; ee [E] / i0s [M, E]: the working energy
@@ -128,6 +163,12 @@ def onestep_spectral_recon(counts, ee, i0s, basis, plan, view_shape, *,
     (slower, still converges at these scales).  ``beta`` weighs the
     Huber penalty relative to the normalized data term; ``lr`` is the
     Adam step in basis-density units (g/cm^3).
+
+    ``motion`` (a :class:`~dexct_tpu.ops.motion.MotionProfile`,
+    translation track; requires ``geometry``) switches the forward to
+    the motion-transformed rays — motion-compensated spectral MBIR:
+    the basis images are solved in the object frame from a scan taken
+    while the object moved.  Each distinct track compiles its own fit.
     """
     counts = jnp.asarray(counts, dtype)
     mus = jnp.asarray(
@@ -139,19 +180,36 @@ def onestep_spectral_recon(counts, ee, i0s, basis, plan, view_shape, *,
         x0 = jnp.asarray(x0, dtype)
     vs = tuple(view_shape)
 
-    # cache the forward closure ON the plan: _fit keys its jit cache on
-    # the function object, so a fresh closure per call would recompile
-    # the whole Adam scan every invocation (minutes through the tunnel)
-    cache = getattr(plan, "_onestep_forward_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(plan, "_onestep_forward_cache", cache)
-    forward_fn = cache.get(vs)
-    if forward_fn is None:
-        def forward_fn(x, mu_t, i0_t, _plan=plan, _vs=vs):
-            return spectral_forward_images(_plan, x, mu_t, i0_t, _vs)
+    if motion is not None:
+        if geometry is None:
+            raise ValueError("motion-compensated fit needs geometry")
+        if np.any(motion.phi):
+            raise ValueError("the motion-forward resampler supports "
+                             "translation tracks (phi = 0) only")
+        meta = _motion_resample_meta(geometry, vs)
+        disp = jnp.asarray(motion.disp, dtype)
 
-        cache[vs] = forward_fn
+        def forward_fn(x, mu_t, i0_t, _plan=plan, _vs=vs):
+            return spectral_forward_images(_plan, x, mu_t, i0_t, _vs,
+                                           disp=disp,
+                                           resample_meta=meta)
+    else:
+        # cache the forward closure ON the plan: _fit keys its jit
+        # cache on the function object, so a fresh closure per call
+        # would recompile the whole Adam scan every invocation (minutes
+        # through the tunnel).  Motion fits skip the cache — the track
+        # is baked into the closure.
+        cache = getattr(plan, "_onestep_forward_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(plan, "_onestep_forward_cache", cache)
+        forward_fn = cache.get(vs)
+        if forward_fn is None:
+            def forward_fn(x, mu_t, i0_t, _plan=plan, _vs=vs):
+                return spectral_forward_images(_plan, x, mu_t, i0_t,
+                                               _vs)
+
+            cache[vs] = forward_fn
 
     return _fit(forward_fn, counts, mus, jnp.asarray(i0s, dtype), x0,
                 int(n_iters), float(beta), float(delta), float(lr),

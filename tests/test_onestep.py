@@ -125,3 +125,51 @@ class TestOneStep:
         assert e_one < 0.65 * e_two, (e_two, e_one)
         # the bone rod must survive the penalty (no oversmoothing win)
         assert np.asarray(x[1])[labels == 2].mean() > 1.4
+
+
+class TestMotionCompensatedSpectral:
+    def test_mc_onestep_recovers_moving_phantom(self):
+        """Motion-compensated spectral MBIR: a 4-bin PCD scan of a
+        MOVING water cylinder solved with the TRUE track recovers the
+        basis densities; ignoring the motion leaves a much larger
+        error."""
+        from dexct_tpu.ops.motion import (MotionProfile,
+                                          material_path_sinogram_motion)
+        from dexct_tpu.system import water_cylinder_phantom
+
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=False,
+                             detector=photon_counting_response())
+        ph = water_cylinder_phantom(N=64, dx=0.3)
+        s = kramers_spectrum(140.0)
+        s.rescale_counts(ct.A_iso * 0.02 / ct.N_proj)
+        i0s = pcd_bin_fluences(ct, s, THRESH)
+        motion = MotionProfile.breathing(ct.N_proj, amplitude_cm=0.8,
+                                         cycles=1.5, direction=(1.0, 0.3))
+        paths = material_path_sinogram_motion(ph, ct, motion)
+        res = simulate_pcd_spectral(ct, ph, s, THRESH, BASIS, 64,
+                                    64 * 0.3, paths=paths, n_iters=40)
+        x0 = jnp.clip(res.basis_recons, 0.0, 3.0)
+        plan = plan_fourier_projector(ph, ct, n_theta=256)
+        yy, xx = np.mgrid[0:64, 0:64]
+        interior = np.hypot(yy - 31.5, xx - 31.5) < 0.25 * 64
+        truth = (np.hypot((yy - 31.5) * 0.3, (xx - 31.5) * 0.3)
+                 <= 0.4 * 64 * 0.3).astype(np.float64)
+
+        def fit(mo):
+            return onestep_spectral_recon(
+                res.counts, s.E, i0s, BASIS, plan, (96, 96), x0=x0,
+                n_iters=400, lr=2e-3, motion=mo, geometry=ct)
+
+        def rms(x):
+            return float(np.sqrt(np.mean((np.asarray(x[0])
+                                          - truth) ** 2)))
+
+        x_mc = fit(motion)
+        x_ig = fit(MotionProfile.static(ct.N_proj))
+        # measured: init 0.167, MC 0.112, motion-ignoring fit 0.184
+        # (fitting a static model to moving data WORSENS the init)
+        assert abs(np.asarray(x_mc[0])[interior].mean() - 1.0) < 0.03
+        assert rms(x_mc) < 0.75 * rms(x_ig), (rms(x_mc), rms(x_ig))
+        assert rms(x_mc) < rms(x0), (rms(x_mc), rms(x0))
