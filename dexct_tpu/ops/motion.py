@@ -648,21 +648,25 @@ def fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov, ramp,
 # joint (image, track) motion estimation
 # --------------------------------------------------------------------------
 
-def _radon_resample_fan(radon, th_w, t_w, disp, n_theta, nt, t0, dt):
+def _radon_resample_fan(radon, th_w, t_w, disp, n_theta, nt, t0, dt,
+                        phi=None):
     """Differentiable fan sampling of a parallel Radon image under a
-    per-view object translation.
+    per-view rigid object pose.
 
     The fan ray (v, c) is the line (theta_w, t_w); in the object frame
-    the same line is (theta_w, t_w - d_v . n_hat(theta_w)) — a
-    translation only shifts the t coordinate.  Bilinear sampling of
-    ``radon`` [n_theta, nt] with the theta mod-pi wrap flipping t (the
-    static table construction of ops/fourier.py:190-224, here kept
-    traced so ``jax.grad`` flows into ``disp``).
+    (``x_o = R(-phi_v)(x_w - d_v)``) the same line is
+    ``(theta_w - phi_v, t_w - d_v . n_hat(theta_w))`` — translation
+    shifts t (dotted with the WORLD normal), rotation shifts theta.
+    Bilinear sampling of ``radon`` [n_theta, nt] with the theta mod-pi
+    wrap flipping t (the static table construction of
+    ops/fourier.py:190-224, here kept traced so ``jax.grad`` flows into
+    ``disp`` and ``phi``).
     """
     nx, ny = jnp.cos(th_w), jnp.sin(th_w)
     t = t_w - (disp[:, 0:1] * nx + disp[:, 1:2] * ny)
-    k = jnp.floor(th_w / jnp.pi)
-    thm = th_w - k * jnp.pi
+    th = th_w if phi is None else th_w - phi[:, None]
+    k = jnp.floor(th / jnp.pi)
+    thm = th - k * jnp.pi
     sgn = jnp.where(jnp.mod(k, 2.0) != 0, -1.0, 1.0)
     t = t * sgn
     ft = thm / (jnp.pi / n_theta)
@@ -692,7 +696,7 @@ def _radon_resample_fan(radon, th_w, t_w, disp, n_theta, nt, t0, dt):
 def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
                           n_modes=6, n_iters=800, beta_tv=3e-3,
                           lr_image=2e-3, lr_track=8e-3, n_theta=512,
-                          init=None, basis=None):
+                          init=None, basis=None, fit_rotation=False):
     """Joint (image, translation-track) inversion — the tight motion
     estimator.
 
@@ -715,9 +719,10 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
     floor is ~7-8x.  Cost per iteration is one Radon FFT + one fan
     resample + gradients (all fused under jit).
 
-    Returns ``(MotionProfile, image)`` — the track (phi = 0;
-    translation-only, like :func:`estimate_translation`) and the
-    jointly reconstructed image.
+    ``fit_rotation=True`` adds a rotation track ``phi_v`` on the same
+    basis (rotation is a theta-shift in the resampler) — full rigid
+    in-plane estimation.  Returns ``(MotionProfile, image)`` — the
+    fitted track and the jointly reconstructed image.
     """
     from ..physics.materials import AIR, MaterialTable
     from ..system.phantom import VoxelPhantom
@@ -749,18 +754,29 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
     if init is None:
         init, _ = estimate_translation(np.asarray(y), geometry,
                                        n_modes=K, basis=np.asarray(B))
-    c0 = jnp.asarray(np.linalg.lstsq(np.asarray(B), init.disp,
-                                     rcond=None)[0].ravel(), jnp.float32)
+    cd0 = np.linalg.lstsq(np.asarray(B), init.disp, rcond=None)[0]
+    if fit_rotation:
+        cp0 = np.linalg.lstsq(np.asarray(B), init.phi, rcond=None)[0]
+        c0 = jnp.asarray(np.concatenate([cd0.ravel(), cp0]),
+                         jnp.float32)
+    else:
+        c0 = jnp.asarray(cd0.ravel(), jnp.float32)
     x0, _ = fbp_recon_motion(y, geometry, int(n_matrix), float(fov),
                              init)
     x0 = jnp.asarray(x0, jnp.float32)
     norm = jnp.sum(y * y)
 
+    def track(c):
+        disp = B @ c[:2 * K].reshape(K, 2)
+        phi = B @ c[2 * K:] if fit_rotation else None
+        return disp, phi
+
     def loss(x, c):
         radon = fourier_radon(plan, x[None])[0]
-        pred = _radon_resample_fan(radon, th_w, t_w,
-                                   B @ c.reshape(K, 2), plan.n_theta,
-                                   plan.nt, plan.t0, plan.dt)
+        disp, phi = track(c)
+        pred = _radon_resample_fan(radon, th_w, t_w, disp,
+                                   plan.n_theta, plan.nt, plan.t0,
+                                   plan.dt, phi=phi)
         data = jnp.sum((pred - y) ** 2) / norm
         dgx = x[:, 1:] - x[:, :-1]
         dgy = x[1:] - x[:-1]
@@ -782,5 +798,8 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
     (x, c, *_), _ = jax.lax.scan(
         jax.jit(body), (x0, c0, z(x0), z(x0), z(c0), z(c0)),
         jnp.arange(int(n_iters), dtype=jnp.float32))
-    disp = np.asarray(B @ c.reshape(K, 2), np.float64)
-    return MotionProfile(np.zeros(V), disp), x
+    disp_f, phi_f = track(c)
+    disp = np.asarray(disp_f, np.float64)
+    phi = (np.asarray(phi_f, np.float64) if fit_rotation
+           else np.zeros(V))
+    return MotionProfile(phi, disp), x

@@ -334,6 +334,36 @@ class TestJointEstimator:
         assert np.isfinite(np.asarray(ximg)).all()
 
 
+    def test_joint_full_rigid(self):
+        """fit_rotation=True recovers a combined rotation+translation
+        pose track (measured: disp err 0.07x, phi err 0.16x amplitude;
+        MC-FBP 5x artifact reduction)."""
+        from dexct_tpu.ops.motion import estimate_motion_joint
+
+        ct, ph = _system(N=64, n_proj=192, phantom=contrast_rods_phantom)
+        V = ct.N_proj
+        motion = MotionProfile(
+            0.08 * np.sin(2 * np.pi * np.arange(V) / V),
+            MotionProfile.breathing(V, 0.5, 1.5, (0.3, 1.0)).disp)
+        sino = _mono_sino(ph, ct, motion)
+        fov = ph.Nx * ph.dx
+        est, _ = estimate_motion_joint(sino, ct, 64, fov, n_iters=500,
+                                       fit_rotation=True)
+        ed = np.sqrt(np.mean((est.disp - motion.disp) ** 2))
+        ad = np.sqrt(np.mean(motion.disp ** 2))
+        ep = np.sqrt(np.mean((est.phi - motion.phi) ** 2))
+        ap = np.sqrt(np.mean(motion.phi ** 2))
+        assert ed < 0.2 * ad, (ed, ad)
+        assert ep < 0.35 * ap, (ep, ap)
+        clean = _mono_sino(ph, ct)
+        ref = np.asarray(fbp_ops.fbp_recon(clean, ct, 64, fov)[0])
+        bad = np.asarray(fbp_ops.fbp_recon(sino, ct, 64, fov)[0])
+        fixed = np.asarray(fbp_recon_motion(sino, ct, 64, fov, est)[0])
+        e_bad = np.sqrt(np.mean((bad - ref) ** 2))
+        e_fix = np.sqrt(np.mean((fixed - ref) ** 2))
+        assert e_fix < e_bad / 3.0, (e_bad, e_fix)
+
+
 class TestGuards:
     def test_analytic_phantom_rejected(self):
         from dexct_tpu.system.analytic import water_cylinder_analytic
