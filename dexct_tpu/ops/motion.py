@@ -716,8 +716,11 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
     the centroid estimator at err/amp 0.31): err/amp 0.11 at 400
     iters, 0.065 at 800, 0.060 plateau at 1200; MC-FBP with the
     800-iter track reduces the artifact rms 6.7x — the true-track
-    floor is ~7-8x.  Cost per iteration is one Radon FFT + one fan
-    resample + gradients (all fused under jit).
+    floor is ~7-8x.  Poisson noise does not degrade it: err/amp
+    0.063 / 0.070 / 0.040 at air counts 1e6 / 1e5 / 1e4 (the track
+    is 12-18 numbers fit to V*C rays — massively overdetermined).
+    Cost per iteration is one Radon FFT + one fan resample +
+    gradients (all fused under jit).
 
     ``fit_rotation=True`` adds a rotation track ``phi_v`` on the same
     basis (rotation is a theta-shift in the resampler) — full rigid
