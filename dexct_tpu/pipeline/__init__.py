@@ -10,6 +10,8 @@ from .api import (
     simulate_dect,
 )
 from .dualsource import simulate_dualsource_dect
+from .realism import (Stage, apply_chain, correct_chain,
+                      simulate_dect_realistic)
 from .kvswitch import simulate_kvswitch_dect
 from .spectralct import (SpectralResult, simulate_pcd_spectral,
                          simulate_pcd_spectral_cone)
@@ -19,6 +21,10 @@ from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 __all__ = [
     "simulate_kvswitch_dect",
     "simulate_dualsource_dect",
+    "Stage",
+    "apply_chain",
+    "correct_chain",
+    "simulate_dect_realistic",
     "SpectralResult",
     "simulate_pcd_spectral",
     "simulate_pcd_spectral_cone",
