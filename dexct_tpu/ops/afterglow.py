@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["decay_per_view", "apply_afterglow", "correct_afterglow",
-           "lag_impulse_response"]
+           "lag_impulse_response", "fit_lag_parameters"]
 
 
 def decay_per_view(tau_ms, view_time_ms):
@@ -130,3 +130,43 @@ def lag_impulse_response(fractions, decay, n=32):
     kk = np.arange(1, n)
     h[1:] = ((a * (1.0 - b))[None, :] * (b[None, :] ** kk[:, None])).sum(1)
     return h
+
+
+def fit_lag_parameters(decay_tail, n_exp=2):
+    """Calibrate the lag model from a measured shutter-off decay tail
+    (host, float64) — the scanner's lag-calibration procedure.
+
+    ``decay_tail``: h[1..n] — the mean detector signal on the views
+    AFTER the beam turns off, normalized so that the on-beam steady
+    signal was 1 (i.e. the tail of the impulse response,
+    :func:`lag_impulse_response` [1:]).  Fits ``sum_i a_i (1-b_i)
+    b_i^k`` by Prony's method: the decay factors ``b_i`` are the roots
+    of the linear recurrence the tail satisfies (an [n-p, p] linear
+    solve), and the amplitudes follow from one linear LS on the
+    Vandermonde of the recovered roots — no nonlinear iteration.
+
+    Returns ``(fractions [n_exp], decay [n_exp])`` ready for
+    :func:`correct_afterglow`.  Exact on noiseless model tails;
+    with measurement noise, average many channels/repeats first
+    (the tail is tiny — percent-level of the on-signal).
+    """
+    h = np.asarray(decay_tail, np.float64)
+    p = int(n_exp)
+    if len(h) < 2 * p + 1:
+        raise ValueError(f"need >= {2 * p + 1} tail samples for "
+                         f"{p} exponentials")
+    # Prony: h[k+p] = -sum_j c_j h[k+p-1-j]  ->  solve for c
+    rows = len(h) - p
+    A = np.stack([h[p - 1 - j:p - 1 - j + rows] for j in range(p)], -1)
+    rhs = h[p:p + rows]
+    c, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    roots = np.roots(np.concatenate([[1.0], -c]))
+    b = np.clip(np.real(roots), 0.0, 1.0 - 1e-9)
+    b = np.sort(b)
+    # amplitudes: h[k] = sum_i w_i b_i^k  (k = 1..) with w = a (1-b)
+    kk = np.arange(1, len(h) + 1)
+    V = b[None, :] ** kk[:, None]
+    w, *_ = np.linalg.lstsq(V, h, rcond=None)
+    a = w / np.maximum(1.0 - b, 1e-12)
+    a = np.clip(a, 0.0, None)
+    return a, b

@@ -91,3 +91,35 @@ class TestDtypeRobustness:
         h = lag_impulse_response(A, B, 24)
         np.testing.assert_allclose(m[:, 0], 1000.0 * h, rtol=1e-5,
                                    atol=1e-4)
+
+
+class TestLagCalibration:
+    def test_prony_recovers_model(self):
+        """Shutter-off calibration: Prony on the decay tail recovers
+        the trap fractions and decay constants exactly (noiseless)."""
+        from dexct_tpu.ops.afterglow import fit_lag_parameters
+
+        h = lag_impulse_response(A, B, 40)
+        a_hat, b_hat = fit_lag_parameters(h[1:], n_exp=2)
+        order = np.argsort(B)
+        np.testing.assert_allclose(b_hat, np.sort(B), rtol=1e-6)
+        np.testing.assert_allclose(a_hat, np.asarray(A)[order],
+                                   rtol=1e-5)
+
+    def test_calibrated_correction_roundtrip(self):
+        from dexct_tpu.ops.afterglow import fit_lag_parameters
+
+        h = lag_impulse_response(A, B, 40)
+        a_hat, b_hat = fit_lag_parameters(h[1:], n_exp=2)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(10.0, 100.0, (48, 8)))
+        m = apply_afterglow(x, A, B)
+        back = correct_afterglow(m, a_hat, b_hat)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=1e-4)
+
+    def test_too_short_tail_rejected(self):
+        from dexct_tpu.ops.afterglow import fit_lag_parameters
+
+        with pytest.raises(ValueError):
+            fit_lag_parameters(np.ones(4), n_exp=2)
