@@ -83,6 +83,13 @@ coverage so z-motion that pushes voxels off the detector for part of
 the orbit renormalizes instead of shading (and as a side effect the
 outermost slices of even a STATIC volume are better than plain FDK,
 which dims them — measured 0.222 vs 0.148 against a 0.22 truth).
+Helical scans get :func:`helical_fdk_reconstruct_motion` — the
+generalized-Feldkamp backprojection with posed voxels AND per-view
+re-centering of each voxel's 2*pi window on the source's passage of
+its instantaneous z.  Its MC residual is gFDK's own row-interpolation
+phase error, not a motion term (measured: a constant HALF-row shift
+costs 0.010 rms on a sharp sphere, a FULL-row shift only 0.0026; a
+1.6 cm breathing drift corrects 0.055 -> 0.024 = that same floor).
 
 TPU mapping: simulation and MC-FBP/FDK are pure elementwise transforms
 feeding the existing gather kernels; the estimator is a [V x (2+2K)]
@@ -103,7 +110,7 @@ __all__ = ["MotionProfile", "rays_in_object_frame",
            "fbp_recon_motion", "estimate_translation",
            "estimate_motion_joint", "cosine_motion_basis",
            "MotionProfile3D", "cone_material_paths_motion",
-           "fdk_reconstruct_motion"]
+           "fdk_reconstruct_motion", "helical_fdk_reconstruct_motion"]
 
 
 # --------------------------------------------------------------------------
@@ -806,3 +813,157 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
     phi = (np.asarray(phi_f, np.float64) if fit_rotation
            else np.zeros(V))
     return MotionProfile(phi, disp), x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+)
+def _helical_backproject_motion(q, betas, src_z, beta_mid, phi, disp,
+                                sid, dgamma, row_h, n_rows, pitch,
+                                n_matrix, nz_out, fov, dz_out, z0, *,
+                                view_block=8):
+    """Motion-compensated generalized-Feldkamp helical backprojection
+    ('full' 2*pi-window weighting of ops/conebeam.py:325, with every
+    voxel evaluated at its posed world position per view).  The window
+    centers on the source's passage of the voxel's INSTANTANEOUS world
+    z (z + dz_v) — an axially drifting voxel is reconstructed from the
+    views that actually saw it."""
+    V, R, C = q.shape
+    dtype = q.dtype
+    N = n_matrix
+    px_size = fov / N
+    c_np = (np.arange(N) + 0.5 - N / 2.0) * px_size
+    XX, YY = np.meshgrid(c_np, c_np)
+    in_circle = np.hypot(XX, YY) <= fov / 2.0
+    sel = np.nonzero(in_circle.reshape(-1))[0]
+    P = len(sel)
+    X = jnp.asarray(XX.reshape(-1)[sel], dtype)
+    Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
+    zc = jnp.asarray(z0 + np.arange(nz_out) * dz_out, dtype)
+
+    vb = max(1, min(view_block, V))
+    while V % vb:
+        vb -= 1
+    bb = betas.reshape(V // vb, vb)
+    zb = src_z.reshape(V // vb, vb)
+    phb = phi.reshape(V // vb, vb)
+    db = disp.reshape(V // vb, vb, 3)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    def block(carry, args):
+        num, den = carry
+        beta, sz, ph, d, vo = args
+        cp, sp = jnp.cos(ph)[:, None], jnp.sin(ph)[:, None]
+        Xv = cp * X[None, :] - sp * Y[None, :] + d[:, 0:1]
+        Yv = sp * X[None, :] + cp * Y[None, :] + d[:, 1:2]
+        cb, sb = jnp.cos(beta)[:, None], jnp.sin(beta)[:, None]
+        ell = sid - (Xv * cb + Yv * sb)
+        vt = -Xv * sb + Yv * cb
+        gam = jnp.arctan2(-vt, ell)
+        h2 = ell * ell + vt * vt
+        inv_h = jax.lax.rsqrt(h2)
+        cidx = gam / dgamma - 0.5 + C / 2.0
+        c0 = jnp.clip(jnp.floor(cidx), 0, C - 2)
+        fc = jnp.clip(cidx - c0, 0.0, 1.0)
+        w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
+        w_amp = w_in / h2
+
+        qb = q[vo]
+        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
+        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
+        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+        packed_flat = jnp.stack(
+            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+        voff_b = jnp.arange(vb, dtype=jnp.int32)
+
+        def one_slice(z):
+            zv = z + d[:, 2:3]  # posed world z [vb, 1]
+            zt = (zv - sz[:, None]) * sid * inv_h
+            ridx = zt / row_h - 0.5 + R / 2.0
+            r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
+            fr = jnp.clip(ridx - r0, 0.0, 1.0)
+            w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0,
+                            0.0)
+            # 2*pi window centered on the source's passage of the
+            # voxel's instantaneous z
+            bc = beta_mid + 2.0 * jnp.pi * zv / pitch
+            w_win = jnp.where(jnp.abs(beta[:, None] - bc) <= jnp.pi,
+                              1.0, 0.0)
+            w = w_z * w_win
+            idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
+            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
+            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
+            val = top * (1 - fr) + bot * fr
+            return (jnp.sum(val * w_amp * w, axis=0),
+                    jnp.sum(w, axis=0))
+
+        dn, dd = jax.vmap(one_slice)(zc)
+        return (num + dn, den + dd), None
+
+    acc0 = (jnp.zeros((nz_out, P), dtype), jnp.zeros((nz_out, P), dtype))
+    (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, phb, db, voff))
+    out = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    out = out * (2.0 * np.pi)
+    vol = jnp.zeros((nz_out, N * N), dtype)
+    vol = vol.at[:, jnp.asarray(sel)].set(out)
+    return vol.reshape(nz_out, N, N)
+
+
+def helical_fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov,
+                                   ramp, motion, *, z_out=None,
+                                   window="sinc", view_block=8):
+    """Motion-compensated helical generalized-Feldkamp reconstruction
+    -> [nz, N, N] cm^-1 (the clinical case: respiratory drift during a
+    helical scan).
+
+    Filtering matches the static
+    :func:`~dexct_tpu.ops.conebeam.helical_fdk_reconstruct` ('full'
+    weighting); the backprojection poses every voxel per view AND
+    re-centers its 2*pi window on the source's passage of the posed z.
+    Zero motion reproduces the static helical path; static spot only.
+    """
+    from .filters import filter_frequency_response
+
+    ct = geometry
+    if abs(getattr(ct, "pitch", 0.0)) < 1e-12:
+        raise ValueError("geometry has no pitch; use "
+                         "fdk_reconstruct_motion for circular orbits")
+    if getattr(ct, "ffs", "none") != "none":
+        raise ValueError("motion-compensated helical reconstruction "
+                         "supports static focal spots only")
+    if motion.n_views != ct.N_proj:
+        raise ValueError(
+            f"motion has {motion.n_views} views, geometry {ct.N_proj}")
+    V, R, C = sino_log.shape
+    if R != ct.N_rows:
+        raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
+    dtype = jnp.result_type(sino_log.dtype, jnp.float32)
+
+    if z_out is None:
+        travel = ct.pitch * ct.rotation_total / (2.0 * np.pi)
+        half = 0.4 * travel
+        nz = max(int(2.0 * half / ct.h_iso), 1)
+        z_out = (np.arange(nz) + 0.5) * (2.0 * half / nz) - half
+    z_out = np.asarray(z_out, np.float64)
+    dz = float(np.diff(z_out)[0]) if len(z_out) > 1 else float(ct.h_iso)
+
+    cosg = np.cos(ct.gammas)
+    cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
+    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct.SID, dtype)
+    H, m = filter_frequency_response(C, ct.dgamma, ramp, window, "fan")
+    pw = sino_log.astype(dtype) * w[None]
+    spec = jnp.fft.rfft(pw, n=m, axis=-1)
+    q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
+                      axis=-1)[..., :C] * ct.dgamma
+
+    return _helical_backproject_motion(
+        q, jnp.asarray(ct.betas, dtype),
+        jnp.asarray(ct.source_z, dtype),
+        float(0.5 * ct.rotation_total), jnp.asarray(motion.phi, dtype),
+        jnp.asarray(motion.disp, dtype), float(ct.SID),
+        float(ct.dgamma), float(ct.h_iso), int(R), float(ct.pitch),
+        int(n_matrix), int(len(z_out)), float(fov), dz,
+        float(z_out[0]), view_block=int(view_block))

@@ -388,3 +388,88 @@ class TestGuards:
         with pytest.raises(ValueError, match="2\\*pi"):
             fdk_reconstruct_motion(sino, ct, 16, 8.0, 0.8,
                                    MotionProfile3D.static(16))
+
+
+class TestHelicalMotion:
+    def _system(self):
+        from dexct_tpu.physics.materials import (AIR, BONE, WATER,
+                                                 MaterialTable)
+        from dexct_tpu.system import HelicalConeBeamGeometry
+        from dexct_tpu.system.phantom import VoxelPhantom
+
+        N, NZ, dx = 48, 24, 0.5
+        lab3 = np.broadcast_to(
+            water_cylinder_phantom(N=N, dx=dx).labels[0],
+            (NZ, N, N)).copy()
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * dx
+        cy = (np.arange(N) + 0.5 - N / 2) * dx
+        Z, Y, X = np.meshgrid(cz, cy, cy, indexing="ij")
+        lab3[(X ** 2 + (Y - 2.0) ** 2 + Z ** 2) < 6.0] = 2
+        mt = MaterialTable([AIR, WATER, BONE])
+        ph3 = VoxelPhantom("zvarh", lab3, mt, dx, dx, dx)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        mu = mt.mu_table(np.array([60.0]))[:, 0]
+        return ct, ph3, mu
+
+    def test_zero_motion_matches_static_helical(self):
+        from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                            helical_fdk_reconstruct)
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          helical_fdk_reconstruct_motion)
+
+        ct, ph3, mu = self._system()
+        sino = jnp.einsum("vrcm,m->vrc",
+                          jnp.asarray(cone_material_paths(ph3, ct)),
+                          jnp.asarray(mu, jnp.float32))
+        z_out = (np.arange(8) + 0.5 - 4.0) * 0.5
+        v0 = np.asarray(helical_fdk_reconstruct(
+            sino, ct, 48, 24.0, 0.8, z_out=z_out, weighting="full"))
+        vm = np.asarray(helical_fdk_reconstruct_motion(
+            sino, ct, 48, 24.0, 0.8, MotionProfile3D.static(ct.N_proj),
+            z_out=z_out))
+        # same math; the only deviation is float32 rounding of the
+        # per-view window center flipping boundary views in/out
+        # (measured max 0.011 on a 0.2/cm object)
+        assert np.abs(vm - v0).max() < 0.02, np.abs(vm - v0).max()
+
+    def test_z_drift_compensated(self):
+        """Respiratory z-drift during a helical scan: MC helical gFDK
+        with the true track recovers most of the artifact."""
+        from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                            helical_fdk_reconstruct)
+        from dexct_tpu.ops.motion import (MotionProfile3D,
+                                          cone_material_paths_motion,
+                                          helical_fdk_reconstruct_motion)
+
+        ct, ph3, mu = self._system()
+        muj = jnp.asarray(mu, jnp.float32)
+        # large drift, phased so the central-slice windows see it too;
+        # the MC residual floor is gFDK's row-interpolation phase error
+        # (~0.02 rms on this sharp sphere — measured: a CONSTANT
+        # half-row shift costs 0.010, a full-row shift only 0.0026)
+        motion = MotionProfile3D.breathing_z(ct.N_proj,
+                                             amplitude_cm=1.6,
+                                             cycles=1.5)
+        clean = jnp.einsum("vrcm,m->vrc",
+                           jnp.asarray(cone_material_paths(ph3, ct)),
+                           muj)
+        moved = jnp.einsum(
+            "vrcm,m->vrc",
+            jnp.asarray(cone_material_paths_motion(ph3, ct, motion)),
+            muj)
+        z_out = (np.arange(8) + 0.5 - 4.0) * 0.5
+        ref = np.asarray(helical_fdk_reconstruct(
+            clean, ct, 48, 24.0, 0.8, z_out=z_out, weighting="full"))
+        bad = np.asarray(helical_fdk_reconstruct(
+            moved, ct, 48, 24.0, 0.8, z_out=z_out, weighting="full"))
+        fixed = np.asarray(helical_fdk_reconstruct_motion(
+            moved, ct, 48, 24.0, 0.8, motion, z_out=z_out))
+        sl = (slice(None), slice(12, 36), slice(12, 36))
+        e_bad = float(np.sqrt(np.mean((bad[sl] - ref[sl]) ** 2)))
+        e_fix = float(np.sqrt(np.mean((fixed[sl] - ref[sl]) ** 2)))
+        # measured: 0.055 -> 0.024; the fix lands ON the interpolation
+        # floor — larger drifts improve the ratio, not the residual
+        assert e_fix < e_bad / 2.0, (e_bad, e_fix)
