@@ -10,6 +10,7 @@ from .api import (
     simulate_dect,
 )
 from .dualsource import simulate_dualsource_dect
+from .gated import gate_weights, gated_fbp_recon, gated_series, view_phases
 from .realism import (Stage, apply_chain, correct_chain,
                       simulate_dect_realistic)
 from .kvswitch import simulate_kvswitch_dect
@@ -21,6 +22,10 @@ from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
 __all__ = [
     "simulate_kvswitch_dect",
     "simulate_dualsource_dect",
+    "gated_fbp_recon",
+    "gated_series",
+    "gate_weights",
+    "view_phases",
     "Stage",
     "apply_chain",
     "correct_chain",
