@@ -655,6 +655,20 @@ def fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov, ramp,
 # joint (image, track) motion estimation
 # --------------------------------------------------------------------------
 
+def fan_line_coords(geometry):
+    """Static (theta_w, t_w) parallel-line coordinates of every fan ray
+    [V, C] (host->device float32), INCLUDING the geometry's detector
+    offset (``det_offset_ch`` shifts every gamma) — the shared meta of
+    the motion resampler (here and in ops/onestep.py)."""
+    betas = np.asarray(geometry.betas, np.float64)
+    gam = np.asarray(geometry.gammas, np.float64)
+    th_w = jnp.asarray(betas[:, None] + gam[None, :] - np.pi / 2.0,
+                       jnp.float32)
+    t_w = jnp.asarray(geometry.SID * np.sin(gam)[None, :]
+                      * np.ones((len(betas), 1)), jnp.float32)
+    return th_w, t_w
+
+
 def _radon_resample_fan(radon, th_w, t_w, disp, n_theta, nt, t0, dt,
                         phi=None):
     """Differentiable fan sampling of a parallel Radon image under a
@@ -754,12 +768,7 @@ def estimate_motion_joint(sino_log, geometry, n_matrix, fov, *,
                          MaterialTable([AIR]), dx, dx, dx)
     plan = plan_fourier_projector(dummy, geometry, n_theta=int(n_theta))
 
-    betas = np.asarray(geometry.betas, np.float64)
-    gam = (np.arange(C) + 0.5 - C / 2.0) * geometry.dgamma
-    th_w = jnp.asarray(betas[:, None] + gam[None, :] - np.pi / 2.0,
-                       jnp.float32)
-    t_w = jnp.asarray(geometry.SID * np.sin(gam)[None, :]
-                      * np.ones((V, 1)), jnp.float32)
+    th_w, t_w = fan_line_coords(geometry)
 
     if init is None:
         init, _ = estimate_translation(np.asarray(y), geometry,
@@ -948,7 +957,13 @@ def helical_fdk_reconstruct_motion(sino_log, geometry, n_matrix, fov,
         nz = max(int(2.0 * half / ct.h_iso), 1)
         z_out = (np.arange(nz) + 0.5) * (2.0 * half / nz) - half
     z_out = np.asarray(z_out, np.float64)
-    dz = float(np.diff(z_out)[0]) if len(z_out) > 1 else float(ct.h_iso)
+    if len(z_out) > 1:
+        dzs = np.diff(z_out)
+        if not np.allclose(dzs, dzs[0]):
+            raise ValueError("z_out must be uniformly spaced")
+        dz = float(dzs[0])
+    else:
+        dz = float(ct.h_iso)
 
     cosg = np.cos(ct.gammas)
     cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)

@@ -35,29 +35,27 @@ __all__ = ["focal_spot_kernel", "crosstalk_kernel", "apply_detector_mtf",
            "wiener_restore_channels"]
 
 
-def focal_spot_kernel(geometry, spot_width_cm, n_sub=4, dtype=np.float32):
+def focal_spot_kernel(geometry, spot_width_cm, dtype=np.float32):
     """Channel-axis blur kernel of a finite focal spot (host).
 
-    Rectangular spot of ``spot_width_cm`` tangential extent, imaged
-    through the isocenter onto the detector arc: full penumbra width
-    ``spot * (SDD - SID) / SID`` on the detector = that over
-    ``SDD * dgamma`` channels.  Returned as the rect averaged over
-    ``n_sub`` sub-spot positions (a trapezoid-ish kernel), normalized.
+    Each point of the (rectangular) anode spot images the object as a
+    shifted copy, so the kernel IS the rect of full penumbra width
+    ``spot * (SDD - SID) / SID`` on the detector, i.e.
+    ``width_ch = that / (SDD * dgamma)`` channels — rasterized exactly
+    onto the channel grid by bin overlap (review fix: an earlier
+    version averaged full-width rects over sub-spot shifts, a
+    double-convolution that widened the kernel ~sqrt(2)x and clipped
+    its tails).  Sub-channel spots split their mass between the two
+    straddled bins.
     """
     width_det = spot_width_cm * (geometry.SDD - geometry.SID) \
         / geometry.SID
     width_ch = width_det / (geometry.SDD * geometry.dgamma)
-    hw = max(int(np.ceil(width_ch / 2.0)), 1)
+    hw = max(int(np.ceil((width_ch + 1.0) / 2.0)), 1)
     x = np.arange(-hw, hw + 1, dtype=np.float64)
-    # average n_sub shifted unit-area boxes across the spot extent
-    k = np.zeros_like(x)
-    offs = (np.arange(n_sub) + 0.5) / n_sub - 0.5
-    for o in offs:
-        c = o * width_ch
-        k += np.clip(np.minimum(x + 0.5, c + width_ch / 2.0)
-                     - np.maximum(x - 0.5, c - width_ch / 2.0), 0.0,
-                     1.0)
-    if k.sum() <= 0.0:  # spot narrower than a channel: identity
+    k = np.clip(np.minimum(x + 0.5, width_ch / 2.0)
+                - np.maximum(x - 0.5, -width_ch / 2.0), 0.0, 1.0)
+    if k.sum() <= 0.0:  # degenerate zero-width spot: identity
         k[hw] = 1.0
     return (k / k.sum()).astype(dtype)
 
@@ -91,17 +89,24 @@ def wiener_restore_channels(sino, kernel, *, nsr=1e-3):
     c = x.shape[-1]
     k = np.asarray(kernel, np.float64)
     hw = (len(k) - 1) // 2
-    # zero-phase: place the kernel center at index 0 (wrap negative taps)
-    n = int(max(c, len(k)))
+    # edge-replicate BOTH sides by the kernel half-width so the
+    # circular FFT convolution never wraps object data across the fan
+    # edges (review fix: an earlier max(c, len(k)) pad was zero in
+    # practice, making the deconvolution circular)
+    n = int(c + 2 * hw)
     kpad = np.zeros(n)
     for i, v in enumerate(k):
         kpad[(i - hw) % n] += v
     H = np.fft.rfft(kpad)
     W = np.conj(H) / (np.abs(H) ** 2 + float(nsr))
-    # edge-pad to the fft length to limit wraparound at the fan edges
-    pad = n - c
-    xp = jnp.concatenate([x, jnp.repeat(x[..., -1:], pad, -1)], -1) \
-        if pad else x
+    # the kernel is symmetric and zero-phase, so H (and W) are real up
+    # to rounding; ship W as a REAL float array — complex host->device
+    # transfers are UNIMPLEMENTED on this backend and degrade the whole
+    # client (CLAUDE.md)
+    W = np.real(W).astype(np.float32)
+    xp = jnp.concatenate(
+        [jnp.repeat(x[..., :1], hw, -1), x,
+         jnp.repeat(x[..., -1:], hw, -1)], -1)
     spec = jnp.fft.rfft(xp, axis=-1)
     out = jnp.fft.irfft(spec * jnp.asarray(W), n=n, axis=-1)
-    return out[..., :c].astype(x.dtype)
+    return out[..., hw:hw + c].astype(x.dtype)

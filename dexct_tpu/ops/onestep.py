@@ -91,15 +91,12 @@ def spectral_forward_images(plan, x, mus, i0s, view_shape, disp=None,
 
 def _motion_resample_meta(geometry, view_shape):
     """Static (theta_w, t_w) fan-line coordinates for the motion
-    resampler (host)."""
-    v, c = view_shape
-    betas = np.asarray(geometry.betas, np.float64)
-    gam = (np.arange(c) + 0.5 - c / 2.0) * geometry.dgamma
-    th_w = jnp.asarray(betas[:, None] + gam[None, :] - np.pi / 2.0,
-                       jnp.float32)
-    t_w = jnp.asarray(geometry.SID * np.sin(gam)[None, :]
-                      * np.ones((v, 1)), jnp.float32)
-    return th_w, t_w
+    resampler — delegated to the single shared implementation (which
+    includes ``det_offset_ch``; review fix: a local copy dropped it,
+    biasing MC fits on offset geometries)."""
+    from .motion import fan_line_coords
+
+    return fan_line_coords(geometry)
 
 
 def _huber(d, delta):

@@ -26,6 +26,8 @@ by setting ``period_views`` equal to the views per rotation).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,8 +49,8 @@ def gate_weights(phases, center, width=0.2):
     """Raised-cosine gate [V]: weight 1 at ``center`` falling to 0 at
     phase distance ``width/2`` (circular distance)."""
     d = np.abs(np.mod(phases - center + 0.5, 1.0) - 0.5)
-    return (0.5 * (1.0 + np.cos(np.pi * np.clip(2.0 * d / width, 0.0,
-                                                1.0)))) ** 1
+    return 0.5 * (1.0 + np.cos(np.pi * np.clip(2.0 * d / width, 0.0,
+                                               1.0)))
 
 
 def gated_fbp_recon(sino_log, geometry, n_matrix, fov, weights,
@@ -66,16 +68,27 @@ def gated_fbp_recon(sino_log, geometry, n_matrix, fov, weights,
     ct = geometry
     q = filter_sinogram(jnp.asarray(sino_log, dtype), ct, ramp, window,
                         dtype)
-    w = jnp.asarray(weights, dtype)
+    return _gated_backproject(
+        q, jnp.asarray(ct.betas, dtype), jnp.asarray(weights, dtype),
+        float(ct.SID), float(ct.dgamma), int(n_matrix), float(fov),
+        view_block=int(view_block))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_matrix", "fov", "view_block"))
+def _gated_backproject(q, betas, w, sid, dgamma, n_matrix, fov, *,
+                       view_block=64):
+    # NOTE: intentionally mirrors ops/fbp.fan_backproject's geometry
+    # (same gamma/clip/bilinear conventions) plus per-view weights and
+    # the num/den normalization; the production backprojector is kept
+    # untouched because its bit-identical outputs are pinned
+    dtype = q.dtype
     n_proj, n_ch = q.shape
     px_size = float(fov) / int(n_matrix)
     half = n_matrix / 2.0
     coord = (jnp.arange(n_matrix, dtype=dtype) + 0.5 - half) * px_size
     X = jnp.broadcast_to(coord[None, :], (n_matrix, n_matrix))
     Y = jnp.broadcast_to(coord[:, None], (n_matrix, n_matrix))
-    betas = jnp.asarray(ct.betas, dtype)
-    sid = float(ct.SID)
-    dgamma = float(ct.dgamma)
 
     n_blocks = -(-n_proj // view_block)
     pad = n_blocks * view_block - n_proj

@@ -156,7 +156,21 @@ def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
         if noise != "none":
             if k is None:
                 raise ValueError("noise requires a PRNG key")
-            meas = sp_ops.sample_noise(k, meas, noise)
+            if noise == "compound":
+                # the physically correct EID model (CLAUDE.md): the
+                # clean second-moment table, rate-scaled by what the
+                # artifact chain did to the mean counts (first-order
+                # propagation — the chain's transforms rescale event
+                # rates, so variance scales with them)
+                mu_t = jnp.asarray(
+                    phantom.materials.mu_table(spec.E), meas.dtype)
+                i2 = jnp.asarray(
+                    sp_ops.second_moment_fluence(spec, ct), meas.dtype)
+                var = sp_ops.counts_from_paths(paths, mu_t, i2)
+                var = var * meas / jnp.maximum(clean, 1e-30)
+                meas = sp_ops.sample_noise(k, meas, noise, var=var)
+            else:
+                meas = sp_ops.sample_noise(k, meas, noise)
         prim = correct_chain(meas, stages) if correct else meas
         air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
         out_raw.append((meas, prim, air))

@@ -88,3 +88,11 @@ class TestChain:
         assert e_corr < 0.3 * e_raw, (e_raw, e_corr)
         scale = np.sqrt(np.mean(ref ** 2))
         assert e_corr < 0.15 * scale, (e_corr, scale)
+
+    def test_compound_noise_supported(self):
+        ct, ph, s1, s2 = _system()
+        res = simulate_dect_realistic(
+            ct, ph, s1, s2, 64, 20.0, 0.8, _chain(ct, s1),
+            _chain(ct, s2), n_iters=10, noise="compound",
+            key=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(res.mat_recons[0])).all()
