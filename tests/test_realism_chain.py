@@ -96,3 +96,28 @@ class TestChain:
             _chain(ct, s2), n_iters=10, noise="compound",
             key=jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(res.mat_recons[0])).all()
+
+    def test_chain_applies_to_cone_shapes(self):
+        """The stages are shape-generic: [V, R, C] cone count streams
+        roundtrip through gains/pileup/afterglow/mtf (+ 2-D scatter via
+        row_kernel at the op level, test_scatter.py)."""
+        from dexct_tpu.ops.afterglow import decay_per_view
+        from dexct_tpu.pipeline.realism import (apply_chain,
+                                                correct_chain,
+                                                stage_afterglow,
+                                                stage_gains,
+                                                stage_pileup)
+
+        air = 1e5
+        rng = np.random.default_rng(0)
+        clean = jnp.asarray(air * np.exp(-rng.uniform(
+            0.5, 3.0, (32, 4, 48))))
+        stages = [
+            stage_pileup(0.1 / air),
+            stage_gains(sample_channel_gains(1, 48, sigma=0.01), air),
+            stage_afterglow([0.05], decay_per_view([3.0], 1.0)),
+        ]
+        meas = apply_chain(clean, stages)
+        back = correct_chain(meas, stages)
+        rel = np.abs(np.asarray(back) / np.asarray(clean) - 1.0)
+        assert rel.max() < 5e-3, rel.max()
