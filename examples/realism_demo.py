@@ -10,7 +10,8 @@ Panels (rows):
   4. rigid patient motion         -> MC-FBP with the estimated track
   5. PCD pulse pileup             -> dead-time inversion
   6. scintillator afterglow       -> recursive lag inversion
-  7. FOV truncation               -> water-cylinder completion
+  7. periodic motion (4 rotations) -> gated frame at the pose extreme
+  8. FOV truncation               -> water-cylinder completion
 Plus the TCM noise study (flat vs auto-mA at matched output) printed as
 numbers.  Runs on CPU in a couple of minutes at 64^2 demo scale.
 """
@@ -38,6 +39,8 @@ from dexct_tpu.ops.calibration import estimate_det_offset
 from dexct_tpu.ops.motion import (MotionProfile, estimate_motion_joint,
                                   fbp_recon_motion,
                                   material_path_sinogram_motion)
+from dexct_tpu.pipeline.gated import (gate_weights, gated_fbp_recon,
+                                      view_phases)
 from dexct_tpu.physics.pileup import recorded_rate, true_rate
 from dexct_tpu.ops.rings import (air_calibration_gains,
                                  ring_correct_sinogram,
@@ -148,7 +151,28 @@ def main():
     rows.append(("afterglow lag", rec_ag, "recursively inverted",
                  rec_agfix))
 
-    # 7. truncation -> rim -> completion
+    # 7. periodic motion -> blur -> gated frame (pose extreme)
+    ct_mr = FanBeamGeometry(N_channels=96, N_proj=4 * 128,
+                            gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                            rotation_total=8.0 * np.pi, eid=True)
+    period = 128 * 4 / 5.0
+    ph_v = view_phases(ct_mr.N_proj, period)
+    dirv = np.array([1.0, 0.3]) / np.hypot(1.0, 0.3)
+    osc = MotionProfile(np.zeros(ct_mr.N_proj),
+                        0.5 * np.sin(2 * np.pi * ph_v)[:, None]
+                        * dirv[None, :])
+    paths_g = material_path_sinogram_motion(ph, ct_mr, osc)
+    s_mr = kramers_spectrum(80.0)
+    s_mr.rescale_counts(ct_mr.A_iso * 10.0 / ct_mr.N_proj)
+    _, log_g = get_sino(ct_mr, ph, s_mr, paths=paths_g)
+    rec_ung = gated_fbp_recon(log_g, ct_mr, N, 20.0,
+                              np.ones(ct_mr.N_proj))
+    rec_gate = gated_fbp_recon(log_g, ct_mr, N, 20.0,
+                               gate_weights(ph_v, 0.25, width=0.3))
+    rows.append(("periodic motion (4-rotation, ungated)", rec_ung,
+                 "gated frame (pose extreme)", rec_gate))
+
+    # 8. truncation -> rim -> completion
     ph_wide = water_cylinder_phantom(N=N, dx=0.5)
     yy, xx = np.mgrid[0:N, 0:N]
     c = (N - 1) / 2
