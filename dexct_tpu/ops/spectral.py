@@ -81,6 +81,12 @@ def counts_from_paths(paths, mu_table, i0_eff):
     # approximate projector rings slightly negative at sharp edges (the
     # reference's symmetric ±700 guard, matdecomp.py:116, overflows f32)
     atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
+    if i0_eff.ndim == 2:
+        # per-channel fluence [C, E] (bowtie filtration, ops/bowtie.py);
+        # rays are laid out [..., V, C] so channels are the second-to-last
+        # axis of atten [..., C, E]
+        return jnp.einsum("...ce,ce->...c", atten, i0_eff.astype(dtype),
+                          precision=hi)
     return jnp.matmul(atten, i0_eff.astype(dtype), precision=hi)
 
 
@@ -130,22 +136,35 @@ def sample_noise(key, counts, mode="poisson", var_scale=1.0, var=None):
 
 
 def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, bowtie=None):
     """paths -> (counts, log_sino): the get_sino back half.
 
-    Returns device arrays shaped like ``paths[..., 0]``.
+    Returns device arrays shaped like ``paths[..., 0]``.  With a
+    ``bowtie`` (ops/bowtie.py) the fluence — and the air normalization —
+    become per-channel.
     """
     e = spec.E
     mu_table = jnp.asarray(phantom.materials.mu_table(e), dtype)
-    i0 = jnp.asarray(effective_fluence(spec, geometry), dtype)
+    if bowtie is not None:
+        from .bowtie import bowtie_fluence, bowtie_second_moment
+
+        i0_h = bowtie_fluence(spec, geometry, bowtie)  # [C, E]
+        air = jnp.asarray(i0_h.sum(-1), dtype)  # [C]
+        i2_h = (bowtie_second_moment(spec, geometry, bowtie)
+                if noise == "compound" else None)
+    else:
+        i0_h = effective_fluence(spec, geometry)
+        air = float(np.sum(i0_h))
+        i2_h = (second_moment_fluence(spec, geometry)
+                if noise == "compound" else None)
+    i0 = jnp.asarray(i0_h, dtype)
     counts = counts_from_paths(paths.astype(dtype), mu_table, i0)
-    air = float(np.sum(effective_fluence(spec, geometry)))
     if noise != "none":
         if key is None:
             raise ValueError("noise sampling requires a PRNG key")
         var = None
         if noise == "compound":
-            i2 = jnp.asarray(second_moment_fluence(spec, geometry), dtype)
-            var = counts_from_paths(paths.astype(dtype), mu_table, i2)
+            var = counts_from_paths(paths.astype(dtype), mu_table,
+                                    jnp.asarray(i2_h, dtype))
         counts = sample_noise(key, counts, noise, var=var)
     return counts, log_sinogram(counts, air)

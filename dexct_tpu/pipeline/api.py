@@ -62,7 +62,8 @@ def _water_mu(e):
     return xcom.mixatten("H(11.2)O(88.8)", e)
 
 
-def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None):
+def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None,
+             bowtie=None):
     """Forward project one polyenergetic acquisition.
 
     Reference signature/return (main.py:120): ``(sino_raw, sino_log)``,
@@ -70,12 +71,14 @@ def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None):
     the log-normalized line-integral sinogram.
 
     ``paths`` lets callers reuse a precomputed material-path sinogram
-    (the DE driver traces once for both spectra).
+    (the DE driver traces once for both spectra).  ``bowtie``
+    (ops/bowtie.py) applies channel-dependent beam-shaping filtration;
+    the log normalization then uses the per-channel air counts.
     """
     if paths is None:
         paths = material_path_sinogram(phantom, ct)
     return sp_ops.forward_counts(paths, phantom, spec, ct, noise=noise,
-                                 key=key)
+                                 key=key, bowtie=bowtie)
 
 
 def get_recon(sino_log, ct, spec, N_matrix, FOV, ramp, *, window="sinc"):
