@@ -13,9 +13,23 @@ from .metrics import (
     vmi_metric_curve,
 )
 from .loaders import load_basis_images, load_bhc_image, load_ct_image, load_sinogram
+from .nps import (
+    detectability_index,
+    disk_task,
+    mtf_from_disk_edge,
+    neq,
+    noise_power_spectrum,
+    radial_average,
+)
 from .register import register_phantom_to_recon, rescale_shift
 
 __all__ = [
+    "noise_power_spectrum",
+    "radial_average",
+    "mtf_from_disk_edge",
+    "neq",
+    "detectability_index",
+    "disk_task",
     "make_vmi",
     "measure_roi",
     "Roi",
