@@ -165,3 +165,56 @@ class TestDetectability:
         d_sharp = detectability_index(nps, dx, task)
         d_blur = detectability_index(nps, dx, task, mtf=blur)
         assert d_blur < 0.8 * d_sharp
+
+
+class TestCtIntegration:
+    """NPS/d' measured through the real sim + FBP pipeline."""
+
+    def _noise_recons(self, dose, n_real=12, seed=0):
+        import jax
+
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.pipeline.api import get_recon, get_sino
+        from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+        ph = water_cylinder_phantom(N=64, dx=0.2)
+        ct = FanBeamGeometry(N_channels=64, N_proj=96, gamma_fan=0.5,
+                             SID=40.0, SDD=70.0, eid=True)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * dose / ct.N_proj)
+        from dexct_tpu.ops.siddon import material_path_sinogram
+
+        paths = material_path_sinogram(ph, ct)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_real)
+        recs = []
+        for k in keys:
+            _, slog = get_sino(ct, ph, spec, noise="poisson", key=k,
+                               paths=paths)
+            hu = get_recon(slog, ct, spec, 64, 10.0, 0.9)[1]
+            recs.append(np.asarray(hu))
+        return np.stack(recs), 10.0 / 64
+
+    def test_fbp_noise_spectrum_is_ramp_shaped(self):
+        """FBP noise is NOT white: the ramp filter suppresses low
+        frequencies, so the radial NPS rises from near zero, peaks in
+        the mid band, and rolls off under the apodization window — the
+        textbook CT noise texture the scalar ROI variance cannot see."""
+        recs, dx = self._noise_recons(dose=0.02, n_real=12)
+        nps, _ = noise_power_spectrum(recs, dx)
+        f, curve = radial_average(nps, dx, n_bins=16)
+        assert curve[0] < 0.3 * curve.max()  # low-f suppressed
+        peak = int(np.argmax(curve))
+        assert 2 <= peak <= 13  # mid-band peak
+        assert curve[-1] < 0.8 * curve.max()  # windowed roll-off
+
+    def test_dose_raises_detectability(self):
+        """4x dose quarters the NPS and doubles d' (noise-limited,
+        linear recon)."""
+        lo, dx = self._noise_recons(dose=0.02, n_real=12, seed=1)
+        hi, _ = self._noise_recons(dose=0.08, n_real=12, seed=2)
+        nps_lo, _ = noise_power_spectrum(lo, dx)
+        nps_hi, _ = noise_power_spectrum(hi, dx)
+        task = disk_task(64, dx, contrast=10.0, radius_cm=0.5)
+        d_lo = detectability_index(nps_lo, dx, task)
+        d_hi = detectability_index(nps_hi, dx, task)
+        assert 1.6 < d_hi / d_lo < 2.6, (d_lo, d_hi)
