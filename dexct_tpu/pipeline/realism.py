@@ -133,7 +133,7 @@ def stage_pileup(tau_ratio, model="nonparalyzable"):
 def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
                             ramp, stages1, stages2=None, *, n_iters=50,
                             noise="none", key=None, window="sinc",
-                            correct=True, do_recon=True):
+                            correct=True, do_recon=True, bowtie=None):
     """Full DE pipeline through a realism chain.
 
     ``stages1`` / ``stages2``: the artifact chains of the two
@@ -142,6 +142,11 @@ def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
     noise; correction (if ``correct``) runs the chain inverse before
     the log and everything downstream (decomposition, recons) is the
     standard machinery.
+
+    ``bowtie`` (ops/bowtie.py) puts beam-shaping filtration under the
+    whole chain: per-channel fluence in the clean counts and the
+    compound-noise second moment, per-channel air normalization, and
+    the thickness-grouped decomposition (exact per-group spectra).
     """
     if stages2 is None:
         stages2 = stages1
@@ -151,7 +156,7 @@ def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
     out_raw, out_log = [], []
     for spec, stages, k in ((spec1, stages1, keys[0]),
                             (spec2, stages2, keys[1])):
-        clean, _ = get_sino(ct, phantom, spec, paths=paths)
+        clean, _ = get_sino(ct, phantom, spec, paths=paths, bowtie=bowtie)
         meas = apply_chain(clean, stages)
         if noise != "none":
             if k is None:
@@ -164,22 +169,40 @@ def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
                 # rates, so variance scales with them)
                 mu_t = jnp.asarray(
                     phantom.materials.mu_table(spec.E), meas.dtype)
-                i2 = jnp.asarray(
-                    sp_ops.second_moment_fluence(spec, ct), meas.dtype)
+                if bowtie is not None:
+                    from ..ops.bowtie import bowtie_second_moment
+
+                    i2 = jnp.asarray(
+                        bowtie_second_moment(spec, ct, bowtie), meas.dtype)
+                else:
+                    i2 = jnp.asarray(
+                        sp_ops.second_moment_fluence(spec, ct), meas.dtype)
                 var = sp_ops.counts_from_paths(paths, mu_t, i2)
                 var = var * meas / jnp.maximum(clean, 1e-30)
                 meas = sp_ops.sample_noise(k, meas, noise, var=var)
             else:
                 meas = sp_ops.sample_noise(k, meas, noise)
         prim = correct_chain(meas, stages) if correct else meas
-        air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
+        if bowtie is not None:
+            from ..ops.bowtie import bowtie_fluence
+
+            air = jnp.asarray(
+                bowtie_fluence(spec, ct, bowtie).sum(-1), prim.dtype)
+        else:
+            air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
         out_raw.append((meas, prim, air))
         out_log.append(sp_ops.log_sinogram(prim, air))
 
     (m1, p1, a1), (m2, p2, a2) = out_raw
     log1, log2 = out_log
-    mat1, mat2 = get_basismat_sinos(ct, p1, p2, spec1, spec2,
-                                    n_iters=n_iters)
+    if bowtie is not None:
+        from ..ops.bowtie import decompose_sinograms_bowtie
+
+        mat1, mat2 = decompose_sinograms_bowtie(ct, p1, p2, spec1, spec2,
+                                                bowtie, n_iters=n_iters)
+    else:
+        mat1, mat2 = get_basismat_sinos(ct, p1, p2, spec1, spec2,
+                                        n_iters=n_iters)
     if not do_recon:
         return DectResult((m1, m2), (log1, log2), (None, None),
                           (None, None), (mat1, mat2), (None, None))
