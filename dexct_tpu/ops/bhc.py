@@ -34,7 +34,8 @@ from ..physics.materials import BONE
 from .spectral import effective_fluence
 
 __all__ = ["WaterBhc", "fit_water_bhc", "fit_water_bhc_from_scan",
-           "apply_water_bhc", "bone_bhc_recon"]
+           "apply_water_bhc", "bone_bhc_recon", "WaterBhcBowtie",
+           "fit_water_bhc_bowtie"]
 
 
 @dataclasses.dataclass
@@ -79,6 +80,62 @@ def fit_water_bhc(spec, geometry, *, t_max=50.0, degree=6, n_cal=256,
 def apply_water_bhc(bhc: WaterBhc, sino_log):
     """Linearize a log sinogram (device op)."""
     return bhc(jnp.asarray(sino_log))
+
+
+@dataclasses.dataclass
+class WaterBhcBowtie:
+    """Per-channel water linearization under a bowtie filter.
+
+    The bowtie hardens the beam channel-dependently, so one global
+    water polynomial leaves a channel-dependent HU bias (tens of HU for
+    a body bowtie) on top of the usual cupping.  Scanners fold the
+    bowtie into the water calibration; this is that: one calibration
+    curve per bowtie thickness level, all mapped to the SAME ``mu_eff``
+    target (the unfiltered central channel's) so every channel lands on
+    a common HU scale.  Duck-types as :class:`WaterBhc` (``__call__`` +
+    ``mu_eff``), so ``water_bhc_recon(water_bhc=...)`` works unchanged.
+    """
+
+    coeffs_ch: np.ndarray  # [C, D+1] polynomial per channel (polyval order)
+    mu_eff: float
+    t_max: float
+
+    def __call__(self, sino_log):
+        x = jnp.asarray(sino_log)
+        cs = jnp.asarray(self.coeffs_ch.astype(np.float32))  # [C, D+1]
+        out = jnp.zeros_like(x)
+        for i in range(cs.shape[1]):  # Horner, broadcast over views
+            out = out * x + cs[:, i]
+        return out
+
+
+def fit_water_bhc_bowtie(spec, geometry, bowtie, *, t_max=50.0, degree=6,
+                         n_cal=256, calibration_cm=10.0):
+    """Fit per-thickness-group water-BHC polynomials under a bowtie.
+
+    One analytic calibration curve per bowtie thickness level (the
+    level's hardened fluence), fitted to the common unfiltered
+    ``mu_eff * t`` target; channels inherit their level's polynomial.
+    """
+    from ..pipeline.api import effective_water_mu
+
+    mu_w = xcom.mixatten("H(11.2)O(88.8)", spec.E)
+    mu_bt = bowtie.material.linear_atten(spec.E)
+    w_base = effective_fluence(spec, geometry)
+    levels, gidx = bowtie.groups()
+    mu_eff = effective_water_mu(spec, geometry, calibration_cm)
+    t = np.linspace(0.0, t_max, n_cal)
+    powers = np.arange(1, degree + 1)
+    coeffs = []
+    for tl in levels:
+        w = w_base * np.exp(-mu_bt * float(tl))
+        w = w / w.sum()
+        L = -np.log(np.clip(np.exp(-np.outer(t, mu_w)) @ w, 1e-300, None))
+        A = L[:, None] ** powers[None, :]
+        sol, *_ = np.linalg.lstsq(A, mu_eff * t, rcond=None)
+        coeffs.append(np.concatenate([sol[::-1], [0.0]]))
+    return WaterBhcBowtie(np.stack(coeffs)[gidx], float(mu_eff),
+                          float(t_max))
 
 
 def fit_water_bhc_from_scan(sino_log, geometry, radius, *,
