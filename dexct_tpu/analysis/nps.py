@@ -104,8 +104,12 @@ def radial_average(spec2d, dx, n_bins=None, f_max=None):
     ok = (idx >= 0) & (idx < n_bins)
     sums = np.bincount(idx[ok], weights=s.ravel()[ok], minlength=n_bins)
     cnts = np.bincount(idx[ok], minlength=n_bins).astype(np.float64)
-    curve = sums / np.maximum(cnts, 1.0)
-    return 0.5 * (edges[:-1] + edges[1:]), curve
+    # drop bins no grid frequency falls into (n_bins finer than the
+    # frequency grid) instead of reporting spurious zeros
+    filled = cnts > 0
+    curve = sums[filled] / cnts[filled]
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers[filled], curve
 
 
 def mtf_from_disk_edge(img, dx, center, radius_cm, *, band_cm=None,

@@ -53,11 +53,22 @@ class WaterBhc:
         return out
 
 
-def _calibration_curve(spec, geometry, mu_E, t):
-    w = effective_fluence(spec, geometry)
+def _calibration_curve(spec, geometry, mu_E, t, weights=None):
+    """Polyenergetic log curve L(t); ``weights`` overrides the fluence
+    (pre-filtered spectra, e.g. per-bowtie-level)."""
+    w = effective_fluence(spec, geometry) if weights is None else weights
     w = w / w.sum()
     trans = np.exp(-np.outer(t, mu_E)) @ w
     return -np.log(np.clip(trans, 1e-300, None))
+
+
+def _fit_origin_poly(L, target, degree):
+    """Least-squares polynomial L -> target constrained through the
+    origin (basis {L, L^2, .., L^d}); returns np.polyval-order coeffs."""
+    powers = np.arange(1, degree + 1)
+    A = np.asarray(L)[:, None] ** powers[None, :]
+    sol, *_ = np.linalg.lstsq(A, target, rcond=None)
+    return np.concatenate([sol[::-1], [0.0]])
 
 
 def fit_water_bhc(spec, geometry, *, t_max=50.0, degree=6, n_cal=256,
@@ -69,11 +80,7 @@ def fit_water_bhc(spec, geometry, *, t_max=50.0, degree=6, n_cal=256,
     t = np.linspace(0.0, t_max, n_cal)
     L = _calibration_curve(spec, geometry, mu_w, t)
     mu_eff = effective_water_mu(spec, geometry, calibration_cm)
-    # polynomial constrained through the origin: basis {L, L^2, .., L^d}
-    powers = np.arange(1, degree + 1)
-    A = L[:, None] ** powers[None, :]
-    sol, *_ = np.linalg.lstsq(A, mu_eff * t, rcond=None)
-    coeffs = np.concatenate([sol[::-1], [0.0]])  # np.polyval order
+    coeffs = _fit_origin_poly(L, mu_eff * t, degree)
     return WaterBhc(coeffs, float(mu_eff), float(t_max))
 
 
@@ -125,15 +132,11 @@ def fit_water_bhc_bowtie(spec, geometry, bowtie, *, t_max=50.0, degree=6,
     levels, gidx = bowtie.groups()
     mu_eff = effective_water_mu(spec, geometry, calibration_cm)
     t = np.linspace(0.0, t_max, n_cal)
-    powers = np.arange(1, degree + 1)
     coeffs = []
     for tl in levels:
         w = w_base * np.exp(-mu_bt * float(tl))
-        w = w / w.sum()
-        L = -np.log(np.clip(np.exp(-np.outer(t, mu_w)) @ w, 1e-300, None))
-        A = L[:, None] ** powers[None, :]
-        sol, *_ = np.linalg.lstsq(A, mu_eff * t, rcond=None)
-        coeffs.append(np.concatenate([sol[::-1], [0.0]]))
+        L = _calibration_curve(spec, geometry, mu_w, t, weights=w)
+        coeffs.append(_fit_origin_poly(L, mu_eff * t, degree))
     return WaterBhcBowtie(np.stack(coeffs)[gidx], float(mu_eff),
                           float(t_max))
 
@@ -179,10 +182,7 @@ def fit_water_bhc_from_scan(sino_log, geometry, radius, *,
                 "mu_eff or adjust calibration_cm")
         mu_eff = float(np.sum(L[near] * tw[near])
                        / np.sum(tw[near] * tw[near]))
-    powers = np.arange(1, degree + 1)
-    A = L[:, None] ** powers[None, :]
-    sol, *_ = np.linalg.lstsq(A, mu_eff * tw, rcond=None)
-    coeffs = np.concatenate([sol[::-1], [0.0]])
+    coeffs = _fit_origin_poly(L, mu_eff * tw, degree)
     return WaterBhc(coeffs, float(mu_eff), float(tw.max()))
 
 

@@ -29,7 +29,7 @@ table, so:
 
 * the forward model stays two MXU matmuls — the per-channel fluence
   enters as one ``[C, E]`` weight array contracted with an einsum
-  (``ops.spectral.counts_from_paths`` accepts 2-D ``i0``);
+  (``ops.spectral.counts_from_paths(..., per_channel=True)``);
 * the GN decomposition runs as ONE ``vmap`` of the standard fused solve
   over thickness groups (each group has a few thousand rays and its own
   exact ``i0`` table) — no per-channel weight tensors, no model
@@ -132,6 +132,9 @@ def design_flattening_bowtie(ct, water_radius_cm, material=ALUMINUM,
     if t_max_cm is not None:
         t = np.minimum(t, float(t_max_cm))
     if n_steps:
+        if int(n_steps) < 2:
+            raise ValueError("n_steps must be >= 2 (or 0/None to skip "
+                             "quantization)")
         # quantize to n_steps levels over [0, max]; keep exact zero so the
         # central channels stay unfiltered
         hi = t.max()

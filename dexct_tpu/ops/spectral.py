@@ -63,13 +63,18 @@ def second_moment_fluence(spec, geometry):
     return n * w * w if geometry.eid else n * w
 
 
-@functools.partial(jax.jit, static_argnames=())
-def counts_from_paths(paths, mu_table, i0_eff):
+@functools.partial(jax.jit, static_argnames=("per_channel",))
+def counts_from_paths(paths, mu_table, i0_eff, *, per_channel=False):
     """Detected signal per ray.
 
     paths:    [..., n_mats] material path lengths [cm]
     mu_table: [n_mats, E] linear attenuation of each material [1/cm]
-    i0_eff:   [E] effective fluence per bin
+    i0_eff:   [E] effective fluence per bin — or, with
+              ``per_channel=True``, a per-channel table [C, E] (bowtie
+              filtration, ops/bowtie.py) contracted against rays laid
+              out [..., V, C].  The flag is explicit because rank alone
+              cannot distinguish [C, E] from the multi-bin pipelines'
+              stacked [E, M] fluence tables (pipeline/spectralct.py).
     Returns [...] detected counts (energy-weighted signal for EID).
     """
     dtype = paths.dtype
@@ -81,10 +86,9 @@ def counts_from_paths(paths, mu_table, i0_eff):
     # approximate projector rings slightly negative at sharp edges (the
     # reference's symmetric ±700 guard, matdecomp.py:116, overflows f32)
     atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
-    if i0_eff.ndim == 2:
-        # per-channel fluence [C, E] (bowtie filtration, ops/bowtie.py);
-        # rays are laid out [..., V, C] so channels are the second-to-last
-        # axis of atten [..., C, E]
+    if per_channel:
+        if i0_eff.ndim != 2:
+            raise ValueError("per_channel=True requires a [C, E] i0 table")
         return jnp.einsum("...ce,ce->...c", atten, i0_eff.astype(dtype),
                           precision=hi)
     return jnp.matmul(atten, i0_eff.astype(dtype), precision=hi)
@@ -158,13 +162,16 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
         i2_h = (second_moment_fluence(spec, geometry)
                 if noise == "compound" else None)
     i0 = jnp.asarray(i0_h, dtype)
-    counts = counts_from_paths(paths.astype(dtype), mu_table, i0)
+    per_ch = bowtie is not None
+    counts = counts_from_paths(paths.astype(dtype), mu_table, i0,
+                               per_channel=per_ch)
     if noise != "none":
         if key is None:
             raise ValueError("noise sampling requires a PRNG key")
         var = None
         if noise == "compound":
             var = counts_from_paths(paths.astype(dtype), mu_table,
-                                    jnp.asarray(i2_h, dtype))
+                                    jnp.asarray(i2_h, dtype),
+                                    per_channel=per_ch)
         counts = sample_noise(key, counts, noise, var=var)
     return counts, log_sinogram(counts, air)

@@ -177,7 +177,8 @@ def simulate_dect_realistic(ct, phantom, spec1, spec2, N_matrix, FOV,
                 else:
                     i2 = jnp.asarray(
                         sp_ops.second_moment_fluence(spec, ct), meas.dtype)
-                var = sp_ops.counts_from_paths(paths, mu_t, i2)
+                var = sp_ops.counts_from_paths(paths, mu_t, i2,
+                                               per_channel=bowtie is not None)
                 var = var * meas / jnp.maximum(clean, 1e-30)
                 meas = sp_ops.sample_noise(k, meas, noise, var=var)
             else:

@@ -1,6 +1,7 @@
 """Bowtie beam-shaping filtration: design, forward model, decomposition."""
 
 import numpy as np
+import pytest
 
 from dexct_tpu.ops.bowtie import (
     ALUMINUM,
@@ -80,6 +81,13 @@ class TestDesign:
         # quantization error bounded by half a step
         step = smooth.t_ch.max() / 7
         assert np.max(np.abs(stepped.t_ch - smooth.t_ch)) <= 0.5 * step + 1e-12
+
+    def test_single_step_rejected(self):
+        """n_steps=1 used to divide by zero and emit an all-NaN profile
+        that passed the >=0 validation (review finding)."""
+        ct = _geometry()
+        with pytest.raises(ValueError, match="n_steps"):
+            design_flattening_bowtie(ct, 5.0, n_steps=1)
 
 
 class TestForwardModel:

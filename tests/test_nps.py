@@ -68,6 +68,16 @@ class TestNps:
         # mean sits above the bin-center value there — compare beyond
         np.testing.assert_allclose(curve[2:], f[2:] ** 2, rtol=0.05)
 
+    def test_radial_average_oversampled_bins_dropped(self):
+        """n_bins finer than the frequency grid: empty bins are dropped,
+        not returned as spurious zeros (review finding)."""
+        n, dx = 16, 0.1
+        fr = radial_frequencies(n, dx)
+        f, curve = radial_average(fr**2 + 1.0, dx, n_bins=256)
+        assert len(f) == len(curve) and len(f) < 256
+        assert np.all(curve >= 1.0)  # no zero-filled bins
+        np.testing.assert_allclose(curve, f**2 + 1.0, rtol=0.01)
+
 
 class TestMtfMeasurement:
     def _blurred_disk(self, n=256, dx=0.05, radius=2.0, sigma_cm=0.08):

@@ -80,6 +80,28 @@ class TestForwardModel:
         mu_eff_20 = slog[2] / 20.0
         assert mu_eff_20 < mu_eff_5  # hardened beam attenuates less
 
+    def test_multibin_stacked_fluence_not_per_channel(self):
+        """A 2-D [E, M] stacked fluence table (the PCD multi-bin layout,
+        pipeline/spectralct.py) must batch over bins, NOT be mistaken
+        for a per-channel [C, E] bowtie table (review finding: rank
+        alone cannot dispatch this)."""
+        mu = jnp.array([[0.2, 0.3]])  # [1 mat, 2 E]
+        i0_stack = jnp.array([[100.0, 50.0], [10.0, 80.0]])  # [2 E, 2 bins]
+        paths = jnp.array([[0.0], [5.0]])  # [2 rays, 1 mat]
+        c = np.asarray(counts_from_paths(paths, mu, i0_stack))
+        assert c.shape == (2, 2)  # [rays, bins]
+        atten = np.exp(-np.asarray(paths) @ np.asarray(mu))
+        np.testing.assert_allclose(c, atten @ np.asarray(i0_stack),
+                                   rtol=1e-5)
+
+    def test_per_channel_requires_2d(self):
+        import pytest
+
+        mu = jnp.array([[0.2]])
+        paths = jnp.ones((3, 4, 1))
+        with pytest.raises(ValueError, match="per_channel"):
+            counts_from_paths(paths, mu, jnp.ones(1), per_channel=True)
+
     def test_log_sinogram_roundtrip(self):
         air = 1e6
         c = jnp.array([1e6, 1e5, 1e3])
