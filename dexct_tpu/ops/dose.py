@@ -1,0 +1,293 @@
+"""Patient dose maps: per-voxel deposited energy from the scan beam.
+
+The reference exists to run *dose studies* — every acquisition is
+labeled by its air dose at isocenter (``A_iso`` scaling, main.py:68;
+dose-sweep figures plots.py:541-717) — but it never computes where that
+dose actually lands.  This module closes the loop: a TPU-native
+per-voxel absorbed-dose map for the fan-beam acquisition, plus
+CTDI-style summary metrics.
+
+Physics model (documented approximation)
+----------------------------------------
+**Collision energy removal with local deposition**: the energy a ray
+loses in a voxel, ``phi(E) * mu(E, x) * E``, is scored *in that voxel*.
+This is exact bookkeeping of the energy removed from the primary beam
+(it pairs with the forward model's Beer-Lambert attenuation, so total
+deposited energy == total beam energy removed — pinned by a
+conservation test), but it ignores scatter transport: Compton-scattered
+photons and bremsstrahlung escape re-deposit elsewhere.  At CT energies
+in tissue this overestimates local dose where ``mu_en < mu``; treat the
+map as a primary-beam dose map, the standard fast-CT-dose surrogate
+(a Monte Carlo transport stage is out of scope).
+
+TPU-native design
+-----------------
+The naive formulation needs the attenuated fluence at every voxel from
+every view — a source->voxel partial line integral, which a Siddon-style
+tracer can only produce with scatter writes (10x slower than gathers on
+this chip, ROADMAP "rejected levers").  Instead:
+
+1. **Polar resample + cumsum** (per view): sample the K per-material
+   occupancy images on a (gamma, r) grid centered on the source
+   (bilinear label gathers, VPU one-hot), then a single ``cumsum`` along
+   r turns occupancy into *partial material path lengths*
+   ``T[gamma, r, K]`` — every source->point integral at once, no
+   scatter.
+2. **Voxel gather**: each voxel reads its ``(gamma_v, r_v)`` entry of
+   ``T`` bilinearly.
+3. **MXU spectral stage**: ``exp(-T_vox @ MU) -> [vox, E]`` fluence,
+   contracted back against ``MU^T`` for the per-material deposition —
+   two matmuls, identical in shape to the forward model's
+   (ops/spectral.py), blocked over voxels to bound the [vox, E]
+   intermediate.
+
+Only the material axis (K ~ 4-8) is cumsummed, never the energy axis
+(E ~ 150-240): the spectral dimension rides the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dose_map", "DoseResult", "beam_energy_removed", "ctdi_metrics"]
+
+KEV_TO_J = 1.602176634e-16
+KEV_PER_G_TO_MGY = KEV_TO_J / 1e-3 * 1e3  # keV/g -> mGy
+
+
+class DoseResult:
+    """Dose map + energy bookkeeping.
+
+    dose_mGy:     [Ny, Nx] absorbed dose in the slice plane [mGy]
+    deposited_J:  total energy scored over the 3-D beam [J]
+                  (the in-plane map integrated over the r-dependent beam
+                  height — the quantity conserved against
+                  :func:`beam_energy_removed`)
+    """
+
+    def __init__(self, dose_mGy, deposited_J):
+        self.dose_mGy = dose_mGy
+        self.deposited_J = float(deposited_J)
+
+
+def _sample_grids(ct, phantom, n_gamma, n_r, oversample):
+    """Host-side (gamma, r) sampling grid covering the image disk."""
+    nx, ny = phantom.Nx, phantom.Ny
+    r_img = 0.5 * float(np.hypot(nx * phantom.dx, ny * phantom.dy))
+    r_img = min(r_img, ct.SID * 0.95)  # never reach back to the source
+    g_half = min(float(np.arcsin(min(r_img / ct.SID, 1.0))) * 1.02,
+                 0.5 * ct.gamma_fan)
+    if n_gamma is None:
+        n_gamma = int(oversample * max(nx, ny))
+    if n_r is None:
+        n_r = int(oversample * max(nx, ny))
+    gammas = np.linspace(-g_half, g_half, n_gamma)
+    r0 = max(ct.SID - r_img, 1e-3)
+    r1 = ct.SID + r_img
+    rs = np.linspace(r0, r1, n_r)
+    return gammas, rs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_mats", "nx", "ny", "pixel_block"))
+def _dose_accumulate(labels, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
+                     rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
+                     pixel_block):
+    """Scan over views; returns (dose [vox] in keV/g, deposited keV).
+
+    labels:  [ny, nx] int32 material labels
+    mu_kE:   [K, E] linear attenuation [1/cm]
+    i0w_E:   [E] photons-per-channel-per-view * E_keV
+    vox_xy:  [vox, 2] world (x, y) of voxel centers
+    scalars: (sid, dx, dy, geom_const, gamma_half_fan, h_over_sid, dxdy)
+    """
+    f32 = jnp.float32
+    sid, dx_w, dy_w, geom_const, g_half_fan, h_over_sid, dxdy = scalars
+    n_g, n_r = gammas.shape[0], rs.shape[0]
+    dr = rs[1] - rs[0]
+    dg = gammas[1] - gammas[0]
+    n_vox = vox_xy.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
+
+    def one_view(carry, beta):
+        dose_acc, edep_acc = carry
+        src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
+        # ray directions: -(cos(beta+gamma), sin(beta+gamma)) (CLAUDE.md)
+        ang = beta + gammas  # [n_g]
+        # sample points [n_g, n_r]
+        px = src[0] - jnp.cos(ang)[:, None] * rs[None, :]
+        py = src[1] - jnp.sin(ang)[:, None] * rs[None, :]
+        # continuous pixel indices (pixel-center convention)
+        fx = px / dx_w + (nx / 2 - 0.5)
+        fy = py / dy_w + (ny / 2 - 0.5)
+        ix0 = jnp.floor(fx).astype(jnp.int32)
+        iy0 = jnp.floor(fy).astype(jnp.int32)
+        wx = fx - ix0
+        wy = fy - iy0
+        occ = jnp.zeros((n_g, n_r, n_mats), f32)
+        for ty in (0, 1):
+            for tx in (0, 1):
+                iy = iy0 + ty
+                ix = ix0 + tx
+                ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
+                lab = labels[jnp.clip(iy, 0, ny - 1),
+                             jnp.clip(ix, 0, nx - 1)]  # [n_g, n_r]
+                w = ((wy if ty else (1.0 - wy))
+                     * (wx if tx else (1.0 - wx))) * ok
+                occ = occ + w[..., None] * (
+                    lab[..., None] == mat_ids[None, None, :])
+        # partial material paths source -> sample center [cm]
+        T = (jnp.cumsum(occ, axis=1) - 0.5 * occ) * dr  # [n_g, n_r, K]
+        Tf = T.reshape(n_g * n_r, n_mats)
+
+        # voxel coordinates in the (gamma, r) frame of this view
+        rel = vox_xy - src[None, :]  # [vox, 2]
+        r_v = jnp.sqrt(rel[:, 0] ** 2 + rel[:, 1] ** 2)
+        d0 = -src / sid  # central ray direction
+        dotp = (rel[:, 0] * d0[0] + rel[:, 1] * d0[1]) / r_v
+        crossp = (d0[0] * rel[:, 1] - d0[1] * rel[:, 0]) / r_v
+        g_v = jnp.arctan2(crossp, dotp)
+        gi = jnp.clip((g_v - gammas[0]) / dg, 0.0, n_g - 1.001)
+        ri = jnp.clip((r_v - rs[0]) / dr, 0.0, n_r - 1.001)
+        gi0 = jnp.floor(gi).astype(jnp.int32)
+        ri0 = jnp.floor(ri).astype(jnp.int32)
+        wg = (gi - gi0)[:, None]
+        wr = (ri - ri0)[:, None]
+        base = gi0 * n_r + ri0
+        t_vox = ((1 - wg) * (1 - wr) * Tf[base]
+                 + (1 - wg) * wr * Tf[base + 1]
+                 + wg * (1 - wr) * Tf[base + n_r]
+                 + wg * wr * Tf[base + n_r + 1])  # [vox, K]
+
+        # in-fan gate + inverse-square fluence per unit I0
+        in_fan = (jnp.abs(g_v) <= g_half_fan).astype(f32)
+        phi0 = geom_const / (r_v * r_v) * in_fan  # photons/cm^2
+
+        def block(args):
+            t_b, phi_b, lab_b = args
+            att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
+            w = att * i0w_E[None, :]  # [b, E] photon*keV weight
+            c = jnp.matmul(w, mu_kE.T, precision=hi)  # [b, K]
+            c_own = jnp.take_along_axis(c, lab_b[:, None], 1)[:, 0]
+            return phi_b * c_own  # keV deposited per cm^3
+
+        nb = -(-n_vox // pixel_block)
+        pad = nb * pixel_block - n_vox
+        e_vol = jax.lax.map(block, (
+            jnp.pad(t_vox, ((0, pad), (0, 0))).reshape(
+                nb, pixel_block, n_mats),
+            jnp.pad(phi0, (0, pad)).reshape(nb, pixel_block),
+            jnp.pad(lab_vox, (0, pad)).reshape(nb, pixel_block),
+        )).reshape(-1)[:n_vox]
+        dose_acc = dose_acc + e_vol / rho_vox  # keV/g
+        # beam-height-weighted 3-D energy integral
+        edep_acc = edep_acc + jnp.sum(e_vol * dxdy * (h_over_sid * r_v))
+        return (dose_acc, edep_acc), 0.0
+
+    init = (jnp.zeros(n_vox, f32), jnp.zeros((), f32))
+    (dose, edep), _ = jax.lax.scan(one_view, init, betas)
+    return dose, edep
+
+
+def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
+             views=None, pixel_block=16384, z_index=None):
+    """Absorbed-dose map of a fan-beam acquisition.
+
+    phantom/ct/spec: the standard triplet (the same objects
+        ``get_sino`` takes); the spectrum's counts are per channel per
+        view, exactly the forward model's convention, so a spectrum
+        rescaled for an N-view scan yields the dose of that whole scan.
+    oversample: polar sampling density relative to the pixel grid
+        (grid is ``oversample * max(Nx, Ny)`` in each polar axis unless
+        n_gamma / n_r override it).
+    views: optional array of view angles [rad] (default: ``ct.betas``).
+
+    Returns a :class:`DoseResult`.
+    """
+    labels2d = phantom.slice_labels(z_index).astype(np.int32)
+    ny, nx = labels2d.shape
+    n_mats = phantom.n_materials
+    mu_kE = phantom.materials.mu_table(spec.E)  # [K, E]
+    i0w = spec.I0 * spec.bin_widths() * spec.E  # photons * keV
+    betas = np.asarray(ct.betas if views is None else views, np.float64)
+    gammas, rs = _sample_grids(ct, phantom, n_gamma, n_r, oversample)
+
+    # voxel centers in world coords (CLAUDE.md convention)
+    xs = (np.arange(nx) + 0.5 - nx / 2) * phantom.dx
+    ys = (np.arange(ny) + 0.5 - ny / 2) * phantom.dy
+    vx, vy = np.meshgrid(xs, ys, indexing="xy")
+    vox_xy = np.stack([vx.ravel(), vy.ravel()], -1)
+    rho = phantom.materials.densities[labels2d].ravel()
+
+    geom_const = ct.SID / (ct.dgamma * ct.h_iso)
+    scalars = jnp.asarray(
+        [ct.SID, phantom.dx, phantom.dy, geom_const, 0.5 * ct.gamma_fan,
+         ct.h_iso / ct.SID, phantom.dx * phantom.dy], jnp.float32)
+    dose, edep = _dose_accumulate(
+        jnp.asarray(labels2d), jnp.asarray(mu_kE, jnp.float32),
+        jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
+        jnp.asarray(gammas, jnp.float32), jnp.asarray(rs, jnp.float32),
+        jnp.asarray(vox_xy, jnp.float32),
+        jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
+        jnp.asarray(labels2d.ravel()), scalars,
+        n_mats=n_mats, nx=nx, ny=ny, pixel_block=int(pixel_block))
+    dose_mGy = np.asarray(dose, np.float64).reshape(ny, nx) \
+        * KEV_PER_G_TO_MGY
+    return DoseResult(dose_mGy, float(edep) * KEV_TO_J)
+
+
+def beam_energy_removed(phantom, ct, spec, *, paths=None):
+    """Total beam energy removed by the object over the scan [J].
+
+    Exact forward-model bookkeeping: ``sum_rays sum_E I0 dE E
+    (1 - exp(-L))`` using the same exact-Siddon material paths the
+    simulation uses — the conservation partner of
+    :func:`dose_map`'s ``deposited_J``.
+    """
+    from .siddon import material_path_sinogram
+
+    if paths is None:
+        paths = material_path_sinogram(phantom, ct)
+    paths = np.asarray(paths, np.float64)  # [V, C, K]
+    mu = phantom.materials.mu_table(spec.E)  # [K, E]
+    L = paths @ mu  # [V, C, E]
+    i0w = spec.I0 * spec.bin_widths() * spec.E
+    removed_keV = float(np.sum((1.0 - np.exp(-L)) @ i0w))
+    return removed_keV * KEV_TO_J
+
+
+def ctdi_metrics(dose_mGy, dx, *, phantom_radius_cm=8.0, roi_radius_cm=0.5,
+                 margin_cm=1.0):
+    """CTDI-style summary of a dose map of a cylindrical phantom.
+
+    Standard weighted CT dose index sampling: a central ROI and four
+    peripheral ROIs ``margin_cm`` below the surface, combined as
+    ``CTDI_w = (1/3) center + (2/3) mean(periphery)`` (IEC 60601-2-44
+    weighting).  Returns ``{"center", "periphery", "ctdi_w"}`` in the
+    dose map's units.
+    """
+    d = np.asarray(dose_mGy, np.float64)
+    n = d.shape[-1]
+    ys = (np.arange(n) + 0.5 - n / 2) * dx
+    yy, xx = np.meshgrid(ys, ys, indexing="ij")
+
+    def roi_mean(cy, cx):
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 <= roi_radius_cm ** 2
+        if not np.any(m):
+            raise ValueError("ROI contains no pixels; increase roi_radius")
+        return float(d[m].mean())
+
+    rp = phantom_radius_cm - margin_cm
+    center = roi_mean(0.0, 0.0)
+    periph = [roi_mean(rp, 0.0), roi_mean(-rp, 0.0),
+              roi_mean(0.0, rp), roi_mean(0.0, -rp)]
+    p = float(np.mean(periph))
+    return {"center": center, "periphery": p,
+            "ctdi_w": center / 3.0 + 2.0 * p / 3.0}
