@@ -54,7 +54,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dose_map", "DoseResult", "beam_energy_removed", "ctdi_metrics"]
+__all__ = ["dose_map", "dose_map_3d", "DoseResult", "beam_energy_removed",
+           "beam_energy_removed_3d", "ctdi_metrics", "organ_dose_report",
+           "dose_efficiency", "ctdi_vol", "dlp", "dose_z_profile"]
 
 KEV_TO_J = 1.602176634e-16
 KEV_PER_G_TO_MGY = KEV_TO_J / 1e-3 * 1e3  # keV/g -> mGy
@@ -291,3 +293,290 @@ def ctdi_metrics(dose_mGy, dx, *, phantom_radius_cm=8.0, roi_radius_cm=0.5,
     p = float(np.mean(periph))
     return {"center": center, "periphery": p,
             "ctdi_w": center / 3.0 + 2.0 * p / 3.0}
+
+
+def organ_dose_report(dose_mGy, phantom, *, z_index=None):
+    """Per-material dose summary of a labeled phantom.
+
+    Returns ``{material_name: {"mean", "max", "mass_g", "energy_J"}}``
+    (mean/max in the map's units; mass and imparted energy assume the
+    in-plane map applies over one ``phantom.dz`` of z).  Integral dose
+    (energy imparted per organ) is the quantity organ-dose risk models
+    start from.
+    """
+    d = np.asarray(dose_mGy, np.float64)
+    labels = phantom.slice_labels(z_index)
+    if d.shape != labels.shape:
+        raise ValueError(f"dose map {d.shape} vs labels {labels.shape}")
+    dv = phantom.dx * phantom.dy * phantom.dz  # cm^3
+    rho = phantom.materials.densities
+    out = {}
+    for k, mat in enumerate(phantom.materials):
+        m = labels == k
+        if not np.any(m):
+            continue
+        mass = float(m.sum()) * dv * float(rho[k])  # g
+        mean = float(d[m].mean())
+        # mean [mGy] = 1e-3 J/kg = 1e-6 J/g
+        out[mat.name] = {"mean": mean, "max": float(d[m].max()),
+                         "mass_g": mass,
+                         "energy_J": mean * 1e-6 * mass}
+    return out
+
+
+def dose_efficiency(d_prime, dose_mGy_ref):
+    """Task-based dose efficiency: d'^2 per unit dose.
+
+    The canonical IQ-per-dose figure of merit (detectability d' from
+    ``analysis.nps.dprime_*`` scales as sqrt(dose) for quantum-limited
+    systems, so d'^2/dose is dose-independent for an ideal system and
+    drops when electronic noise, artifacts, or suboptimal weighting
+    waste dose).  ``dose_mGy_ref`` is any scalar dose metric held
+    consistent across the systems being compared (e.g. ``ctdi_w``).
+    """
+    if dose_mGy_ref <= 0:
+        raise ValueError("reference dose must be positive")
+    return float(d_prime) ** 2 / float(dose_mGy_ref)
+
+
+# ---------------------------------------------------------------------------
+# 3-D cone-beam / helical dose
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block"))
+def _dose_accumulate_3d(labels3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
+                        rs, vox_xyz, rho_vox, lab_vox, scalars, *, n_mats,
+                        nx, ny, nz, pixel_block):
+    """Scan over views; returns (dose [vox] keV/g, deposited keV).
+
+    Rays are parametrized by (gamma, t, r): gamma the in-plane fan
+    angle, t = tan(cone angle) = dz per unit in-plane distance, r the
+    IN-PLANE distance from the source.  Arc length ds = dr sqrt(1+t^2)
+    and perpendicular fluence phi = I0 SID/(dgamma h_iso r^2 cos k)
+    make the 3-D energy integral exactly conserve the forward model's
+    Beer-Lambert removal (see module docstring).
+
+    scalars: (sid, dx, dy, dz, geom_const, g_half_fan, t_half_beam,
+              voxel_volume)
+    """
+    f32 = jnp.float32
+    (sid, dx_w, dy_w, dz_w, geom_const, g_half_fan, t_half,
+     dvol) = scalars
+    n_g, n_t, n_r = gammas.shape[0], ts.shape[0], rs.shape[0]
+    dr = rs[1] - rs[0]
+    dg = gammas[1] - gammas[0]
+    dt = ts[1] - ts[0]
+    n_vox = vox_xyz.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
+    sec = jnp.sqrt(1.0 + ts * ts)  # [n_t] 1/cos(cone angle)
+
+    def one_view(carry, bz):
+        beta, z_s = bz
+        dose_acc, edep_acc = carry
+        src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
+        ang = beta + gammas  # [n_g]
+        # sample points [n_g, n_t, n_r]
+        px = src[0] - jnp.cos(ang)[:, None, None] * rs[None, None, :]
+        py = src[1] - jnp.sin(ang)[:, None, None] * rs[None, None, :]
+        pz = z_s + ts[None, :, None] * rs[None, None, :]
+        fx = px / dx_w + (nx / 2 - 0.5)
+        fy = py / dy_w + (ny / 2 - 0.5)
+        fz = pz / dz_w + (nz / 2 - 0.5)
+        ix0 = jnp.floor(fx).astype(jnp.int32)
+        iy0 = jnp.floor(fy).astype(jnp.int32)
+        iz0 = jnp.floor(fz).astype(jnp.int32)
+        wx = fx - ix0
+        wy = fy - iy0
+        wz = fz - iz0
+        occ = jnp.zeros((n_g, n_t, n_r, n_mats), f32)
+        for tz in (0, 1):
+            for ty in (0, 1):
+                for tx in (0, 1):
+                    iz = iz0 + tz
+                    iy = iy0 + ty
+                    ix = ix0 + tx
+                    ok = ((iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
+                          & (ix >= 0) & (ix < nx))
+                    lab = labels3[jnp.clip(iz, 0, nz - 1),
+                                  jnp.clip(iy, 0, ny - 1),
+                                  jnp.clip(ix, 0, nx - 1)]
+                    w = ((wz if tz else (1.0 - wz))
+                         * (wy if ty else (1.0 - wy))
+                         * (wx if tx else (1.0 - wx))) * ok
+                    occ = occ + w[..., None] * (
+                        lab[..., None] == mat_ids[None, None, None, :])
+        # partial material paths along ARC length [cm]
+        T = ((jnp.cumsum(occ, axis=2) - 0.5 * occ) * dr
+             * sec[None, :, None, None])  # [n_g, n_t, n_r, K]
+        Tf = T.reshape(n_g * n_t * n_r, n_mats)
+
+        # voxel coordinates in the (gamma, t, r) frame
+        relx = vox_xyz[:, 0] - src[0]
+        rely = vox_xyz[:, 1] - src[1]
+        r_v = jnp.sqrt(relx * relx + rely * rely)
+        d0 = -src / sid
+        dotp = (relx * d0[0] + rely * d0[1]) / r_v
+        crossp = (d0[0] * rely - d0[1] * relx) / r_v
+        g_v = jnp.arctan2(crossp, dotp)
+        t_v = (vox_xyz[:, 2] - z_s) / r_v
+        gi = jnp.clip((g_v - gammas[0]) / dg, 0.0, n_g - 1.001)
+        ti = jnp.clip((t_v - ts[0]) / dt, 0.0, n_t - 1.001)
+        ri = jnp.clip((r_v - rs[0]) / dr, 0.0, n_r - 1.001)
+        gi0 = jnp.floor(gi).astype(jnp.int32)
+        ti0 = jnp.floor(ti).astype(jnp.int32)
+        ri0 = jnp.floor(ri).astype(jnp.int32)
+        wg = (gi - gi0)[:, None]
+        wt = (ti - ti0)[:, None]
+        wr = (ri - ri0)[:, None]
+        base = (gi0 * n_t + ti0) * n_r + ri0
+        sg = n_t * n_r
+        t_vox = (
+            (1 - wg) * ((1 - wt) * ((1 - wr) * Tf[base]
+                                    + wr * Tf[base + 1])
+                        + wt * ((1 - wr) * Tf[base + n_r]
+                                + wr * Tf[base + n_r + 1]))
+            + wg * ((1 - wt) * ((1 - wr) * Tf[base + sg]
+                                + wr * Tf[base + sg + 1])
+                    + wt * ((1 - wr) * Tf[base + sg + n_r]
+                            + wr * Tf[base + sg + n_r + 1])))  # [vox, K]
+
+        sec_v = jnp.sqrt(1.0 + t_v * t_v)
+        in_beam = ((jnp.abs(g_v) <= g_half_fan)
+                   & (jnp.abs(t_v) <= t_half)).astype(f32)
+        phi0 = geom_const * sec_v / (r_v * r_v) * in_beam
+
+        def block(args):
+            t_b, phi_b, lab_b = args
+            att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
+            w = att * i0w_E[None, :]
+            c = jnp.matmul(w, mu_kE.T, precision=hi)
+            c_own = jnp.take_along_axis(c, lab_b[:, None], 1)[:, 0]
+            return phi_b * c_own
+
+        nb = -(-n_vox // pixel_block)
+        pad = nb * pixel_block - n_vox
+        e_vol = jax.lax.map(block, (
+            jnp.pad(t_vox, ((0, pad), (0, 0))).reshape(
+                nb, pixel_block, n_mats),
+            jnp.pad(phi0, (0, pad)).reshape(nb, pixel_block),
+            jnp.pad(lab_vox, (0, pad)).reshape(nb, pixel_block),
+        )).reshape(-1)[:n_vox]
+        dose_acc = dose_acc + e_vol / rho_vox
+        edep_acc = edep_acc + jnp.sum(e_vol) * dvol
+        return (dose_acc, edep_acc), 0.0
+
+    init = (jnp.zeros(n_vox, f32), jnp.zeros((), f32))
+    (dose, edep), _ = jax.lax.scan(one_view, init, (betas, src_zs))
+    return dose, edep
+
+
+def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
+                oversample=2, views=None, pixel_block=16384):
+    """Absorbed-dose volume of a circular or helical cone-beam scan.
+
+    ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
+    (or the helical subclass — the per-view source z is taken from
+    ``ct.source_z``).  The same primary-beam local-deposition model as
+    :func:`dose_map`; ``DoseResult.dose_mGy`` has shape [Nz, Ny, Nx]
+    and ``deposited_J`` is the plain 3-D integral (conservation partner:
+    :func:`beam_energy_removed_3d`).
+    """
+    labels3 = np.asarray(phantom.labels, np.int32)
+    nz, ny, nx = labels3.shape
+    n_mats = phantom.n_materials
+    mu_kE = phantom.materials.mu_table(spec.E)
+    i0w = spec.I0 * spec.bin_widths() * spec.E
+    betas = np.asarray(ct.betas if views is None else views, np.float64)
+    src_z = getattr(ct, "source_z", None)
+    if src_z is None or np.ndim(src_z) == 0:
+        src_z = np.zeros_like(betas)
+    else:
+        src_z = np.asarray(src_z, np.float64)
+        if views is not None:
+            raise ValueError("views override not supported for helical "
+                             "geometries (source_z is per ct.betas)")
+    gammas, rs = _sample_grids(ct, phantom, n_gamma, n_r, oversample)
+
+    # cone-angle grid: covers the collimated beam, fine enough that the
+    # z-resolution at the far edge of the object matches the voxel dz
+    t_half = 0.5 * ct.N_rows * ct.h_iso / ct.SID
+    if n_t is None:
+        r_far = float(rs[-1])
+        n_t = int(max(2 * ct.N_rows,
+                      np.ceil(2.0 * t_half * r_far / phantom.dz
+                              * oversample / 2.0))) + 1
+    # one-step margin so beam-edge voxels interpolate inside the grid
+    tpad = 2.0 * t_half / max(n_t - 1, 1)
+    ts = np.linspace(-t_half - tpad, t_half + tpad, n_t + 2)
+
+    xs = (np.arange(nx) + 0.5 - nx / 2) * phantom.dx
+    ys = (np.arange(ny) + 0.5 - ny / 2) * phantom.dy
+    zs = (np.arange(nz) + 0.5 - nz / 2) * phantom.dz
+    vz, vy, vx = np.meshgrid(zs, ys, xs, indexing="ij")
+    vox = np.stack([vx.ravel(), vy.ravel(), vz.ravel()], -1)
+    rho = phantom.materials.densities[labels3].ravel()
+
+    geom_const = ct.SID / (ct.dgamma * ct.h_iso)
+    scalars = jnp.asarray(
+        [ct.SID, phantom.dx, phantom.dy, phantom.dz, geom_const,
+         0.5 * ct.gamma_fan, t_half,
+         phantom.dx * phantom.dy * phantom.dz], jnp.float32)
+    dose, edep = _dose_accumulate_3d(
+        jnp.asarray(labels3), jnp.asarray(mu_kE, jnp.float32),
+        jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
+        jnp.asarray(src_z, jnp.float32), jnp.asarray(gammas, jnp.float32),
+        jnp.asarray(ts, jnp.float32), jnp.asarray(rs, jnp.float32),
+        jnp.asarray(vox, jnp.float32),
+        jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
+        jnp.asarray(labels3.ravel()), scalars,
+        n_mats=n_mats, nx=nx, ny=ny, nz=nz, pixel_block=int(pixel_block))
+    dose_mGy = np.asarray(dose, np.float64).reshape(nz, ny, nx) \
+        * KEV_PER_G_TO_MGY
+    return DoseResult(dose_mGy, float(edep) * KEV_TO_J)
+
+
+def beam_energy_removed_3d(phantom, ct, spec, *, paths=None):
+    """Total beam energy removed over a cone/helical scan [J] — the
+    conservation partner of :func:`dose_map_3d` (exact-DDA paths via
+    :func:`~dexct_tpu.ops.conebeam.cone_material_paths`)."""
+    from .conebeam import cone_material_paths
+
+    if paths is None:
+        paths = cone_material_paths(phantom, ct)
+    paths = np.asarray(paths, np.float64)  # [V, R, C, K]
+    mu = phantom.materials.mu_table(spec.E)
+    L = paths @ mu
+    i0w = spec.I0 * spec.bin_widths() * spec.E
+    return float(np.sum((1.0 - np.exp(-L)) @ i0w)) * KEV_TO_J
+
+
+def ctdi_vol(ctdi_w, ct):
+    """CTDI_vol: CTDI_w divided by the helical pitch factor
+    ``pitch / (N_rows * h_iso)`` (== CTDI_w for circular scans)."""
+    pitch = float(getattr(ct, "pitch", 0.0))
+    if pitch <= 0.0:
+        return float(ctdi_w)
+    return float(ctdi_w) / (pitch / (ct.N_rows * ct.h_iso))
+
+
+def dlp(ctdi_vol_mGy, scan_length_cm):
+    """Dose-length product [mGy*cm] — the quantity scanner consoles
+    report and effective-dose coefficients multiply."""
+    return float(ctdi_vol_mGy) * float(scan_length_cm)
+
+
+def dose_z_profile(dose_3d, dx, *, roi_radius_cm=1.0, center=(0.0, 0.0)):
+    """Central-ROI mean dose per z slice: the classic dose profile used
+    for helical overlap / over-ranging studies.  Returns [Nz]."""
+    d = np.asarray(dose_3d, np.float64)
+    ny, nx = d.shape[-2:]
+    ys = (np.arange(ny) + 0.5 - ny / 2) * dx
+    xs = (np.arange(nx) + 0.5 - nx / 2) * dx
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    m = (yy - center[0]) ** 2 + (xx - center[1]) ** 2 <= roi_radius_cm ** 2
+    if not np.any(m):
+        raise ValueError("ROI contains no pixels")
+    return d[:, m].mean(-1)

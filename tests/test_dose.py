@@ -110,3 +110,111 @@ class TestCtdi:
         with pytest.raises(ValueError, match="ROI"):
             ctdi_metrics(np.ones((16, 16)), 1.0, phantom_radius_cm=40.0,
                          roi_radius_cm=0.01)
+
+
+class TestOrganDose:
+    def test_report_masses_and_energy(self):
+        from dexct_tpu.ops.dose import organ_dose_report
+
+        ph = water_cylinder_phantom(N=48, dx=0.25, radius_cm=4.0)
+        ct = _geometry(nch=64, nproj=16)
+        spec = kramers_spectrum(100.0)
+        spec.rescale_counts(ct.A_iso * 10.0 / ct.N_proj)
+        res = dose_map(ph, ct, spec)
+        rep = organ_dose_report(res.dose_mGy, ph)
+        assert "water" in rep and "air" in rep
+        w = rep["water"]
+        # mass of the water disk: pi r^2 dz * rho
+        expect_mass = np.pi * 4.0**2 * ph.dz * 1.0
+        np.testing.assert_allclose(w["mass_g"], expect_mass, rtol=0.05)
+        assert w["mean"] > 0 and w["max"] >= w["mean"]
+        # energy bookkeeping: mean[mGy] * 1e-6 * mass[g]
+        np.testing.assert_allclose(
+            w["energy_J"], w["mean"] * 1e-6 * w["mass_g"], rtol=1e-12)
+
+    def test_dose_efficiency_fom(self):
+        from dexct_tpu.ops.dose import dose_efficiency
+
+        # quantum-limited system: d' ~ sqrt(dose) => FOM invariant
+        f1 = dose_efficiency(2.0, 10.0)
+        f2 = dose_efficiency(2.0 * np.sqrt(3.0), 30.0)
+        np.testing.assert_allclose(f1, f2, rtol=1e-12)
+        with pytest.raises(ValueError):
+            dose_efficiency(1.0, 0.0)
+
+
+def _cone_geometry(nch=64, nproj=16, nrows=8):
+    from dexct_tpu.system.geometry import ConeBeamGeometry
+
+    return ConeBeamGeometry(N_channels=nch, N_proj=nproj, gamma_fan=0.9,
+                            SID=60.0, SDD=100.0, h_iso=0.25, eid=True,
+                            N_rows=nrows)
+
+
+def _cylinder_3d(N=32, nz=12, dx=0.25, dz=0.25, radius_cm=3.0):
+    from dexct_tpu.physics.materials import AIR, WATER, MaterialTable
+
+    ys = (np.arange(N) + 0.5 - N / 2) * dx
+    rr = np.hypot(ys[None, :], ys[:, None])
+    lab2 = (rr <= radius_cm).astype(np.uint8)
+    lab3 = np.broadcast_to(lab2, (nz, N, N)).copy()
+    return VoxelPhantom("cyl3d", lab3, MaterialTable([AIR, WATER]),
+                        dx, dx, dz)
+
+
+class TestDose3d:
+    def test_cone_conservation(self):
+        from dexct_tpu.ops.dose import beam_energy_removed_3d, dose_map_3d
+
+        ph = _cylinder_3d()
+        ct = _cone_geometry()
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        res = dose_map_3d(ph, ct, spec, oversample=3)
+        removed = beam_energy_removed_3d(ph, ct, spec)
+        assert removed > 0
+        assert abs(res.deposited_J - removed) / removed < 0.06
+
+    def test_central_slice_matches_fan_dose(self):
+        """z-uniform object fully inside the collimated cone: the
+        central slice of the 3-D dose equals the 2-D fan-beam dose map
+        (same fluence normalization per detector row)."""
+        from dexct_tpu.ops.dose import dose_map_3d
+
+        ph3 = _cylinder_3d(N=32, nz=8, dz=0.2)
+        ct3 = _cone_geometry(nrows=16)  # beam z-extent 4 cm >> phantom
+        ph2 = VoxelPhantom("cyl2d", ph3.labels[4], ph3.materials,
+                           ph3.dx, ph3.dy, ph3.dz)
+        ct2 = _geometry(nch=64, nproj=16)
+        spec = Spectrum(np.array([70.0]), np.array([1e7]), "mono70")
+        # match in-plane geometry: same fan, SID, h_iso
+        ct2 = FanBeamGeometry(N_channels=64, N_proj=16, gamma_fan=0.9,
+                              SID=60.0, SDD=100.0, h_iso=0.25, eid=True)
+        d3 = dose_map_3d(ph3, ct3, spec, oversample=3).dose_mGy
+        d2 = dose_map(ph2, ct2, spec, oversample=3).dose_mGy
+        mid = d3[ph3.Nz // 2]
+        sel = ph3.labels[4] == 1  # compare inside the water (air dose is
+        # huge/relative-noisy, and edge voxels see interpolation diffs)
+        rel = np.abs(mid[sel] - d2[sel]) / d2[sel].mean()
+        assert np.median(rel) < 0.03
+
+    def test_helical_z_profile_and_ctdivol(self):
+        from dexct_tpu.ops.dose import ctdi_vol, dlp, dose_map_3d, \
+            dose_z_profile
+        from dexct_tpu.system.geometry import HelicalConeBeamGeometry
+
+        ph = _cylinder_3d(N=24, nz=24, dx=0.3, dz=0.3, radius_cm=2.5)
+        ct = HelicalConeBeamGeometry(
+            N_channels=48, N_proj=64, gamma_fan=0.9, SID=60.0, SDD=100.0,
+            h_iso=0.25, eid=True, N_rows=8, pitch=2.0,
+            rotation_total=4.0 * np.pi)
+        spec = Spectrum(np.array([70.0]), np.array([1e7]), "mono70")
+        res = dose_map_3d(ph, ct, spec, oversample=2)
+        prof = dose_z_profile(res.dose_mGy, ph.dx, roi_radius_cm=1.0)
+        # interior (covered by the 2-turn helix) is hot, far ends colder
+        assert prof[ph.Nz // 2] > 2.0 * min(prof[0], prof[-1])
+        # CTDIvol/DLP arithmetic
+        assert ctdi_vol(10.0, ct) == 10.0 / (2.0 / (8 * 0.25))
+        assert dlp(5.0, 10.0) == 50.0
+        circ = _cone_geometry()
+        assert ctdi_vol(10.0, circ) == 10.0
