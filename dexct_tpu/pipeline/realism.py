@@ -42,8 +42,9 @@ from .api import (DectResult, get_basismat_sinos, get_recon, get_sino,
                   material_path_sinogram)
 
 __all__ = ["Stage", "apply_chain", "correct_chain",
-           "stage_gains", "stage_scatter", "stage_afterglow",
-           "stage_mtf", "stage_pileup", "simulate_dect_realistic"]
+           "stage_gains", "stage_scatter", "stage_physics_scatter",
+           "stage_afterglow", "stage_mtf", "stage_pileup",
+           "simulate_dect_realistic"]
 
 
 @dataclasses.dataclass
@@ -97,6 +98,24 @@ def stage_scatter(air, kernel, *, spr=0.2, grid_p=0.95, grid_s=0.2,
                               grid_s=grid_s),
         lambda c: correct_scatter(c, air, k, spr=spr, grid_p=grid_p,
                                   grid_s=grid_s, n_iters=n_iters))
+
+
+def stage_physics_scatter(scatter_sino, *, grid_s=1.0, corrected=True,
+                          estimate=None):
+    """Additive single-scatter background from the first-principles
+    estimator (:func:`~dexct_tpu.ops.scatter_physics.
+    single_scatter_sinogram`), precomputed for the SAME views as the
+    acquisition.  ``grid_s`` is the anti-scatter grid's scatter
+    transmission.  The correction subtracts ``estimate`` (default: the
+    true ``scatter_sino`` — a perfect model-based correction; pass a
+    coarser estimate to study model mismatch) and clamps at zero."""
+    s_true = jnp.asarray(scatter_sino)
+    s_est = s_true if estimate is None else jnp.asarray(estimate)
+    corr = ((lambda c: jnp.maximum(c - grid_s * s_est, 0.0))
+            if corrected else None)
+    return Stage("physics_scatter",
+                 lambda c: c + grid_s * s_true,
+                 corr)
 
 
 def stage_afterglow(fractions, decay, *, warm_start=True):

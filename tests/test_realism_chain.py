@@ -156,3 +156,27 @@ class TestBowtieUnderChain:
         rel = np.abs(got - ref)[inside] / ref.max()
         assert np.median(rel) < 0.01, np.median(rel)
         assert rel.max() < 0.1, rel.max()
+
+
+class TestPhysicsScatterStage:
+    def test_roundtrip_and_mismatch(self):
+        import jax.numpy as jnp
+        from dexct_tpu.pipeline.realism import (apply_chain, correct_chain,
+                                                stage_physics_scatter)
+
+        rng = np.random.default_rng(0)
+        primary = jnp.asarray(1e5 * (1 + rng.random((4, 32))))
+        s = jnp.asarray(2e3 * (1 + rng.random((4, 32))))
+        st = stage_physics_scatter(s, grid_s=0.5)
+        meas = apply_chain(primary, [st])
+        # f32 cancellation: primary ~1e5, scatter ~1e3
+        np.testing.assert_allclose(np.asarray(meas - primary),
+                                   0.5 * np.asarray(s), rtol=2e-2)
+        corr = correct_chain(meas, [st])
+        np.testing.assert_allclose(np.asarray(corr), np.asarray(primary),
+                                   rtol=1e-4)
+        # mismatched estimate leaves the residual
+        st2 = stage_physics_scatter(s, estimate=0.5 * s)
+        res = correct_chain(apply_chain(primary, [st2]), [st2])
+        np.testing.assert_allclose(np.asarray(res - primary),
+                                   0.5 * np.asarray(s), rtol=2e-2)
