@@ -266,7 +266,7 @@ def beam_energy_removed(phantom, ct, spec, *, paths=None):
 
 
 def ctdi_metrics(dose_mGy, dx, *, phantom_radius_cm=8.0, roi_radius_cm=0.5,
-                 margin_cm=1.0):
+                 margin_cm=1.0, dy=None):
     """CTDI-style summary of a dose map of a cylindrical phantom.
 
     Standard weighted CT dose index sampling: a central ROI and four
@@ -276,9 +276,11 @@ def ctdi_metrics(dose_mGy, dx, *, phantom_radius_cm=8.0, roi_radius_cm=0.5,
     dose map's units.
     """
     d = np.asarray(dose_mGy, np.float64)
-    n = d.shape[-1]
-    ys = (np.arange(n) + 0.5 - n / 2) * dx
-    yy, xx = np.meshgrid(ys, ys, indexing="ij")
+    ny, nx = d.shape[-2], d.shape[-1]
+    dy = dx if dy is None else dy
+    ys = (np.arange(ny) + 0.5 - ny / 2) * dy
+    xs = (np.arange(nx) + 0.5 - nx / 2) * dx
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
 
     def roi_mean(cy, cx):
         m = (yy - cy) ** 2 + (xx - cx) ** 2 <= roi_radius_cm ** 2
@@ -568,12 +570,14 @@ def dlp(ctdi_vol_mGy, scan_length_cm):
     return float(ctdi_vol_mGy) * float(scan_length_cm)
 
 
-def dose_z_profile(dose_3d, dx, *, roi_radius_cm=1.0, center=(0.0, 0.0)):
+def dose_z_profile(dose_3d, dx, *, roi_radius_cm=1.0, center=(0.0, 0.0),
+                   dy=None):
     """Central-ROI mean dose per z slice: the classic dose profile used
     for helical overlap / over-ranging studies.  Returns [Nz]."""
     d = np.asarray(dose_3d, np.float64)
     ny, nx = d.shape[-2:]
-    ys = (np.arange(ny) + 0.5 - ny / 2) * dx
+    dy = dx if dy is None else dy
+    ys = (np.arange(ny) + 0.5 - ny / 2) * dy
     xs = (np.arange(nx) + 0.5 - nx / 2) * dx
     yy, xx = np.meshgrid(ys, xs, indexing="ij")
     m = (yy - center[0]) ** 2 + (xx - center[1]) ** 2 <= roi_radius_cm ** 2

@@ -100,31 +100,47 @@ def _rebin_spectrum(spec, n_energy):
     return e_g[keep] / n_g[keep], n_g[keep]
 
 
-@functools.partial(jax.jit, static_argnames=("n_mats", "nx", "ny", "s_in",
-                                             "s_out"))
-def _scatter_one_view(labels, ne_cells, cell_xy, det_xy, mu_gE, mu_fine,
-                      resp_fine, n0_g, src, scalars, *, n_mats, nx,
-                      ny, s_in, s_out):
-    """Single-scatter detected signal for one view: returns [C].
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_mats", "nx", "ny", "s_in", "s_out", "x_block",
+                     "c_block"))
+def _scatter_scan(labels, ne_w, cell_xy, mu_gE, mu_fine, resp_fine, n0_g,
+                  betas, det_gammas, scalars, *, n_mats, nx, ny, s_in,
+                  s_out, x_block, c_block):
+    """Single-scatter detected signal, scanned over views: [V, C].
 
-    labels:   [ny, nx] int32
-    ne_cells: [X] electrons per unit exit-plane area (n_e * cell area *
-              local beam height)
-    cell_xy:  [X, 2] vertex positions; det_xy: [C, 2] element positions
-    mu_gE:    [K, G] attenuation at the compressed incident bins
-    mu_fine:  [K, F] attenuation on the fine exit grid
-    resp_fine:[F] detector weight on the fine grid
-    n0_g:     [G] photons per channel per view at the compressed bins
-    scalars:  (sid, dx, dy, geom_const, e_fine0, de_fine, a_det, e_g...)
+    One jit, one device->host fetch for the whole scan (a per-view host
+    loop pays ~25-30 ms of tunnel round-trip per view, CLAUDE.md).  The
+    exit-path marching — the memory hog — runs under a nested
+    ``lax.map`` over channel blocks x vertex blocks, so the largest
+    live intermediate is [x_block, c_block, s_out] regardless of the
+    phantom/detector size.
+
+    labels:     [ny, nx] int32
+    ne_w:       [X] electrons per unit z (cell area folded; the local
+                beam height and the fan gate are applied in-kernel).
+                X is padded to a multiple of x_block with ne_w = 0.
+    cell_xy:    [X, 2]; det_gammas: [C] fan angles of the evaluated
+                elements, C padded to a multiple of c_block.
+    mu_gE:      [K, G] attenuation at the compressed incident bins
+    mu_fine:    [K, F] attenuation on the fine exit grid
+    resp_fine:  [F] detector weight on the fine grid
+    n0_g:       [G] photons per channel per view at the compressed bins
+    scalars:    (sid, sdd, dx, dy, geom_const, e_fine0, de_fine, a_det,
+                 g_half_fan, h_over_sid) + e_g
     """
     f32 = jnp.float32
-    (sid, dx_w, dy_w, geom_const, ef0, def_, a_det) = scalars[:7]
-    e_g = scalars[7:]  # [G] compressed bin centers
+    (sid, sdd, dx_w, dy_w, geom_const, ef0, def_, a_det, g_half,
+     h_over_sid) = scalars[:10]
+    e_g = scalars[10:]  # [G] compressed bin centers
     X = cell_xy.shape[0]
-    C = det_xy.shape[0]
+    C = det_gammas.shape[0]
     F = mu_fine.shape[1]
     hi = jax.lax.Precision.HIGHEST
     mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
+    nxb, ncb = X // x_block, C // c_block
+    inv_mec2 = 1.0 / xcom.ELECTRON_REST_KEV
+    r2 = xcom.ELECTRON_RADIUS_CM ** 2
 
     def march(p0, p1, n_steps):
         """Material path lengths along segments p0->p1: [..., K]."""
@@ -154,59 +170,89 @@ def _scatter_one_view(labels, ne_cells, cell_xy, det_xy, mu_gE, mu_fine,
         # mean occupancy over steps * length = path [cm] per material
         return occ.sum(-2) * (length / n_steps)[..., None]
 
-    # incident: source -> vertex
-    src_b = jnp.broadcast_to(src, (X, 2))
-    t_in = march(src_b, cell_xy, s_in)  # [X, K]
-    rel = cell_xy - src[None, :]
-    r_v = jnp.sqrt(jnp.sum(rel * rel, -1))  # [X]
-    phi = (geom_const / (r_v * r_v))[:, None] * n0_g[None, :] * jnp.exp(
-        -jnp.matmul(t_in, mu_gE, precision=hi))  # [X, G] photons/cm^2
+    def one_view(carry, beta):
+        src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
+        ang = beta + det_gammas
+        det_xy = src[None, :] - sdd * jnp.stack(
+            [jnp.cos(ang), jnp.sin(ang)], -1)  # [C, 2]
 
-    # exit: vertex -> detector element
-    t_ex = march(jnp.repeat(cell_xy[:, None, :], C, 1),
-                 jnp.repeat(det_xy[None, :, :], X, 0), s_out)  # [X, C, K]
+        # incident fluence at the vertices (fan-gated: tissue outside
+        # the collimated fan is NOT illuminated)
+        t_in = march(jnp.broadcast_to(src, (X, 2)), cell_xy, s_in)
+        rel = cell_xy - src[None, :]
+        r_v = jnp.sqrt(jnp.sum(rel * rel, -1))
+        u_in = rel / r_v[:, None]
+        d0 = -src / sid
+        g_v = jnp.arctan2(d0[0] * rel[:, 1] - d0[1] * rel[:, 0],
+                          rel[:, 0] * d0[0] + rel[:, 1] * d0[1])
+        in_fan = (jnp.abs(g_v) <= g_half).astype(f32)
+        phi = (geom_const / (r_v * r_v))[:, None] * n0_g[None, :] \
+            * jnp.exp(-jnp.matmul(t_in, mu_gE, precision=hi))  # [X, G]
+        w_x = ne_w * (h_over_sid * r_v) * in_fan  # [X] electrons
 
-    # geometry: scattering angle + solid angle
-    u_in = rel / r_v[:, None]  # [X, 2] unit incident dir
-    dvec = det_xy[None, :, :] - cell_xy[:, None, :]  # [X, C, 2]
-    r_d = jnp.sqrt(jnp.sum(dvec * dvec, -1))  # [X, C]
-    u_out = dvec / r_d[..., None]
-    cos_t = (u_in[:, None, 0] * u_out[..., 0]
-             + u_in[:, None, 1] * u_out[..., 1])  # [X, C]
-    # detector normal: element -> source axis (cylindrical detector)
-    nrm = src[None, :] - det_xy  # [C, 2]
-    nrm = nrm / jnp.sqrt(jnp.sum(nrm * nrm, -1))[:, None]
-    cos_inc = jnp.abs(u_out[..., 0] * nrm[None, :, 0]
-                      + u_out[..., 1] * nrm[None, :, 1])  # [X, C]
-    d_omega = a_det * cos_inc / (r_d * r_d)  # [X, C] sr
+        cells_b = cell_xy.reshape(nxb, x_block, 2)
+        phi_b = phi.reshape(nxb, x_block, -1)
+        wx_b = w_x.reshape(nxb, x_block)
+        uin_b = u_in.reshape(nxb, x_block, 2)
+        det_b = det_xy.reshape(ncb, c_block, 2)
 
-    # spectral: for each (X, C, G)
-    k = e_g / 510.99895  # [G]
-    ratio = 1.0 / (1.0 + k[None, None, :] * (1.0 - cos_t[..., None]))
-    e_p = e_g[None, None, :] * ratio  # [X, C, G] scattered energy
-    r2 = 7.940787e-26  # (classical electron radius)^2 [cm^2]
-    kn = 0.5 * r2 * ratio * ratio * (
-        ratio + 1.0 / ratio - (1.0 - cos_t[..., None] ** 2))  # [X, C, G]
-    # exit attenuation at E': pre-contract materials onto the fine
-    # energy grid (one MXU matmul), then linear-interp along F — avoids
-    # materializing a [K, X, C, G] gathered-mu tensor
-    l_fine = jnp.einsum("xck,kf->xcf", t_ex, mu_fine,
-                        precision=hi)  # [X, C, F]
-    fi = jnp.clip((e_p - ef0) / def_, 0.0, F - 1.001)
-    fi0 = jnp.floor(fi).astype(jnp.int32)
-    wf = fi - fi0
-    l0 = jnp.take_along_axis(l_fine, fi0, -1)
-    l1 = jnp.take_along_axis(l_fine, fi0 + 1, -1)
-    l_ex = l0 + (l1 - l0) * wf  # [X, C, G]
-    resp = resp_fine[fi0] + (resp_fine[fi0 + 1]
-                             - resp_fine[fi0]) * wf  # [X, C, G]
-    contrib = (phi[:, None, :] * kn * jnp.exp(-jnp.clip(l_ex, 0.0, 60.0))
-               * resp) * d_omega[..., None]
-    return jnp.sum(contrib * ne_cells[:, None, None], axis=(0, 2))
+        def per_channel_block(det_blk):
+            nrm = src[None, :] - det_blk  # [cb, 2] element normals
+            nrm = nrm / jnp.sqrt(jnp.sum(nrm * nrm, -1))[:, None]
+
+            def per_vertex_block(args):
+                cb_xy, phi_bb, w_bb, uin_bb = args
+                t_ex = march(
+                    jnp.repeat(cb_xy[:, None, :], c_block, 1),
+                    jnp.repeat(det_blk[None, :, :], x_block, 0),
+                    s_out)  # [xb, cb, K]
+                dvec = det_blk[None, :, :] - cb_xy[:, None, :]
+                r_d = jnp.sqrt(jnp.sum(dvec * dvec, -1))  # [xb, cb]
+                u_out = dvec / r_d[..., None]
+                cos_t = (uin_bb[:, None, 0] * u_out[..., 0]
+                         + uin_bb[:, None, 1] * u_out[..., 1])
+                cos_inc = jnp.abs(u_out[..., 0] * nrm[None, :, 0]
+                                  + u_out[..., 1] * nrm[None, :, 1])
+                d_omega = a_det * cos_inc / (r_d * r_d)  # [xb, cb]
+
+                k = e_g * inv_mec2  # [G]
+                ratio = 1.0 / (1.0 + k[None, None, :]
+                               * (1.0 - cos_t[..., None]))
+                e_p = e_g[None, None, :] * ratio  # [xb, cb, G]
+                kn = 0.5 * r2 * ratio * ratio * (
+                    ratio + 1.0 / ratio - (1.0 - cos_t[..., None] ** 2))
+                # exit attenuation at E': pre-contract materials onto
+                # the fine grid (one MXU matmul), then interp along F
+                l_fine = jnp.einsum("xck,kf->xcf", t_ex, mu_fine,
+                                    precision=hi)  # [xb, cb, F]
+                fi = jnp.clip((e_p - ef0) / def_, 0.0, F - 1.001)
+                fi0 = jnp.floor(fi).astype(jnp.int32)
+                wf = fi - fi0
+                l0 = jnp.take_along_axis(l_fine, fi0, -1)
+                l1 = jnp.take_along_axis(l_fine, fi0 + 1, -1)
+                l_ex = l0 + (l1 - l0) * wf  # [xb, cb, G]
+                resp = resp_fine[fi0] + (resp_fine[fi0 + 1]
+                                         - resp_fine[fi0]) * wf
+                contrib = (phi_bb[:, None, :] * kn * resp
+                           * jnp.exp(-jnp.clip(l_ex, 0.0, 60.0))
+                           * d_omega[..., None])
+                return jnp.sum(contrib * w_bb[:, None, None],
+                               axis=(0, 2))  # [cb]
+
+            parts = jax.lax.map(per_vertex_block,
+                                (cells_b, phi_b, wx_b, uin_b))
+            return parts.sum(0)  # [cb]
+
+        s_view = jax.lax.map(per_channel_block, det_b).reshape(-1)
+        return carry, s_view
+
+    _, out = jax.lax.scan(one_view, 0.0, betas)
+    return out  # [V, C]
 
 
 def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
                             n_fine=96, s_in=None, s_out=None, views=None,
+                            channel_sub=1, x_block=1024, c_block=32,
                             z_index=None):
     """Deterministic single-scatter sinogram [V, C] in detected units.
 
@@ -216,6 +262,17 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     n_fine: fine grid for Compton-shifted exit attenuation/response.
     s_in/s_out: marching steps for incident/exit paths (default:
         phantom N and N/2).
+    channel_sub: evaluate every k-th detector channel and interpolate
+        the rest (scatter is smooth across channels; 4-8 is safe and
+        cuts the exit-march cost by the same factor).
+    x_block/c_block: device blocking of the (vertex x channel) exit
+        marching — bounds the largest live intermediate at
+        [x_block, c_block, s_out] independent of problem size.
+
+    Cost model: the exit march dominates at
+    ``X * C/channel_sub * s_out * 4`` gathers per view with
+    ``X ~ (N/coarse)^2`` in-body vertices — size coarse/channel_sub/
+    views to your accuracy needs (the result is smooth in all three).
 
     The result adds directly onto the primary counts from
     ``forward_counts`` (same detected-signal units) and feeds the
@@ -230,20 +287,16 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
         s_out = max(nx, ny) // 2
     betas = np.asarray(ct.betas if views is None else views, np.float64)
 
-    # coarse vertex grid: n_e * cell volume (z-extent = one beam height
-    # at the isocenter is implicit in the fluence normalization: the
-    # fan's photons all pass |z| < h(r)/2, and we score their scatter
-    # from the z=0 plane with per-unit-length density n_e * h... the h
-    # cancels: phi [photons/cm^2] * n_e [1/cm^3] * dV [cm^3] with dV a
-    # full 3-D cell volume dx*dy*h would double-count h; using the
-    # in-plane cell area times the LOCAL beam height converts the
-    # 2-D vertex integral to the 3-D one exactly.  We fold the beam
-    # height h(r) = h_iso r / SID into the per-vertex weight below.
+    # coarse vertex grid.  The z-extent: the fan's photons fill
+    # |z| < h(r)/2, so the scattering column at a vertex holds
+    # n_e * (cell area) * h(r_v) electrons; phi is the mid-plane
+    # fluence.  h(r_v) is folded in-kernel (h_over_sid * r_v).
     ne_img = electron_density_image(phantom, z_index)
     cf = int(coarse)
-    nyc, nxc = ny // cf, nx // cf
-    ne_cells = ne_img[:nyc * cf, :nxc * cf].reshape(
-        nyc, cf, nxc, cf).mean((1, 3))
+    nyc, nxc = -(-ny // cf), -(-nx // cf)  # ceil: pad, never crop
+    pad_y, pad_x = nyc * cf - ny, nxc * cf - nx
+    ne_pad = np.pad(ne_img, ((0, pad_y), (0, pad_x)))
+    ne_cells = ne_pad.reshape(nyc, cf, nxc, cf).mean((1, 3))
     xs = ((np.arange(nxc) + 0.5) * cf - nx / 2) * phantom.dx
     ys = ((np.arange(nyc) + 0.5) * cf - ny / 2) * phantom.dy
     cx, cy = np.meshgrid(xs, ys, indexing="xy")
@@ -252,6 +305,29 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     cell_xy = cell_xy[keep]
     cell_area = (cf * phantom.dx) * (cf * phantom.dy)
     ne_w = ne_cells.ravel()[keep] * cell_area  # electrons per unit z
+    # pad vertices to a multiple of x_block (zero weight)
+    X = len(ne_w)
+    x_block = min(int(x_block), X) if X else 1
+    xpad = -X % x_block
+    if xpad:
+        cell_xy = np.concatenate([cell_xy,
+                                  np.repeat(cell_xy[:1], xpad, 0)])
+        ne_w = np.concatenate([ne_w, np.zeros(xpad)])
+
+    # evaluated channels (subsampled) padded to a multiple of c_block
+    gam_all = np.asarray(ct.gammas, np.float64)
+    sub = max(int(channel_sub), 1)
+    # always evaluate the last channel too, so the interpolation never
+    # extrapolates (np.interp clamps, flattening the edge)
+    ch_idx = np.unique(np.append(np.arange(0, len(gam_all), sub),
+                                 len(gam_all) - 1))
+    gam_eval = gam_all[ch_idx]
+    n_eval = len(gam_eval)
+    c_block = min(int(c_block), n_eval)
+    cpad = -n_eval % c_block
+    if cpad:
+        gam_eval = np.concatenate([gam_eval,
+                                   np.repeat(gam_eval[-1:], cpad)])
 
     # spectra and attenuation tables
     e_g, n0_g = _rebin_spectrum(spec, n_energy)
@@ -259,49 +335,50 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     e_min_p = float(compton_energy(e_g.min(), -1.0)) * 0.95
     e_fine = np.linspace(e_min_p, float(e_g.max()) * 1.001, n_fine)
     mu_fine = phantom.materials.mu_table(e_fine)  # [K, F]
-    eta = ct.detector_response(e_fine)  # includes E weight when eid
-    resp_fine = np.asarray(eta, np.float64)
+    resp_fine = np.asarray(ct.detector_response(e_fine), np.float64)
 
-    # detector element positions (z=0 plane) and area
+    # detector element area and fluence normalization
     h_det = ct.h_iso * ct.SDD / ct.SID
     a_det = (ct.SDD * ct.dgamma) * h_det  # element area [cm^2]
     geom_const = ct.SID / (ct.dgamma * ct.h_iso)
 
-    out = np.zeros((len(betas), ct.N_channels))
-    scalars_base = [ct.SID, phantom.dx, phantom.dy, geom_const,
-                    float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det]
-    labels_j = jnp.asarray(labels2d)
-    mu_gE_j = jnp.asarray(mu_gE, jnp.float32)
-    mu_fine_j = jnp.asarray(mu_fine, jnp.float32)
-    resp_j = jnp.asarray(resp_fine, jnp.float32)
-    n0_j = jnp.asarray(n0_g, jnp.float32)
-    scal_j = jnp.asarray(np.concatenate([scalars_base, e_g]), jnp.float32)
-    cells_j = jnp.asarray(cell_xy, jnp.float32)
-
-    # beam-height factor at the vertex: h(r_v) = h_iso * r_v / SID —
-    # the z-extent of the illuminated (scattering) column
-    for i, beta in enumerate(betas):
-        src = ct.SID * np.array([np.cos(beta), np.sin(beta)])
-        ang = beta + ct.gammas
-        det = (src[None, :]
-               - ct.SDD * np.stack([np.cos(ang), np.sin(ang)], -1))
-        r_v = np.linalg.norm(cell_xy - src[None, :], axis=-1)
-        h_v = ct.h_iso * r_v / ct.SID
-        ne_view = jnp.asarray(ne_w * h_v, jnp.float32)
-        s = _scatter_one_view(
-            labels_j, ne_view, cells_j, jnp.asarray(det, jnp.float32),
-            mu_gE_j, mu_fine_j, resp_j, n0_j,
-            jnp.asarray(src, jnp.float32), scal_j,
-            n_mats=n_mats, nx=nx, ny=ny, s_in=int(s_in), s_out=int(s_out))
-        out[i] = np.asarray(s, np.float64)
+    scalars = np.concatenate([
+        [ct.SID, ct.SDD, phantom.dx, phantom.dy, geom_const,
+         float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det,
+         0.5 * ct.gamma_fan, ct.h_iso / ct.SID], e_g])
+    s_eval = _scatter_scan(
+        jnp.asarray(labels2d), jnp.asarray(ne_w, jnp.float32),
+        jnp.asarray(cell_xy, jnp.float32),
+        jnp.asarray(mu_gE, jnp.float32), jnp.asarray(mu_fine, jnp.float32),
+        jnp.asarray(resp_fine, jnp.float32), jnp.asarray(n0_g, jnp.float32),
+        jnp.asarray(betas, jnp.float32), jnp.asarray(gam_eval, jnp.float32),
+        jnp.asarray(scalars, jnp.float32),
+        n_mats=n_mats, nx=nx, ny=ny, s_in=int(s_in), s_out=int(s_out),
+        x_block=x_block, c_block=c_block)
+    s_eval = np.asarray(s_eval, np.float64)[:, :n_eval]
+    if sub == 1:
+        return s_eval
+    out = np.empty((len(betas), ct.N_channels))
+    for i in range(len(betas)):
+        out[i] = np.interp(gam_all, gam_eval[:n_eval], s_eval[i])
     return out
 
 
-def scatter_to_primary_ratio(scatter_sino, primary_sino):
-    """Mean in-object SPR diagnostic (primary > 1% of its max)."""
+def scatter_to_primary_ratio(scatter_sino, primary_sino, *,
+                             atten_thresh=0.9):
+    """Mean in-object SPR diagnostic.
+
+    In-object rays are the *attenuated* ones (primary below
+    ``atten_thresh`` of the air level — unattenuated air channels have
+    maximal primary and near-zero SPR, so including them biases the
+    diagnostic low); rays below 1e-6 of max are excluded as
+    photon-starved.
+    """
     p = np.asarray(primary_sino, np.float64)
     s = np.asarray(scatter_sino, np.float64)
-    m = p > 0.01 * p.max()
+    m = (p < atten_thresh * p.max()) & (p > 1e-6 * p.max())
+    if not np.any(m):
+        raise ValueError("no attenuated rays: nothing in the beam?")
     return float((s[m] / p[m]).mean())
 
 

@@ -100,21 +100,25 @@ def stage_scatter(air, kernel, *, spr=0.2, grid_p=0.95, grid_s=0.2,
                                   grid_s=grid_s, n_iters=n_iters))
 
 
-def stage_physics_scatter(scatter_sino, *, grid_s=1.0, corrected=True,
-                          estimate=None):
+def stage_physics_scatter(scatter_sino, *, grid_p=1.0, grid_s=1.0,
+                          corrected=True, estimate=None):
     """Additive single-scatter background from the first-principles
     estimator (:func:`~dexct_tpu.ops.scatter_physics.
     single_scatter_sinogram`), precomputed for the SAME views as the
-    acquisition.  ``grid_s`` is the anti-scatter grid's scatter
-    transmission.  The correction subtracts ``estimate`` (default: the
-    true ``scatter_sino`` — a perfect model-based correction; pass a
-    coarser estimate to study model mismatch) and clamps at zero."""
+    acquisition.  ``grid_p``/``grid_s`` are the anti-scatter grid's
+    primary/scatter transmissions (matching ``stage_scatter``'s
+    convention, so swapping the empirical stage for this one keeps the
+    grid's ~5 % primary penalty).  The correction divides out
+    ``grid_p`` and subtracts ``estimate`` (default: the true
+    ``scatter_sino`` — a perfect model-based correction; pass a coarser
+    estimate to study model mismatch), clamped at zero."""
     s_true = jnp.asarray(scatter_sino)
     s_est = s_true if estimate is None else jnp.asarray(estimate)
-    corr = ((lambda c: jnp.maximum(c - grid_s * s_est, 0.0))
+    corr = ((lambda c: jnp.maximum(c / grid_p - (grid_s / grid_p) * s_est,
+                                   0.0))
             if corrected else None)
     return Stage("physics_scatter",
-                 lambda c: c + grid_s * s_true,
+                 lambda c: grid_p * c + grid_s * s_true,
                  corr)
 
 

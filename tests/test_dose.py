@@ -106,6 +106,12 @@ class TestCtdi:
             m["ctdi_w"], m["center"] / 3 + 2 * m["periphery"] / 3,
             rtol=1e-12)
 
+    def test_non_square_map(self):
+        # review finding: ROI axes were built from shape[-1] only
+        d = np.ones((32, 48))
+        m = ctdi_metrics(d, 0.5, phantom_radius_cm=6.0, dy=0.4)
+        np.testing.assert_allclose(m["ctdi_w"], 1.0)
+
     def test_roi_validation(self):
         with pytest.raises(ValueError, match="ROI"):
             ctdi_metrics(np.ones((16, 16)), 1.0, phantom_radius_cm=40.0,

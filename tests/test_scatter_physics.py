@@ -148,3 +148,63 @@ class TestScaling:
         # scatter extends outside the object's shadow
         shadow = np.asarray(raw)[0] > 0.9 * np.asarray(raw)[0].max()
         assert s[0][shadow].mean() > 0
+
+
+class TestGeometryGates:
+    def test_fan_collimation_gate(self):
+        """Tissue outside the collimated fan is not illuminated and must
+        not scatter (review finding: truncation-style wide phantoms)."""
+        N, dx = 48, 0.5
+        ct = FanBeamGeometry(N_channels=32, N_proj=4, gamma_fan=0.2,
+                             SID=60.0, SDD=100.0, h_iso=0.1, eid=True)
+        # fan half-width at iso: 60*sin(0.1) ~ 6 cm; blob at y=+9 cm is
+        # fully outside the fan of the beta=0 view
+        lab_out = np.zeros((N, N), np.uint8)
+        ys = (np.arange(N) + 0.5 - N / 2) * dx
+        rr_out = np.hypot(ys[None, :], (ys - 9.0)[:, None])
+        lab_out[rr_out <= 2.0] = 1
+        lab_in = np.zeros((N, N), np.uint8)
+        rr_in = np.hypot(ys[None, :], ys[:, None])
+        lab_in[rr_in <= 2.0] = 1
+        mats = MaterialTable([VACUUM, WATER])
+        spec = Spectrum(np.array([60.0]), np.array([1e6]), "mono60")
+        v = np.array([0.0])
+        s_out = single_scatter_sinogram(
+            VoxelPhantom("o", lab_out, mats, dx, dx, dx), ct, spec,
+            coarse=2, n_energy=1, views=v)
+        s_in = single_scatter_sinogram(
+            VoxelPhantom("i", lab_in, mats, dx, dx, dx), ct, spec,
+            coarse=2, n_energy=1, views=v)
+        assert s_in.max() > 0
+        assert s_out.max() < 1e-6 * s_in.max()
+
+    def test_channel_subsampling_consistent(self):
+        """channel_sub=4 + interpolation matches the full evaluation to
+        well under a percent (scatter is smooth across channels)."""
+        ct = _geometry(nch=64)
+        ph = water_cylinder_phantom(N=32, dx=0.5, radius_cm=6.0)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(1e5)
+        v = np.array([0.0])
+        full = single_scatter_sinogram(ph, ct, spec, coarse=2,
+                                       n_energy=8, views=v)
+        sub = single_scatter_sinogram(ph, ct, spec, coarse=2, n_energy=8,
+                                      views=v, channel_sub=4)
+        rel = np.abs(sub - full) / full.max()
+        # interpolation curvature error at this coarse 64-channel test
+        # resolution; at protocol channel counts sub=4 is much finer
+        assert rel.max() < 0.02
+
+    def test_odd_grid_not_cropped(self):
+        """Phantom N not divisible by coarse: the edge strip must still
+        scatter (review finding: silent crop)."""
+        N, dx = 50, 0.4
+        lab = np.zeros((N, N), np.uint8)
+        lab[:, -2:] = 1  # water strip on the padded edge
+        ph = VoxelPhantom("edge", lab, MaterialTable([VACUUM, WATER]),
+                          dx, dx, dx)
+        ct = _geometry(nch=32)
+        spec = Spectrum(np.array([60.0]), np.array([1e6]), "mono60")
+        s = single_scatter_sinogram(ph, ct, spec, coarse=4, n_energy=1,
+                                    views=np.array([0.0]))
+        assert s.max() > 0
