@@ -208,3 +208,77 @@ class TestGeometryGates:
         s = single_scatter_sinogram(ph, ct, spec, coarse=4, n_energy=1,
                                     views=np.array([0.0]))
         assert s.max() > 0
+
+
+class TestConeBeam:
+    def _cyl3d(self, N=32, nzv=16, dx=0.5, dz=0.5, radius=4.0):
+        ys = (np.arange(N) + 0.5 - N / 2) * dx
+        rr = np.hypot(ys[None, :], ys[:, None])
+        lab = np.broadcast_to((rr <= radius).astype(np.uint8),
+                              (nzv, N, N)).copy()
+        return VoxelPhantom("c3", lab, MaterialTable([VACUUM, WATER]),
+                            dx, dx, dz)
+
+    def test_thin_collimation_matches_fan(self):
+        """N_rows=1 cone: the 3-D estimator reduces to the MC-validated
+        fan-beam one (same beam slab, same detector band)."""
+        from dexct_tpu.ops.scatter_physics import single_scatter_conebeam
+        from dexct_tpu.system.geometry import ConeBeamGeometry
+
+        ph3 = self._cyl3d()
+        ph2 = VoxelPhantom("c2", ph3.labels[8], ph3.materials,
+                           ph3.dx, ph3.dy, ph3.dz)
+        ct3 = ConeBeamGeometry(N_channels=32, N_proj=4, gamma_fan=0.9,
+                               SID=60.0, SDD=100.0, h_iso=0.5, eid=True,
+                               N_rows=1)
+        ct2 = FanBeamGeometry(N_channels=32, N_proj=4, gamma_fan=0.9,
+                              SID=60.0, SDD=100.0, h_iso=0.5, eid=True)
+        spec = Spectrum(np.array([60.0]), np.array([1e6]), "mono60")
+        v = np.array([0.0])
+        s3 = single_scatter_conebeam(ph3, ct3, spec, coarse=2,
+                                     n_energy=1, channel_sub=1,
+                                     row_sub=1, views=v)[0, 0]
+        s2 = single_scatter_sinogram(ph2, ct2, spec, coarse=2,
+                                     n_energy=1, views=v)[0]
+        sel = s2 > 0.2 * s2.max()
+        rel = np.abs(s3[sel] - s2[sel]) / s2[sel]
+        # 3-D vertices sample the slab at +-h/2 vs the 2-D mid-plane
+        assert np.median(rel) < 0.05
+
+    def test_spr_grows_with_collimation(self):
+        """Wide-cone scatter: total detected scatter per row grows as
+        rows are added (the scatter a thin fan never sees)."""
+        from dexct_tpu.ops.scatter_physics import single_scatter_conebeam
+        from dexct_tpu.system.geometry import ConeBeamGeometry
+
+        ph3 = self._cyl3d(nzv=24)
+        spec = Spectrum(np.array([60.0]), np.array([1e6]), "mono60")
+        v = np.array([0.0])
+        per_row = []
+        for nrows in (1, 4, 8):
+            ct = ConeBeamGeometry(N_channels=32, N_proj=4, gamma_fan=0.9,
+                                  SID=60.0, SDD=100.0, h_iso=0.5,
+                                  eid=True, N_rows=nrows)
+            s = single_scatter_conebeam(ph3, ct, spec, coarse=3,
+                                        n_energy=1, channel_sub=2,
+                                        row_sub=2, views=v)
+            mid = s[0, nrows // 2]
+            per_row.append(mid.sum())
+        assert per_row[1] > 1.5 * per_row[0]
+        assert per_row[2] > per_row[1]
+
+    def test_row_symmetry(self):
+        """Symmetric phantom + central view: scatter symmetric across
+        the central row."""
+        from dexct_tpu.ops.scatter_physics import single_scatter_conebeam
+        from dexct_tpu.system.geometry import ConeBeamGeometry
+
+        ph3 = self._cyl3d(nzv=16)
+        ct = ConeBeamGeometry(N_channels=32, N_proj=4, gamma_fan=0.9,
+                              SID=60.0, SDD=100.0, h_iso=0.5, eid=True,
+                              N_rows=6)
+        spec = Spectrum(np.array([60.0]), np.array([1e6]), "mono60")
+        s = single_scatter_conebeam(ph3, ct, spec, coarse=3, n_energy=1,
+                                    channel_sub=2, row_sub=1,
+                                    views=np.array([0.0]))[0]
+        np.testing.assert_allclose(s, s[::-1], rtol=0.02)
