@@ -21,9 +21,19 @@ from .nps import (
     noise_power_spectrum,
     radial_average,
 )
+from .products import (
+    electron_density_map,
+    iodine_map,
+    vnc_image,
+    zeff_image,
+)
 from .register import register_phantom_to_recon, rescale_shift
 
 __all__ = [
+    "vnc_image",
+    "iodine_map",
+    "electron_density_map",
+    "zeff_image",
     "noise_power_spectrum",
     "radial_average",
     "mtf_from_disk_edge",

@@ -1,0 +1,191 @@
+"""Metal artifact reduction: sinogram inpainting (LI-MAR and NMAR).
+
+The reference's flagship application is a metal-implant revision study
+(plots.py:487-498 alloy LAC analysis; the pelvis phantom carries a
+Ti/CoCr implant), and metal is exactly where FBP breaks: photon
+starvation + beam hardening through the implant put inconsistent,
+noise-dominated values in every ray that crosses it, and FBP smears
+them into the classic dark/bright streaks.  The standard hardware-free
+remedies are projection-completion methods:
+
+* **LI-MAR** (Kalender 1987): treat metal-crossing rays as missing and
+  bridge each view's metal shadow by linear interpolation between the
+  nearest clean channels.
+* **NMAR** (Meyer 2010): interpolate a *normalized* sinogram —
+  divide by the forward projection of a smooth prior image (air/water/
+  bone classes of the uncorrected recon) so the bridged values inherit
+  the prior's anatomy instead of a straight line, which removes the
+  bulk of LI-MAR's new streaks at tissue/bone boundaries.
+
+TPU mapping: the per-view "nearest clean channel left/right" search is
+two ``lax.cummax`` scans (no data-dependent loops), the bridge is one
+gather + lerp per ray, and the metal trace / prior sinogram reuse the
+Fourier-slice projector (ops/fourier.py) exactly as the bone-BHC second
+pass does (ops/bhc.py).  Everything jits; the full
+``mar_recon`` driver is recon -> segment -> trace -> inpaint -> recon
+with optional metal reinsertion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["segment_metal", "metal_trace", "interpolate_sinogram",
+           "li_mar_sinogram", "nmar_sinogram", "mar_recon"]
+
+
+def segment_metal(recon_HU, threshold_HU=2500.0):
+    """Binary metal mask from an uncorrected HU reconstruction.
+
+    Implant alloys sit at >> 3000 HU at diagnostic energies (the
+    reference's Ti/CoCr table, plots.py:487-498); 2500 HU separates
+    them from cortical bone (~1500-2000 HU peak).
+    """
+    return jnp.asarray(recon_HU) >= threshold_HU
+
+
+def metal_trace(metal_mask, geometry, view_shape, *, dx, n_theta=768,
+                path_eps=0.05):
+    """Sinogram-domain metal shadow [V, C] (bool).
+
+    Forward-projects the mask with the Fourier-slice projector and
+    thresholds at ``path_eps`` cm of metal path (sub-voxel clips of the
+    deapodized projection are noise, not shadow).
+    """
+    from ..physics.materials import AIR, WATER, MaterialTable
+    from ..system.phantom import VoxelPhantom
+    from .fourier import fourier_project_images, plan_fourier_projector
+
+    mask = jnp.asarray(metal_mask, jnp.float32)
+    n = mask.shape[-1]
+    dummy = VoxelPhantom("mar", np.zeros((n, n), np.uint8),
+                         MaterialTable([AIR, WATER]), dx, dx, dx)
+    plan = plan_fourier_projector(dummy, geometry, n_theta=n_theta)
+    t = fourier_project_images(plan, mask[None], view_shape)[..., 0]
+    return t > path_eps
+
+
+def interpolate_sinogram(sino, trace):
+    """Bridge masked channels of each view by linear interpolation
+    between the nearest unmasked channels (vectorized, jit-safe).
+
+    Rays masked all the way to a detector edge take the value of the
+    nearest clean channel (constant extrapolation).  A fully masked
+    view is returned unchanged (nothing to anchor on).
+    """
+    s = jnp.asarray(sino)
+    m = jnp.asarray(trace)
+    c = s.shape[-1]
+    idx = jnp.arange(c)
+    clean = ~m
+    ax = s.ndim - 1  # lax.cummax rejects negative axes
+    # nearest clean channel at or left of each position
+    left = jax.lax.cummax(jnp.where(clean, idx, -1), axis=ax)
+    # nearest clean at or right: mirror trick
+    right_rev = jax.lax.cummax(
+        jnp.where(clean[..., ::-1], idx, -1), axis=ax)[..., ::-1]
+    right = jnp.where(right_rev >= 0, c - 1 - right_rev, c)
+    has_l = left >= 0
+    has_r = right <= c - 1
+    li = jnp.clip(left, 0, c - 1)
+    ri = jnp.clip(right, 0, c - 1)
+    vl = jnp.take_along_axis(s, li, -1)
+    vr = jnp.take_along_axis(s, ri, -1)
+    span = jnp.maximum(ri - li, 1)
+    w = (idx - li) / span
+    bridged = vl * (1.0 - w) + vr * w
+    bridged = jnp.where(has_l & has_r, bridged,
+                        jnp.where(has_l, vl, jnp.where(has_r, vr, s)))
+    return jnp.where(m, bridged, s)
+
+
+def li_mar_sinogram(sino_log, trace):
+    """LI-MAR: linear bridge of the metal shadow in the log sinogram."""
+    return interpolate_sinogram(sino_log, trace)
+
+
+def nmar_sinogram(sino_log, trace, prior_sino, *, floor=1e-3):
+    """NMAR: interpolate ``sino/prior`` and re-multiply.
+
+    prior_sino: forward projection (same [V, C] grid) of a smooth prior
+    image — typically the uncorrected recon with air/soft-tissue/bone
+    flattened to class means and metal removed.  The normalization
+    makes the bridged region follow the prior's anatomical profile.
+    """
+    p = jnp.maximum(jnp.asarray(prior_sino), floor)
+    norm = jnp.asarray(sino_log) / p
+    return interpolate_sinogram(norm, trace) * p
+
+
+def _prior_image(recon_HU, metal_mask, *, air_HU=-500.0, bone_HU=300.0,
+                 mu_water):
+    """NMAR class prior [1/cm]: air -> 0, soft tissue -> water, bone
+    kept (its own values), metal -> water."""
+    hu = jnp.asarray(recon_HU)
+    mu = mu_water * (1.0 + hu / 1000.0)
+    water = mu_water * jnp.ones_like(mu)
+    prior = jnp.where(hu < air_HU, 0.0,
+                      jnp.where(hu < bone_HU, water, mu))
+    return jnp.where(metal_mask, water, prior)
+
+
+def mar_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
+              method="nmar", threshold_HU=2500.0, window="sinc",
+              reinsert_metal=True, n_theta=768, path_eps=0.05):
+    """Full MAR pipeline: (recon_raw, recon_HU, diagnostics).
+
+    1. uncorrected FBP -> metal segmentation (``threshold_HU``);
+    2. metal trace = forward-projected mask (> ``path_eps`` cm);
+    3. inpaint the log sinogram (``method``: 'li' or 'nmar' — NMAR
+       normalizes by the class-prior forward projection first);
+    4. FBP of the completed sinogram; optionally reinsert the metal
+       pixels from the uncorrected recon (their HU is wrong either way,
+       but clinicians want to see the implant).
+
+    Returns ``(recon_raw, recon_HU, diag)`` with diag holding the
+    metal mask, trace, and inpainted sinogram.  With no metal in the
+    image the input reconstruction is returned unchanged.
+    """
+    from ..pipeline.api import get_recon
+    from .fbp import hu_image
+    from .fourier import fourier_project_images, plan_fourier_projector
+    from ..physics.materials import AIR, WATER, MaterialTable
+    from ..system.phantom import VoxelPhantom
+
+    sino_log = jnp.asarray(sino_log)
+    recon0, hu0 = get_recon(sino_log, geometry, spec, n_matrix, fov,
+                            ramp, window=window)
+    mask = segment_metal(hu0, threshold_HU)
+    if not bool(jnp.any(mask)):
+        return recon0, hu0, {"metal_mask": mask, "trace": None,
+                             "sino_inpainted": sino_log}
+    dx = fov / n_matrix
+    trace = metal_trace(mask, geometry, sino_log.shape, dx=dx,
+                        n_theta=n_theta, path_eps=path_eps)
+    if method == "li":
+        sino_in = li_mar_sinogram(sino_log, trace)
+    elif method == "nmar":
+        from ..pipeline.api import effective_water_mu
+
+        mu_w = effective_water_mu(spec, geometry)
+        prior = _prior_image(hu0, mask, mu_water=mu_w)
+        dummy = VoxelPhantom("mar", np.zeros((n_matrix, n_matrix),
+                                             np.uint8),
+                             MaterialTable([AIR, WATER]), dx, dx, dx)
+        plan = plan_fourier_projector(dummy, geometry, n_theta=n_theta)
+        prior_sino = fourier_project_images(
+            plan, prior[None], sino_log.shape)[..., 0]
+        prior_sino = jnp.clip(prior_sino, 0.0, None)
+        sino_in = nmar_sinogram(sino_log, trace, prior_sino)
+    else:
+        raise ValueError(f"unknown MAR method {method!r}")
+    recon1, hu1 = get_recon(sino_in, geometry, spec, n_matrix, fov,
+                            ramp, window=window)
+    if reinsert_metal:
+        recon1 = jnp.where(mask, recon0, recon1)
+        hu1 = jnp.where(mask, hu0, hu1)
+    return recon1, hu1, {"metal_mask": mask, "trace": trace,
+                         "sino_inpainted": sino_in}
