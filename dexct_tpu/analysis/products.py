@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..physics import xcom
+from ..physics.materials import WATER
 
 __all__ = ["vnc_image", "iodine_map", "electron_density_map",
            "zeff_image", "WATER_ELECTRON_DENSITY"]
@@ -37,11 +38,14 @@ WATER_ELECTRON_DENSITY = 3.3428e23  # electrons/cm^3
 _ZEFF_EXPONENT = 2.94
 
 
-def _electrons_per_gram(material):
-    """N_A * sum_i w_i Z_i / A_i for one material."""
-    return xcom.AVOGADRO * sum(
-        w * xcom.ELEMENT_Z[s] / xcom.ATOMIC_WEIGHT[s]
-        for s, w in xcom.parse_matcomp(material.matcomp))
+def _find_iodine_index(materials):
+    names = [m.name.lower() for m in materials]
+    idx = [i for i, n in enumerate(names) if "iodine" in n]
+    if len(idx) != 1:
+        raise ValueError(
+            f"cannot identify the iodine basis among {names}; pass "
+            "iodine_index")
+    return idx[0]
 
 
 def vnc_image(a_imgs, materials, e0_keV, *, iodine_index=None, HU=True):
@@ -49,20 +53,14 @@ def vnc_image(a_imgs, materials, e0_keV, *, iodine_index=None, HU=True):
 
     a_imgs: list/array of basis-density images [g/cm^3];
     materials: matching Material list; the iodine basis (detected by
-    name containing 'iodine'/'I ' unless ``iodine_index`` given) is
+    name containing 'iodine' unless ``iodine_index`` given) is
     dropped and the remaining components are synthesized
     monoenergetically (the same construction as a VMI, plots.py:
     136-144, minus the contrast term).
     """
     a_imgs = [np.asarray(a, np.float64) for a in a_imgs]
     if iodine_index is None:
-        names = [m.name.lower() for m in materials]
-        idx = [i for i, n in enumerate(names) if "iodine" in n]
-        if len(idx) != 1:
-            raise ValueError(
-                f"cannot identify the iodine basis among {names}; pass "
-                "iodine_index")
-        iodine_index = idx[0]
+        iodine_index = _find_iodine_index(materials)
     e = np.atleast_1d(np.float64(e0_keV))
     mu = np.zeros_like(a_imgs[0])
     for i, (a, m) in enumerate(zip(a_imgs, materials)):
@@ -71,20 +69,14 @@ def vnc_image(a_imgs, materials, e0_keV, *, iodine_index=None, HU=True):
         mu = mu + a * float(m.mass_atten(e)[0])
     if not HU:
         return mu
-    mu_w = float(xcom.mixatten("H(11.2)O(88.8)", e)[0])
+    mu_w = float(WATER.linear_atten(e)[0])
     return 1000.0 * (mu - mu_w) / mu_w
 
 
 def iodine_map(a_imgs, materials, *, iodine_index=None, clip_negative=True):
     """Iodine concentration map [mg/mL] from the basis densities."""
     if iodine_index is None:
-        names = [m.name.lower() for m in materials]
-        idx = [i for i, n in enumerate(names) if "iodine" in n]
-        if len(idx) != 1:
-            raise ValueError(
-                f"cannot identify the iodine basis among {names}; pass "
-                "iodine_index")
-        iodine_index = idx[0]
+        iodine_index = _find_iodine_index(materials)
     conc = np.asarray(a_imgs[iodine_index], np.float64) * 1000.0
     return np.clip(conc, 0.0, None) if clip_negative else conc
 
@@ -98,7 +90,7 @@ def electron_density_map(a_imgs, materials, *, relative=True):
     """
     out = np.zeros_like(np.asarray(a_imgs[0], np.float64))
     for a, m in zip(a_imgs, materials):
-        out = out + np.asarray(a, np.float64) * _electrons_per_gram(m)
+        out = out + np.asarray(a, np.float64) * m.electrons_per_gram()
     return out / WATER_ELECTRON_DENSITY if relative else out
 
 

@@ -47,23 +47,31 @@ def segment_metal(recon_HU, threshold_HU=2500.0):
     return jnp.asarray(recon_HU) >= threshold_HU
 
 
+def _image_projector_plan(n, dx, geometry, n_theta):
+    """Fourier-slice plan for projecting arbitrary n x n images."""
+    from ..physics.materials import AIR, WATER, MaterialTable
+    from ..system.phantom import VoxelPhantom
+    from .fourier import plan_fourier_projector
+
+    dummy = VoxelPhantom("mar", np.zeros((n, n), np.uint8),
+                         MaterialTable([AIR, WATER]), dx, dx, dx)
+    return plan_fourier_projector(dummy, geometry, n_theta=n_theta)
+
+
 def metal_trace(metal_mask, geometry, view_shape, *, dx, n_theta=768,
-                path_eps=0.05):
+                path_eps=0.05, plan=None):
     """Sinogram-domain metal shadow [V, C] (bool).
 
     Forward-projects the mask with the Fourier-slice projector and
     thresholds at ``path_eps`` cm of metal path (sub-voxel clips of the
-    deapodized projection are noise, not shadow).
+    deapodized projection are noise, not shadow).  Pass ``plan`` to
+    reuse a projector plan (mar_recon shares one with the NMAR prior).
     """
-    from ..physics.materials import AIR, WATER, MaterialTable
-    from ..system.phantom import VoxelPhantom
-    from .fourier import fourier_project_images, plan_fourier_projector
+    from .fourier import fourier_project_images
 
     mask = jnp.asarray(metal_mask, jnp.float32)
-    n = mask.shape[-1]
-    dummy = VoxelPhantom("mar", np.zeros((n, n), np.uint8),
-                         MaterialTable([AIR, WATER]), dx, dx, dx)
-    plan = plan_fourier_projector(dummy, geometry, n_theta=n_theta)
+    if plan is None:
+        plan = _image_projector_plan(mask.shape[-1], dx, geometry, n_theta)
     t = fourier_project_images(plan, mask[None], view_shape)[..., 0]
     return t > path_eps
 
@@ -150,10 +158,7 @@ def mar_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
     image the input reconstruction is returned unchanged.
     """
     from ..pipeline.api import get_recon
-    from .fbp import hu_image
-    from .fourier import fourier_project_images, plan_fourier_projector
-    from ..physics.materials import AIR, WATER, MaterialTable
-    from ..system.phantom import VoxelPhantom
+    from .fourier import fourier_project_images
 
     sino_log = jnp.asarray(sino_log)
     recon0, hu0 = get_recon(sino_log, geometry, spec, n_matrix, fov,
@@ -163,8 +168,9 @@ def mar_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
         return recon0, hu0, {"metal_mask": mask, "trace": None,
                              "sino_inpainted": sino_log}
     dx = fov / n_matrix
+    plan = _image_projector_plan(n_matrix, dx, geometry, n_theta)
     trace = metal_trace(mask, geometry, sino_log.shape, dx=dx,
-                        n_theta=n_theta, path_eps=path_eps)
+                        n_theta=n_theta, path_eps=path_eps, plan=plan)
     if method == "li":
         sino_in = li_mar_sinogram(sino_log, trace)
     elif method == "nmar":
@@ -172,10 +178,6 @@ def mar_recon(sino_log, geometry, spec, n_matrix, fov, ramp, *,
 
         mu_w = effective_water_mu(spec, geometry)
         prior = _prior_image(hu0, mask, mu_water=mu_w)
-        dummy = VoxelPhantom("mar", np.zeros((n_matrix, n_matrix),
-                                             np.uint8),
-                             MaterialTable([AIR, WATER]), dx, dx, dx)
-        plan = plan_fourier_projector(dummy, geometry, n_theta=n_theta)
         prior_sino = fourier_project_images(
             plan, prior[None], sino_log.shape)[..., 0]
         prior_sino = jnp.clip(prior_sino, 0.0, None)

@@ -77,13 +77,8 @@ def klein_nishina_differential(energy_keV, cos_theta):
 
 def electron_density_image(phantom, z_index=None):
     """Electron density image [electrons/cm^3]: rho N_A sum_i w_i Z_i/A_i."""
-    dens = phantom.materials.densities
-    ne_per_g = np.zeros(len(dens))
-    for i, mat in enumerate(phantom.materials):
-        za = sum(w * xcom.ELEMENT_Z[s] / xcom.ATOMIC_WEIGHT[s]
-                 for s, w in xcom.parse_matcomp(mat.matcomp))
-        ne_per_g[i] = xcom.AVOGADRO * za
-    ne = dens * ne_per_g
+    ne = phantom.materials.densities * np.array(
+        [m.electrons_per_gram() for m in phantom.materials])
     return ne[phantom.slice_labels(z_index)]
 
 
@@ -105,7 +100,7 @@ def _rebin_spectrum(spec, n_energy):
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "s_in", "s_out", "x_block",
                      "c_block"))
-def _scatter_scan(labels, ne_w, cell_xy, mu_gE, mu_fine, resp_fine, n0_g,
+def _scatter_scan(labels, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
                   betas, det_gammas, scalars, *, n_mats, nx, ny, s_in,
                   s_out, x_block, c_block):
     """Single-scatter detected signal, scanned over views: [V, C].
@@ -134,6 +129,10 @@ def _scatter_scan(labels, ne_w, cell_xy, mu_gE, mu_fine, resp_fine, n0_g,
     (sid, sdd, dx_w, dy_w, geom_const, ef0, def_, a_det, g_half,
      h_over_sid) = scalars[:10]
     e_g = scalars[10:]  # [G] compressed bin centers
+    # resident input ships transposed [2, X] (a trailing dim of 2 pads
+    # to the 128-lane tile in HBM, CLAUDE.md); transposing inside the
+    # jit is a free layout choice
+    cell_xy = cell_xy_t.T
     X = cell_xy.shape[0]
     C = det_gammas.shape[0]
     F = mu_fine.shape[1]
@@ -349,7 +348,7 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
          0.5 * ct.gamma_fan, ct.h_iso / ct.SID], e_g])
     s_eval = _scatter_scan(
         jnp.asarray(labels2d), jnp.asarray(ne_w, jnp.float32),
-        jnp.asarray(cell_xy, jnp.float32),
+        jnp.asarray(cell_xy.T, jnp.float32),
         jnp.asarray(mu_gE, jnp.float32), jnp.asarray(mu_fine, jnp.float32),
         jnp.asarray(resp_fine, jnp.float32), jnp.asarray(n0_g, jnp.float32),
         jnp.asarray(betas, jnp.float32), jnp.asarray(gam_eval, jnp.float32),
@@ -508,9 +507,10 @@ def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "s_in", "s_out",
                      "x_block", "d_block"))
-def _scatter_scan_cone(labels3, ne_w, cell_xyz, mu_gE, mu_fine, resp_fine,
-                       n0_g, betas, det_gk, scalars, *, n_mats, nx, ny,
-                       nz, s_in, s_out, x_block, d_block):
+def _scatter_scan_cone(labels3, ne_w, cell_xyz_t, mu_gE, mu_fine,
+                       resp_fine, n0_g, betas, det_gk_t, scalars, *,
+                       n_mats, nx, ny, nz, s_in, s_out, x_block,
+                       d_block):
     """Cone-beam single scatter, scanned over views: [V, D].
 
     det_gk: [D, 2] evaluated detector elements as (fan angle gamma,
@@ -530,6 +530,10 @@ def _scatter_scan_cone(labels3, ne_w, cell_xyz, mu_gE, mu_fine, resp_fine,
     (sid, sdd, dx_w, dy_w, dz_w, geom_const, ef0, def_, a_det, g_half,
      t_half, half_cz) = scalars[:12]
     e_g = scalars[12:]
+    # resident inputs ship transposed (tiny trailing dims pad to the
+    # 128-lane tile in HBM, CLAUDE.md)
+    cell_xyz = cell_xyz_t.T
+    det_gk = det_gk_t.T
     X = cell_xyz.shape[0]
     D = det_gk.shape[0]
     F = mu_fine.shape[1]
@@ -691,14 +695,8 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
     betas = np.asarray(ct.betas if views is None else views, np.float64)
 
     # coarse 3-D vertex grid (pad, never crop)
-    ne3 = electron_density_image(phantom).astype(np.float64)
-    # electron_density_image returns the z_index slice; build 3-D:
-    dens = phantom.materials.densities
-    ne_per_g = np.array([
-        xcom.AVOGADRO * sum(w * xcom.ELEMENT_Z[s] / xcom.ATOMIC_WEIGHT[s]
-                            for s, w in xcom.parse_matcomp(m.matcomp))
-        for m in phantom.materials])
-    ne3 = (dens * ne_per_g)[labels3]
+    ne3 = (phantom.materials.densities * np.array(
+        [m.electrons_per_gram() for m in phantom.materials]))[labels3]
     cf = int(coarse)
     ncz, ncy, ncx = -(-nz // cf), -(-ny // cf), -(-nx // cf)
     ne_pad = np.pad(ne3, ((0, ncz * cf - nz), (0, ncy * cf - ny),
@@ -759,10 +757,10 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
          0.5 * ct.gamma_fan, t_half, 0.5 * cf * phantom.dz], e_g])
     s_eval = _scatter_scan_cone(
         jnp.asarray(labels3), jnp.asarray(ne_w, jnp.float32),
-        jnp.asarray(cell_xyz, jnp.float32),
+        jnp.asarray(cell_xyz.T, jnp.float32),
         jnp.asarray(mu_gE, jnp.float32), jnp.asarray(mu_fine, jnp.float32),
         jnp.asarray(resp_fine, jnp.float32), jnp.asarray(n0_g, jnp.float32),
-        jnp.asarray(betas, jnp.float32), jnp.asarray(det_gk, jnp.float32),
+        jnp.asarray(betas, jnp.float32), jnp.asarray(det_gk.T, jnp.float32),
         jnp.asarray(scalars, jnp.float32),
         n_mats=n_mats, nx=nx, ny=ny, nz=nz, s_in=int(s_in),
         s_out=int(s_out), x_block=x_block, d_block=d_block)

@@ -51,6 +51,13 @@ class Material:
         """mu [1/cm] on ``energy_keV``."""
         return self.density * self.mass_atten(energy_keV)
 
+    def electrons_per_gram(self):
+        """N_A * sum_i w_i Z_i / A_i [electrons/g] — the one source of
+        truth for electron density (scatter physics, DE products)."""
+        return xcom.AVOGADRO * sum(
+            w * xcom.ELEMENT_Z[s] / xcom.ATOMIC_WEIGHT[s]
+            for s, w in xcom.parse_matcomp(self.matcomp))
+
 
 # Reference-pinned materials (matdecomp.py:12-17, plots.py:140, 487-498).
 TISSUE = Material(

@@ -10,10 +10,7 @@ from dexct_tpu.analysis.products import (
     vnc_image,
     zeff_image,
 )
-from dexct_tpu.physics import xcom
-from dexct_tpu.physics.materials import BONE, Material, TISSUE, WATER
-
-IODINE_BLOOD = Material("iodine 10mg/mL", 1.0, "I(100.0)")  # pure-I basis
+from dexct_tpu.physics.materials import BONE, Material, WATER
 
 
 def _basis_images():
