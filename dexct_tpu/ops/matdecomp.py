@@ -48,6 +48,7 @@ __all__ = [
     "decompose_sinograms",
     "air_mask",
     "DEFAULT_BASIS",
+    "image_domain_decomposition",
 ]
 
 DEFAULT_BASIS = (TISSUE, BONE)  # matdecomp.py:12-17
@@ -542,3 +543,42 @@ def decompose_multibin_grid(sinos, ee, i0s, basis, *, n_iters=30,
     mask = air_mask(sinos[0], mask_thresh)
     mats = jnp.where(mask[None], 0.0, a.T.reshape(len(basis), v, c))
     return mats, mask
+
+
+def image_domain_decomposition(recon1_raw, recon2_raw, spec1, spec2,
+                               geometry, *, basis=DEFAULT_BASIS):
+    """Image-domain DE decomposition: per-pixel 2x2 solve on the recons.
+
+    The fast clinical alternative to the projection-domain solve: model
+    each reconstruction as the fluence-weighted effective attenuation
+
+        mu_i(x) = sum_m a_m(x) <mu/rho_m>_i,
+        <mu/rho_m>_i = sum_E w_i(E) (mu/rho)_m(E)
+
+    (w_i the detected-fluence weights of spectrum i) and invert the
+    2x2 mixing matrix per pixel.  Exact only in the thin-object limit:
+    beam hardening makes the effective energies object-dependent, which
+    is precisely the bias the projection-domain Poisson-MLE solve
+    (decompose_sinograms / get_basismat_sinos) does not have — pair
+    this with water-BHC'd inputs, or use it as the cheap initializer /
+    sanity cross-check it is in practice.
+
+    Returns basis-density images (a_1 [g/cm^3], ..., a_K) matching the
+    recon shapes.
+    """
+    from .spectral import effective_fluence
+
+    if len(basis) != 2:
+        raise ValueError("image-domain solve is the 2-measurement, "
+                         "2-basis special case")
+    a_mat = np.zeros((2, 2))
+    for i, spec in enumerate((spec1, spec2)):
+        w = effective_fluence(spec, geometry)
+        w = w / w.sum()
+        for m, mat in enumerate(basis):
+            a_mat[i, m] = float(np.sum(w * mat.mass_atten(spec.E)))
+    a_inv = jnp.asarray(np.linalg.inv(a_mat), jnp.float32)
+    mu = jnp.stack([jnp.asarray(recon1_raw), jnp.asarray(recon2_raw)], -1)
+    out = jnp.einsum("...i,mi->...m", mu, a_inv,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out[..., 0], out[..., 1]

@@ -297,3 +297,56 @@ class TestSinogramDecomposition:
         keep[0, 0] = keep[2, 5] = False
         np.testing.assert_allclose(m1[keep], a1[keep], atol=2e-3)
         np.testing.assert_allclose(m2[keep], a2[keep], atol=2e-3)
+
+
+class TestImageDomainDecomposition:
+    def test_thin_object_recovers_basis(self):
+        """Image-domain 2x2 solve on a thin tissue cylinder: densities
+        within a few % of truth (BH bias is small for thin paths), and
+        a water pixel maps to ~(1, 0) in the (tissue, bone) basis."""
+        import numpy as np
+        from dexct_tpu.ops.matdecomp import image_domain_decomposition
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.pipeline.api import get_recon, get_sino
+        from dexct_tpu.physics.materials import AIR, TISSUE, MaterialTable
+        from dexct_tpu.system.geometry import FanBeamGeometry
+        from dexct_tpu.system.phantom import VoxelPhantom
+
+        N, dx = 96, 0.1  # thin: 4 cm tissue cylinder
+        ys = (np.arange(N) + 0.5 - N / 2) * dx
+        rr = np.hypot(ys[None, :], ys[:, None])
+        lab = (rr <= 2.0).astype(np.uint8)
+        ph = VoxelPhantom("thin", lab, MaterialTable([AIR, TISSUE]),
+                          dx, dx, dx)
+        ct = FanBeamGeometry(N_channels=128, N_proj=128, gamma_fan=0.9,
+                             SID=60.0, SDD=100.0, h_iso=0.1, eid=True)
+        s1 = linac_spectrum()
+        s1.rescale_counts(1e6)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(1e6)
+        _, log1 = get_sino(ct, ph, s1)
+        _, log2 = get_sino(ct, ph, s2)
+        r1, _ = get_recon(log1, ct, s1, N, N * dx, 0.8)
+        r2, _ = get_recon(log2, ct, s2, N, N * dx, 0.8)
+        a_t, a_b = image_domain_decomposition(r1, r2, s1, s2, ct)
+        c = slice(N // 2 - 4, N // 2 + 4)
+        a_t_c = float(np.asarray(a_t)[c, c].mean())
+        a_b_c = float(np.asarray(a_b)[c, c].mean())
+        assert abs(a_t_c - TISSUE.density) < 0.08 * TISSUE.density
+        assert abs(a_b_c) < 0.1  # no spurious bone
+
+    def test_basis_validation(self):
+        import numpy as np
+        import pytest
+        from dexct_tpu.ops.matdecomp import image_domain_decomposition
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.physics.materials import BONE, TISSUE, WATER
+        from dexct_tpu.system.geometry import FanBeamGeometry
+
+        ct = FanBeamGeometry(N_channels=8, N_proj=8, gamma_fan=0.9,
+                             SID=60.0, SDD=100.0, h_iso=0.1, eid=True)
+        s = kramers_spectrum(80.0)
+        z = np.zeros((4, 4))
+        with pytest.raises(ValueError, match="2-basis"):
+            image_domain_decomposition(z, z, s, s, ct,
+                                       basis=(TISSUE, BONE, WATER))
