@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["log_variance", "fbp_variance_map"]
+__all__ = ["log_variance", "fbp_variance_map", "decomposition_covariance",
+           "basis_variance_maps", "vmi_variance_map"]
 
 
 def log_variance(counts, var_counts=None):
@@ -157,3 +158,115 @@ def fbp_variance_map(counts, geometry, n_matrix, fov, ramp=0.8,
     if mu_water_eff is not None:
         var = var * (1000.0 / float(mu_water_eff)) ** 2
     return var
+
+
+# ---------------------------------------------------------------------------
+# Dual-energy extension: basis-image noise + analytic VMI noise curves
+# ---------------------------------------------------------------------------
+
+def decomposition_covariance(a_sinos, geometry, spec1, spec2, *,
+                             basis=None, compound=False):
+    """Per-ray CRLB covariance of the 2-basis decomposition.
+
+    a_sinos: [V, C, 2] basis-coefficient sinogram (the noiseless
+    decomposition or the exact basis projections — the linearization
+    point).  Returns ``cov [V, C, 2, 2]`` — the asymptotic (Fisher)
+    covariance the Poisson-MLE GN solve attains:
+
+        I_mn = sum_i (dc_i/da_m)(dc_i/da_n) / var_i,   cov = I^{-1}
+
+    with ``var_i = c_i`` (Poisson) or the compound-EID second moment
+    when ``compound=True``.  The classic DE anticorrelation
+    (cov_12 < 0) falls out.
+    """
+    from .matdecomp import DEFAULT_BASIS, prepare_decomposition
+    from .spectral import second_moment_fluence
+
+    basis = DEFAULT_BASIS if basis is None else basis
+    ee, i0, mus = prepare_decomposition(geometry, spec1, spec2, basis)
+    a = jnp.asarray(a_sinos, jnp.float32)
+    mus_j = jnp.asarray(mus, jnp.float32)  # [2, E]
+    i0_j = jnp.asarray(i0, jnp.float32)  # [2, E]
+    hi = jax.lax.Precision.HIGHEST
+    L = jnp.einsum("vck,ke->vce", a, mus_j, precision=hi)
+    att = jnp.exp(-jnp.clip(L, 0.0, 700.0))  # [V, C, E]
+    c = jnp.einsum("vce,ie->vci", att, i0_j, precision=hi)  # [V, C, 2]
+    # J[v,c,i,m] = -sum_E i0_iE mu_mE att_E
+    J = -jnp.einsum("vce,ie,me->vcim", att, i0_j, mus_j, precision=hi)
+    if compound:
+        # var_i = sum_E n_E w_E^2 att_E with the union-grid tables:
+        # approximate via the per-spectrum second-moment ratio
+        i2 = []
+        for spec in (spec1, spec2):
+            r = second_moment_fluence(spec, geometry)
+            n = spec.I0 * spec.bin_widths()
+            # mean per-detected-unit weight: fold into the union grid
+            w_eff = float(np.sum(r)) / max(float(np.sum(
+                n * geometry.detector_response(spec.E))), 1e-300)
+            i2.append(w_eff)
+        var_c = c * jnp.asarray(i2, jnp.float32)[None, None, :]
+    else:
+        var_c = c
+    w = 1.0 / jnp.maximum(var_c, 1e-30)  # [V, C, 2]
+    info = jnp.einsum("vcim,vci,vcin->vcmn", J, w, J, precision=hi)
+    det = (info[..., 0, 0] * info[..., 1, 1]
+           - info[..., 0, 1] * info[..., 1, 0])
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    cov = jnp.stack([
+        jnp.stack([info[..., 1, 1], -info[..., 0, 1]], -1),
+        jnp.stack([-info[..., 1, 0], info[..., 0, 0]], -1)], -2)
+    return cov / det[..., None, None]
+
+
+def basis_variance_maps(cov_rays, geometry, n_matrix, fov, ramp=0.8,
+                        window="sinc", dtype=jnp.float32):
+    """FBP-propagate the per-ray basis covariance to image space.
+
+    cov_rays: [V, C, 2, 2] from :func:`decomposition_covariance`.
+    Returns (var1, var2, cov12) image maps — the linear FBP applies the
+    SAME weights to both basis sinograms, so the cross-covariance
+    propagates through the identical quadratic form as the variances.
+    """
+    from .filters import filter_frequency_response
+
+    n_ch = geometry.N_channels
+    dgamma = geometry.dgamma
+    H, m = filter_frequency_response(n_ch, dgamma, ramp, window, "fan")
+    h_sp = np.fft.irfft(H, m)
+    k0 = jnp.asarray(h_sp * h_sp, dtype)
+    k1 = jnp.asarray(h_sp * np.roll(h_sp, -1), dtype)
+    w_pre = jnp.asarray(
+        (float(geometry.SID) * np.cos(np.asarray(geometry.gammas))) ** 2,
+        dtype)
+    betas = jnp.asarray(geometry.betas, dtype)
+    dbeta = float(geometry.rotation_total) / geometry.N_proj
+    cov = jnp.asarray(cov_rays, dtype)
+    out = []
+    for field in (cov[..., 0, 0], cov[..., 1, 1], cov[..., 0, 1]):
+        s = field * w_pre[None, :]
+        r0, r1 = _cov_filter(s, k0, k1, m, float(dgamma))
+        out.append(_fan_backproject_var(
+            r0, r1, betas, float(geometry.SID), float(dgamma),
+            int(n_matrix), float(fov), dbeta=dbeta))
+    return tuple(out)
+
+
+def vmi_variance_map(var1, var2, cov12, e0_keV, *, basis=None):
+    """Predicted VMI variance map [HU^2] at energy ``e0_keV``.
+
+    The VMI is the linear combination ``mu = a_1 m_1(E0) + a_2 m_2(E0)``
+    (plots.py:136-144), so its variance is the quadratic form over the
+    basis-image covariance — including the (negative) cross term that
+    produces the classic VMI noise minimum between the kVp energies.
+    """
+    from ..physics import xcom
+    from .matdecomp import DEFAULT_BASIS
+
+    basis = DEFAULT_BASIS if basis is None else basis
+    e = np.atleast_1d(np.float64(e0_keV))
+    m1 = float(basis[0].mass_atten(e)[0])
+    m2 = float(basis[1].mass_atten(e)[0])
+    mu_w = float(xcom.mixatten("H(11.2)O(88.8)", e)[0])
+    var_mu = (m1 * m1 * jnp.asarray(var1) + m2 * m2 * jnp.asarray(var2)
+              + 2.0 * m1 * m2 * jnp.asarray(cov12))
+    return var_mu * (1000.0 / mu_w) ** 2
