@@ -5,6 +5,7 @@ from .detector import DetectorResponse, photon_counting_response, scintillator_r
 from .duallayer import dual_layer_spectra, layer_absorptions, simulate_dual_layer_dect
 from .materials import AIR, BONE, BUILTIN_MATERIALS, Material, MaterialTable, TISSUE, WATER
 from .spectrum import Spectrum, kramers_spectrum, linac_spectrum, xRaySpectrum
+from .spectrum_calibration import estimate_spectrum_em, wedge_transmissions
 
 mixatten = xcom.mixatten
 
@@ -15,6 +16,8 @@ __all__ = [
     "mixatten",
     "Spectrum",
     "xRaySpectrum",
+    "estimate_spectrum_em",
+    "wedge_transmissions",
     "kramers_spectrum",
     "linac_spectrum",
     "DetectorResponse",
