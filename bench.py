@@ -15,12 +15,55 @@ Detail (per-stage timings, rays/sec) goes to stderr.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def supervised_main():
+    """Run the real benchmark in a child process with a hard timeout.
+
+    The experimental device tunnel can die mid-run (observed: a trivial
+    op hangs forever rather than erroring), and a hung bench run is
+    worse than a failed one — the driver would wait on it.  The parent
+    relays the child's one JSON line on success; on a dead/hung tunnel
+    it emits an honest error JSON so the run is still parseable.
+    """
+    env = dict(os.environ, _DEXCT_BENCH_CHILD="1")
+    budget = int(os.environ.get("DEXCT_BENCH_TIMEOUT", "2700"))
+    child = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        out, _ = child.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        child.kill()
+        out, _ = child.communicate()
+        sys.stdout.write(out or "")
+        print(json.dumps({
+            "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"timeout after {budget}s (TPU tunnel hung; last "
+                     "known measured value in BASELINE.md)",
+        }))
+        sys.exit(1)
+    sys.stdout.write(out or "")
+    if child.returncode != 0 or '"metric"' not in (out or ""):
+        print(json.dumps({
+            "metric": "e2e_dect_sim_decomp_ffbp_512px_1000v_800ch",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"bench child failed rc={child.returncode} (TPU "
+                     "unreachable? last known measured value in "
+                     "BASELINE.md)",
+        }))
+        sys.exit(1)
+    sys.exit(0)
 
 
 def main():
@@ -144,4 +187,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_DEXCT_BENCH_CHILD"):
+        main()
+    else:
+        supervised_main()
