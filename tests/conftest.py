@@ -19,6 +19,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: XLA compiles of the fused pipelines dominate
+# the suite wall-clock (measured: a 32 s test drops to 9 s warm).  The
+# cache key includes the HLO and compile options, so edits invalidate
+# exactly the entries they should.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on CPU"
