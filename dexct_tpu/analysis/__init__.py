@@ -21,6 +21,7 @@ from .nps import (
     noise_power_spectrum,
     radial_average,
 )
+from .qa import format_qa_report, qa_report
 from .products import (
     electron_density_map,
     iodine_map,

@@ -28,6 +28,7 @@ from ..physics.materials import (
     ADIPOSE,
     AIR,
     BONE,
+    Material,
     MaterialTable,
     MUSCLE,
     STEEL_316L,
@@ -41,6 +42,7 @@ __all__ = [
     "water_cylinder_phantom",
     "pelvis_phantom",
     "contrast_rods_phantom",
+    "qa_phantom",
 ]
 
 
@@ -348,3 +350,52 @@ def pelvis_phantom_3d(N=256, nz=32, dx=0.2, dz=None, implant=None,
     default_name = "pelvis3d" + (f"_{implant}" if implant else "")
     return VoxelPhantom(name or default_name, labels, MaterialTable(mats),
                         dx, dx, dz)
+
+
+def qa_phantom(N=256, dx=0.1, name="qa"):
+    """Catphan-style image-quality phantom + its measurement spec.
+
+    One slice combining the classic QA modules (the physical phantoms a
+    scanner's acceptance tests use; the reference's contrast/noise
+    studies at plots.py:334-418 measure the same quantities ad hoc):
+
+    - CT-number linearity ring: air / adipose / muscle / tissue / bone
+      rod inserts at known positions,
+    - a LOW-CONTRAST insert: water at +1 % density (~+10 HU),
+    - the bone rod doubles as the high-contrast disk for circular-edge
+      MTF measurement (`analysis.nps.mtf_from_disk_edge`),
+    - the uniform water background provides uniformity / noise /
+      NPS ROIs.
+
+    Returns ``(VoxelPhantom, spec)`` where ``spec`` maps each insert
+    name to ``{"center": (cy, cx) [cm], "radius": r [cm],
+    "material": Material}`` plus body geometry — everything
+    `analysis.qa.qa_report` needs to locate its ROIs.
+    """
+    body_r = 0.42 * N * dx
+    rod_r = 0.06 * N * dx
+    ring_r = 0.26 * N * dx
+    water_lc = Material("water+1%", 1.01, WATER.matcomp)
+    # insert ORDER is deliberate: the low-contrast rod sits 120+ deg
+    # from both high-contrast inserts (bone, air) — their residual
+    # beam-hardening streaks otherwise depress its neighborhood by
+    # ~-8 HU under an unfiltered/un-BHC'd beam (measured; the imprint
+    # itself is +9 HU), drowning a +10 HU module
+    inserts = [
+        ("bone", BONE),
+        ("air", Material("air", AIR.density, AIR.matcomp)),
+        ("adipose", ADIPOSE),
+        ("muscle", MUSCLE),
+        ("low_contrast", water_lc),
+        ("tissue", TISSUE),
+    ]
+    labels = _ellipse_mask(N, dx, 0.0, 0.0, body_r, body_r).astype(np.uint8)
+    spec = {"body_radius": body_r, "dx": dx, "inserts": {}}
+    for i, (nm, mat) in enumerate(inserts):
+        ang = 2.0 * np.pi * i / len(inserts)
+        cx, cy = ring_r * np.cos(ang), ring_r * np.sin(ang)
+        labels[_ellipse_mask(N, dx, cx, cy, rod_r, rod_r)] = i + 2
+        spec["inserts"][nm] = {"center": (cy, cx), "radius": rod_r,
+                               "material": mat}
+    mats = [AIR, WATER] + [m for _, m in inserts]
+    return VoxelPhantom(name, labels, MaterialTable(mats), dx, dx, dx), spec
