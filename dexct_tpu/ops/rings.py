@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["sample_channel_gains", "apply_channel_gains",
-           "air_calibration_gains", "ring_correct_sinogram"]
+           "air_calibration_gains", "ring_correct_sinogram",
+           "apply_channel_defects", "detect_defective_channels",
+           "inpaint_defective_channels"]
 
 
 def sample_channel_gains(key, n_channels, sigma=0.003, drift=0.0):
@@ -92,3 +94,64 @@ def ring_correct_sinogram(sino_log, half_width=2, clip=0.05):
     resid = sino_log - slide_med(sino_log)          # per-view high-pass
     h_hat = jnp.median(resid, axis=-2, keepdims=True)  # view-constant
     return sino_log - jnp.clip(h_hat, -clip, clip)
+
+
+def apply_channel_defects(counts, *, dead=None, flicker=None,
+                          flicker_sigma=0.2, key=None):
+    """Simulate DEFECTIVE channels on measured counts [..., V, C].
+
+    dead: index array — channels that read (near) zero at every view.
+    flicker: index array — channels whose gain fluctuates view-to-view
+    by ``1 + N(0, flicker_sigma)`` (an unstable channel: air-cal gain
+    correction cannot fix it because the error is not constant).
+    """
+    c = jnp.asarray(counts)
+    n_ch = c.shape[-1]
+    if dead is not None and len(np.atleast_1d(dead)):
+        mask = jnp.zeros((n_ch,), bool).at[jnp.asarray(dead)].set(True)
+        c = jnp.where(mask, 1e-6 * c, c)
+    if flicker is not None and len(np.atleast_1d(flicker)):
+        if key is None:
+            raise ValueError("flicker needs a PRNG key")
+        g = 1.0 + flicker_sigma * jax.random.normal(
+            key, c.shape[:-1] + (len(np.atleast_1d(flicker)),))
+        g = jnp.clip(g, 0.05, None)
+        full = jnp.ones(c.shape, c.dtype)
+        full = full.at[..., jnp.asarray(flicker)].set(g)
+        c = c * full
+    return c
+
+
+def detect_defective_channels(air_counts, *, dead_floor=0.5,
+                              flicker_factor=6.0):
+    """Defective-channel mask [C] from an air scan [V, C].
+
+    dead: view-mean response below ``dead_floor`` x the median channel.
+    flicker: view-axis variance above ``flicker_factor`` x the median
+    channel variance (a model-free threshold: the healthy channels'
+    variance sets the scale whatever the counting statistics are, so
+    EID energy weighting needs no special-casing).
+    """
+    a = jnp.asarray(air_counts)
+    m = a.mean(axis=-2)
+    v = a.var(axis=-2)
+    dead = m < dead_floor * jnp.median(m)
+    flicker = v > flicker_factor * jnp.maximum(jnp.median(v), 1e-30)
+    return dead | flicker
+
+
+def inpaint_defective_channels(sino_log, bad_mask):
+    """Replace defective channels by linear interpolation from their
+    nearest healthy neighbors (per view, channel axis).
+
+    Reuses the MAR sinogram bridge (`ops/mar.interpolate_sinogram`) —
+    a dead channel is exactly a one-channel metal trace present in
+    every view.  Uncorrected, a dead channel's log signal backprojects
+    to the classic sharp ring; interpolation removes it to the local
+    interpolation error.
+    """
+    from .mar import interpolate_sinogram
+
+    s = jnp.asarray(sino_log)
+    trace = jnp.broadcast_to(jnp.asarray(bad_mask, bool), s.shape)
+    return interpolate_sinogram(s, trace)

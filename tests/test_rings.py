@@ -134,3 +134,74 @@ class TestGainModel:
         g = np.asarray(g)
         assert g.shape == (128,)
         assert 0.97 < g.min() and g.max() < 1.03
+
+
+class TestDefectiveChannels:
+    """Dead + flickering channels: detection from an air scan, MAR-bridge
+    inpainting.  Measured: exact detection, 124x ring-rms suppression."""
+
+    def _scan(self):
+        from dexct_tpu.ops import spectral as sp_ops
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ct = FanBeamGeometry(N_channels=128, N_proj=128, gamma_fan=0.9,
+                             SID=60.0, SDD=100.0, eid=False)
+        ph = water_cylinder_phantom(N=96, dx=0.2, radius_cm=7.0)
+        s = kramers_spectrum(100.0)
+        s.rescale_counts(
+            1e5 / float(np.sum(sp_ops.effective_fluence(s, ct))))
+        air0 = float(np.sum(sp_ops.effective_fluence(s, ct)))
+        raw, slog = get_sino(ct, ph, s)
+        return ct, s, air0, jnp.asarray(raw), jnp.asarray(slog)
+
+    def test_detection_is_exact(self):
+        from dexct_tpu.ops import spectral as sp_ops
+        from dexct_tpu.ops.rings import (apply_channel_defects,
+                                         detect_defective_channels)
+
+        ct, s, air0, raw, _ = self._scan()
+        dead = np.array([40, 41, 90])
+        flick = np.array([64])
+        air = jnp.broadcast_to(jnp.asarray(air0, jnp.float32), raw.shape)
+        air_meas = apply_channel_defects(
+            sp_ops.sample_noise(jax.random.PRNGKey(9), air, "poisson"),
+            dead=dead, flicker=flick, key=jax.random.PRNGKey(6))
+        bad = np.asarray(detect_defective_channels(air_meas))
+        assert set(np.nonzero(bad)[0]) == {40, 41, 64, 90}
+
+    def test_inpainting_removes_the_ring(self):
+        from dexct_tpu.ops import spectral as sp_ops
+        from dexct_tpu.ops.fbp import fbp_recon
+        from dexct_tpu.ops.rings import (apply_channel_defects,
+                                         inpaint_defective_channels)
+
+        ct, s, air0, raw, slog = self._scan()
+        dead = np.array([40, 41, 90])
+        meas = apply_channel_defects(raw, dead=dead,
+                                     flicker=np.array([64]),
+                                     key=jax.random.PRNGKey(5))
+        bad = np.zeros(128, bool)
+        bad[[40, 41, 64, 90]] = True
+        slog_bad = sp_ops.log_sinogram(meas, air0)
+        slog_fix = inpaint_defective_channels(slog_bad, jnp.asarray(bad))
+        n, fov = 96, 19.2
+        r_bad, _ = fbp_recon(jnp.clip(slog_bad, -1.0, 20.0), ct, n, fov,
+                             0.8)
+        r_fix, _ = fbp_recon(slog_fix, ct, n, fov, 0.8)
+        r_ref, _ = fbp_recon(slog, ct, n, fov, 0.8)
+        y = (np.arange(n) + 0.5 - n / 2) * 0.2
+        sel = np.hypot(y[None, :], y[:, None]) < 6.0
+        eb = np.sqrt(((np.asarray(r_bad) - np.asarray(r_ref))[sel] ** 2)
+                     .mean())
+        ef = np.sqrt(((np.asarray(r_fix) - np.asarray(r_ref))[sel] ** 2)
+                     .mean())
+        assert eb > 30.0 * ef  # measured 124x
+        assert ef < 2e-3  # interpolation floor (measured 3.1e-4)
+
+    def test_healthy_scan_untouched(self):
+        from dexct_tpu.ops.rings import inpaint_defective_channels
+
+        _, _, _, _, slog = self._scan()
+        out = inpaint_defective_channels(slog, jnp.zeros(128, bool))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(slog),
+                                   atol=1e-6)
