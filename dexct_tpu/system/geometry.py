@@ -252,6 +252,11 @@ class ConeBeamGeometry(FanBeamGeometry):
     """
 
     N_rows: int = 16
+    # axial detector offset in ROWS (misalignment model, the z analog
+    # of det_offset_ch): shifts every z_iso by det_offset_row*h_iso.
+    # The geometric-calibration estimator (ops/geocal.py) recovers it
+    # from bead-phantom trajectories.
+    det_offset_row: float = 0.0
 
     _FFS_MODES = ("none", "z")
 
@@ -263,7 +268,7 @@ class ConeBeamGeometry(FanBeamGeometry):
     @property
     def z_iso(self):
         """Detector row heights at the isocenter [cm], shape [N_rows]."""
-        return (np.arange(self.N_rows) + 0.5
+        return (np.arange(self.N_rows) + 0.5 + self.det_offset_row
                 - self.N_rows / 2.0) * self.h_iso
 
     @property
