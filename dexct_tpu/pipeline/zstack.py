@@ -36,6 +36,12 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     zs = list(range(phantom.Nz)) if z_indices is None else list(z_indices)
     if not zs:
         raise ValueError("empty z_indices")
+    # Bundled-gather tracing LOSES under the z-stack's vmap/lax.map slice
+    # batching (the shared bundle window gathers materialize per slice):
+    # measured on the v5e at Nz=8/512², 439 ms/slice bundled vs
+    # 301 ms/slice per-ray (tools/bench_final_r3.py).  Default to the
+    # per-ray kernel here; callers can still opt in explicitly.
+    pack_kw.setdefault("trace_bundle", 0)
     packs = []
     meta = None
     for z in zs:
