@@ -220,7 +220,8 @@ def cone_sinogram(phantom, geometry, spectrum, *, dtype=jnp.float32,
 
 
 def _fdk_filter_zffs(sino_log, ct, ramp, window, dtype):
-    """Filtered, preweighted projections for a z-FFS scan [V, R, C].
+    """Filtered, preweighted projections for a z-FFS scan [V, R, C]
+    (or a stack [M, V, R, C] — the weight broadcasts).
 
     Identical filter chain to the static FDK path except the cone
     factor uses each view subset's TRUE deflected-ray cone angle,
@@ -229,7 +230,7 @@ def _fdk_filter_zffs(sino_log, ct, ramp, window, dtype):
     """
     from .filters import filter_frequency_response
 
-    V, R, C = sino_log.shape
+    V, R, C = sino_log.shape[-3:]
     cosg = np.cos(ct.gammas)  # [C]
     z_det = np.asarray(ct.z_iso) * ct.SDD / ct.SID  # [R]
     off = np.asarray(ct.ffs_view_offsets, np.float64)  # [V]
@@ -320,11 +321,12 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
-                     "weighting"),
+                     "weighting", "axis_name"),
 )
 def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
                          row_h, n_rows, pitch, n_matrix, nz_out, fov,
-                         dz_out, z0, *, view_block=8, weighting="full"):
+                         dz_out, z0, *, view_block=8, weighting="full",
+                         axis_name=None):
     """Generalized-Feldkamp backprojection for a helical orbit.
 
     Per voxel, views inside a 2*pi window centered on the source's
@@ -340,8 +342,21 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     offset in row units — the exact z-flying-focal-spot term
     ``delta_v*SID/(SDD*row_h)`` (``src_z`` then carries the deflected
     source z ``sz + delta_v``); zeros for a static spot.
+
+    ``q`` may be [V, R, C] (one volume) or [M, V, R, C]: the M stacked
+    sinograms share every tap index and window weight, so the four
+    bilinear taps of ALL volumes ride one 4*M-float gather row (the
+    fused DE pipeline's 4-volume trick, as in
+    :func:`_fdk_backproject_multi`) and the VPU-heavy window math is
+    paid once.  With ``axis_name`` set (shard_map over a view axis),
+    the numerator/denominator accumulators are psum'd across shards
+    BEFORE the coverage normalization — each shard feeds its view
+    wedge, the window partition stays globally exact.
     """
-    V, R, C = q.shape
+    squeeze = q.ndim == 3
+    q4 = q[None] if squeeze else q
+    M, V, R, C = q4.shape
+    qt = jnp.moveaxis(q4, 0, 1)  # [V, M, R, C]: view-major for qb = qt[vo]
     dtype = q.dtype
     N = n_matrix
     px_size = fov / N
@@ -377,12 +392,13 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
         w_in = jnp.where((cidx >= 0.0) & (cidx <= C - 1.0), 1.0, 0.0)
         w_amp = w_in / h2
 
-        qb = q[vo]
+        qb = qt[vo]  # [vb, M, R, C]
         qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
-        qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
+        qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
         qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
         packed_flat = jnp.stack(
-            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+            [qb, qb_c1, qb_r1, qb_r1c1], -1
+        ).transpose(0, 2, 3, 1, 4).reshape(vb * R * C, M * 4)
         voff_b = jnp.arange(vb, dtype=jnp.int32)
 
         def one_slice(z, bc):
@@ -497,23 +513,31 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
                 w = w_z * w_win[:, None]
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
-            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
-            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
-            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
-            val = top * (1 - fr) + bot * fr
-            return (jnp.sum(val * w_amp * w, axis=0),
+            rows = packed_flat[idx.reshape(-1)].reshape(
+                idx.shape + (M, 4))
+            fcm, frm = fc[..., None], fr[..., None]
+            top = rows[..., 0] * (1 - fcm) + rows[..., 1] * fcm
+            bot = rows[..., 2] * (1 - fcm) + rows[..., 3] * fcm
+            val = top * (1 - frm) + bot * frm  # [vb, P, M]
+            return (jnp.sum(val * (w_amp * w)[..., None], axis=0),
                     jnp.sum(w, axis=0))
 
         dn, dd = jax.vmap(one_slice)(zc, beta_c)
         return (num + dn, den + dd), None
 
-    acc0 = (jnp.zeros((nz_out, P), dtype), jnp.zeros((nz_out, P), dtype))
+    acc0 = (jnp.zeros((nz_out, P, M), dtype),
+            jnp.zeros((nz_out, P), dtype))
     (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, rob, voff))
-    out = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    if axis_name is not None:  # global coverage across view shards
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    out = jnp.where(den[..., None] > 0,
+                    num / jnp.maximum(den, 1e-30)[..., None], 0.0)
     out = out * (2.0 * np.pi)
-    vol = jnp.zeros((nz_out, N * N), dtype)
+    vol = jnp.zeros((nz_out, N * N, M), dtype)
     vol = vol.at[:, jnp.asarray(sel)].set(out)
-    return vol.reshape(nz_out, N, N)
+    vol = jnp.moveaxis(vol.reshape(nz_out, N, N, M), -1, 0)
+    return vol[0] if squeeze else vol
 
 
 def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
@@ -560,7 +584,9 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     from .filters import filter_frequency_response
 
     ct = geometry
-    V, R, C = sino_log.shape
+    if sino_log.ndim not in (3, 4):
+        raise ValueError("sino_log must be [V, R, C] or [M, V, R, C]")
+    V, R, C = sino_log.shape[-3:]
     if R != ct.N_rows:
         raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
     if abs(getattr(ct, "pitch", 0.0)) < 1e-12:
@@ -576,6 +602,11 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
                     "circular FDK slice grids are centered on z=0; "
                     f"got mean z {zo.mean():g}")
             kw = dict(nz_out=len(zo), dz_out=dz0)
+        if sino_log.ndim == 4:  # stacked convenience path
+            return jnp.stack([
+                fdk_reconstruct(s, ct, n_matrix, fov, ramp,
+                                window=window, view_block=view_block,
+                                **kw) for s in sino_log])
         return fdk_reconstruct(sino_log, ct, n_matrix, fov, ramp,
                                window=window, view_block=view_block,
                                **kw)
@@ -1298,10 +1329,16 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         vols = [np.asarray(katsevich_reconstruct(
                     s, ct, n_matrix, fov, **recon_kw))
                 for s in (log1, log2, mat1, mat2)]
+    elif recon == "helical":
+        # one stacked multi-volume gFDK call: all four volumes' taps
+        # ride one 16-float gather row, window math paid once
+        stacked = helical_fdk_reconstruct(
+            jnp.stack([log1, log2, mat1, mat2]), ct, n_matrix, fov,
+            ramp, **recon_kw)
+        vols = [np.asarray(v) for v in stacked]
     else:
-        rec = (helical_fdk_reconstruct if recon == "helical"
-               else fdk_reconstruct)
-        vols = [np.asarray(rec(s, ct, n_matrix, fov, ramp, **recon_kw))
+        vols = [np.asarray(fdk_reconstruct(s, ct, n_matrix, fov, ramp,
+                                           **recon_kw))
                 for s in (log1, log2, mat1, mat2)]
     # same 10-cm-water-calibrated effective mu the 2-D pipeline uses
     from ..pipeline.api import effective_water_mu

@@ -6,7 +6,11 @@ spectral/decomposition tables, FDK filter responses) happens ONCE in
 :func:`pack_cone_dect`; :func:`make_jitted_cone_step` then compiles one
 program running trace -> two acquisitions -> Gauss-Newton decomposition
 -> multi-volume FDK with no host round-trips (the 2-D pipeline's
-BASELINE.json north star, lifted to 3-D).  The stateless
+BASELINE.json north star, lifted to 3-D).  Circular AND helical orbits
+are supported: a :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`
+routes the recon stage through the multi-volume generalized-Feldkamp
+backprojector (all four volumes in one pass) while every other stage is
+orbit-agnostic.  The stateless
 :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect` remains the
 convenience path; this one is for production loops (sweeps, repeated
 scans) where the per-call re-plan/re-pack cost matters (measured 2.9 s
@@ -79,15 +83,34 @@ class ConeDectMeta(NamedTuple):
     # and shared-window word count; 0 = per-ray plan
     bundle: int = 0
     bundle_words: int = 0
+    # helical orbit (pitch != 0): the recon stage dispatches to the
+    # multi-volume generalized-Feldkamp backprojector with the z grid
+    # starting at z0 (the circular FDK grid is z0-free: centered)
+    pitch: float = 0.0
+    z0: float = 0.0
+    helical_weighting: str = "full"
 
 
 def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                    n_iters=10, nz_out=None, dz_out=None, window="sinc",
                    noise="none", seed=0, group=16, mask_thresh=0.95,
-                   do_recon=True, trace_bundle=8, _ray_plan=True,
-                   _n_zslab=1):
+                   do_recon=True, trace_bundle=8, weighting="full",
+                   _ray_plan=True, _n_zslab=1):
     """Lower a cone-beam DE scan to ``(arrays, meta)`` for
     :func:`make_jitted_cone_step`.
+
+    Helical geometries (``ct.pitch != 0``) are fully supported: the
+    packed dominant-axis tracer takes the helical source positions
+    directly, and the recon stage runs the four sinograms through ONE
+    multi-volume generalized-Feldkamp backprojection
+    (:func:`~dexct_tpu.ops.conebeam._helical_backproject` — all four
+    volumes' bilinear taps in one 16-float gather row, the
+    window/weight math paid once).  ``nz_out``/``dz_out`` then select a
+    z grid CENTERED on the scan's mid-travel z = 0 (default: one slice
+    per ``h_iso`` across the central 80% of the source travel, as in
+    :func:`~dexct_tpu.ops.conebeam.helical_fdk_reconstruct`);
+    ``weighting`` picks the per-voxel view window (see the wrapper's
+    study notes).
 
     Raises ValueError when the packed dominant cone kernel's
     constraints fail (see
@@ -99,13 +122,8 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                                 validate_cone_hbm)
     from ..pipeline.api import effective_water_mu
 
-    if abs(getattr(ct, "pitch", 0.0)) > 1e-12:
-        raise ValueError(
-            "helical geometries are not supported by the fused circular "
-            "pipeline (the FDK stage assumes a z=0 orbit); use "
-            "ops.conebeam.simulate_cone_dect, which routes helical "
-            "scans through helical_fdk_reconstruct"
-        )
+    pitch = float(getattr(ct, "pitch", 0.0))
+    helical = abs(pitch) > 1e-12
     if getattr(ct, "ffs", "none") != "none":
         raise ValueError(
             "flying-focal-spot geometries are not supported by the "
@@ -123,8 +141,25 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     # the single shared capability check (incl. the 512 MiB table guard)
     lb, W = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
                                    dxc, dyc, dzc, max_slope, group)
-    fdk_orbit4 = _fdk_orbit4_ok(ct.N_proj, int(n_matrix),
-                                ct.rotation_total)
+    z0 = 0.0
+    if helical:
+        fdk_orbit4 = False  # quarter-turn fold assumes a z=0 orbit
+        if nz_out is None:
+            # central 80% of the source travel (the ends lack a full
+            # 2*pi window) at one slice per detector-row pitch — the
+            # helical_fdk_reconstruct default grid, reproduced exactly
+            travel = pitch * ct.rotation_total / (2.0 * np.pi)
+            half = 0.4 * travel
+            nz_eff = max(int(2.0 * half / ct.h_iso), 1)
+            dz_eff = 2.0 * half / nz_eff
+        else:
+            nz_eff = int(nz_out)
+            dz_eff = float(ct.h_iso if dz_out is None else dz_out)
+        z0 = (0.5 - nz_eff / 2.0) * dz_eff
+        nz_out, dz_out = nz_eff, dz_eff
+    else:
+        fdk_orbit4 = _fdk_orbit4_ok(ct.N_proj, int(n_matrix),
+                                    ct.rotation_total)
     if do_recon:  # the guard bounds the FDK volume working set
         validate_cone_hbm(
             int(n_matrix), int(ct.N_rows if nz_out is None else nz_out),
@@ -154,6 +189,12 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         "filt_H": jnp.asarray(H, dtype),
         "betas": jnp.asarray(ct.betas, dtype),
     }
+    if helical:
+        zv = z0 + dz_out * np.arange(int(nz_out))
+        arrays["src_z"] = jnp.asarray(ct.source_z, dtype)
+        arrays["row_off"] = jnp.zeros(V, dtype)  # no ffs in fused path
+        arrays["beta_c"] = jnp.asarray(
+            0.5 * ct.rotation_total + 2.0 * np.pi * zv / pitch, dtype)
     n_y = n_x = 0
     bund = bund_w = 0
     bplan = None
@@ -237,6 +278,8 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         fdk_orbit4=fdk_orbit4,
         do_recon=bool(do_recon),
         bundle=bund, bundle_words=bund_w,
+        pitch=pitch, z0=float(z0),
+        helical_weighting=str(weighting),
     )
     return arrays, meta
 
@@ -342,21 +385,42 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
     qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
                        axis=-1)[..., :C] * meta.dgamma
     nz_local = meta.nz_out
-    z_center = 0.0
-    if zslab_axis is not None and meta.n_zslab > 1:
-        nz_local = meta.nz_out // meta.n_zslab
-        j = jax.lax.axis_index(zslab_axis).astype(jnp.float32)
-        z_center = (nz_local * meta.dz_out
-                    * (j - 0.5 * (meta.n_zslab - 1)))
-    vols = _fdk_backproject_multi(
-        qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
-        meta.n_matrix, nz_local, meta.fov, meta.dz_out, meta.dbeta,
-        z_center, view_block=meta.fdk_view_block,
-        pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
-                               meta.dz_out, nz_local, R),
-        orbit4=meta.fdk_orbit4)
-    if axis_name is not None:  # accumulate the view wedges' volumes
-        vols = jax.lax.psum(vols, axis_name)
+    if abs(meta.pitch) > 1e-12:
+        from ..ops.conebeam import _helical_backproject
+
+        beta_c = a["beta_c"]
+        z0 = meta.z0
+        if zslab_axis is not None and meta.n_zslab > 1:
+            nz_local = meta.nz_out // meta.n_zslab
+            jz = jax.lax.axis_index(zslab_axis)
+            beta_c = jax.lax.dynamic_slice(
+                beta_c, (jz * nz_local,), (nz_local,))
+            z0 = (meta.z0
+                  + jz.astype(jnp.float32) * nz_local * meta.dz_out)
+        # the view-shard psum happens INSIDE (num/den before the
+        # coverage normalization), so no volume psum follows
+        vols = _helical_backproject(
+            qs, a["betas"], a["src_z"], a["row_off"], beta_c,
+            meta.sid, meta.dgamma, meta.row_h, R, meta.pitch,
+            meta.n_matrix, nz_local, meta.fov, meta.dz_out, z0,
+            view_block=meta.fdk_view_block,
+            weighting=meta.helical_weighting, axis_name=axis_name)
+    else:
+        z_center = 0.0
+        if zslab_axis is not None and meta.n_zslab > 1:
+            nz_local = meta.nz_out // meta.n_zslab
+            j = jax.lax.axis_index(zslab_axis).astype(jnp.float32)
+            z_center = (nz_local * meta.dz_out
+                        * (j - 0.5 * (meta.n_zslab - 1)))
+        vols = _fdk_backproject_multi(
+            qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
+            meta.n_matrix, nz_local, meta.fov, meta.dz_out, meta.dbeta,
+            z_center, view_block=meta.fdk_view_block,
+            pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
+                                   meta.dz_out, nz_local, R),
+            orbit4=meta.fdk_orbit4)
+        if axis_name is not None:  # accumulate the view wedges' volumes
+            vols = jax.lax.psum(vols, axis_name)
     hu1 = 1000.0 * (vols[0] - meta.mu_w1) / meta.mu_w1
     hu2 = 1000.0 * (vols[1] - meta.mu_w2) / meta.mu_w2
     return {
@@ -437,12 +501,17 @@ def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
         "inv": jnp.asarray(inv),
         "betas": jnp.asarray(np.asarray(ct.betas)[view_perm], jnp.float32),
     })
+    if abs(meta.pitch) > 1e-12:  # per-view helical arrays follow the
+        #                           paired-quarter view permutation
+        arrays["src_z"] = jnp.asarray(
+            np.asarray(ct.source_z)[view_perm], jnp.float32)
+        arrays["row_off"] = jnp.zeros(V, jnp.float32)
     meta = meta._replace(vrc=(V // D, R, C), n_y=int(py), n_x=int(px))
     return arrays, meta, view_perm
 
 
 _CONE_VIEW_SHARDED = ("src_y", "dirs_y", "src_x", "dirs_x", "inv",
-                      "betas")
+                      "betas", "src_z", "row_off")
 
 
 def make_sharded_cone_step(mesh, meta: ConeDectMeta, arrays_keys,

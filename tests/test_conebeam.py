@@ -602,20 +602,23 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="helical"):
             fdk_reconstruct(jnp.zeros((16, 4, 32)), ct, 16, 10.0, 0.8)
 
-    def test_fused_cone_pack_rejects_helical(self):
+    def test_fused_cone_pack_rejects_ffs(self):
+        # helical became a SUPPORTED fused orbit in round 3
+        # (TestFusedHelical); flying-focal-spot geometries still route
+        # to simulate_cone_dect (per-view row grids)
         import dataclasses
 
         from dexct_tpu.physics.spectrum import kramers_spectrum
         from dexct_tpu.pipeline.cone import pack_cone_dect
-        from dexct_tpu.system import HelicalConeBeamGeometry
+        from dexct_tpu.system import ConeBeamGeometry
 
-        ct = HelicalConeBeamGeometry(N_channels=32, N_proj=16, N_rows=4,
-                                     pitch=2.0)
+        ct = ConeBeamGeometry(N_channels=32, N_proj=16, N_rows=4,
+                              ffs="z")
         ph2 = water_cylinder_phantom(N=32, dx=0.4)
         lab3 = np.broadcast_to(ph2.labels[0], (4, 32, 32)).copy()
         ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
         s = kramers_spectrum(80.0)
-        with pytest.raises(ValueError, match="helical"):
+        with pytest.raises(ValueError, match="f(ocal|lying)"):
             pack_cone_dect(ct, ph3, s, s, 32, 10.0, 0.8)
 
     def test_simulate_auto_routes_helical(self):
@@ -953,3 +956,115 @@ def test_cone_pwls_low_dose(cone_system):
     assert abs(x[mid][flat].mean() - mu_w) / mu_w < 0.05
     assert x[mid][flat].std() < 0.6 * fdk[mid][flat].std(), (
         x[mid][flat].std(), fdk[mid][flat].std())
+
+
+class TestFusedHelical:
+    """Round-3: helical orbits in the pack-once fused cone pipeline
+    (pipeline/cone.py) — the recon stage dispatches to the multi-volume
+    generalized-Feldkamp backprojector (all four volumes' bilinear taps
+    in one 16-float gather row), every other stage is orbit-agnostic."""
+
+    @staticmethod
+    def _system(rotation_total, pitch):
+        import dataclasses
+
+        from dexct_tpu.physics.spectrum import (kramers_spectrum,
+                                                linac_spectrum)
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=96, N_rows=8, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.5, eid=True,
+            rotation_total=rotation_total, pitch=pitch)
+        ph2 = water_cylinder_phantom(N=48, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (16, 48, 48)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        return ct, ph3, s1, s2
+
+    def test_multi_volume_bp_matches_per_volume(self):
+        # the stacked [M, V, R, C] path is bit-identical to M separate
+        # helical_fdk_reconstruct calls (same taps, same weights)
+        from dexct_tpu.ops.conebeam import helical_fdk_reconstruct
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=48, N_proj=96, N_rows=8, gamma_fan=0.8,
+            SID=60.0, SDD=100.0, h_iso=0.5, rotation_total=4 * np.pi,
+            pitch=2.0)
+        rng = np.random.default_rng(0)
+        s = rng.standard_normal((3, 96, 8, 48)).astype(np.float32)
+        multi = np.asarray(
+            helical_fdk_reconstruct(jnp.asarray(s), ct, 32, 20.0, 0.8))
+        for k in range(3):
+            one = np.asarray(helical_fdk_reconstruct(
+                jnp.asarray(s[k]), ct, 32, 20.0, 0.8))
+            np.testing.assert_array_equal(multi[k], one)
+
+    def test_fused_matches_stateless_multiturn(self):
+        # 2-turn helical scan, bundled trace: fused pipeline == the
+        # stateless simulate_cone_dect(recon='helical') at float rounding
+        from dexct_tpu.ops.conebeam import simulate_cone_dect
+        from dexct_tpu.pipeline.cone import (make_jitted_cone_step,
+                                             pack_cone_dect)
+
+        ct, ph3, s1, s2 = self._system(4.0 * np.pi, 2.0)
+        ref = simulate_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+        arrays, meta = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+        assert meta.pitch == 2.0 and not meta.fdk_orbit4
+        out = make_jitted_cone_step(meta)(arrays)
+        assert out["recon_HU"][0].shape == ref["recon_HU"][0].shape
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(ref["recon_raw"][0]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["mat_recons"][0]),
+            np.asarray(ref["mat_recons"][0]), atol=1e-4)
+
+    def test_sharded_fused_helical_matches_single_device(self):
+        # single-turn helical: view sharding (psum of num/den INSIDE
+        # the BP, before the coverage normalization) and the composite
+        # views x zslab mesh both reproduce the single-device volumes
+        from jax.sharding import Mesh
+
+        from dexct_tpu.pipeline.cone import (
+            make_jitted_cone_step,
+            make_sharded_cone_step,
+            pack_cone_dect,
+            pack_cone_dect_sharded,
+        )
+
+        ct, ph3, s1, s2 = self._system(2.0 * np.pi, 3.0)
+        arrays0, meta0 = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8)
+        ref = make_jitted_cone_step(meta0)(arrays0)
+
+        from dexct_tpu.parallel.mesh import view_mesh
+
+        mesh = view_mesh(4)
+        arrays, meta, perm = pack_cone_dect_sharded(
+            ct, ph3, s1, s2, 48, 20.0, 0.8, n_devices=4)
+        out = make_sharded_cone_step(mesh, meta, tuple(arrays))(arrays)
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(ref["recon_raw"][0]), atol=1e-5)
+        nat = np.asarray(out["sino_log"][0])[np.argsort(perm)]
+        np.testing.assert_allclose(
+            nat, np.asarray(ref["sino_log"][0]), atol=2e-3)
+
+        import jax
+
+        nz = meta0.nz_out
+        if nz % 2 == 0:
+            mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                         ("views", "zslab"))
+            za, zm, _ = pack_cone_dect_sharded(
+                ct, ph3, s1, s2, 48, 20.0, 0.8, n_devices=4,
+                n_zslab=2)
+            zout = make_sharded_cone_step(
+                mesh2, zm, tuple(za), zslab_axis="zslab")(za)
+            np.testing.assert_allclose(
+                np.asarray(zout["mat_recons"][0]),
+                np.asarray(ref["mat_recons"][0]), atol=1e-4)
