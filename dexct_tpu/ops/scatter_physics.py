@@ -253,7 +253,7 @@ def _scatter_scan(labels, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
 def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
                             n_fine=96, s_in=None, s_out=None, views=None,
                             channel_sub=1, x_block=1024, c_block=32,
-                            z_index=None):
+                            z_index=None, view_chunk=4):
     """Deterministic single-scatter sinogram [V, C] in detected units.
 
     coarse: vertex-grid downsampling factor relative to the phantom
@@ -268,6 +268,13 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     x_block/c_block: device blocking of the (vertex x channel) exit
         marching — bounds the largest live intermediate at
         [x_block, c_block, s_out] independent of problem size.
+    view_chunk: host-side split of the device view scan (one jit call
+        per chunk, one fetch each).  Bounds single-PROGRAM device time:
+        the experimental TPU tunnel kills the worker on very long
+        programs (measured: ~80 s of scanned scatter views crashes it,
+        ~30 s survives), and at production scale the ~25-30 ms
+        per-chunk fetch is noise against seconds-per-view compute.
+        ``None`` scans all views in one program.
 
     Cost model: the exit march dominates at
     ``X * C/channel_sub * s_out * 4`` gathers per view with
@@ -346,16 +353,23 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
         [ct.SID, ct.SDD, phantom.dx, phantom.dy, geom_const,
          float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det,
          0.5 * ct.gamma_fan, ct.h_iso / ct.SID], e_g])
-    s_eval = _scatter_scan(
-        jnp.asarray(labels2d), jnp.asarray(ne_w, jnp.float32),
-        jnp.asarray(cell_xy.T, jnp.float32),
-        jnp.asarray(mu_gE, jnp.float32), jnp.asarray(mu_fine, jnp.float32),
-        jnp.asarray(resp_fine, jnp.float32), jnp.asarray(n0_g, jnp.float32),
-        jnp.asarray(betas, jnp.float32), jnp.asarray(gam_eval, jnp.float32),
-        jnp.asarray(scalars, jnp.float32),
-        n_mats=n_mats, nx=nx, ny=ny, s_in=int(s_in), s_out=int(s_out),
-        x_block=x_block, c_block=c_block)
-    s_eval = np.asarray(s_eval, np.float64)[:, :n_eval]
+    vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
+    parts = []
+    for i0 in range(0, len(betas), vc):
+        parts.append(np.asarray(_scatter_scan(
+            jnp.asarray(labels2d), jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(cell_xy.T, jnp.float32),
+            jnp.asarray(mu_gE, jnp.float32),
+            jnp.asarray(mu_fine, jnp.float32),
+            jnp.asarray(resp_fine, jnp.float32),
+            jnp.asarray(n0_g, jnp.float32),
+            jnp.asarray(betas[i0:i0 + vc], jnp.float32),
+            jnp.asarray(gam_eval, jnp.float32),
+            jnp.asarray(scalars, jnp.float32),
+            n_mats=n_mats, nx=nx, ny=ny, s_in=int(s_in),
+            s_out=int(s_out), x_block=x_block, c_block=c_block),
+            np.float64))
+    s_eval = np.concatenate(parts)[:, :n_eval]
     if sub == 1:
         return s_eval
     out = np.empty((len(betas), ct.N_channels))
@@ -671,7 +685,7 @@ def _scatter_scan_cone(labels3, ne_w, cell_xyz_t, mu_gE, mu_fine,
 def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
                             n_fine=96, s_in=None, s_out=None, views=None,
                             channel_sub=8, row_sub=2, x_block=1024,
-                            d_block=32):
+                            d_block=32, view_chunk=4):
     """Cone-beam single-scatter sinogram [V, N_rows, N_channels].
 
     ``ct`` is a circular :class:`~dexct_tpu.system.geometry.
@@ -755,16 +769,25 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
         [ct.SID, ct.SDD, phantom.dx, phantom.dy, phantom.dz, geom_const,
          float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det,
          0.5 * ct.gamma_fan, t_half, 0.5 * cf * phantom.dz], e_g])
-    s_eval = _scatter_scan_cone(
-        jnp.asarray(labels3), jnp.asarray(ne_w, jnp.float32),
-        jnp.asarray(cell_xyz.T, jnp.float32),
-        jnp.asarray(mu_gE, jnp.float32), jnp.asarray(mu_fine, jnp.float32),
-        jnp.asarray(resp_fine, jnp.float32), jnp.asarray(n0_g, jnp.float32),
-        jnp.asarray(betas, jnp.float32), jnp.asarray(det_gk.T, jnp.float32),
-        jnp.asarray(scalars, jnp.float32),
-        n_mats=n_mats, nx=nx, ny=ny, nz=nz, s_in=int(s_in),
-        s_out=int(s_out), x_block=x_block, d_block=d_block)
-    s_eval = np.asarray(s_eval, np.float64)[:, :n_eval]
+    # view_chunk: same tunnel-robustness split as the 2-D estimator
+    # (one jit call / fetch per chunk; None = one program for all views)
+    vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
+    parts = []
+    for i0 in range(0, len(betas), vc):
+        parts.append(np.asarray(_scatter_scan_cone(
+            jnp.asarray(labels3), jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(cell_xyz.T, jnp.float32),
+            jnp.asarray(mu_gE, jnp.float32),
+            jnp.asarray(mu_fine, jnp.float32),
+            jnp.asarray(resp_fine, jnp.float32),
+            jnp.asarray(n0_g, jnp.float32),
+            jnp.asarray(betas[i0:i0 + vc], jnp.float32),
+            jnp.asarray(det_gk.T, jnp.float32),
+            jnp.asarray(scalars, jnp.float32),
+            n_mats=n_mats, nx=nx, ny=ny, nz=nz, s_in=int(s_in),
+            s_out=int(s_out), x_block=x_block, d_block=d_block),
+            np.float64))
+    s_eval = np.concatenate(parts)[:, :n_eval]
     s_eval = s_eval.reshape(len(betas), len(ri), len(ci))
 
     # bilinear upsample (rows, then channels) of the smooth surface
