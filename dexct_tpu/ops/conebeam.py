@@ -290,7 +290,10 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
             jnp.asarray(row_off, dtype), jnp.asarray(beta_c, dtype),
             float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
             0.0, int(n_matrix), int(nz), float(fov), dz, float(z0),
-            view_block=int(view_block), weighting="full")
+            view_block=int(view_block), weighting="full",
+            pair_mode=_helical_pair_ok(float(ct.SID), float(fov),
+                                       float(ct.h_iso), dz, int(nz),
+                                       int(R)))
 
     # FDK pre-weight: the 2-D fan weighting cos(gamma) * SID
     # (ops/fbp.filter_sinogram) times the cone factor cos(kappa) =
@@ -321,12 +324,12 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
-                     "weighting", "axis_name"),
+                     "weighting", "axis_name", "pair_mode"),
 )
 def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
                          row_h, n_rows, pitch, n_matrix, nz_out, fov,
                          dz_out, z0, *, view_block=8, weighting="full",
-                         axis_name=None):
+                         axis_name=None, pair_mode=False):
     """Generalized-Feldkamp backprojection for a helical orbit.
 
     Per voxel, views inside a 2*pi window centered on the source's
@@ -352,6 +355,14 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     the numerator/denominator accumulators are psum'd across shards
     BEFORE the coverage normalization — each shard feeds its view
     wedge, the window partition stays globally exact.
+
+    ``pair_mode`` (static; callers decide via :func:`_fdk_pair_ok` —
+    the same worst-case adjacent-slice row-spacing rule as the circular
+    FDK): output z-slices process in PAIRS sharing one
+    4-detector-row x 2-channel window gather (8*M floats), halving the
+    slice gather count; per-slice bilinear row weights select inside
+    the window, so the result is identical arithmetic on identical
+    taps.
     """
     squeeze = q.ndim == 3
     q4 = q[None] if squeeze else q
@@ -394,19 +405,36 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
 
         qb = qt[vo]  # [vb, M, R, C]
         qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
-        qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
-        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
-        packed_flat = jnp.stack(
-            [qb, qb_c1, qb_r1, qb_r1c1], -1
-        ).transpose(0, 2, 3, 1, 4).reshape(vb * R * C, M * 4)
+        if pair_mode:
+            # 4-row x 2-channel windows: row r holds rows r..r+3
+            # (edge-replicated; rows past R-4 are never gathered since
+            # the window base clamps there)
+            two = jnp.stack([qb, qb_c1], -1)  # [vb, M, R, C, 2]
+            wins = jnp.stack(
+                [two if dr == 0 else jnp.concatenate(
+                    [two[:, :, dr:],
+                     jnp.repeat(two[:, :, -1:], dr, 2)], 2)
+                 for dr in range(4)], -2)  # [vb, M, R, C, 4, 2]
+            packed_flat = wins.transpose(0, 2, 3, 1, 4, 5).reshape(
+                vb * R * C, M * 8)
+        else:
+            qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
+            qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]],
+                                      -1)
+            packed_flat = jnp.stack(
+                [qb, qb_c1, qb_r1, qb_r1c1], -1
+            ).transpose(0, 2, 3, 1, 4).reshape(vb * R * C, M * 4)
         voff_b = jnp.arange(vb, dtype=jnp.int32)
 
-        def one_slice(z, bc):
+        def row_geom(z):
             zt = (z - sz)[:, None] * sid * inv_h  # [vb, P]
             ridx = zt / row_h - 0.5 + R / 2.0 + ro[:, None]
             r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
             fr = jnp.clip(ridx - r0, 0.0, 1.0)
             w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0, 0.0)
+            return zt, r0, fr, w_z
+
+        def win_weight(z, bc, zt, w_z):
             if weighting == "td":
                 # Tam-Danielsson window: use a ray for a voxel only
                 # while the voxel projects between the detector traces
@@ -511,6 +539,11 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
             else:
                 w_win = jnp.where(jnp.abs(beta - bc) <= np.pi, 1.0, 0.0)
                 w = w_z * w_win[:, None]
+            return w
+
+        def one_slice(z, bc):
+            zt, r0, fr, w_z = row_geom(z)
+            w = win_weight(z, bc, zt, w_z)
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
             rows = packed_flat[idx.reshape(-1)].reshape(
@@ -522,7 +555,54 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
             return (jnp.sum(val * (w_amp * w)[..., None], axis=0),
                     jnp.sum(w, axis=0))
 
-        dn, dd = jax.vmap(one_slice)(zc, beta_c)
+        def one_pair(z2, bc2):
+            # both slices' bilinear row brackets sit inside one 4-row
+            # window (pair_mode eligibility): ONE 8*M-float gather
+            # serves the pair
+            ga, gb = row_geom(z2[0]), row_geom(z2[1])
+            r_base = jnp.minimum(jnp.minimum(ga[1], gb[1]),
+                                 float(R - 4))
+            idx = (r_base.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(
+                idx.shape + (M, 4, 2))
+            fcm = fc[..., None, None]
+            rows_c = rows[..., 0] * (1 - fcm) + rows[..., 1] * fcm
+            # [vb, P, M, 4]: channel-lerped window rows
+            dr_ids = jnp.arange(4, dtype=dtype)
+            nums, dens = [], []
+            for (zt, r0, fr, w_z), z, bc in ((ga, z2[0], bc2[0]),
+                                             (gb, z2[1], bc2[1])):
+                w = win_weight(z, bc, zt, w_z)
+                sub = (r0 - r_base)[..., None]  # 0..2 in window rows
+                wrow = (jnp.where(dr_ids == sub, 1.0 - fr[..., None],
+                                  0.0)
+                        + jnp.where(dr_ids == sub + 1.0, fr[..., None],
+                                    0.0))  # [vb, P, 4]
+                val = jnp.sum(rows_c * wrow[..., None, :], axis=-1)
+                nums.append(jnp.sum(val * (w_amp * w)[..., None],
+                                    axis=0))
+                dens.append(jnp.sum(w, axis=0))
+            return jnp.stack(nums), jnp.stack(dens)
+
+        if pair_mode:
+            # odd slice counts pair the even prefix and run the last
+            # slice through the per-slice path
+            ne = (nz_out // 2) * 2
+            dn, dd = jax.vmap(one_pair)(zc[:ne].reshape(-1, 2),
+                                        beta_c[:ne].reshape(-1, 2))
+            dn = dn.reshape(ne, P, M)
+            dd = dd.reshape(ne, P)
+            if nz_out % 2:
+                # the table is window-packed here, so the tail slice
+                # rides one_pair with itself duplicated
+                dn1, dd1 = one_pair(
+                    jnp.stack([zc[-1], zc[-1]]),
+                    jnp.stack([beta_c[-1], beta_c[-1]]))
+                dn = jnp.concatenate([dn, dn1[:1]], 0)
+                dd = jnp.concatenate([dd, dd1[:1]], 0)
+        else:
+            dn, dd = jax.vmap(one_slice)(zc, beta_c)
         return (num + dn, den + dd), None
 
     acc0 = (jnp.zeros((nz_out, P, M), dtype),
@@ -658,7 +738,10 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
         float(ct.SID), float(ct.dgamma), float(ct.h_iso), int(R),
         float(ct.pitch), int(n_matrix), int(len(z_out)), float(fov),
         dz, float(z_out[0]),
-        view_block=int(view_block), weighting=weighting)
+        view_block=int(view_block), weighting=weighting,
+        pair_mode=_helical_pair_ok(float(ct.SID), float(fov),
+                                   float(ct.h_iso), dz, len(z_out),
+                                   int(R)))
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -1375,6 +1458,16 @@ def _fdk_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
     spacing = abs(dz_out) * sid / (h_min * row_h)
     return (nz_out % 2 == 0 and nz_out >= 2 and n_rows >= 4
             and spacing <= 1.9)
+
+
+def _helical_pair_ok(sid, fov, row_h, dz_out, nz_out, n_rows):
+    """Pair eligibility for :func:`_helical_backproject`: same
+    row-spacing rule as :func:`_fdk_pair_ok` but odd slice counts are
+    allowed (the kernel pairs the even prefix and runs the last slice
+    per-slice)."""
+    h_min = max(sid - fov / 2.0, 1e-6)
+    spacing = abs(dz_out) * sid / (h_min * row_h)
+    return nz_out >= 2 and n_rows >= 4 and spacing <= 1.9
 
 
 @functools.partial(

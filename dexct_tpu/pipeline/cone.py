@@ -31,6 +31,7 @@ from ..ops import spectral as sp_ops
 from ..ops.conebeam import (
     _fdk_backproject_multi,
     _fdk_pair_ok,
+    _helical_pair_ok,
     _trace_cone_dominant,
     build_cone_pack,
     plan_cone_dominant,
@@ -404,7 +405,10 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
             meta.sid, meta.dgamma, meta.row_h, R, meta.pitch,
             meta.n_matrix, nz_local, meta.fov, meta.dz_out, z0,
             view_block=meta.fdk_view_block,
-            weighting=meta.helical_weighting, axis_name=axis_name)
+            weighting=meta.helical_weighting, axis_name=axis_name,
+            pair_mode=_helical_pair_ok(meta.sid, meta.fov,
+                                       meta.row_h, meta.dz_out,
+                                       nz_local, R))
     else:
         z_center = 0.0
         if zslab_axis is not None and meta.n_zslab > 1:
