@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ..physics import xcom
+from .dose import _pack_label_quads
 
 __all__ = [
     "electron_density_image",
@@ -100,7 +101,7 @@ def _rebin_spectrum(spec, n_energy):
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "s_in", "s_out", "x_block",
                      "c_block"))
-def _scatter_scan(labels, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
+def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
                   betas, det_gammas, scalars, *, n_mats, nx, ny, s_in,
                   s_out, x_block, c_block):
     """Single-scatter detected signal, scanned over views: [V, C].
@@ -112,7 +113,8 @@ def _scatter_scan(labels, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
     live intermediate is [x_block, c_block, s_out] regardless of the
     phantom/detector size.
 
-    labels:     [ny, nx] int32
+    labq:       [ny, nx] int32 quad-packed labels
+                (:func:`~dexct_tpu.ops.dose._pack_label_quads`)
     ne_w:       [X] electrons per unit z (cell area folded; the local
                 beam height and the fan gate are applied in-kernel).
                 X is padded to a multiple of x_block with ne_w = 0.
@@ -155,14 +157,21 @@ def _scatter_scan(labels, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
         iy0 = jnp.floor(fy).astype(jnp.int32)
         wx = fx - ix0
         wy = fy - iy0
+        # ONE quad gather per sample instead of four (the dose kernels'
+        # measured lever — ops/dose._pack_label_quads layout)
+        cy = jnp.clip(iy0, 0, ny - 2)
+        cx = jnp.clip(ix0, 0, nx - 2)
+        offy, offx = iy0 - cy, ix0 - cx
+        quad = labq[cy, cx]
         occ = 0.0
         for ty in (0, 1):
             for tx in (0, 1):
                 iy = iy0 + ty
                 ix = ix0 + tx
                 ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
-                lab = labels[jnp.clip(iy, 0, ny - 1),
-                             jnp.clip(ix, 0, nx - 1)]
+                sy = jnp.clip(ty + offy, 0, 1)
+                sx = jnp.clip(tx + offx, 0, 1)
+                lab = (quad >> ((sy * 2 + sx) * 8)) & 0xFF
                 w = ((wy if ty else (1.0 - wy))
                      * (wx if tx else (1.0 - wx))) * ok
                 occ = occ + w[..., None] * (
@@ -357,7 +366,8 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     parts = []
     for i0 in range(0, len(betas), vc):
         parts.append(np.asarray(_scatter_scan(
-            jnp.asarray(labels2d), jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(_pack_label_quads(labels2d)),
+            jnp.asarray(ne_w, jnp.float32),
             jnp.asarray(cell_xy.T, jnp.float32),
             jnp.asarray(mu_gE, jnp.float32),
             jnp.asarray(mu_fine, jnp.float32),
@@ -521,7 +531,7 @@ def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "s_in", "s_out",
                      "x_block", "d_block"))
-def _scatter_scan_cone(labels3, ne_w, cell_xyz_t, mu_gE, mu_fine,
+def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
                        resp_fine, n0_g, betas, det_gk_t, scalars, *,
                        n_mats, nx, ny, nz, s_in, s_out, x_block,
                        d_block):
@@ -570,18 +580,25 @@ def _scatter_scan_cone(labels3, ne_w, cell_xyz_t, mu_gE, mu_fine,
         iy0 = jnp.floor(fy).astype(jnp.int32)
         iz0 = jnp.floor(fz).astype(jnp.int32)
         wx, wy, wz = fx - ix0, fy - iy0, fz - iz0
+        # two (y, x)-quad gathers per sample (one per bracketing z
+        # layer) instead of eight — ops/dose._pack_label_quads layout
+        cy = jnp.clip(iy0, 0, ny - 2)
+        cx = jnp.clip(ix0, 0, nx - 2)
+        offy, offx = iy0 - cy, ix0 - cx
         occ = 0.0
         for tz in (0, 1):
+            iz = iz0 + tz
+            quad = labq3[jnp.clip(iz, 0, nz - 1), cy, cx]
+            w_z = ((wz if tz else (1.0 - wz))
+                   * ((iz >= 0) & (iz < nz)))
             for ty in (0, 1):
                 for tx in (0, 1):
-                    iz, iy, ix = iz0 + tz, iy0 + ty, ix0 + tx
-                    ok = ((iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
-                          & (ix >= 0) & (ix < nx))
-                    lab = labels3[jnp.clip(iz, 0, nz - 1),
-                                  jnp.clip(iy, 0, ny - 1),
-                                  jnp.clip(ix, 0, nx - 1)]
-                    w = ((wz if tz else (1.0 - wz))
-                         * (wy if ty else (1.0 - wy))
+                    iy, ix = iy0 + ty, ix0 + tx
+                    ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
+                    sy = jnp.clip(ty + offy, 0, 1)
+                    sx = jnp.clip(tx + offx, 0, 1)
+                    lab = (quad >> ((sy * 2 + sx) * 8)) & 0xFF
+                    w = (w_z * (wy if ty else (1.0 - wy))
                          * (wx if tx else (1.0 - wx))) * ok
                     occ = occ + w[..., None] * (
                         lab[..., None] == mat_ids)
@@ -771,11 +788,12 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
          0.5 * ct.gamma_fan, t_half, 0.5 * cf * phantom.dz], e_g])
     # view_chunk: same tunnel-robustness split as the 2-D estimator
     # (one jit call / fetch per chunk; None = one program for all views)
+    labq3 = np.stack([_pack_label_quads(labels3[k]) for k in range(nz)])
     vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
     parts = []
     for i0 in range(0, len(betas), vc):
         parts.append(np.asarray(_scatter_scan_cone(
-            jnp.asarray(labels3), jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(labq3), jnp.asarray(ne_w, jnp.float32),
             jnp.asarray(cell_xyz.T, jnp.float32),
             jnp.asarray(mu_gE, jnp.float32),
             jnp.asarray(mu_fine, jnp.float32),
