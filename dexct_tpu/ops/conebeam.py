@@ -266,6 +266,11 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
             "geometry has a helical pitch; use helical_fdk_reconstruct "
             "(the circular FDK assumes a z=0 source orbit)"
         )
+    if getattr(ct, "flat_panel", False):
+        raise ValueError(
+            "flat-panel geometries reconstruct with "
+            "ops.flatpanel.fdk_flat_reconstruct (equidistant columns; "
+            "this FDK assumes an equiangular cylindrical detector)")
     V, R, C = sino_log.shape
     if R != ct.N_rows:
         raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
@@ -1402,8 +1407,11 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "mat_recons": (None, None),
         }
     if recon == "auto":  # helical geometries MUST NOT hit circular FDK
-        recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
-                 else "fdk")
+        if getattr(ct, "flat_panel", False):
+            recon = "flat"
+        else:
+            recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
+                     else "fdk")
     if recon == "katsevich":
         # exact helical path; its filter chain is fixed (derivative +
         # Hilbert), so the ``ramp`` apodization parameter does not apply
@@ -1416,6 +1424,13 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # one stacked multi-volume gFDK call: all four volumes' taps
         # ride one 16-float gather row, window math paid once
         stacked = helical_fdk_reconstruct(
+            jnp.stack([log1, log2, mat1, mat2]), ct, n_matrix, fov,
+            ramp, **recon_kw)
+        vols = [np.asarray(v) for v in stacked]
+    elif recon == "flat":
+        from .flatpanel import fdk_flat_reconstruct
+
+        stacked = fdk_flat_reconstruct(
             jnp.stack([log1, log2, mat1, mat2]), ct, n_matrix, fov,
             ramp, **recon_kw)
         vols = [np.asarray(v) for v in stacked]

@@ -125,6 +125,12 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
 
     pitch = float(getattr(ct, "pitch", 0.0))
     helical = abs(pitch) > 1e-12
+    if getattr(ct, "flat_panel", False):
+        raise ValueError(
+            "flat-panel geometries are not supported by the fused "
+            "pipeline (its packed FDK assumes equiangular columns); "
+            "use simulate_cone_dect, which routes them through "
+            "ops.flatpanel.fdk_flat_reconstruct")
     if getattr(ct, "ffs", "none") != "none":
         raise ValueError(
             "flying-focal-spot geometries are not supported by the "

@@ -4,6 +4,7 @@ from .config import RunConfig, read_parameter_file
 from .geometry import (
     ConeBeamGeometry,
     FanBeamGeometry,
+    FlatPanelConeBeamGeometry,
     GEOMETRY_REGISTRY,
     HelicalConeBeamGeometry,
     ParallelBeamGeometry,
@@ -25,6 +26,7 @@ __all__ = [
     "ParallelBeamGeometry",
     "ConeBeamGeometry",
     "HelicalConeBeamGeometry",
+    "FlatPanelConeBeamGeometry",
     "GEOMETRY_REGISTRY",
     "VoxelPhantom",
     "water_cylinder_phantom",

@@ -31,7 +31,7 @@ from ..physics.detector import DetectorResponse
 
 __all__ = ["ScannerGeometry", "FanBeamGeometry", "ParallelBeamGeometry",
            "ConeBeamGeometry", "HelicalConeBeamGeometry",
-           "GEOMETRY_REGISTRY"]
+           "FlatPanelConeBeamGeometry", "GEOMETRY_REGISTRY"]
 
 
 @dataclasses.dataclass
@@ -332,9 +332,89 @@ class HelicalConeBeamGeometry(ConeBeamGeometry):
         return src, d
 
 
+@dataclasses.dataclass
+class FlatPanelConeBeamGeometry(ConeBeamGeometry):
+    """Flat-panel (equidistant-column) circular cone-beam geometry —
+    the standard CBCT bench / C-arm configuration, beyond the
+    reference's strictly equiangular fan (params.txt:18).
+
+    The detector is a PLANE perpendicular to the central ray at
+    distance ``SDD``: ``N_channels`` columns equally spaced on the
+    panel (fan angles ``atan(u/SDD)`` — NOT equiangular) and
+    ``N_rows`` equally spaced rows.  ``gamma_fan`` keeps its meaning
+    as the TOTAL fan angle subtended, so the panel half-width at the
+    isocenter scale is ``SID*tan(gamma_fan/2)`` and the column pitch
+    is ``du_iso = 2*SID*tan(gamma_fan/2)/N_channels``; rows keep the
+    ``h_iso``-at-isocenter convention.  ``det_offset_ch`` /
+    ``det_offset_row`` shift the grids in pitch units, as for the
+    cylindrical detector.
+
+    Reconstruction goes through the flat-detector Feldkamp
+    (:func:`dexct_tpu.ops.flatpanel.fdk_flat_reconstruct` — panel
+    cosine pre-weight, equidistant ramp, ``SID^2/ell^2``
+    backprojection weight); the equiangular FDK/FBP paths refuse this
+    geometry.  Exact ray tracing is shared: :meth:`ray_geometry_3d`
+    emits the exact per-element rays, and every sinogram-domain stage
+    (spectral chain, decomposition, noise) is detector-agnostic.
+    """
+
+    flat_panel = True
+    _FFS_MODES = ("none",)  # focal-spot deflection not modeled here
+
+    @property
+    def du_iso(self):
+        """Column pitch at the isocenter scale [cm]."""
+        return (2.0 * self.SID * np.tan(self.gamma_fan / 2.0)
+                / self.N_channels)
+
+    @property
+    def u_iso(self):
+        """Column positions at the isocenter scale [cm], [N_channels]."""
+        return (np.arange(self.N_channels) + 0.5 + self.det_offset_ch
+                - self.N_channels / 2.0) * self.du_iso
+
+    @property
+    def gammas(self):
+        """Exact per-column fan angles [rad] — atan, not equiangular."""
+        return np.arctan(self.u_iso / self.SID)
+
+    @property
+    def A_iso(self):
+        """Central-channel effective area at isocenter [cm^2]."""
+        return self.du_iso * self.h_iso
+
+    def ray_geometry_3d(self):
+        """Exact rays to the flat panel's element centers.
+
+        A panel element (column u, row v) sits at
+        ``src - SDD*e(beta) + u_p*t(beta) + (0, 0, v_p)`` with
+        ``u_p = u_iso*SDD/SID``, ``v_p = z_iso*SDD/SID`` — so the
+        in-plane direction angle is ``beta + atan(u_p/SDD)`` and the
+        axial slope is ``v_p / hypot(SDD, u_p)`` (column-dependent,
+        unlike the cylindrical detector's constant ``z_det/SDD``).
+        """
+        betas = self.betas
+        V, R, C = self.N_proj, self.N_rows, self.N_channels
+        u_p = self.u_iso * self.SDD / self.SID  # [C] panel coords
+        gam = np.arctan(u_p / self.SDD)
+        rho = np.hypot(self.SDD, u_p)  # [C] in-plane src->element
+        z_p = self.z_iso * self.SDD / self.SID  # [R]
+        src2 = self.SID * np.stack([np.cos(betas), np.sin(betas)], -1)
+        src = np.zeros((V, R, C, 3))
+        src[..., :2] = src2[:, None, None, :]
+        ang = betas[:, None] + gam[None, :]  # [V, C]
+        d = np.zeros((V, R, C, 3))
+        d[..., 0] = -(rho * np.cos(ang))[:, None, :]
+        d[..., 1] = -(rho * np.sin(ang))[:, None, :]
+        d[..., 2] = z_p[None, :, None]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return src, d
+
+
 GEOMETRY_REGISTRY = {
     "fan_beam": FanBeamGeometry,
     "parallel_beam": ParallelBeamGeometry,
     "cone_beam": ConeBeamGeometry,
     "helical_cone_beam": HelicalConeBeamGeometry,
+    "flat_panel_cone_beam": FlatPanelConeBeamGeometry,
 }

@@ -1,0 +1,192 @@
+"""Flat-panel (equidistant-column) cone-beam geometry + FDK
+(system.FlatPanelConeBeamGeometry, ops/flatpanel.py).
+
+Anchors: exact ray-on-panel identities, and the reconstruction of a
+z-uniform object must agree with the validated equiangular fan pipeline
+(both estimate the same mu image, from different samplings)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dexct_tpu.ops.flatpanel import fdk_flat_reconstruct
+from dexct_tpu.system import FlatPanelConeBeamGeometry
+from dexct_tpu.system.phantom import water_cylinder_phantom
+
+
+def _geometry(**kw):
+    kw.setdefault("N_channels", 64)
+    kw.setdefault("N_proj", 96)
+    kw.setdefault("N_rows", 8)
+    kw.setdefault("gamma_fan", 0.8230337)
+    kw.setdefault("SID", 60.0)
+    kw.setdefault("SDD", 100.0)
+    kw.setdefault("h_iso", 0.5)
+    return FlatPanelConeBeamGeometry(**kw)
+
+
+class TestGeometry:
+    def test_rays_hit_panel_elements_exactly(self):
+        ct = _geometry(N_channels=16, N_proj=8, N_rows=4)
+        src, d = ct.ray_geometry_3d()
+        u_p = ct.u_iso * ct.SDD / ct.SID  # [C] panel columns
+        z_p = ct.z_iso * ct.SDD / ct.SID  # [R] panel rows
+        for v in range(ct.N_proj):
+            beta = ct.betas[v]
+            e = np.array([np.cos(beta), np.sin(beta)])
+            t_hat = np.array([-np.sin(beta), np.cos(beta)])
+            for r in range(ct.N_rows):
+                for c in range(ct.N_channels):
+                    # element position on the plane SDD behind the
+                    # source along -e, offset u_p tangentially.
+                    # sign: gamma > 0 must match the equiangular
+                    # convention dir = -(cos(b+g), sin(b+g)) whose
+                    # tangential component is -g*t_hat
+                    el = (src[v, r, c, :2] - ct.SDD * e
+                          - u_p[c] * t_hat)
+                    elz = z_p[r]
+                    # the ray from src along d must pass through el
+                    t = ct.SDD / -(d[v, r, c, :2] @ e)
+                    hit = src[v, r, c, :2] + t * d[v, r, c, :2]
+                    hitz = src[v, r, c, 2] + t * d[v, r, c, 2]
+                    np.testing.assert_allclose(hit, el, atol=1e-9)
+                    assert abs(hitz - elz) < 1e-9
+
+    def test_gammas_are_atan_not_equiangular(self):
+        ct = _geometry()
+        np.testing.assert_allclose(ct.gammas,
+                                   np.arctan(ct.u_iso / ct.SID))
+        # edge channels compress vs the uniform-angle grid
+        dg = np.diff(ct.gammas)
+        assert dg[0] < dg[len(dg) // 2]
+
+    def test_total_fan_angle_preserved(self):
+        ct = _geometry()
+        # outermost column edges subtend gamma_fan
+        u_edge = ct.N_channels / 2.0 * ct.du_iso
+        assert abs(2.0 * np.arctan(u_edge / ct.SID)
+                   - ct.gamma_fan) < 1e-12
+
+
+class TestReconstruction:
+    @pytest.fixture(scope="class")
+    def system(self):
+        import dataclasses
+
+        ct = _geometry()
+        ph2 = water_cylinder_phantom(N=48, dx=0.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 48, 48)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        return ct, ph2, ph3
+
+    def test_water_mu_and_fan_agreement(self, system):
+        from dexct_tpu.ops.conebeam import cone_material_paths
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.siddon import (material_path_sinogram,
+                                          mono_sinogram)
+        from dexct_tpu.system import FanBeamGeometry
+
+        ct, ph2, ph3 = system
+        mu60 = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        sino3 = jnp.einsum(
+            "vrcm,m->vrc", cone_material_paths(ph3, ct),
+            jnp.asarray(mu60, jnp.float32))
+        vol = np.asarray(fdk_flat_reconstruct(sino3, ct, 48, 20.0, 0.8))
+        assert vol.shape == (8, 48, 48)
+        mid = 0.5 * (vol[3] + vol[4])
+        mu_w = float(mu60[1])
+        # absolute calibration: water recovers mu
+        assert abs(mid[20:28, 20:28].mean() - mu_w) < 0.01 * mu_w
+
+        # same object through the validated equiangular fan pipeline
+        fan = FanBeamGeometry(N_channels=64, N_proj=96,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        sino2 = mono_sinogram(material_path_sinogram(ph2, fan),
+                              jnp.asarray(mu60, jnp.float32))
+        img2 = np.asarray(fan_backproject(
+            filter_sinogram(sino2, fan, 0.8),
+            jnp.asarray(fan.betas, jnp.float32), fan.SID, fan.dgamma,
+            48, 20.0))
+        interior = np.hypot(
+            *np.meshgrid(*[np.arange(48) - 23.5] * 2)) < 16
+        assert np.abs(mid - img2)[interior].max() < 0.03 * img2.max()
+
+    def test_multi_volume_matches_per_volume(self, system):
+        ct, _, _ = system
+        rng = np.random.default_rng(0)
+        s = rng.standard_normal((3, 96, 8, 64)).astype(np.float32)
+        multi = np.asarray(fdk_flat_reconstruct(
+            jnp.asarray(s), ct, 32, 20.0, 0.8))
+        for k in range(3):
+            one = np.asarray(fdk_flat_reconstruct(
+                jnp.asarray(s[k]), ct, 32, 20.0, 0.8))
+            # identical taps/weights; the batched rfft of the filter
+            # stage reassociates, so float-rounding only
+            assert np.abs(multi[k] - one).max() < 1e-6 * max(
+                np.abs(one).max(), 1e-30)
+
+    def test_det_offsets_shift_the_recon(self, system):
+        # a half-channel panel offset translates the reconstruction's
+        # apparent center; the offset-aware BP must compensate exactly
+        # when the SAME offset geometry produced the data
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import cone_material_paths
+
+        ct, ph2, ph3 = system
+        ct_off = dataclasses.replace(ct, det_offset_ch=0.25,
+                                     det_offset_row=0.5)
+        mu60 = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        sino = jnp.einsum(
+            "vrcm,m->vrc", cone_material_paths(ph3, ct_off),
+            jnp.asarray(mu60, jnp.float32))
+        vol = np.asarray(fdk_flat_reconstruct(sino, ct_off, 48, 20.0,
+                                              0.8))
+        mid = 0.5 * (vol[3] + vol[4])
+        mu_w = float(mu60[1])
+        assert abs(mid[20:28, 20:28].mean() - mu_w) < 0.012 * mu_w
+
+
+class TestRouting:
+    def test_equiangular_fdk_rejects_flat(self):
+        from dexct_tpu.ops.conebeam import fdk_reconstruct
+
+        ct = _geometry(N_channels=16, N_proj=8, N_rows=4)
+        with pytest.raises(ValueError, match="flat"):
+            fdk_reconstruct(jnp.zeros((8, 4, 16)), ct, 16, 10.0, 0.8)
+
+    def test_fused_pack_rejects_flat(self):
+        import dataclasses
+
+        from dexct_tpu.physics.spectrum import kramers_spectrum
+        from dexct_tpu.pipeline.cone import pack_cone_dect
+
+        ct = _geometry(N_channels=32, N_proj=16, N_rows=4)
+        ph2 = water_cylinder_phantom(N=32, dx=0.4)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 32, 32)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        s = kramers_spectrum(80.0)
+        with pytest.raises(ValueError, match="flat"):
+            pack_cone_dect(ct, ph3, s, s, 32, 10.0, 0.8)
+
+    def test_simulate_cone_dect_auto_routes_flat(self):
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import simulate_cone_dect
+        from dexct_tpu.physics.spectrum import (kramers_spectrum,
+                                                linac_spectrum)
+
+        ct = _geometry(N_channels=32, N_proj=48, N_rows=4)
+        ph2 = water_cylinder_phantom(N=32, dx=0.4)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 32, 32)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.4)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        out = simulate_cone_dect(ct, ph3, s1, s2, 32, 10.0, 0.8)
+        hu = np.asarray(out["recon_HU"][1])
+        assert hu.shape == (4, 32, 32)
+        mid = 0.5 * (hu[1] + hu[2])
+        assert -250.0 < mid[14:18, 14:18].mean() < 60.0  # ~water
+        assert mid[:3, :3].mean() < -900.0  # air corner
