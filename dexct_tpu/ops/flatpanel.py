@@ -17,7 +17,9 @@ Flat-detector Feldkamp (Feldkamp-Davis-Kress 1984, equispaced form):
 * voxel-driven backprojection at ``u = SID*t/ell``, ``v = SID*z/ell``
   with the ``SID^2/ell^2`` magnification weight (``ell`` = source->voxel
   distance along the central ray) and the half-redundancy ``dbeta/2``
-  of a full 2*pi orbit.
+  of a full 2*pi orbit — or, for a C-arm SHORT SCAN
+  (``rotation_total`` in [pi + gamma_fan, 2*pi)), Parker redundancy
+  weights in the panel's true fan angles.
 
 TPU mapping: identical gather discipline to the cylindrical paths —
 the four bilinear (column, row) taps of ALL M stacked volumes ride one
@@ -132,7 +134,9 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     reconstruct in one multi-volume backprojection pass) from a
     :class:`~dexct_tpu.system.geometry.FlatPanelConeBeamGeometry` scan.
     Output z-grid defaults to one slice per ``h_iso`` centered on z=0,
-    as the cylindrical FDK.
+    as the cylindrical FDK.  Full 2*pi orbits use the dbeta/2
+    redundancy weight; shorter orbits down to pi + gamma_fan get
+    Parker weights (the C-arm short scan).
     """
     from .filters import _next_pow2, _window, parallel_ramp_kernel
 
@@ -141,10 +145,6 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
         raise ValueError(
             "fdk_flat_reconstruct is the flat-panel path; cylindrical "
             "detectors reconstruct with ops.conebeam.fdk_reconstruct")
-    if abs(ct.rotation_total - 2.0 * np.pi) > 1e-6:
-        raise ValueError(
-            "flat FDK assumes a full 2*pi orbit (the dbeta/2 "
-            f"redundancy weight); got rotation_total={ct.rotation_total}")
     if sino_log.ndim not in (3, 4):
         raise ValueError("sino_log must be [V, R, C] or [M, V, R, C]")
     V, R, C = sino_log.shape[-3:]
@@ -173,6 +173,17 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     H = H * _window(f_norm, ramp, window)
 
     pw = sino_log.astype(dtype) * w
+    if ct.rotation_total < 2.0 * np.pi - 1e-6:
+        # C-arm short scan (pi + fan): Parker redundancy weights.
+        # parker_weights is written in TRUE fan angles (ct.gammas is
+        # the exact atan grid here), so it applies verbatim; its 2x
+        # convention composes with the backprojector's dbeta/2 to give
+        # each once-measured line weight dbeta.  Raises if the orbit
+        # is shorter than pi + gamma_fan.
+        from .fbp import parker_weights
+
+        wp = jnp.asarray(parker_weights(ct), dtype)  # [V, C]
+        pw = pw * wp[:, None, :]
     spec = jnp.fft.rfft(pw, n=m, axis=-1)
     q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
                       axis=-1)[..., :C] * du
