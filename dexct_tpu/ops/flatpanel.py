@@ -37,7 +37,59 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fdk_flat_reconstruct", "flat_cone_sinogram"]
+__all__ = ["fdk_flat_reconstruct", "flat_cone_sinogram",
+           "offset_detector_weights"]
+
+
+def offset_detector_weights(geometry, *, feather=None):
+    """Half-fan redundancy weights w[C] for an OFFSET-detector scan.
+
+    The standard CBCT field-of-view trick: shift the panel laterally
+    (a large ``det_offset_ch``) so one side of the fan covers a much
+    larger radius, and recover the missing side from the conjugate
+    rays half a turn later.  Over a full 2*pi orbit a line (beta,
+    gamma) is then measured TWICE only in the overlap band
+    |gamma| <= gamma_ov around the central ray (gamma_ov = the smaller
+    of the panel's two half-fans) and once outside it, so uniform
+    dbeta/2 weighting shades the periphery.  Wang's weights (Wang
+    1993) restore a flat response: a smooth transition
+    ``w = sin^2(pi/4 * (1 + g/f))`` across the feathered overlap with
+    the exact partition ``w(g) + w(-g) = 1``, doubled outside the
+    overlap on the measured side.  Composes with the backprojector's
+    dbeta/2 so every line integrates to weight dbeta.
+
+    ``feather``: overlap half-width used for the transition [rad]
+    (default: the full overlap band; must not exceed it).  Requires
+    the overlap to span at least two channels — beyond that offset the
+    scan no longer covers Radon space.
+    """
+    ct = geometry
+    gam = np.asarray(ct.gammas, np.float64)
+    g_lo, g_hi = -gam[0], gam[-1]  # half-fans (lo side is gamma < 0)
+    if min(g_lo, g_hi) <= 0:
+        raise ValueError(
+            "offset so large the panel no longer covers the central "
+            "ray: the scan misses Radon lines entirely")
+    g_ov = min(g_lo, g_hi)
+    dg_min = float(np.diff(gam).min())
+    if g_ov < 2.0 * dg_min:
+        raise ValueError(
+            f"overlap band ({g_ov:.4f} rad) narrower than two channels"
+            " — not enough conjugate data to feather")
+    f = g_ov if feather is None else float(feather)
+    if not 0.0 < f <= g_ov + 1e-12:
+        raise ValueError(f"feather {f:.4f} outside (0, {g_ov:.4f}]")
+    # orient so the SHORT side is gamma < 0 (weights ramp up through
+    # the overlap toward the long side); mirror if offset is negative
+    sgn = 1.0 if g_hi >= g_lo else -1.0
+    g = sgn * gam
+    w = np.where(
+        g < -f, 0.0,
+        np.where(g > f, 1.0,
+                 np.sin(np.pi / 4.0 * (1.0 + g / f)) ** 2))
+    # doubled: composes with the dbeta/2 full-orbit convention so a
+    # once-measured line (weight 1 here) integrates to dbeta
+    return 2.0 * w
 
 
 @functools.partial(
@@ -127,7 +179,8 @@ def _flat_backproject(q, betas, sid, du_iso, dv_iso, off_c, off_r,
 
 def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
                          nz_out=None, dz_out=None, window="sinc",
-                         view_block=8):
+                         view_block=8, redundancy="auto",
+                         offset_feather=None):
     """Flat-detector FDK -> volume(s) [nz, N, N] in cm^-1.
 
     ``sino_log``: [V, R, C] (or a stack [M, V, R, C] — all volumes
@@ -137,6 +190,12 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     as the cylindrical FDK.  Full 2*pi orbits use the dbeta/2
     redundancy weight; shorter orbits down to pi + gamma_fan get
     Parker weights (the C-arm short scan).
+
+    ``redundancy``: ``"full"`` (uniform), ``"offset"`` (half-fan
+    Wang weights — :func:`offset_detector_weights`, for
+    OFFSET-DETECTOR scans; requires a full 2*pi orbit), or ``"auto"``
+    (offset weighting when ``|det_offset_ch| >= 2`` channels, the
+    FOV-enlargement regime; plain otherwise).
     """
     from .filters import _next_pow2, _window, parallel_ramp_kernel
 
@@ -172,8 +231,22 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     f_norm = np.arange(len(H)) / (m / 2.0)
     H = H * _window(f_norm, ramp, window)
 
+    if redundancy not in ("auto", "full", "offset"):
+        raise ValueError(f"unknown redundancy mode {redundancy!r}")
+    if redundancy == "auto":
+        redundancy = ("offset" if abs(ct.det_offset_ch) >= 2.0
+                      else "full")
+
     pw = sino_log.astype(dtype) * w
-    if ct.rotation_total < 2.0 * np.pi - 1e-6:
+    if redundancy == "offset":
+        if ct.rotation_total < 2.0 * np.pi - 1e-6:
+            raise ValueError(
+                "offset-detector scans need the full 2*pi orbit (the "
+                "missing fan side comes from conjugate views half a "
+                "turn later)")
+        w_off = offset_detector_weights(ct, feather=offset_feather)
+        pw = pw * jnp.asarray(w_off, dtype)
+    elif ct.rotation_total < 2.0 * np.pi - 1e-6:
         # C-arm short scan (pi + fan): Parker redundancy weights.
         # parker_weights is written in TRUE fan angles (ct.gammas is
         # the exact atan grid here), so it applies verbatim; its 2x

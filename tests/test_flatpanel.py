@@ -231,3 +231,88 @@ class TestShortScan:
         with pytest.raises(ValueError, match="not enough data"):
             fdk_flat_reconstruct(jnp.zeros((32, 8, 64), jnp.float32),
                                  ct, 32, 20.0, 0.8)
+
+
+class TestOffsetDetector:
+    """Half-fan offset-detector CBCT (FOV enlargement via Wang
+    redundancy weights, `offset_detector_weights`)."""
+
+    def test_partition_of_unity_in_overlap(self):
+        from dexct_tpu.ops.flatpanel import offset_detector_weights
+
+        ct = _geometry(N_channels=64, det_offset_ch=16.0)
+        w = offset_detector_weights(ct)  # includes the 2x convention
+        gam = ct.gammas
+        g_ov = min(-gam[0], gam[-1])
+        # conjugate pairs inside the overlap sum to 2 (i.e. w+w' = 1)
+        for g in np.linspace(-0.9 * g_ov, 0.9 * g_ov, 9):
+            wa = np.interp(g, gam, w)
+            wb = np.interp(-g, gam, w)
+            assert abs(wa + wb - 2.0) < 5e-2  # channel interp only
+        # long side doubled, short edge zeroed
+        assert abs(w[-1] - 2.0) < 1e-9
+        assert w[0] < 1e-9
+
+    def test_offset_scan_recovers_wide_phantom(self):
+        # a cylinder larger than the symmetric-panel FOV: the offset
+        # scan + Wang weights reconstruct it to the same values as a
+        # full-width panel scan; without the weights the periphery
+        # shades visibly
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import cone_material_paths
+
+        ph2 = water_cylinder_phantom(N=64, dx=0.5, radius_cm=13.0)
+        lab3 = np.broadcast_to(ph2.labels[0], (4, 64, 64)).copy()
+        ph3 = dataclasses.replace(ph2, labels=lab3, dz=0.5)
+        mu60 = ph2.materials.mu_table(np.array([60.0]))[:, 0]
+        mu_w = float(mu60[1])
+
+        # offset scan: 48-channel panel shifted 16 channels — covers
+        # gamma in ~[-0.16, +0.55] rad; a symmetric 48-channel panel
+        # alone could not see the 13 cm cylinder's far edge
+        ct_off = _geometry(N_channels=48, N_proj=128, N_rows=4,
+                           gamma_fan=1.0, det_offset_ch=16.0)
+        # reference: a full-width panel with the SAME column pitch and
+        # no offset (96 channels span twice the fan)
+        ct_wide = _geometry(N_channels=96, N_proj=128, N_rows=4,
+                            gamma_fan=2.0 * np.arctan(
+                                2.0 * np.tan(0.5)), det_offset_ch=0.0)
+        sino_off = jnp.einsum(
+            "vrcm,m->vrc", cone_material_paths(ph3, ct_off),
+            jnp.asarray(mu60, jnp.float32))
+        vol_off = np.asarray(fdk_flat_reconstruct(
+            sino_off, ct_off, 64, 30.0, 0.8))
+        vol_bad = np.asarray(fdk_flat_reconstruct(
+            sino_off, ct_off, 64, 30.0, 0.8, redundancy="full"))
+        sino_wide = jnp.einsum(
+            "vrcm,m->vrc", cone_material_paths(ph3, ct_wide),
+            jnp.asarray(mu60, jnp.float32))
+        vol_wide = np.asarray(fdk_flat_reconstruct(
+            sino_wide, ct_wide, 64, 30.0, 0.8))
+
+        mid_off = 0.5 * (vol_off[1] + vol_off[2])
+        mid_bad = 0.5 * (vol_bad[1] + vol_bad[2])
+        mid_wide = 0.5 * (vol_wide[1] + vol_wide[2])
+        yy, xx = np.meshgrid(*[np.arange(64) - 31.5] * 2, indexing="ij")
+        r = np.hypot(yy, xx) * (30.0 / 64)
+        interior = r < 11.0
+        ring = (r > 8.0) & (r < 11.0)
+        # weighted offset recon: flat at mu_w and close to the wide
+        # scan (measured: interior mean +0.3%, mean |diff| well under
+        # the edge-feather scale)
+        assert abs(mid_off[interior].mean() - mu_w) < 0.02 * mu_w
+        assert abs(mid_off[ring].mean() - mu_w) < 0.02 * mu_w
+        assert np.abs(mid_off - mid_wide)[interior].mean() < 0.02 * mu_w
+        # unweighted: the hard short-edge truncation + mis-partitioned
+        # redundancy bias the ring by an order of magnitude more
+        # (measured +14% vs +1.0%)
+        assert (abs(mid_bad[ring].mean() - mu_w)
+                > 5.0 * abs(mid_off[ring].mean() - mu_w))
+
+    def test_over_offset_raises(self):
+        from dexct_tpu.ops.flatpanel import offset_detector_weights
+
+        ct = _geometry(N_channels=48, det_offset_ch=30.0)
+        with pytest.raises(ValueError, match="central ray|overlap"):
+            offset_detector_weights(ct)
