@@ -223,13 +223,13 @@ def _effective_noise(noise, ct):
 
 def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
                recon3d="auto"):
-    """Run a cone/helical config through the 3-D pipelines.
+    """Run a cone/helical/flat-panel config through the 3-D pipelines.
 
-    Circular orbits use the pack-once fused pipeline
-    (:mod:`dexct_tpu.pipeline.cone`); helical orbits route through the
-    stateless :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect`
-    (``recon3d`` selects generalized Feldkamp — the 'auto' default —
-    or the exact ``'katsevich'`` path).
+    Circular AND helical orbits use the pack-once fused pipeline
+    (:mod:`dexct_tpu.pipeline.cone` — the helical recon stage is the
+    4-volume packed generalized Feldkamp); flat-panel, z-FFS, and
+    ``recon3d='katsevich'`` configs route through the stateless
+    :func:`~dexct_tpu.ops.conebeam.simulate_cone_dect`.
     ``back_project false`` configs skip the reconstruction stage
     entirely (the FDK stage is the dominant cost of the 3-D pipeline).
     """
@@ -246,9 +246,13 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
             f"scan; config {cfg.run_id!r} has pitch "
             f"{getattr(cfg.ct, 'pitch', 0.0)!r} — use 'helical', "
             "'katsevich', or 'auto'")
-    if helical or getattr(cfg.ct, "ffs", "none") != "none":
-        # z-FFS circular scans also take the stateless path: the fused
-        # pipeline's packed FDK assumes one shared detector-row grid
+    flat = bool(getattr(cfg.ct, "flat_panel", False))
+    if (flat or getattr(cfg.ct, "ffs", "none") != "none"
+            or (helical and recon3d == "katsevich")):
+        # stateless path: flat panels (equidistant FDK), z-FFS scans
+        # (per-view detector-row grids), and the exact Katsevich
+        # reconstructor; circular AND helical orbits otherwise run the
+        # pack-once fused pipeline (round 3: fused helical gFDK)
         from ..ops.conebeam import simulate_cone_dect
 
         key = jax.random.PRNGKey(seed) if eff_noise != "none" else None

@@ -82,7 +82,8 @@ def _build_geometry(cfg):
         detector_file=(None if _na(cfg.get("detector_filename"))
                        else cfg.get("detector_filename")),
     )
-    if kind in ("fan_beam", "cone_beam", "helical_cone_beam"):
+    if kind in ("fan_beam", "cone_beam", "helical_cone_beam",
+                "flat_panel_cone_beam"):
         kw = dict(
             SID=float(cfg.get("SID", 60.0)),
             SDD=float(cfg.get("SDD", 100.0)),
@@ -93,8 +94,13 @@ def _build_geometry(cfg):
         kw["ffs"] = str(cfg.get("flying_focal_spot", "none")).lower()
         if not _na(cfg.get("ffs_delta")):
             kw["ffs_delta"] = float(cfg["ffs_delta"])
-        if kind in ("cone_beam", "helical_cone_beam"):
+        if kind in ("cone_beam", "helical_cone_beam",
+                    "flat_panel_cone_beam"):
             kw["N_rows"] = int(cfg.get("N_rows", 16))
+        if kind == "flat_panel_cone_beam" and not _na(
+                cfg.get("detector_offset_channels")):
+            # lateral panel shift [channels] — half-fan FOV enlargement
+            kw["det_offset_ch"] = float(cfg["detector_offset_channels"])
         if kind == "helical_cone_beam":
             kw["pitch"] = float(cfg.get("pitch", 2.0))
         return GEOMETRY_REGISTRY[kind](**kw, **common)
