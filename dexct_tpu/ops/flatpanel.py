@@ -94,15 +94,20 @@ def offset_detector_weights(geometry, *, feather=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_matrix", "nz_out", "fov", "view_block"),
+    static_argnames=("n_matrix", "nz_out", "fov", "view_block",
+                     "pair_mode"),
 )
 def _flat_backproject(q, betas, sid, du_iso, dv_iso, off_c, off_r,
                       n_rows, n_matrix, nz_out, fov, dz_out, dbeta, *,
-                      view_block=8):
+                      view_block=8, pair_mode=False):
     """Voxel-driven flat-detector FDK backprojection.
 
     q: filtered projections [V, R, C] or [M, V, R, C] (stacked volumes
     share taps and weights).  Returns [nz, N, N] / [M, nz, N, N].
+    ``pair_mode`` (static; decided by the same worst-case row-spacing
+    rule as the cylindrical paths): slice pairs share one
+    4-row x 2-channel window gather — identical arithmetic on
+    identical taps, half the slice gathers.
     """
     squeeze = q.ndim == 3
     q4 = q[None] if squeeze else q
@@ -142,20 +147,35 @@ def _flat_backproject(q, betas, sid, du_iso, dv_iso, off_c, off_r,
 
         qb = qt[vo]  # [vb, M, R, C]
         qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
-        qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
-        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
-        packed_flat = jnp.stack(
-            [qb, qb_c1, qb_r1, qb_r1c1], -1
-        ).transpose(0, 2, 3, 1, 4).reshape(vb * R * C, M * 4)
+        if pair_mode:
+            two = jnp.stack([qb, qb_c1], -1)  # [vb, M, R, C, 2]
+            wins = jnp.stack(
+                [two if dr == 0 else jnp.concatenate(
+                    [two[:, :, dr:],
+                     jnp.repeat(two[:, :, -1:], dr, 2)], 2)
+                 for dr in range(4)], -2)  # [vb, M, R, C, 4, 2]
+            packed_flat = wins.transpose(0, 2, 3, 1, 4, 5).reshape(
+                vb * R * C, M * 8)
+        else:
+            qb_r1 = jnp.concatenate([qb[:, :, 1:], qb[:, :, -1:]], 2)
+            qb_r1c1 = jnp.concatenate(
+                [qb_r1[..., 1:], qb_r1[..., -1:]], -1)
+            packed_flat = jnp.stack(
+                [qb, qb_c1, qb_r1, qb_r1c1], -1
+            ).transpose(0, 2, 3, 1, 4).reshape(vb * R * C, M * 4)
         voff_b = jnp.arange(vb, dtype=jnp.int32)
 
-        def one_slice(z):
+        def row_geom(z):
             v = sid * z / ell  # iso-scaled panel row coordinate
             ridx = v / dv_iso - 0.5 - off_r + R / 2.0
             r0 = jnp.clip(jnp.floor(ridx), 0, max(R - 2, 0))
             fr = jnp.clip(ridx - r0, 0.0, 1.0)
             w_z = jnp.where((ridx >= -0.5) & (ridx <= R - 0.5), 1.0,
                             0.0)
+            return r0, fr, w_z
+
+        def one_slice(z):
+            r0, fr, w_z = row_geom(z)
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
             rows = packed_flat[idx.reshape(-1)].reshape(
@@ -166,7 +186,39 @@ def _flat_backproject(q, betas, sid, du_iso, dv_iso, off_c, off_r,
             val = top * (1 - frm) + bot * frm  # [vb, P, M]
             return jnp.sum(val * (w_amp * w_z)[..., None], axis=0)
 
-        return acc + jax.vmap(one_slice)(zc), None
+        def one_pair(z2):
+            (r0a, fra, wza), (r0b, frb, wzb) = (row_geom(z2[0]),
+                                                row_geom(z2[1]))
+            r_base = jnp.minimum(jnp.minimum(r0a, r0b), float(R - 4))
+            idx = (r_base.astype(jnp.int32) * C + c0.astype(jnp.int32)
+                   + voff_b[:, None] * (R * C))
+            rows = packed_flat[idx.reshape(-1)].reshape(
+                idx.shape + (M, 4, 2))
+            fcm = fc[..., None, None]
+            rows_c = rows[..., 0] * (1 - fcm) + rows[..., 1] * fcm
+            dr_ids = jnp.arange(4, dtype=dtype)
+            outs = []
+            for r0, fr, w_z in ((r0a, fra, wza), (r0b, frb, wzb)):
+                sub = (r0 - r_base)[..., None]
+                wrow = (jnp.where(dr_ids == sub, 1.0 - fr[..., None],
+                                  0.0)
+                        + jnp.where(dr_ids == sub + 1.0,
+                                    fr[..., None], 0.0))
+                val = jnp.sum(rows_c * wrow[..., None, :], axis=-1)
+                outs.append(jnp.sum(val * (w_amp * w_z)[..., None],
+                                    axis=0))
+            return jnp.stack(outs)
+
+        if pair_mode:
+            ne = (nz_out // 2) * 2
+            dn = jax.vmap(one_pair)(zc[:ne].reshape(-1, 2)).reshape(
+                ne, P, M)
+            if nz_out % 2:
+                dn1 = one_pair(jnp.stack([zc[-1], zc[-1]]))
+                dn = jnp.concatenate([dn, dn1[:1]], 0)
+        else:
+            dn = jax.vmap(one_slice)(zc)
+        return acc + dn, None
 
     acc0 = jnp.zeros((nz_out, P, M), dtype)
     acc, _ = jax.lax.scan(block, acc0, (bb, voff))
@@ -261,12 +313,17 @@ def fdk_flat_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     q = jnp.fft.irfft(spec * jnp.asarray(H, dtype), n=m,
                       axis=-1)[..., :C] * du
 
+    from .conebeam import _helical_pair_ok
+
     return _flat_backproject(
         q, jnp.asarray(ct.betas, dtype), float(ct.SID), du,
         float(ct.h_iso), float(ct.det_offset_ch),
         float(ct.det_offset_row), int(R), int(n_matrix), int(nz),
         float(fov), dz, float(ct.rotation_total / V),
-        view_block=int(view_block))
+        view_block=int(view_block),
+        pair_mode=_helical_pair_ok(float(ct.SID), float(fov),
+                                   float(ct.h_iso), dz, int(nz),
+                                   int(R)))
 
 
 def flat_cone_sinogram(phantom, geometry, spec, *, noise="none",

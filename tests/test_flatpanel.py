@@ -316,3 +316,21 @@ class TestOffsetDetector:
         ct = _geometry(N_channels=48, det_offset_ch=30.0)
         with pytest.raises(ValueError, match="central ray|overlap"):
             offset_detector_weights(ct)
+
+
+def test_flat_pair_mode_matches_per_slice():
+    # z-pair window gathers == per-slice taps at odd and even slice
+    # counts (mirrors the helical pair-mode pin)
+    from dexct_tpu.ops.flatpanel import _flat_backproject
+
+    ct = _geometry()
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((4, 96, 8, 64))
+                    .astype(np.float32))
+    for nz in (6, 7):
+        args = (q, jnp.asarray(ct.betas, jnp.float32), 60.0,
+                float(ct.du_iso), 0.5, 0.0, 0.0, 8, 32, nz, 20.0,
+                0.45, float(ct.rotation_total / 96))
+        a = np.asarray(_flat_backproject(*args, pair_mode=False))
+        b = np.asarray(_flat_backproject(*args, pair_mode=True))
+        assert np.abs(a - b).max() < 1e-6 * np.abs(a).max(), nz
