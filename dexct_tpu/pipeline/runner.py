@@ -247,12 +247,31 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
             f"{getattr(cfg.ct, 'pitch', 0.0)!r} — use 'helical', "
             "'katsevich', or 'auto'")
     flat = bool(getattr(cfg.ct, "flat_panel", False))
-    if (flat or getattr(cfg.ct, "ffs", "none") != "none"
-            or (helical and recon3d == "katsevich")):
+    stateless = (flat or getattr(cfg.ct, "ffs", "none") != "none"
+                 or (helical and recon3d == "katsevich"))
+    out = None
+    if not stateless:
+        # circular AND helical orbits run the pack-once fused pipeline
+        # (round 3: fused helical gFDK) when the packed dominant
+        # tracer's capability constraints hold; odd shapes (steep
+        # slopes, anisotropic cells, >32 labels) fall back to the
+        # stateless DDA path below
+        from .cone import make_jitted_cone_step, pack_cone_dect
+
+        try:
+            arrays, meta = pack_cone_dect(
+                cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix,
+                cfg.FOV, cfg.ramp, n_iters=n_iters, noise=eff_noise,
+                seed=seed, do_recon=bp)
+        except ValueError as e:
+            print(f"fused cone pipeline unavailable for "
+                  f"{cfg.run_id!r} ({e}); using the stateless path")
+        else:
+            out = make_jitted_cone_step(meta)(arrays)
+    if out is None:
         # stateless path: flat panels (equidistant FDK), z-FFS scans
-        # (per-view detector-row grids), and the exact Katsevich
-        # reconstructor; circular AND helical orbits otherwise run the
-        # pack-once fused pipeline (round 3: fused helical gFDK)
+        # (per-view detector-row grids), the exact Katsevich
+        # reconstructor, and fused-capability fallbacks
         from ..ops.conebeam import simulate_cone_dect
 
         key = jax.random.PRNGKey(seed) if eff_noise != "none" else None
@@ -260,14 +279,6 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
             cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
             cfg.ramp, n_iters=n_iters, noise=eff_noise, key=key,
             do_recon=bp, recon=recon3d)
-    else:
-        from .cone import make_jitted_cone_step, pack_cone_dect
-
-        arrays, meta = pack_cone_dect(
-            cfg.ct, cfg.phantom, spec1, spec2, cfg.N_matrix, cfg.FOV,
-            cfg.ramp, n_iters=n_iters, noise=eff_noise, seed=seed,
-            do_recon=bp)
-        out = make_jitted_cone_step(meta)(arrays)
     return api.DectResult(
         sino_raw=out["sino_raw"], sino_log=out["sino_log"],
         recon_raw=out["recon_raw"], recon_HU=out["recon_HU"],
