@@ -376,16 +376,15 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
     return imgs
 
 
-def dect_step(arrays, meta: DectMeta, axis_name=None):
-    """The fused DE pipeline.  Pure; jit via :func:`make_jitted_step`.
+def _project_paths(a, meta: DectMeta, axis_name=None):
+    """Shared projector dispatch of the fused pipelines.
 
-    With ``axis_name`` set (under shard_map), the view axis of src/dirs/
-    betas is a shard; cross-shard reductions are a pmax (air mask) and one
-    psum per reconstructed image.
+    Returns ``(paths, unperm_all)``: material path lengths (in ray-plan
+    order for the dominant-axis projector) and the function that
+    inverse-permutes per-ray SCALARS back to [V, C] layout (identity
+    for the in-order projectors) — used by :func:`dect_step` and the
+    fused PCD pipeline (pipeline/spectralct.py).
     """
-    from ..ops.fbp import hu_image
-
-    a = arrays
     unperm_all = lambda *xs: xs  # noqa: E731  (siddon_dominant overrides
     #                                  with the inverse ray-plan permute)
     if meta.projector == "fourier":
@@ -477,6 +476,20 @@ def dect_step(arrays, meta: DectMeta, axis_name=None):
         # chip); one scalar gather per traversal step
         paths = trace_paths(a["labels"], a["src"], a["dirs"], meta.dx,
                             meta.dy, n_materials=meta.n_materials)
+    return paths, unperm_all
+
+
+def dect_step(arrays, meta: DectMeta, axis_name=None):
+    """The fused DE pipeline.  Pure; jit via :func:`make_jitted_step`.
+
+    With ``axis_name`` set (under shard_map), the view axis of src/dirs/
+    betas is a shard; cross-shard reductions are a pmax (air mask) and one
+    psum per reconstructed image.
+    """
+    from ..ops.fbp import hu_image
+
+    a = arrays
+    paths, unperm_all = _project_paths(a, meta, axis_name)
 
     c1 = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"])
     c2 = sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])

@@ -145,3 +145,105 @@ class TestSpectralCone:
         vmi = np.asarray(res.vmi(70.0))
         mu_w = float(xcom.mixatten(WATER.matcomp, np.array([70.0]))[0])
         assert abs(vmi[4, 20:28, 12:20].mean() - mu_w) / mu_w < 0.04
+
+
+class TestFusedPcd:
+    """Round-3 pack-once fused PCD pipeline (pack_pcd_spectral +
+    pcd_step): one jitted program on the production kernels, vs the
+    stateless simulate_pcd_spectral."""
+
+    @staticmethod
+    def _inputs():
+        from dexct_tpu.ops import spectral as sp_ops
+        from dexct_tpu.physics.materials import TISSUE
+        from dexct_tpu.system.phantom import contrast_rods_phantom
+
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=False)
+        ph = contrast_rods_phantom(N=96, dx=0.4)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(
+            2e4 / float(np.sum(sp_ops.effective_fluence(spec, ct))))
+        return ct, ph, spec, [20.0, 34.0, 50.0, 70.0], [TISSUE, BONE]
+
+    def test_matches_stateless_same_kernels(self):
+        # identical projector/recon: float-rounding-level agreement,
+        # with pileup distortion + inversion in the chain
+        from dexct_tpu.pipeline.spectralct import (make_jitted_pcd_step,
+                                                   pack_pcd_spectral)
+
+        ct, ph, spec, thr, basis = self._inputs()
+        ref = simulate_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                    0.8, n_iters=10, pileup_tau=1e-5)
+        a, m = pack_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                 0.8, n_iters=10, pileup_tau=1e-5,
+                                 projector="siddon", recon="fan")
+        out = make_jitted_pcd_step(m)(a)
+        cs = float(np.abs(np.asarray(ref.counts)).max())
+        assert np.abs(np.asarray(out["counts"])
+                      - np.asarray(ref.counts)).max() < 1e-4 * cs
+        assert np.abs(np.asarray(out["basis_sinos"])
+                      - np.asarray(ref.basis_sinos)).max() < 5e-3
+        assert np.abs(np.asarray(out["basis_recons"])
+                      - np.asarray(ref.basis_recons)).max() < 1e-3
+
+    def test_production_kernels_interior_agreement(self):
+        # dominant-axis trace + rebinned symmetry-packed parallel BP:
+        # sinogram-domain quantities match tightly; recons differ only
+        # by the documented fan-vs-rebinned edge response (interior
+        # values agree)
+        from dexct_tpu.pipeline.spectralct import (make_jitted_pcd_step,
+                                                   pack_pcd_spectral)
+
+        ct, ph, spec, thr, basis = self._inputs()
+        ref = simulate_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                    0.8, n_iters=10)
+        a, m = pack_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                 0.8, n_iters=10,
+                                 projector="siddon_dominant",
+                                 recon="parallel")
+        out = make_jitted_pcd_step(m)(a)
+        assert np.abs(np.asarray(out["basis_sinos"])
+                      - np.asarray(ref.basis_sinos)).max() < 1e-3
+        A = np.asarray(out["basis_recons"])
+        B = np.asarray(ref.basis_recons)
+        # water-region basis densities (tissue ~1, bone ~0)
+        assert abs(A[0][44:52, 44:52].mean() - 1.0) < 0.05
+        assert abs(A[0][44:52, 44:52].mean()
+                   - B[0][44:52, 44:52].mean()) < 5e-3
+        yy, xx = np.meshgrid(*[np.arange(96) - 47.5] * 2, indexing="ij")
+        inter = np.hypot(yy, xx) * (30.0 / 96) < 12.0
+        d = (A - B)[:, inter]
+        assert np.sqrt((d ** 2).mean()) < 0.05
+
+    def test_noise_path_runs_and_rails_bounded(self):
+        from dexct_tpu.pipeline.spectralct import (make_jitted_pcd_step,
+                                                   pack_pcd_spectral)
+
+        ct, ph, spec, thr, basis = self._inputs()
+        a, m = pack_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                 0.8, n_iters=10, noise="poisson",
+                                 seed=3, projector="siddon",
+                                 recon="fan", a_bounds=(-20.0, 60.0))
+        out = make_jitted_pcd_step(m)(a)
+        s = np.asarray(out["basis_sinos"])
+        assert np.isfinite(s).all()
+        assert s.max() <= 60.0 + 1e-3  # physical a_bounds honored
+        # noise actually sampled: counts differ from the noiseless run
+        a0, m0 = pack_pcd_spectral(ct, ph, spec, thr, basis, 96, 30.0,
+                                   0.8, n_iters=10, projector="siddon",
+                                   recon="fan")
+        out0 = make_jitted_pcd_step(m0)(a0)
+        assert np.abs(np.asarray(out["counts"])
+                      - np.asarray(out0["counts"])).max() > 1.0
+
+    def test_eid_rejected(self):
+        from dexct_tpu.pipeline.spectralct import pack_pcd_spectral
+
+        ct, ph, spec, thr, basis = self._inputs()
+        import dataclasses
+
+        ct_eid = dataclasses.replace(ct, eid=True)
+        with pytest.raises(ValueError, match="eid"):
+            pack_pcd_spectral(ct_eid, ph, spec, thr, basis, 96, 30.0)
