@@ -291,6 +291,97 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     return arrays, meta
 
 
+def _cone_paths(a, meta: ConeDectMeta):
+    """Shared packed dominant-axis cone trace of the fused pipelines
+    (ray-plan order; unpermute results through ``a["inv"]``) — used by
+    :func:`cone_dect_step` and the fused cone PCD step
+    (pipeline/spectralct.py)."""
+    nz, ny, nx = meta.labels_shape
+    if meta.bundle:
+        # bundled-gather trace: the four padded outputs concatenate in
+        # planner order; the inverse permutation skips the pad rows
+        kern = functools.partial(
+            _trace_cone_dominant, n_materials=meta.n_materials,
+            group=meta.group, lbits=meta.lbits, words=meta.bundle_words)
+        return jnp.concatenate([
+            kern(a["pack_y"], (nz, ny, nx), a["src_bun_y"],
+                 a["dirs_bun_y"], meta.dx, meta.dy, meta.dz,
+                 bundle=meta.bundle),
+            kern(a["pack_y"], (nz, ny, nx), a["src_rest_y"],
+                 a["dirs_rest_y"], meta.dx, meta.dy, meta.dz),
+            kern(a["pack_x"], (nz, nx, ny), a["src_bun_x"],
+                 a["dirs_bun_x"], meta.dy, meta.dx, meta.dz,
+                 bundle=meta.bundle),
+            kern(a["pack_x"], (nz, nx, ny), a["src_rest_x"],
+                 a["dirs_rest_x"], meta.dy, meta.dx, meta.dz),
+        ], axis=0)
+    out_y = _trace_cone_dominant(
+        a["pack_y"], (nz, ny, nx), a["src_y"], a["dirs_y"],
+        meta.dx, meta.dy, meta.dz, n_materials=meta.n_materials,
+        group=meta.group, lbits=meta.lbits)
+    out_x = _trace_cone_dominant(
+        a["pack_x"], (nz, nx, ny), a["src_x"], a["dirs_x"],
+        meta.dy, meta.dx, meta.dz, n_materials=meta.n_materials,
+        group=meta.group, lbits=meta.lbits)
+    return jnp.concatenate([out_y[:meta.n_y], out_x[:meta.n_x]],
+                           axis=0)
+
+
+def cone_reconstruct_stack(sinos, a, meta: ConeDectMeta, axis_name=None,
+                           zslab_axis=None):
+    """Filter + backproject a ``[K, V, R, C]`` sinogram stack through
+    the fused cone pipeline's recon stage (packed circular FDK or
+    multi-volume helical gFDK, z-slab aware) -> ``[K, nz, N, N]`` —
+    the block shared by :func:`cone_dect_step` and the fused cone PCD
+    (pipeline/spectralct.py)."""
+    V, R, C = meta.vrc
+    qs = sinos * a["fdk_w"][None, None]
+    spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
+    qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
+                       axis=-1)[..., :C] * meta.dgamma
+    nz_local = meta.nz_out
+    if abs(meta.pitch) > 1e-12:
+        from ..ops.conebeam import _helical_backproject
+
+        beta_c = a["beta_c"]
+        z0 = meta.z0
+        if zslab_axis is not None and meta.n_zslab > 1:
+            nz_local = meta.nz_out // meta.n_zslab
+            jz = jax.lax.axis_index(zslab_axis)
+            beta_c = jax.lax.dynamic_slice(
+                beta_c, (jz * nz_local,), (nz_local,))
+            z0 = (meta.z0
+                  + jz.astype(jnp.float32) * nz_local * meta.dz_out)
+        # the view-shard psum happens INSIDE (num/den before the
+        # coverage normalization), so no volume psum follows
+        vols = _helical_backproject(
+            qs, a["betas"], a["src_z"], a["row_off"], beta_c,
+            meta.sid, meta.dgamma, meta.row_h, R, meta.pitch,
+            meta.n_matrix, nz_local, meta.fov, meta.dz_out, z0,
+            view_block=meta.fdk_view_block,
+            weighting=meta.helical_weighting, axis_name=axis_name,
+            pair_mode=_helical_pair_ok(meta.sid, meta.fov,
+                                       meta.row_h, meta.dz_out,
+                                       nz_local, R))
+    else:
+        z_center = 0.0
+        if zslab_axis is not None and meta.n_zslab > 1:
+            nz_local = meta.nz_out // meta.n_zslab
+            j = jax.lax.axis_index(zslab_axis).astype(jnp.float32)
+            z_center = (nz_local * meta.dz_out
+                        * (j - 0.5 * (meta.n_zslab - 1)))
+        vols = _fdk_backproject_multi(
+            qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
+            meta.n_matrix, nz_local, meta.fov, meta.dz_out, meta.dbeta,
+            z_center, view_block=meta.fdk_view_block,
+            pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
+                                   meta.dz_out, nz_local, R),
+            orbit4=meta.fdk_orbit4)
+        if axis_name is not None:  # accumulate the view wedges' volumes
+            vols = jax.lax.psum(vols, axis_name)
+    return vols
+
+
 def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
                    zslab_axis=None):
     """One fused cone-DE step (pure; jit via
@@ -310,38 +401,8 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
     round-2 item 8).  Sinogram-domain stages are replicated across the
     slab axis (compute duplication, no extra memory)."""
     a = arrays
-    nz, ny, nx = meta.labels_shape
     V, R, C = meta.vrc
-
-    if meta.bundle:
-        # bundled-gather trace: the four padded outputs concatenate in
-        # planner order; the inverse permutation skips the pad rows
-        kern = functools.partial(
-            _trace_cone_dominant, n_materials=meta.n_materials,
-            group=meta.group, lbits=meta.lbits, words=meta.bundle_words)
-        paths = jnp.concatenate([
-            kern(a["pack_y"], (nz, ny, nx), a["src_bun_y"],
-                 a["dirs_bun_y"], meta.dx, meta.dy, meta.dz,
-                 bundle=meta.bundle),
-            kern(a["pack_y"], (nz, ny, nx), a["src_rest_y"],
-                 a["dirs_rest_y"], meta.dx, meta.dy, meta.dz),
-            kern(a["pack_x"], (nz, nx, ny), a["src_bun_x"],
-                 a["dirs_bun_x"], meta.dy, meta.dx, meta.dz,
-                 bundle=meta.bundle),
-            kern(a["pack_x"], (nz, nx, ny), a["src_rest_x"],
-                 a["dirs_rest_x"], meta.dy, meta.dx, meta.dz),
-        ], axis=0)
-    else:
-        out_y = _trace_cone_dominant(
-            a["pack_y"], (nz, ny, nx), a["src_y"], a["dirs_y"],
-            meta.dx, meta.dy, meta.dz, n_materials=meta.n_materials,
-            group=meta.group, lbits=meta.lbits)
-        out_x = _trace_cone_dominant(
-            a["pack_x"], (nz, nx, ny), a["src_x"], a["dirs_x"],
-            meta.dy, meta.dx, meta.dz, n_materials=meta.n_materials,
-            group=meta.group, lbits=meta.lbits)
-        paths = jnp.concatenate([out_y[:meta.n_y], out_x[:meta.n_x]],
-                                axis=0)
+    paths = _cone_paths(a, meta)
 
     cols = [sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_1"]),
             sp_ops.counts_from_paths(paths, a["mu_t2"], a["i0_2"])]
@@ -387,50 +448,9 @@ def cone_dect_step(arrays, meta: ConeDectMeta, axis_name=None,
             "recon_HU": (None, None),
             "mat_recons": (None, None),
         }
-    qs = jnp.stack([log1, log2, mat1, mat2]) * a["fdk_w"][None, None]
-    spec = jnp.fft.rfft(qs, n=meta.fft_len, axis=-1)
-    qs = jnp.fft.irfft(spec * a["filt_H"], n=meta.fft_len,
-                       axis=-1)[..., :C] * meta.dgamma
-    nz_local = meta.nz_out
-    if abs(meta.pitch) > 1e-12:
-        from ..ops.conebeam import _helical_backproject
-
-        beta_c = a["beta_c"]
-        z0 = meta.z0
-        if zslab_axis is not None and meta.n_zslab > 1:
-            nz_local = meta.nz_out // meta.n_zslab
-            jz = jax.lax.axis_index(zslab_axis)
-            beta_c = jax.lax.dynamic_slice(
-                beta_c, (jz * nz_local,), (nz_local,))
-            z0 = (meta.z0
-                  + jz.astype(jnp.float32) * nz_local * meta.dz_out)
-        # the view-shard psum happens INSIDE (num/den before the
-        # coverage normalization), so no volume psum follows
-        vols = _helical_backproject(
-            qs, a["betas"], a["src_z"], a["row_off"], beta_c,
-            meta.sid, meta.dgamma, meta.row_h, R, meta.pitch,
-            meta.n_matrix, nz_local, meta.fov, meta.dz_out, z0,
-            view_block=meta.fdk_view_block,
-            weighting=meta.helical_weighting, axis_name=axis_name,
-            pair_mode=_helical_pair_ok(meta.sid, meta.fov,
-                                       meta.row_h, meta.dz_out,
-                                       nz_local, R))
-    else:
-        z_center = 0.0
-        if zslab_axis is not None and meta.n_zslab > 1:
-            nz_local = meta.nz_out // meta.n_zslab
-            j = jax.lax.axis_index(zslab_axis).astype(jnp.float32)
-            z_center = (nz_local * meta.dz_out
-                        * (j - 0.5 * (meta.n_zslab - 1)))
-        vols = _fdk_backproject_multi(
-            qs, a["betas"], meta.sid, meta.dgamma, meta.row_h, R,
-            meta.n_matrix, nz_local, meta.fov, meta.dz_out, meta.dbeta,
-            z_center, view_block=meta.fdk_view_block,
-            pair_mode=_fdk_pair_ok(meta.sid, meta.fov, meta.row_h,
-                                   meta.dz_out, nz_local, R),
-            orbit4=meta.fdk_orbit4)
-        if axis_name is not None:  # accumulate the view wedges' volumes
-            vols = jax.lax.psum(vols, axis_name)
+    vols = cone_reconstruct_stack(
+        jnp.stack([log1, log2, mat1, mat2]), a, meta,
+        axis_name=axis_name, zslab_axis=zslab_axis)
     hu1 = 1000.0 * (vols[0] - meta.mu_w1) / meta.mu_w1
     hu2 = 1000.0 * (vols[1] - meta.mu_w2) / meta.mu_w2
     return {

@@ -358,3 +358,120 @@ def make_jitted_pcd_step(meta: PcdMeta):
     import functools
 
     return jax.jit(functools.partial(pcd_step, meta=meta))
+
+
+def pack_pcd_spectral_cone(ct, phantom, spec, thresholds, basis,
+                           n_matrix, fov, ramp=0.8, *, n_iters=10,
+                           noise="none", seed=0, pileup_tau=0.0,
+                           pileup_model="paralyzable",
+                           correct_pileup=True, response=None,
+                           mask_thresh=0.95, a_bounds=(-20.0, 500.0),
+                           **pack_kw):
+    """Fused cone-beam PCD: lower to ``(arrays, meta)`` for
+    :func:`make_jitted_pcd_cone_step`.
+
+    The 3-D analog of :func:`pack_pcd_spectral`, on
+    :func:`~dexct_tpu.pipeline.cone.pack_cone_dect`'s packed cone
+    tracer and multi-volume FDK/gFDK recon stage (circular AND helical
+    orbits).  Returns K basis VOLUMES.
+    """
+    from .cone import pack_cone_dect
+
+    if ct.eid:
+        raise ValueError("spectral PCD pipeline requires eid=False "
+                         "(photon-counting response)")
+    if len(thresholds) < len(basis):
+        raise ValueError(f"{len(basis)} basis materials need >= that "
+                         f"many bins (got {len(thresholds)})")
+    arrays, cmeta = pack_cone_dect(
+        ct, phantom, spec, spec, n_matrix, fov, ramp, n_iters=n_iters,
+        noise="none", mask_thresh=mask_thresh, **pack_kw)
+    for k in ("mu_t2", "i0_2", "i2_1", "i2_2", "dec_i0", "dec_mus",
+              "noise_key"):
+        arrays.pop(k, None)
+    if response is not None:
+        from ..physics.pcd_response import pcd_bin_fluences_realistic
+
+        i0s = pcd_bin_fluences_realistic(ct, spec, thresholds,
+                                         response=response)
+    else:
+        i0s = pcd_bin_fluences(ct, spec, thresholds)
+    mus = np.stack([xcom.mixatten(b.matcomp, np.asarray(spec.E))
+                    for b in basis])
+    arrays["i0_bins_T"] = jnp.asarray(np.asarray(i0s).T, jnp.float32)
+    arrays["dec_i0"] = jnp.asarray(i0s, jnp.float32)
+    arrays["dec_mus"] = jnp.asarray(mus, jnp.float32)
+    if pileup_tau > 0.0:
+        arrays["pileup_route"] = jnp.asarray(
+            bin_sum_redistribution(
+                thresholds, bin_mean_energies(i0s, spec.E)),
+            jnp.float32)
+    if noise != "none":
+        if noise == "compound":
+            raise ValueError("compound noise is the EID second-moment "
+                             "model; PCD bins are Poisson")
+        arrays["noise_key"] = jax.random.PRNGKey(seed)
+    meta = PcdMeta(
+        base=cmeta, n_bins=len(np.asarray(i0s)), n_basis=len(basis),
+        n_iters=int(n_iters), pileup_tau=float(pileup_tau),
+        pileup_model=str(pileup_model),
+        correct_pileup=bool(correct_pileup),
+        a_lo=float(a_bounds[0]), a_hi=float(a_bounds[1]),
+        noise=str(noise))
+    return arrays, meta
+
+
+def pcd_cone_step(arrays, meta: PcdMeta, axis_name=None,
+                  zslab_axis=None):
+    """One fused cone PCD step: packed trace -> M-bin counts ->
+    (pileup, noise, inversion) -> multi-bin GN -> K basis volumes."""
+    from ..ops import matdecomp as md_ops
+    from .cone import _cone_paths, cone_reconstruct_stack
+
+    a = arrays
+    cm = meta.base
+    V, R, C = cm.vrc
+    M = meta.n_bins
+    paths = _cone_paths(a, cm)
+    cols = sp_ops.counts_from_paths(paths, a["mu_t1"], a["i0_bins_T"])
+    packed = cols[a["inv"]]  # one row-M unpermute (the cone DE pattern)
+    counts = jnp.moveaxis(packed, -1, 0).reshape(M, V, R, C)
+    if meta.pileup_tau > 0.0:
+        counts = apply_pileup_bins(counts, meta.pileup_tau,
+                                   a["pileup_route"], meta.pileup_model)
+    if meta.noise != "none":
+        key = a["noise_key"]
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        counts = sp_ops.sample_noise(key, counts, meta.noise)
+    corrected = counts
+    if meta.pileup_tau > 0.0 and meta.correct_pileup:
+        corrected = correct_pileup_bins(counts, meta.pileup_tau,
+                                        a["pileup_route"],
+                                        meta.pileup_model)
+    ab = md_ops.gauss_newton_solve(
+        corrected.reshape(M, -1), a["dec_i0"], a["dec_mus"],
+        n_iters=meta.n_iters, a_bounds=(meta.a_lo, meta.a_hi),
+        warm_nodes=cm.gn_warm_nodes)
+    cmax = jnp.max(counts[0])
+    if axis_name is not None:
+        cmax = jax.lax.pmax(cmax, axis_name)
+    mask = counts[0] >= cm.mask_thresh * cmax
+    mats = jnp.where(mask[None], 0.0,
+                     ab.T.reshape(meta.n_basis, V, R, C))
+    recons = cone_reconstruct_stack(mats, a, cm, axis_name=axis_name,
+                                    zslab_axis=zslab_axis)
+    return {
+        "counts": counts,
+        "counts_corrected": corrected,
+        "basis_sinos": mats,
+        "basis_recons": recons,
+        "air_mask": mask,
+    }
+
+
+def make_jitted_pcd_cone_step(meta: PcdMeta):
+    """jit of :func:`pcd_cone_step` with the static meta closed over."""
+    import functools
+
+    return jax.jit(functools.partial(pcd_cone_step, meta=meta))
