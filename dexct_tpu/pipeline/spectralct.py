@@ -475,3 +475,96 @@ def make_jitted_pcd_cone_step(meta: PcdMeta):
     import functools
 
     return jax.jit(functools.partial(pcd_cone_step, meta=meta))
+
+
+def pack_pcd_spectral_cone_sharded(ct, phantom, spec, thresholds, basis,
+                                   n_matrix, fov, ramp=0.8, *,
+                                   n_devices, n_zslab=1, n_iters=10,
+                                   noise="none", seed=0,
+                                   pileup_tau=0.0,
+                                   pileup_model="paralyzable",
+                                   correct_pileup=True, response=None,
+                                   mask_thresh=0.95,
+                                   a_bounds=(-20.0, 500.0), **pack_kw):
+    """Shard the fused cone PCD over the ``views`` (× optional
+    ``zslab``) mesh axes.
+
+    Same collectives as the sharded cone DE (a pmax for the air mask
+    plus the recon stage's volume reduction — no halo); run via
+    :func:`make_sharded_pcd_cone_step`.  Returns
+    ``(arrays, meta, view_perm)`` — sinogram-shaped outputs come back
+    in the paired-quarter view order.
+    """
+    from .cone import pack_cone_dect_sharded
+
+    if ct.eid:
+        raise ValueError("spectral PCD pipeline requires eid=False")
+    arrays, cmeta, view_perm = pack_cone_dect_sharded(
+        ct, phantom, spec, spec, n_matrix, fov, ramp,
+        n_devices=n_devices, n_zslab=n_zslab, n_iters=n_iters,
+        noise="none", mask_thresh=mask_thresh, **pack_kw)
+    for k in ("mu_t2", "i0_2", "i2_1", "i2_2", "dec_i0", "dec_mus",
+              "noise_key"):
+        arrays.pop(k, None)
+    if response is not None:
+        from ..physics.pcd_response import pcd_bin_fluences_realistic
+
+        i0s = pcd_bin_fluences_realistic(ct, spec, thresholds,
+                                         response=response)
+    else:
+        i0s = pcd_bin_fluences(ct, spec, thresholds)
+    mus = np.stack([xcom.mixatten(b.matcomp, np.asarray(spec.E))
+                    for b in basis])
+    arrays["i0_bins_T"] = jnp.asarray(np.asarray(i0s).T, jnp.float32)
+    arrays["dec_i0"] = jnp.asarray(i0s, jnp.float32)
+    arrays["dec_mus"] = jnp.asarray(mus, jnp.float32)
+    if pileup_tau > 0.0:
+        arrays["pileup_route"] = jnp.asarray(
+            bin_sum_redistribution(
+                thresholds, bin_mean_energies(i0s, spec.E)),
+            jnp.float32)
+    if noise != "none":
+        if noise == "compound":
+            raise ValueError("PCD bins are Poisson; compound is EID")
+        arrays["noise_key"] = jax.random.PRNGKey(seed)
+    meta = PcdMeta(
+        base=cmeta, n_bins=len(np.asarray(i0s)), n_basis=len(basis),
+        n_iters=int(n_iters), pileup_tau=float(pileup_tau),
+        pileup_model=str(pileup_model),
+        correct_pileup=bool(correct_pileup),
+        a_lo=float(a_bounds[0]), a_hi=float(a_bounds[1]),
+        noise=str(noise))
+    return arrays, meta, view_perm
+
+
+def make_sharded_pcd_cone_step(mesh, meta: PcdMeta, arrays_keys,
+                               axis="views", zslab_axis=None):
+    """jitted shard_map of :func:`pcd_cone_step` over ``axis`` (and the
+    ``zslab`` axis of a composite mesh when ``meta.base.n_zslab > 1``)."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .cone import _CONE_VIEW_SHARDED
+
+    cm = meta.base
+    in_specs = {k: (P(axis) if k in _CONE_VIEW_SHARDED else P())
+                for k in arrays_keys}
+    zs = zslab_axis if (zslab_axis is not None and cm.n_zslab > 1) \
+        else None
+    # basis_recons is the STACK [K, nz, N, N]: the z-slab shard sits on
+    # axis 1 (the DE pipeline's per-volume tuples shard their axis 0)
+    vol_spec = P(None, zs) if zs else P()
+    out_specs = {
+        "counts": P(None, axis),
+        "counts_corrected": P(None, axis),
+        "basis_sinos": P(None, axis),
+        "basis_recons": vol_spec,
+        "air_mask": P(axis),
+    }
+    body = functools.partial(pcd_cone_step, meta=meta, axis_name=axis,
+                             zslab_axis=zs)
+    mapped = shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)

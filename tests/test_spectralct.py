@@ -324,3 +324,53 @@ class TestFusedPcdCone:
         assert abs(r[0][mid, 28:36, 28:36].mean() - 1.0) < 0.08
         assert abs(r[1][mid, 28:36, 28:36].mean()) < 0.05  # no bone
         assert np.isfinite(r).all()
+
+    def test_sharded_cone_pcd_matches_single_device(self):
+        # views and views x zslab meshes reproduce the single-device
+        # fused cone PCD (helical orbit; pmax + the recon-stage
+        # reduction are the only collectives)
+        import jax
+        from jax.sharding import Mesh
+
+        from dexct_tpu.pipeline.spectralct import (
+            make_jitted_pcd_cone_step,
+            make_sharded_pcd_cone_step,
+            pack_pcd_spectral_cone,
+            pack_pcd_spectral_cone_sharded,
+        )
+
+        ct, ph3, spec, thr, basis = self._inputs(helical=True)
+        import dataclasses
+
+        ct = dataclasses.replace(ct, rotation_total=2 * np.pi,
+                                 pitch=3.0)
+        ph3 = dataclasses.replace(
+            ph3, labels=np.broadcast_to(ph3.labels[0],
+                                        (16, 64, 64)).copy())
+        a0, m0 = pack_pcd_spectral_cone(ct, ph3, spec, thr, basis, 48,
+                                        24.0, 0.8, n_iters=10)
+        ref = make_jitted_pcd_cone_step(m0)(a0)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("views",))
+        sa, sm, perm = pack_pcd_spectral_cone_sharded(
+            ct, ph3, spec, thr, basis, 48, 24.0, 0.8, n_devices=4,
+            n_iters=10)
+        out = make_sharded_pcd_cone_step(mesh, sm, tuple(sa))(sa)
+        np.testing.assert_allclose(
+            np.asarray(out["basis_recons"]),
+            np.asarray(ref["basis_recons"]), atol=1e-5)
+        nat = np.asarray(out["basis_sinos"])[:, np.argsort(perm)]
+        np.testing.assert_allclose(
+            nat, np.asarray(ref["basis_sinos"]), atol=1e-4)
+
+        if m0.base.nz_out % 2 == 0:
+            mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                         ("views", "zslab"))
+            za, zm, _ = pack_pcd_spectral_cone_sharded(
+                ct, ph3, spec, thr, basis, 48, 24.0, 0.8,
+                n_devices=4, n_zslab=2, n_iters=10)
+            zout = make_sharded_pcd_cone_step(
+                mesh2, zm, tuple(za), zslab_axis="zslab")(za)
+            np.testing.assert_allclose(
+                np.asarray(zout["basis_recons"]),
+                np.asarray(ref["basis_recons"]), atol=1e-5)
