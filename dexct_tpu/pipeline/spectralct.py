@@ -568,3 +568,89 @@ def make_sharded_pcd_cone_step(mesh, meta: PcdMeta, arrays_keys,
     mapped = shard_map(body, mesh=mesh, in_specs=(in_specs,),
                        out_specs=out_specs, check_vma=False)
     return jax.jit(mapped)
+
+
+def pack_pcd_spectral_sharded(ct, phantom, spec, thresholds, basis,
+                              n_matrix, fov, ramp=0.8, *, n_devices,
+                              n_iters=10, projector="siddon_dominant",
+                              noise="none", seed=0, pileup_tau=0.0,
+                              pileup_model="paralyzable",
+                              correct_pileup=True, response=None,
+                              mask_thresh=0.95,
+                              a_bounds=(-20.0, 500.0), **pack_kw):
+    """Shard the 2-D fused PCD over the ``views`` mesh axis.
+
+    Reuses the DE pipeline's sharded pack
+    (:func:`~dexct_tpu.parallel.halo.pack_dect_sharded`: paired-quarter
+    view layout, ring-halo rebin tables, per-shard dominant-axis ray
+    plans) with the PCD spectral tables swapped in.  Returns
+    ``(arrays, meta, plan)`` — run via :func:`make_sharded_pcd_step`;
+    sinogram outputs come back in the permuted view order
+    (``plan.to_natural``).
+    """
+    from ..parallel.halo import pack_dect_sharded
+
+    if ct.eid:
+        raise ValueError("spectral PCD pipeline requires eid=False")
+    arrays, dmeta, plan = pack_dect_sharded(
+        ct, phantom, spec, spec, n_matrix, fov, ramp,
+        n_devices=n_devices, projector=projector, n_iters=n_iters,
+        noise="none", mask_thresh=mask_thresh, **pack_kw)
+    for k in ("mu_t2", "i0_2", "i2_1", "i2_2", "dec_i0", "dec_mus",
+              "noise_key"):
+        arrays.pop(k, None)
+    if response is not None:
+        from ..physics.pcd_response import pcd_bin_fluences_realistic
+
+        i0s = pcd_bin_fluences_realistic(ct, spec, thresholds,
+                                         response=response)
+    else:
+        i0s = pcd_bin_fluences(ct, spec, thresholds)
+    mus = np.stack([xcom.mixatten(b.matcomp, np.asarray(spec.E))
+                    for b in basis])
+    arrays["i0_bins_T"] = jnp.asarray(np.asarray(i0s).T, jnp.float32)
+    arrays["dec_i0"] = jnp.asarray(i0s, jnp.float32)
+    arrays["dec_mus"] = jnp.asarray(mus, jnp.float32)
+    if pileup_tau > 0.0:
+        arrays["pileup_route"] = jnp.asarray(
+            bin_sum_redistribution(
+                thresholds, bin_mean_energies(i0s, spec.E)),
+            jnp.float32)
+    if noise != "none":
+        if noise == "compound":
+            raise ValueError("PCD bins are Poisson; compound is EID")
+        arrays["noise_key"] = jax.random.PRNGKey(seed)
+    meta = PcdMeta(
+        base=dmeta, n_bins=len(np.asarray(i0s)), n_basis=len(basis),
+        n_iters=int(n_iters), pileup_tau=float(pileup_tau),
+        pileup_model=str(pileup_model),
+        correct_pileup=bool(correct_pileup),
+        a_lo=float(a_bounds[0]), a_hi=float(a_bounds[1]),
+        noise=str(noise))
+    return arrays, meta, plan
+
+
+def make_sharded_pcd_step(mesh, meta: PcdMeta, arrays_keys,
+                          axis="views"):
+    """jitted shard_map of :func:`pcd_step` over the ``views`` axis
+    (basis recons come back fully reduced, sinograms view-sharded)."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharded import _in_specs
+
+    out_specs = {
+        "counts": P(None, axis),
+        "counts_corrected": P(None, axis),
+        "basis_sinos": P(None, axis),
+        "basis_recons": P(),
+        "air_mask": P(axis),
+    }
+    body = functools.partial(pcd_step, meta=meta, axis_name=axis)
+    mapped = shard_map(body, mesh=mesh,
+                       in_specs=(_in_specs(
+                           dict.fromkeys(arrays_keys), axis),),
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)
