@@ -14,7 +14,9 @@ from .gated import gate_weights, gated_fbp_recon, gated_series, view_phases
 from .realism import (Stage, apply_chain, correct_chain,
                       simulate_dect_realistic)
 from .kvswitch import simulate_kvswitch_dect
-from .spectralct import (SpectralResult, simulate_pcd_spectral,
+from .spectralct import (SpectralResult, make_jitted_pcd_cone_step,
+                         make_jitted_pcd_step, pack_pcd_spectral,
+                         pack_pcd_spectral_cone, simulate_pcd_spectral,
                          simulate_pcd_spectral_cone)
 from .tcm import auto_tcm_profile, simulate_tcm_dect
 from .runner import DEFAULT_SPEC_PAIRS, run_config, run_parameter_file
@@ -33,6 +35,10 @@ __all__ = [
     "SpectralResult",
     "simulate_pcd_spectral",
     "simulate_pcd_spectral_cone",
+    "pack_pcd_spectral",
+    "pack_pcd_spectral_cone",
+    "make_jitted_pcd_step",
+    "make_jitted_pcd_cone_step",
     "auto_tcm_profile",
     "simulate_tcm_dect",
     "get_sino",
