@@ -95,6 +95,13 @@ MUSCLE = Material(
     "muscle", 1.05,
     "H(10.2)C(14.3)N(3.4)O(71.0)Na(0.1)P(0.2)S(0.3)Cl(0.1)K(0.4)",
 )
+# ICRU-44 whole brain and cerebrospinal fluid (the head phantom's
+# interior; CSF is within 1% of water radiologically)
+BRAIN = Material(
+    "brain", 1.04,
+    "H(10.7)C(14.5)N(2.2)O(71.2)Na(0.2)P(0.4)S(0.2)Cl(0.3)K(0.3)",
+)
+CSF = Material("csf", 1.007, "H(11.1)O(88.0)Na(0.5)Cl(0.4)")
 
 BUILTIN_MATERIALS = {
     m.name: m

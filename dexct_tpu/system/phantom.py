@@ -352,6 +352,70 @@ def pelvis_phantom_3d(N=256, nz=32, dx=0.2, dz=None, implant=None,
                         dx, dx, dz)
 
 
+def head_phantom(N=512, dx=0.05, implant=None, name=None):
+    """Synthetic anthropomorphic head slice — the classic
+    beam-hardening / posterior-fossa testbed (beyond the reference's
+    pelvis-only phantom set, plots.py:122-127).
+
+    Label map: 0 air, 1 soft tissue (scalp), 2 cortical bone (skull
+    shell + petrous ridges), 3 diploe (marrow between the skull
+    tables), 4 brain (ICRU-44), 5 CSF (lateral ventricles + a thin
+    subarachnoid rim), 6 frontal sinus air is label 0 again, and
+    optionally 7 = dental/clip metal (``implant in {'titanium',
+    'steel'}``).  Geometry is head-shaped (anterior-posterior long
+    ellipse) with the thick-skull/petrous features that drive the
+    classic interpetrous (Hounsfield-bar) hardening streaks.
+    """
+    from ..physics.materials import BRAIN, CSF, MARROW
+
+    half = N * dx / 2.0
+    rx, ry = 0.62 * half, 0.80 * half  # head: long axis anterior-post.
+    labels = np.zeros((N, N), dtype=np.uint8)
+
+    # scalp -> outer skull table
+    labels[_ellipse_mask(N, dx, 0, 0, rx, ry)] = 1
+    outer = _ellipse_mask(N, dx, 0, 0, 0.92 * rx, 0.94 * ry)
+    inner = _ellipse_mask(N, dx, 0, 0, 0.80 * rx, 0.85 * ry)
+    diplo = _ellipse_mask(N, dx, 0, 0, 0.86 * rx, 0.90 * ry)
+    labels[outer] = 2           # outer table
+    labels[diplo] = 3           # diploe (marrow)
+    labels[_ellipse_mask(N, dx, 0, 0, 0.82 * rx, 0.87 * ry)] = 2
+    labels[inner] = 4           # brain
+    # thin subarachnoid CSF rim inside the inner table
+    rim_out = _ellipse_mask(N, dx, 0, 0, 0.80 * rx, 0.85 * ry)
+    rim_in = _ellipse_mask(N, dx, 0, 0, 0.76 * rx, 0.81 * ry)
+    labels[rim_out & ~rim_in] = 5
+    labels[rim_in] = 4
+
+    # petrous ridges (dense bone wedges either side of the posterior
+    # fossa — the interpetrous streak generator)
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.42 * rx, -0.35 * ry,
+                             0.22 * rx, 0.10 * ry,
+                             angle=sx * 0.35)] = 2
+    # lateral ventricles (CSF)
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.16 * rx, 0.10 * ry,
+                             0.10 * rx, 0.22 * ry,
+                             angle=-sx * 0.25)] = 5
+    # frontal sinus (interior air)
+    labels[_ellipse_mask(N, dx, 0.0, 0.80 * ry, 0.14 * rx,
+                         0.055 * ry)] = 0
+
+    mats = [AIR, TISSUE, BONE, MARROW, BRAIN, CSF]
+    if implant:
+        metal = {"titanium": TITANIUM, "steel": STEEL_316L}[implant]
+        mats.append(metal)
+        # dental fillings: two small anterior metal blobs
+        for sx in (-1, 1):
+            labels[_ellipse_mask(N, dx, sx * 0.12 * rx, 0.64 * ry,
+                                 0.030 * rx, 0.022 * ry)] = 6
+
+    default_name = "head" + (f"_{implant}" if implant else "")
+    return VoxelPhantom(name or default_name, labels,
+                        MaterialTable(mats), dx, dx, dx)
+
+
 def qa_phantom(N=256, dx=0.1, name="qa"):
     """Catphan-style image-quality phantom + its measurement spec.
 

@@ -252,3 +252,49 @@ class TestConfig:
         assert abs(rc.ct.gamma_fan - 0.8230337) < 1e-9
         assert rc.ct.detector.E.shape == (6000,)
         assert rc.ramp == 0.8
+
+
+class TestHeadPhantom:
+    """Round-3 anthropomorphic head slice (system.phantom.head_phantom):
+    skull tables + diploe, petrous ridges, ventricles, sinus."""
+
+    def test_labels_and_mono_anchors(self):
+        import numpy as np
+
+        from dexct_tpu.system.phantom import head_phantom
+
+        ph = head_phantom(N=256, dx=0.1)
+        lab = ph.slice_labels()
+        # all six tissue classes present
+        assert set(np.unique(lab)) == {0, 1, 2, 3, 4, 5}
+        m = np.asarray(ph.M_mono(70.0))
+        c = slice(118, 138)
+        assert 0.0 < m[c, c].mean() < 60.0       # brain ~ +20 HU
+        assert m.max() > 1200.0                  # cortical skull
+        assert m[0, 0] < -990.0                  # air
+        # CSF ventricles sit below brain
+        vent = lab == 5
+        brain = lab == 4
+        assert m[vent].mean() < m[brain].mean()
+
+    def test_implant_variant_and_pipeline_smoke(self):
+        import numpy as np
+
+        from dexct_tpu.pipeline.api import get_recon, get_sino
+        from dexct_tpu.physics.spectrum import kramers_spectrum
+        from dexct_tpu.system import FanBeamGeometry
+        from dexct_tpu.system.phantom import head_phantom
+
+        ph = head_phantom(N=128, dx=0.2, implant="titanium")
+        assert ph.n_materials == 7
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        _, slog = get_sino(ct, ph, spec)
+        _, hu = get_recon(slog, ct, spec, 128, 26.0, 0.8)
+        hu = np.asarray(hu)
+        # brain interior reconstructs near water, skull strongly bright
+        assert -120.0 < hu[58:70, 58:70].mean() < 120.0
+        assert hu.max() > 700.0
