@@ -416,6 +416,83 @@ def head_phantom(N=512, dx=0.05, implant=None, name=None):
                         MaterialTable(mats), dx, dx, dx)
 
 
+def head_phantom_3d(N=256, nz=32, dx=0.1, dz=None, implant=None,
+                    name=None):
+    """Z-varying anthropomorphic head volume (cranial vault dome).
+
+    Adds over :func:`head_phantom`: the head cross-section and skull
+    shell follow an ellipsoidal vault (shrinking toward the vertex with
+    the brain disappearing into diploe/table bone), the lateral
+    ventricles and frontal sinus are z-limited bodies, the petrous
+    ridges live only in the skull-base slices, and above the vertex the
+    slices go to air — the hard z-gradient case for cone/helical
+    reconstruction.  Labels as :func:`head_phantom`.
+    """
+    from ..physics.materials import BRAIN, CSF, MARROW
+
+    dz = dx if dz is None else dz
+    half = N * dx / 2.0
+    L = nz * dz
+    zc = (np.arange(nz) + 0.5 - nz / 2.0) * dz
+    labels = np.zeros((nz, N, N), dtype=np.uint8)
+    rx0, ry0 = 0.62 * half, 0.80 * half
+
+    for iz, z in enumerate(zc):
+        u = z / (0.5 * L)  # -1 skull base .. +1 vertex
+        # vault: full section through the lower half, ellipsoidal
+        # shrink toward the vertex, air above it
+        f = 1.0 if u <= 0.1 else np.sqrt(max(
+            1.0 - ((u - 0.1) / 0.85) ** 2, 0.0))
+        if f <= 0.05:
+            continue
+        rx, ry = f * rx0, f * ry0
+        lab = labels[iz]
+        lab[_ellipse_mask(N, dx, 0, 0, rx, ry)] = 1
+        lab[_ellipse_mask(N, dx, 0, 0, 0.92 * rx, 0.94 * ry)] = 2
+        lab[_ellipse_mask(N, dx, 0, 0, 0.86 * rx, 0.90 * ry)] = 3
+        lab[_ellipse_mask(N, dx, 0, 0, 0.82 * rx, 0.87 * ry)] = 2
+        # the brain is its own, slightly smaller ellipsoid — it
+        # vanishes BEFORE the vault cap (top slices are solid
+        # table/diploe bone, as anatomically)
+        fb = np.sqrt(max(1.0 - ((u - 0.05) / 0.72) ** 2, 0.0)) \
+            if u > 0.05 else 1.0
+        if fb > 0.05:
+            lab[_ellipse_mask(N, dx, 0, 0,
+                              min(fb * 0.80 * rx0, 0.80 * rx),
+                              min(fb * 0.85 * ry0, 0.85 * ry))] = 5
+            lab[_ellipse_mask(N, dx, 0, 0,
+                              min(fb * 0.76 * rx0, 0.76 * rx),
+                              min(fb * 0.81 * ry0, 0.81 * ry))] = 4
+        if u < -0.45:  # petrous ridges at the skull base
+            for sx in (-1, 1):
+                lab[_ellipse_mask(N, dx, sx * 0.42 * rx0, -0.35 * ry0,
+                                  0.22 * rx0, 0.10 * ry0,
+                                  angle=sx * 0.35)] = 2
+        vz = (z + 0.05 * L) / (0.22 * L)  # ventricles: mid-head band
+        if abs(vz) < 1.0:
+            g = np.sqrt(1.0 - vz * vz)
+            for sx in (-1, 1):
+                lab[_ellipse_mask(N, dx, sx * 0.16 * rx0, 0.10 * ry0,
+                                  g * 0.10 * rx0, g * 0.22 * ry0,
+                                  angle=-sx * 0.25)] = 5
+        sz_ = (z + 0.28 * L / 2.0) / (0.12 * L)  # frontal sinus band
+        if abs(sz_) < 1.0 and f > 0.8:
+            lab[_ellipse_mask(N, dx, 0.0, 0.80 * ry, 0.14 * rx,
+                              0.055 * ry)] = 0
+        if implant and -0.55 < u < -0.25:  # dental metal band
+            for sx in (-1, 1):
+                lab[_ellipse_mask(N, dx, sx * 0.12 * rx0, 0.64 * ry0,
+                                  0.030 * rx0, 0.022 * ry0)] = 6
+
+    mats = [AIR, TISSUE, BONE, MARROW, BRAIN, CSF]
+    if implant:
+        mats.append({"titanium": TITANIUM,
+                     "steel": STEEL_316L}[implant])
+    default_name = "head3d" + (f"_{implant}" if implant else "")
+    return VoxelPhantom(name or default_name, labels,
+                        MaterialTable(mats), dx, dx, dz)
+
+
 def qa_phantom(N=256, dx=0.1, name="qa"):
     """Catphan-style image-quality phantom + its measurement spec.
 

@@ -298,3 +298,40 @@ class TestHeadPhantom:
         # brain interior reconstructs near water, skull strongly bright
         assert -120.0 < hu[58:70, 58:70].mean() < 120.0
         assert hu.max() > 700.0
+
+    def test_head_phantom_3d_vault(self):
+        import numpy as np
+
+        from dexct_tpu.system.phantom import head_phantom_3d
+
+        ph = head_phantom_3d(N=128, nz=24, dx=0.2, dz=0.3)
+        lab = np.asarray(ph.labels)
+        assert lab.shape == (24, 128, 128)
+        # head area shrinks toward the vertex; top slices are air
+        areas = (lab > 0).sum(axis=(1, 2))
+        mid, top = areas[12], areas[-2]
+        assert top < 0.6 * mid
+        assert areas[-1] <= areas[-2]
+        # brain exists mid-head but not in the vault cap
+        assert (lab[10] == 4).sum() > 0
+        cap = np.nonzero(areas > 0)[0][-1]
+        assert (lab[cap] == 4).sum() == 0
+        # petrous ridges only at the base: more cortical bone fraction
+        base_bone = (lab[1] == 2).sum() / max(areas[1], 1)
+        mid_bone = (lab[12] == 2).sum() / max(areas[12], 1)
+        assert base_bone > mid_bone
+        # cone scan traces it (exact 3-D) and FDK reconstructs finite
+        import jax.numpy as jnp
+
+        from dexct_tpu.ops.conebeam import (cone_material_paths,
+                                            fdk_reconstruct)
+        from dexct_tpu.system import ConeBeamGeometry
+
+        ct = ConeBeamGeometry(N_channels=64, N_proj=48, N_rows=8,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.9)
+        mu = ph.materials.mu_table(np.array([70.0]))[:, 0]
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph, ct),
+                          jnp.asarray(mu, jnp.float32))
+        vol = np.asarray(fdk_reconstruct(sino, ct, 64, 26.0, 0.8))
+        assert np.isfinite(vol).all() and vol.max() > 0.1
