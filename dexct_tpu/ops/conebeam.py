@@ -660,11 +660,14 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     The residual z-varying artifact is intrinsic to the
     interpolating-gFDK class (it grows with edge sharpness, not with
     pitch); the exact-helical alternative is
-    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct` — at
-    clinical pitch (~R*h/2) gFDK's view redundancy wins (1-5% vs
-    Katsevich's 3-15% row-sampling floor), at high pitch (>= 2x that)
-    Katsevich is ~5x more accurate (4% vs 20%, z-varying sphere
-    study).
+    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct`.  Measured
+    (z-varying sphere, max interior error vs matched fan truth,
+    round-3 spectral-derivative chain): clinical pitch (~R*h/2) gFDK's
+    2-pi view redundancy still edges it (1.2% vs 1.7%); at R=16 and
+    2.75x that pitch they tie (4.0% vs 3.9%); with few rows at high
+    pitch (R=8, pitch 5.5) gFDK's window interpolation explodes to
+    ~20% while Katsevich holds 3.9% — the regime the exact method
+    exists for.
     """
     from .filters import filter_frequency_response
 
@@ -1355,8 +1358,9 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     :func:`helical_fdk_reconstruct` (for
     :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`);
     ``recon='katsevich'`` selects the exact
-    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct` (``ramp``
-    is ignored — the Katsevich filter chain is fixed).
+    :func:`~dexct_tpu.ops.katsevich.katsevich_reconstruct`; ``ramp``
+    feeds its window-matched spectral derivative, so the exact path
+    reconstructs at the SAME in-plane MTF as the fan/gFDK paths.
     """
     from . import matdecomp as md
     from . import spectral as sp_ops
@@ -1413,12 +1417,13 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
                      else "fdk")
     if recon == "katsevich":
-        # exact helical path; its filter chain is fixed (derivative +
-        # Hilbert), so the ``ramp`` apodization parameter does not apply
+        # exact helical path; ``ramp`` apodizes its spectral
+        # fixed-direction derivative (the chain's only |w| factor), so
+        # the in-plane MTF matches the fan/gFDK reconstructions
         from .katsevich import katsevich_reconstruct
 
         vols = [np.asarray(katsevich_reconstruct(
-                    s, ct, n_matrix, fov, **recon_kw))
+                    s, ct, n_matrix, fov, ramp=ramp, **recon_kw))
                 for s in (log1, log2, mat1, mat2)]
     elif recon == "helical":
         # one stacked multi-volume gFDK call: all four volumes' taps

@@ -18,9 +18,13 @@ relative to the source plane):
 
 1. **Derivative at constant ray direction**: the ray direction depends
    on ``b + g`` only, so the fixed-direction chain rule is
-   ``g1 = dg/db - dg/dg``, each partial a centered difference at its
-   own grid resolution (see :func:`_fixed_direction_derivative` for
-   why the literal fixed-direction stencil must NOT be used).
+   ``g1 = dg/db - dg/dg`` — the beta partial a 4th-order centered
+   difference, the gamma partial (by default) an exact spectral
+   derivative apodized with the same windowed rolloff as the 2-D fan
+   filter, which matches the chain's in-plane MTF to the package's
+   fan/FDK reconstructions (see :func:`_fixed_direction_derivative`
+   for why the literal fixed-direction stencil must NOT be used, and
+   for the measured stencil-vs-spectral study).
 2. **Cone-length weight** ``cos k = SID/sqrt(SID^2+h^2)`` per row.
 3. **Forward kappa rebinning**: the kappa-plane K(b, psi) through the
    source and the helix points at ``b+psi, b+2 psi`` intersects the
@@ -77,11 +81,29 @@ def _kappa_height(psi, gam, c):
     return c * (psi * np.cos(gam) - ratio * np.sin(gam))
 
 
-def _plan(ct, n_psi):
+def _cr_weights(t):
+    """Catmull-Rom weights for taps at offsets (-1, 0, 1, 2) from the
+    floor index, fraction ``t`` in [0, 1].  Interpolating (reproduces
+    the samples exactly at t=0,1) and C^1 — the standard 4-tap cubic."""
+    t = np.asarray(t, np.float64)
+    t2, t3 = t * t, t * t * t
+    return np.stack([-0.5 * t + t2 - 0.5 * t3,
+                     1.0 - 2.5 * t2 + 1.5 * t3,
+                     0.5 * t + 2.0 * t2 - 1.5 * t3,
+                     -0.5 * t2 + 0.5 * t3], axis=-1)
+
+
+def _plan(ct, n_psi, interp="linear"):
     """Host tables for one helical geometry.
 
     Returns (Wf [n_psi, C, R], Wb [C, R, n_psi], kern [L] fft kernel
     spectrum prep inputs, psi grid) — all float32 numpy.
+
+    ``interp``: "linear" (2-tap) or "cubic" (4-tap Catmull-Rom, edge
+    taps clamped) for BOTH resamplings.  Measured
+    (tools/bench_katsevich_interp.py): cubic trims ~0.5% at high pitch
+    but its clamped edge taps near the TD boundary add a ~0.7%
+    amplitude bias, so linear is the default.
     """
     P = float(ct.pitch)
     sid = float(ct.SID)
@@ -103,15 +125,21 @@ def _plan(ct, n_psi):
     psi_max = 0.5 * np.pi + gm + 0.35
     psis = np.linspace(-psi_max, psi_max, n_psi)
 
-    # forward rebin: row lerp of h_kappa(psi_p, gam_c)
+    # forward rebin: row interpolation of h_kappa(psi_p, gam_c)
     hk = _kappa_height(psis[:, None], gam[None, :], c)  # [n_psi, C]
     ridx = hk / h_iso - 0.5 + R / 2.0
     r0 = np.clip(np.floor(ridx), 0, R - 2).astype(np.int64)
     fr = np.clip(ridx - r0, 0.0, 1.0)
     Wf = np.zeros((n_psi, C, R), np.float64)
     ii, jj = np.meshgrid(np.arange(n_psi), np.arange(C), indexing="ij")
-    Wf[ii, jj, r0] = 1.0 - fr
-    Wf[ii, jj, r0 + 1] = fr
+    if interp == "cubic":
+        w4 = _cr_weights(fr)  # [n_psi, C, 4]
+        for k, off in enumerate((-1, 0, 1, 2)):
+            np.add.at(Wf, (ii, jj, np.clip(r0 + off, 0, R - 1)),
+                      w4[..., k])
+    else:
+        Wf[ii, jj, r0] = 1.0 - fr
+        Wf[ii, jj, r0 + 1] = fr
 
     # backward rebin: smallest-|psi| root of h_kappa(psi, g) = h_row,
     # walked outward from psi=0 on a fine grid (h_kappa is monotone
@@ -145,8 +173,14 @@ def _plan(ct, n_psi):
             pidx = (psi_hat - psis[0]) / dpsi
             p0 = int(np.clip(np.floor(pidx), 0, n_psi - 2))
             fp = np.clip(pidx - p0, 0.0, 1.0)
-            Wb[ci, ri, p0] = 1.0 - fp
-            Wb[ci, ri, p0 + 1] = fp
+            if interp == "cubic":
+                w4 = _cr_weights(fp)
+                for k, off in enumerate((-1, 0, 1, 2)):
+                    Wb[ci, ri, int(np.clip(p0 + off, 0, n_psi - 1))] \
+                        += w4[k]
+            else:
+                Wb[ci, ri, p0] = 1.0 - fp
+                Wb[ci, ri, p0 + 1] = fp
     return Wf.astype(np.float32), Wb.astype(np.float32), psis
 
 
@@ -165,11 +199,12 @@ def _hilbert_kernel(C, dgamma, L):
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "n_rows", "view_block",
-                     "fov"),
+                     "fov", "interp"),
 )
 def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
                            pitch, n_matrix, nz_out, fov, dz_out, z0,
-                           beta_mid, dbeta, taper, *, view_block=8):
+                           beta_mid, dbeta, taper, *, view_block=8,
+                           interp="linear"):
     """PI-window backprojection of the Katsevich-filtered data.
 
     Same traversal structure as the gFDK backprojector
@@ -217,11 +252,20 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
         hbot = -qp * (np.pi - 2.0 * gam) / cg
 
         qb = gf[vo]
-        qb_c1 = jnp.concatenate([qb[..., 1:], qb[..., -1:]], -1)
         qb_r1 = jnp.concatenate([qb[:, 1:], qb[:, -1:]], 1)
-        qb_r1c1 = jnp.concatenate([qb_r1[..., 1:], qb_r1[..., -1:]], -1)
-        packed_flat = jnp.stack(
-            [qb, qb_c1, qb_r1, qb_r1c1], -1).reshape(vb * R * C, 4)
+        if interp == "cubic":
+            # 4 row taps (r0-1 .. r0+2, edges replicated == clamped)
+            # x 2 channel taps in one 8-wide packed row
+            qb_rm1 = jnp.concatenate([qb[:, :1], qb[:, :-1]], 1)
+            qb_r2 = jnp.concatenate([qb_r1[:, 1:], qb_r1[:, -1:]], 1)
+            row_taps = (qb_rm1, qb, qb_r1, qb_r2)
+        else:
+            row_taps = (qb, qb_r1)
+        taps = []
+        for rt in row_taps:
+            taps.append(rt)
+            taps.append(jnp.concatenate([rt[..., 1:], rt[..., -1:]], -1))
+        packed_flat = jnp.stack(taps, -1).reshape(vb * R * C, len(taps))
         voff_b = jnp.arange(vb, dtype=jnp.int32)
 
         def one_slice(z):
@@ -240,10 +284,20 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
             w = w_amp * w_z * w_td
             idx = (r0.astype(jnp.int32) * C + c0.astype(jnp.int32)
                    + voff_b[:, None] * (R * C))
-            rows = packed_flat[idx.reshape(-1)].reshape(idx.shape + (4,))
-            top = rows[..., 0] * (1 - fc) + rows[..., 1] * fc
-            bot = rows[..., 2] * (1 - fc) + rows[..., 3] * fc
-            val = top * (1 - fr) + bot * fr
+            rows = packed_flat[idx.reshape(-1)].reshape(
+                idx.shape + (len(taps),))
+            if interp == "cubic":
+                fr2, fr3 = fr * fr, fr * fr * fr
+                wr = (-0.5 * fr + fr2 - 0.5 * fr3,
+                      1.0 - 2.5 * fr2 + 1.5 * fr3,
+                      0.5 * fr + 2.0 * fr2 - 1.5 * fr3,
+                      -0.5 * fr2 + 0.5 * fr3)
+            else:
+                wr = (1.0 - fr, fr)
+            val = sum(
+                wj * (rows[..., 2 * j] * (1 - fc)
+                      + rows[..., 2 * j + 1] * fc)
+                for j, wj in enumerate(wr))
             return jnp.sum(val * w, axis=0)
 
         return acc + jax.vmap(one_slice)(zc), None
@@ -259,13 +313,26 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
     return vol.reshape(nz_out, N, N)
 
 
-def _fixed_direction_derivative(g, dbeta, dgamma):
+def _fixed_direction_derivative(g, dbeta, dgamma, *, deriv="stencil4",
+                                ramp=0.8, window="sinc"):
     """``g1 = dg/dbeta - dg/dgamma`` — the derivative at constant ray
     direction (direction depends on ``beta + gamma`` only, so the
-    fixed-direction chain rule subtracts the two partials), each as a
-    4th-order centered difference at its OWN grid resolution.
+    fixed-direction chain rule subtracts the two partials).  The beta
+    partial is a 4th-order centered difference (measured non-limiting:
+    96 -> 384 views/turn moves the z-varying study < 0.3%); the gamma
+    partial is selected by ``deriv``:
 
-    Two measured traps here (z-varying sphere study, R=16):
+    * ``"stencil4"`` — 4th-order centered difference.  Its transfer
+      ``(8 sin(w h) - sin(2 w h)) / (6 h)`` rolls off to 0.85x the
+      ideal ``w`` at half-Nyquist and 0 at Nyquist, i.e. it carries a
+      fixed low-pass that is NOT matched to any fan-FBP window.
+    * ``"spectral"`` — exact FFT derivative ``i w`` apodized by the
+      SAME windowed rolloff family the 2-D fan filter uses
+      (:func:`~dexct_tpu.ops.filters._window`, default Shepp-Logan at
+      0.8 Nyquist).  This matches the Katsevich chain's in-plane MTF
+      to the package's fan/FDK reconstructions.
+
+    Measured traps (z-varying sphere study, R=16):
 
     * Do NOT implement this as the literal fixed-direction stencil
       ``[g(b+db, g-db) - g(b-db, g+db)] / 2db``: at protocol view
@@ -274,15 +341,20 @@ def _fixed_direction_derivative(g, dbeta, dgamma):
       at 96 views/turn: off-center disk reconstructs at 0.60-0.85 of
       truth — a resolution artifact, not a formula error; the split
       form restores 0.997-1.00).
-    * Stencil order sets the resolution floor: 2nd-order centered
-      differences leave 6.8% max interior error vs the matched fan
-      FBP; 4th-order halves it to 3.6%.  An EXACT spectral gamma
-      derivative (|w| ramp folded into the Hilbert kernel) overshoots
-      to 10% — unapodized ringing — so the 4th-order stencil's smooth
-      rolloff is the accuracy sweet spot, not a compromise.
+    * Stencil order sets an MTF-mismatch floor vs the windowed-ramp
+      fan truth: 2nd-order differences leave 6.8% max interior error,
+      4th-order 4.3% — of which 3.3% reproduces on a z-UNIFORM object,
+      i.e. it is in-plane resolution mismatch, not helical error.  An
+      UNapodized spectral derivative overshoots to 10% (ringing); the
+      window-matched spectral derivative removes the mismatch term:
+      z-varying sphere 3.3% -> 1.7% max (0.4% rms) at clinical pitch.
+      The remainder is detector-row z-sampling, not the filter chain
+      (halving h_iso at pitch 5.5 halves it: 3.9% -> 1.6%) — the
+      VALIDATION.md helical-exactness rows.
 
     Edges replicate (edge views sit outside every interior PI
-    interval; edge channels see air)."""
+    interval; edge channels see air; the spectral path zero-pads,
+    exact for log sinograms whose edge channels see air)."""
 
     def pad2(a, ax):
         first = jnp.take(a, jnp.array([0]), axis=ax)
@@ -293,26 +365,56 @@ def _fixed_direction_derivative(g, dbeta, dgamma):
     gb = pad2(g, 0)
     d_b = (8.0 * (gb[3:3 + V] - gb[1:1 + V])
            - (gb[4:4 + V] - gb[0:V])) / (12.0 * dbeta)
-    gc = pad2(g, g.ndim - 1)
-    d_c = (8.0 * (gc[..., 3:3 + C] - gc[..., 1:1 + C])
-           - (gc[..., 4:4 + C] - gc[..., 0:C])) / (12.0 * dgamma)
+    if deriv == "spectral":
+        from .filters import _window
+        L = 1
+        while L < 2 * C:
+            L *= 2
+        f = np.fft.rfftfreq(L, d=dgamma)  # cycles / radian
+        f_nyq = 0.5 / dgamma
+        apod = _window(f / f_nyq, ramp, window)
+        # host->device transfer must be REAL (complex64 transfers are
+        # unimplemented on the tunnel backend — CLAUDE.md); promote to
+        # the imaginary axis on device
+        mult_im = jnp.asarray((2.0 * np.pi) * f * apod, jnp.float32)
+        spec = jnp.fft.rfft(g, n=L, axis=-1) * (1j * mult_im)
+        d_c = jnp.fft.irfft(spec, n=L, axis=-1)[..., :C].astype(g.dtype)
+    else:
+        gc = pad2(g, g.ndim - 1)
+        d_c = (8.0 * (gc[..., 3:3 + C] - gc[..., 1:1 + C])
+               - (gc[..., 4:4 + C] - gc[..., 0:C])) / (12.0 * dgamma)
     return d_b - d_c
 
 
 def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
                           z_out=None, n_psi=128, view_block=8,
-                          taper=None):
+                          taper=None, interp="linear",
+                          deriv="spectral", ramp=0.8, window="sinc"):
     """Katsevich exact helical FBP -> [nz, N, N] in cm^-1.
 
     ``sino_log``: [V, R, C] helical line integrals
     (:func:`~dexct_tpu.ops.conebeam.cone_sinogram` on a
     :class:`~dexct_tpu.system.geometry.HelicalConeBeamGeometry`).
-    There is no ramp/window parameter: the Katsevich filter is the
-    fixed derivative + Hilbert chain (module docstring), not a tunable
-    apodized ramp.  ``z_out`` defaults to the slice range whose PI
-    intervals fit the scan.  ``n_psi``: number of kappa filtering
-    lines.  ``taper``: TD-window edge feather in iso-height cm
-    (default half a row).
+    ``z_out`` defaults to the slice range whose PI intervals fit the
+    scan.  ``n_psi``: number of kappa filtering lines.  ``taper``:
+    TD-window edge feather in iso-height cm (default half a row).
+
+    ``deriv``/``ramp``/``window`` select the fixed-direction gamma
+    derivative (:func:`_fixed_direction_derivative`).  The default
+    window-matched spectral derivative gives the chain the SAME
+    in-plane MTF as the package's fan/FDK reconstructions at the same
+    ``ramp``/``window`` — apodization enters Katsevich through the
+    derivative step, which is where the inversion formula's only
+    |w|-shaped factor lives.  ``deriv="stencil4"`` is the
+    finite-difference variant (its fixed rolloff costs ~3% MTF-
+    mismatch error vs a ramp-0.8 fan truth; measured, VALIDATION.md).
+
+    ``interp``: "linear" (default) or "cubic" (4-tap Catmull-Rom in
+    the kappa row rebinning, the psi back-rebinning, and the
+    backprojector's detector-row interpolation).  Measured: cubic buys
+    ~0.5% on the z-varying study at high pitch but introduces a ~0.7%
+    amplitude bias through the clamped edge taps near the TD boundary,
+    so linear stays the default.
     """
     ct = geometry
     V, R, C = sino_log.shape
@@ -344,11 +446,17 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
     z_out = np.asarray(z_out, np.float64)
     dz = float(z_out[1] - z_out[0]) if len(z_out) > 1 else float(ct.h_iso)
 
-    Wf, Wb, _ = _plan(ct, int(n_psi))
+    if interp not in ("linear", "cubic"):
+        raise ValueError(f"interp must be 'linear'|'cubic', got {interp}")
+    Wf, Wb, _ = _plan(ct, int(n_psi), interp)
 
+    if deriv not in ("spectral", "stencil4"):
+        raise ValueError(
+            f"deriv must be 'spectral'|'stencil4', got {deriv}")
     g = sino_log.astype(dtype)
     # 1. derivative at constant ray direction (split chain rule)
-    g1 = _fixed_direction_derivative(g, dbeta, dgamma)
+    g1 = _fixed_direction_derivative(g, dbeta, dgamma, deriv=deriv,
+                                     ramp=ramp, window=window)
     # 2. cone-length weight per row
     cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
     g1 = g1 * jnp.asarray(cosk, dtype)[None, :, None]
@@ -359,8 +467,12 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
     L = 1
     while L < 3 * C:
         L *= 2
-    kern = jnp.asarray(np.fft.fft(_hilbert_kernel(C, dgamma, L)))
-    spec = jnp.fft.fft(gk, n=L, axis=-1) * kern[None, None, :]
+    # the kernel is real antisymmetric -> its FFT is purely imaginary;
+    # ship the imaginary part as a REAL array (complex host->device
+    # transfers are unimplemented on the tunnel backend — CLAUDE.md)
+    kern_im = jnp.asarray(
+        np.imag(np.fft.fft(_hilbert_kernel(C, dgamma, L))), jnp.float32)
+    spec = jnp.fft.fft(gk, n=L, axis=-1) * (1j * kern_im)[None, None, :]
     gh = jnp.real(jnp.fft.ifft(spec, axis=-1))[..., :C].astype(dtype)
     # 5. backward rebinning to detector rows
     gf = jnp.einsum("vpc,crp->vrc", gh, jnp.asarray(Wb),
@@ -373,4 +485,4 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
         float(ct.SID), dgamma, float(ct.h_iso), int(R), pitch,
         int(n_matrix), int(len(z_out)), float(fov), dz,
         float(z_out[0]), float(0.5 * (betas[0] + betas[-1])), dbeta,
-        float(taper), view_block=int(view_block))
+        float(taper), view_block=int(view_block), interp=interp)

@@ -107,6 +107,75 @@ class TestKatsevich:
         assert e_kat < 0.06, e_kat
         assert e_gfdk > 2.0 * e_kat, (e_kat, e_gfdk)  # gFDK ~5x worse
 
+    def test_clinical_pitch_under_2pct(self):
+        """With the window-matched spectral derivative, the z-varying
+        sphere reconstructs to <=2% max interior error vs the matched
+        per-slice fan truth at clinical pitch (measured 1.73% max,
+        0.43% rms — the round-3 exactness bar; the stencil derivative
+        reads 3.3% on the same case, all of it in-plane MTF mismatch).
+        """
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.siddon import (material_path_sinogram,
+                                          mono_sinogram)
+        from dexct_tpu.system.geometry import FanBeamGeometry
+
+        ph2 = water_cylinder_phantom(N=N, dx=DX)
+        lab3 = np.broadcast_to(ph2.labels[0], (NZ, N, N)).copy()
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * DX
+        cy = (np.arange(N) + 0.5 - N / 2) * DX
+        Z, Y, X = np.meshgrid(cz, cy, cy, indexing="ij")
+        mt = MaterialTable([AIR, WATER, BONE])
+        lab3[(X ** 2 + (Y - 2.0) ** 2 + Z ** 2) < 9.0] = 2
+        ph3 = VoxelPhantom("zvar", lab3, mt, DX, DX, DX)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=768, N_rows=16, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.25, pitch=2.0,
+            rotation_total=16.0 * np.pi)
+        sino, mu = _mono_helical_sino(ph3, ct, mt)
+        z_out = cz[6:10]
+        kat = np.asarray(katsevich_reconstruct(sino, ct, N, 20.0,
+                                               z_out=z_out))
+        fan = FanBeamGeometry(N_channels=64, N_proj=96,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        interior = np.hypot(
+            *np.meshgrid(*[np.arange(N) - 23.5] * 2)) < 16
+        for i, iz in enumerate(range(6, 10)):
+            ph_s = VoxelPhantom("s", lab3[iz][None], mt, DX, DX, DX)
+            g = np.asarray(fan_backproject(
+                filter_sinogram(
+                    mono_sinogram(material_path_sinogram(ph_s, fan),
+                                  jnp.asarray(mu, jnp.float32)),
+                    fan, 0.8),
+                jnp.asarray(fan.betas, jnp.float32), fan.SID,
+                fan.dgamma, N, 20.0))
+            e = np.abs(kat[i] - g)[interior].max() / g.max()
+            assert e < 0.02, (i, e)
+
+    def test_stencil_derivative_option(self):
+        """deriv='stencil4' stays available (the finite-difference
+        fallback) and reconstructs the off-center cylinder at unit
+        amplitude; an unknown deriv raises."""
+        cy = (np.arange(N) + 0.5 - N / 2) * DX
+        Y, X = np.meshgrid(cy, cy)
+        lab = np.zeros((NZ, N, N), np.uint8)
+        lab[:, (X ** 2 + (Y - 2.0) ** 2) < 36.0] = 1
+        mt = MaterialTable([AIR, WATER])
+        ph = VoxelPhantom("cyl", lab, mt, DX, DX, DX)
+        ct = HelicalConeBeamGeometry(
+            N_channels=64, N_proj=384, N_rows=16, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.25, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        sino, mu = _mono_helical_sino(ph, ct, mt)
+        cz = (np.arange(NZ) + 0.5 - NZ / 2) * DX
+        vol = np.asarray(katsevich_reconstruct(
+            sino, ct, N, 20.0, z_out=cz[7:9], deriv="stencil4"))
+        inner = (X ** 2 + (Y - 2.0) ** 2) < 16.0
+        for i in range(vol.shape[0]):
+            assert abs(vol[i][inner].mean() / float(mu[1]) - 1.0) < 0.01
+        with pytest.raises(ValueError, match="deriv"):
+            katsevich_reconstruct(sino, ct, N, 20.0, z_out=cz[7:9],
+                                  deriv="bogus")
+
     def test_pitch_zero_raises(self):
         ct0 = HelicalConeBeamGeometry(
             N_channels=64, N_proj=96, N_rows=8, gamma_fan=0.8230337,
