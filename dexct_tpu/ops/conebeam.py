@@ -329,12 +329,13 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "fov", "view_block",
-                     "weighting", "axis_name", "pair_mode"),
+                     "weighting", "axis_name", "pair_mode", "dbeta",
+                     "pitch", "dz_out", "dgamma"),
 )
 def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
                          row_h, n_rows, pitch, n_matrix, nz_out, fov,
                          dz_out, z0, *, view_block=8, weighting="full",
-                         axis_name=None, pair_mode=False):
+                         axis_name=None, pair_mode=False, dbeta=None):
     """Generalized-Feldkamp backprojection for a helical orbit.
 
     Per voxel, views inside a 2*pi window centered on the source's
@@ -368,6 +369,22 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     slice gather count; per-slice bilinear row weights select inside
     the window, so the result is identical arithmetic on identical
     taps.
+
+    ``dbeta`` (static view spacing, radians) enables the SLICE-WINDOWED
+    scan: every weighting's view window is hard-zero beyond a known
+    |beta - beta_c| half-width, i.e. a view only feeds slices within
+    ~one pitch of its source z — so each view block processes a
+    dynamic-slice window of L = O(pitch/dz_out) slices instead of all
+    nz_out (dynamic_update_slice accumulation; window starts are
+    even-aligned so the z-pair grouping matches the full scan exactly).
+    For an n-turn scan this cuts the backprojection gather count ~n×
+    and makes long helical scans O(views-per-turn) per slice.  Callers
+    must guarantee each ``view_block`` of ``betas`` spans at most
+    (vb-1)*dbeta (contiguous uniformly spaced views — true for every
+    geometry in the package, including per-shard wedges).  ``None``
+    keeps the full-scan path; results are identical either way (the
+    window bound is conservative and the dropped terms are exact
+    zeros).
     """
     squeeze = q.ndim == 3
     q4 = q[None] if squeeze else q
@@ -383,8 +400,6 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     P = len(sel)
     X = jnp.asarray(XX.reshape(-1)[sel], dtype)
     Y = jnp.asarray(YY.reshape(-1)[sel], dtype)
-    zc = jnp.asarray(z0 + np.arange(nz_out) * dz_out, dtype)  # [Z]
-
     vb = max(1, min(view_block, V))
     while V % vb:
         vb -= 1
@@ -392,6 +407,35 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     zb = src_z.reshape(V // vb, vb)
     rob = row_off.reshape(V // vb, vb)
     voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    # slice grid, padded to even length with a DUPLICATE of the last
+    # slice (same z => same row window, so a (last, dup) tail pair is
+    # the existing odd-tail semantics); the pad row is dropped at the
+    # end
+    npad = nz_out + (nz_out % 2)
+    zc = (jnp.asarray(z0, dtype)
+          + jnp.arange(nz_out, dtype=dtype) * dz_out)
+    if npad != nz_out:
+        zcp = jnp.concatenate([zc, zc[-1:]])
+        bcp = jnp.concatenate([beta_c, beta_c[-1:]]).astype(dtype)
+    else:
+        zcp = zc
+        bcp = beta_c.astype(dtype)
+
+    # static slice-window length (see docstring): every weighting is
+    # hard-zero beyond |beta - beta_c| = hw*pi, so a view block spanning
+    # (vb-1)*dbeta feeds at most `need` consecutive slices
+    L = None
+    if dbeta is not None and abs(pitch) > 1e-12 and npad > 4:
+        hw = {"full": 1.0, "pair": 1.0, "feather": 1.2501,
+              "td": 1.5, "cosz": 1.5,
+              "short": 0.5 + 0.5 * C * dgamma / np.pi}[weighting]
+        s_abs = 2.0 * np.pi * abs(dz_out / pitch)  # slice step in beta_c
+        span = (2.0 * hw * np.pi + (vb - 1) * abs(dbeta)) / s_abs
+        Lw = int(np.ceil(span + 3.1))  # even-floor start + float margin
+        Lw += Lw % 2
+        if Lw <= npad - 2:
+            L = Lw
 
     def block(carry, args):
         num, den = carry
@@ -590,29 +634,50 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
                 dens.append(jnp.sum(w, axis=0))
             return jnp.stack(nums), jnp.stack(dens)
 
-        if pair_mode:
-            # odd slice counts pair the even prefix and run the last
-            # slice through the per-slice path
-            ne = (nz_out // 2) * 2
-            dn, dd = jax.vmap(one_pair)(zc[:ne].reshape(-1, 2),
-                                        beta_c[:ne].reshape(-1, 2))
-            dn = dn.reshape(ne, P, M)
-            dd = dd.reshape(ne, P)
-            if nz_out % 2:
-                # the table is window-packed here, so the tail slice
-                # rides one_pair with itself duplicated
-                dn1, dd1 = one_pair(
-                    jnp.stack([zc[-1], zc[-1]]),
-                    jnp.stack([beta_c[-1], beta_c[-1]]))
-                dn = jnp.concatenate([dn, dn1[:1]], 0)
-                dd = jnp.concatenate([dd, dd1[:1]], 0)
-        else:
-            dn, dd = jax.vmap(one_slice)(zc, beta_c)
+        def pairs_of(zw, bw):
+            pn, pd = jax.vmap(one_pair)(zw.reshape(-1, 2),
+                                        bw.reshape(-1, 2))
+            return pn.reshape(-1, P, M), pd.reshape(-1, P)
+
+        def slices_of(zw, bw):
+            return jax.vmap(one_slice)(zw, bw)
+
+        if L is not None:
+            # slice-windowed scan: only the L slices whose view window
+            # can reach this block update; k0 is EVEN so the z-pair
+            # grouping matches the full scan's exactly
+            s_tr = bcp[1] - bcp[0]
+            hwpi = {"full": 1.0, "pair": 1.0, "feather": 1.2501,
+                    "td": 1.5, "cosz": 1.5,
+                    "short": 0.5 + 0.5 * C * dgamma / np.pi
+                    }[weighting] * np.pi
+            # exact lower bound of the nonzero slice range (sign-robust:
+            # min over both block endpoints x both window edges)
+            kmin = jnp.minimum(
+                jnp.minimum((beta[0] - hwpi - bcp[0]) / s_tr,
+                            (beta[0] + hwpi - bcp[0]) / s_tr),
+                jnp.minimum((beta[-1] - hwpi - bcp[0]) / s_tr,
+                            (beta[-1] + hwpi - bcp[0]) / s_tr))
+            k0 = jnp.clip(2.0 * jnp.floor(0.5 * kmin),
+                          0.0, float(npad - L)).astype(jnp.int32)
+            zw = jax.lax.dynamic_slice(zcp, (k0,), (L,))
+            bw = jax.lax.dynamic_slice(bcp, (k0,), (L,))
+            dn, dd = (pairs_of if pair_mode else slices_of)(zw, bw)
+            num = jax.lax.dynamic_update_slice(
+                num,
+                jax.lax.dynamic_slice(num, (k0, 0, 0), (L, P, M)) + dn,
+                (k0, 0, 0))
+            den = jax.lax.dynamic_update_slice(
+                den, jax.lax.dynamic_slice(den, (k0, 0), (L, P)) + dd,
+                (k0, 0))
+            return (num, den), None
+        dn, dd = (pairs_of if pair_mode else slices_of)(zcp, bcp)
         return (num + dn, den + dd), None
 
-    acc0 = (jnp.zeros((nz_out, P, M), dtype),
-            jnp.zeros((nz_out, P), dtype))
+    acc0 = (jnp.zeros((npad, P, M), dtype),
+            jnp.zeros((npad, P), dtype))
     (num, den), _ = jax.lax.scan(block, acc0, (bb, zb, rob, voff))
+    num, den = num[:nz_out], den[:nz_out]
     if axis_name is not None:  # global coverage across view shards
         num = jax.lax.psum(num, axis_name)
         den = jax.lax.psum(den, axis_name)
@@ -749,7 +814,8 @@ def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
         view_block=int(view_block), weighting=weighting,
         pair_mode=_helical_pair_ok(float(ct.SID), float(fov),
                                    float(ct.h_iso), dz, len(z_out),
-                                   int(R)))
+                                   int(R)),
+        dbeta=(float(ct.betas[1] - ct.betas[0]) if V > 1 else None))
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -362,7 +362,8 @@ def cone_reconstruct_stack(sinos, a, meta: ConeDectMeta, axis_name=None,
             weighting=meta.helical_weighting, axis_name=axis_name,
             pair_mode=_helical_pair_ok(meta.sid, meta.fov,
                                        meta.row_h, meta.dz_out,
-                                       nz_local, R))
+                                       nz_local, R),
+            dbeta=meta.dbeta)
     else:
         z_center = 0.0
         if zslab_axis is not None and meta.n_zslab > 1:
@@ -536,6 +537,13 @@ def pack_cone_dect_sharded(ct, phantom, spec1, spec2, n_matrix, fov,
         arrays["src_z"] = jnp.asarray(
             np.asarray(ct.source_z)[view_perm], jnp.float32)
         arrays["row_off"] = jnp.zeros(V, jnp.float32)
+        # the slice-windowed gFDK scan requires every view block to be
+        # CONTIGUOUS in beta; a shard's views are four contiguous
+        # quarter-runs of length vq, so the block size must divide vq
+        vb = int(meta.fdk_view_block)
+        while vq % vb:
+            vb -= 1
+        meta = meta._replace(fdk_view_block=max(1, vb))
     meta = meta._replace(vrc=(V // D, R, C), n_y=int(py), n_x=int(px))
     return arrays, meta, view_perm
 

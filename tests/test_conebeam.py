@@ -1069,6 +1069,38 @@ class TestFusedHelical:
                 np.asarray(zout["mat_recons"][0]),
                 np.asarray(ref["mat_recons"][0]), atol=1e-4)
 
+    def test_sharded_windowed_helical_matches_single_device(self):
+        # wide z grid on a single-turn scan: the slice-windowed gFDK
+        # scan is ACTIVE (L < npad) and must survive the paired-quarter
+        # sharded view layout — pack_cone_dect_sharded aligns
+        # fdk_view_block to the quarter-run length so every view block
+        # stays contiguous in beta (the windowing contract)
+        from dexct_tpu.parallel.mesh import view_mesh
+        from dexct_tpu.pipeline.cone import (
+            make_jitted_cone_step,
+            make_sharded_cone_step,
+            pack_cone_dect,
+            pack_cone_dect_sharded,
+        )
+
+        ct, ph3, s1, s2 = self._system(2.0 * np.pi, 3.0)
+        kw = dict(nz_out=16, dz_out=0.4)
+        arrays0, meta0 = pack_cone_dect(ct, ph3, s1, s2, 48, 20.0, 0.8,
+                                        **kw)
+        ref = make_jitted_cone_step(meta0)(arrays0)
+
+        mesh = view_mesh(4)
+        arrays, meta, perm = pack_cone_dect_sharded(
+            ct, ph3, s1, s2, 48, 20.0, 0.8, n_devices=4, **kw)
+        assert (96 // 16) % meta.fdk_view_block == 0
+        out = make_sharded_cone_step(mesh, meta, tuple(arrays))(arrays)
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(ref["recon_raw"][0]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["mat_recons"][0]),
+            np.asarray(ref["mat_recons"][0]), atol=1e-4)
+
     def test_pair_mode_matches_per_slice(self):
         # z-pair window gathers == the per-slice path on every
         # weighting, at odd AND even slice counts (the odd tail rides
@@ -1100,3 +1132,38 @@ class TestFusedHelical:
                     *args, weighting=wgt, pair_mode=True))
                 assert np.abs(a - b).max() < 1e-6 * max(
                     np.abs(a).max(), 1e-30), (nzv, wgt)
+
+    def test_slice_windowed_scan_matches_full(self):
+        # the dbeta-enabled slice-windowed scan (each view block only
+        # processes the L = O(pitch/dz) slices inside its hard-zero
+        # view window) is bit-identical to the full nz scan on every
+        # weighting, both pair modes, odd AND even slice counts
+        from dexct_tpu.ops.conebeam import _helical_backproject
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=48, N_proj=144, N_rows=8, gamma_fan=0.8,
+            SID=60.0, SDD=100.0, h_iso=0.5, rotation_total=6 * np.pi,
+            pitch=2.0)
+        db = float(ct.betas[1] - ct.betas[0])
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((4, 144, 8, 48))
+                        .astype(np.float32))
+        for nzv in (17, 16):
+            zv = (np.arange(nzv) + 0.5) * 0.5 - nzv * 0.25
+            bc = (0.5 * ct.rotation_total
+                  + 2.0 * np.pi * zv / ct.pitch)
+            args = (q, jnp.asarray(ct.betas, jnp.float32),
+                    jnp.asarray(ct.source_z, jnp.float32),
+                    jnp.zeros(144, jnp.float32),
+                    jnp.asarray(bc, jnp.float32),
+                    60.0, ct.dgamma, 0.5, 8, 2.0, 32, nzv, 20.0, 0.5,
+                    float(zv[0]))
+            for wgt in ("full", "short", "feather"):
+                for pm in (False, True):
+                    a = np.asarray(_helical_backproject(
+                        *args, weighting=wgt, pair_mode=pm))
+                    b = np.asarray(_helical_backproject(
+                        *args, weighting=wgt, pair_mode=pm, dbeta=db))
+                    assert np.abs(a - b).max() <= 1e-7 * max(
+                        np.abs(a).max(), 1e-30), (nzv, wgt, pm)

@@ -96,6 +96,56 @@ def main():
 
     results["gfdk_pack_speedup"] = round(
         results["gfdk_4vol_separate"] / results["gfdk_4vol_packed"], 2)
+
+    # LONG-scan leg (5 turns): the slice-windowed gFDK scan makes the
+    # backprojection cost per slice O(views-per-turn), not O(total
+    # views) — each view block only touches the L = O(pitch/dz) slices
+    # inside its 2*pi window.  The unwindowed scan (dbeta=None) is
+    # timed against it at the same shape.
+    ct5 = HelicalConeBeamGeometry(
+        N_channels=256, N_proj=1800, N_rows=16, gamma_fan=0.8230337,
+        SID=60.0, SDD=100.0, h_iso=0.25, eid=True,
+        rotation_total=10.0 * np.pi, pitch=3.0)
+    V5 = ct5.N_proj
+    rng = np.random.default_rng(0)
+    q5 = jnp.asarray(rng.standard_normal((4, V5, 16, 256))
+                     .astype(np.float32))
+    zv5 = (np.arange(44) + 0.5) * 0.25 - 5.5
+    rec5 = jax.jit(functools.partial(
+        helical_fdk_reconstruct, geometry=ct5, n_matrix=256, fov=40.0,
+        ramp=0.8, z_out=zv5))
+    bench("gfdk_5turn_windowed", lambda: rec5(q5),
+          lambda o: float(o[0][0, 0, 0]), results)
+
+    from dexct_tpu.ops.conebeam import (_helical_backproject,
+                                        _helical_pair_ok)
+    from dexct_tpu.ops.filters import filter_frequency_response
+
+    cosg = np.cos(ct5.gammas)
+    cosk = ct5.SID / np.sqrt(ct5.SID ** 2 + np.asarray(ct5.z_iso) ** 2)
+    w5 = jnp.asarray(cosg[None, :] * cosk[:, None] * ct5.SID,
+                     jnp.float32)
+    H5, m5 = filter_frequency_response(256, ct5.dgamma, 0.8, "sinc",
+                                       "fan")
+    qf = jnp.fft.irfft(
+        jnp.fft.rfft(q5 * w5[None, None], n=m5, axis=-1)
+        * jnp.asarray(H5, jnp.float32), n=m5,
+        axis=-1)[..., :256] * ct5.dgamma
+    bc5 = 0.5 * ct5.rotation_total + 2.0 * np.pi * zv5 / ct5.pitch
+    bp_full = jax.jit(functools.partial(
+        _helical_backproject, sid=60.0, dgamma=float(ct5.dgamma),
+        row_h=0.25, n_rows=16, pitch=3.0, n_matrix=256, nz_out=44,
+        fov=40.0, dz_out=0.25, z0=float(zv5[0]),
+        pair_mode=_helical_pair_ok(60.0, 40.0, 0.25, 0.25, 44, 16),
+        dbeta=None))
+    args5 = (qf, jnp.asarray(ct5.betas, jnp.float32),
+             jnp.asarray(ct5.source_z, jnp.float32),
+             jnp.zeros(V5, jnp.float32), jnp.asarray(bc5, jnp.float32))
+    bench("gfdk_5turn_unwindowed", lambda: bp_full(*args5),
+          lambda o: float(o[0][0, 0, 0]), results)
+    results["gfdk_window_speedup"] = round(
+        results["gfdk_5turn_unwindowed"]
+        / results["gfdk_5turn_windowed"], 2)
     print(json.dumps(results))
 
 
