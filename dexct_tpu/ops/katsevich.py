@@ -199,12 +199,13 @@ def _hilbert_kernel(C, dgamma, L):
 @functools.partial(
     jax.jit,
     static_argnames=("n_matrix", "nz_out", "n_rows", "view_block",
-                     "fov", "interp"),
+                     "fov", "interp", "slice_window", "sid", "dgamma",
+                     "dz_out", "z0", "pitch", "dbeta", "taper"),
 )
 def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
                            pitch, n_matrix, nz_out, fov, dz_out, z0,
                            beta_mid, dbeta, taper, *, view_block=8,
-                           interp="linear"):
+                           interp="linear", slice_window=True):
     """PI-window backprojection of the Katsevich-filtered data.
 
     Same traversal structure as the gFDK backprojector
@@ -213,6 +214,14 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
     the Katsevich weighting: amplitude ``1/v`` (in-plane distance, not
     1/L^2), the sharp-tapered TD window instead of the 2*pi window,
     and NO weight normalization — the PI integral itself is exact.
+
+    ``slice_window``: the tapered TD window is hard-zero once |zt|
+    exceeds the maximum kappa-window height, i.e. a view only feeds
+    slices within D = Hmax*(SID + fov/2)/SID of its source z — so each
+    view block dynamic-slice-updates only the L = O(pitch/dz) slices
+    it can reach instead of all ``nz_out`` (the gFDK slice-window
+    trick; results identical, per-slice cost O(views-per-turn)).
+    Auto-disabled when the scan is short enough that L >= nz_out.
     """
     V, R, C = gf.shape
     dtype = gf.dtype
@@ -233,6 +242,24 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
     bb = betas.reshape(V // vb, vb)
     zb = src_z.reshape(V // vb, vb)
     voff = jnp.arange(V, dtype=jnp.int32).reshape(V // vb, vb)
+
+    L = Dz = None
+    if slice_window:
+        try:  # statics only — falls back to the full scan if any
+            # parameter arrives traced (never the case from
+            # katsevich_reconstruct, whose scalars come from geometry)
+            gm = 0.5 * C * float(dgamma)
+            hmax = (abs(float(qp)) * (np.pi + 2.0 * gm) / np.cos(gm)
+                    + 0.5 * float(taper))
+            Dz = hmax * (float(sid) + 0.5 * float(fov)) / float(sid)
+            span_z = ((vb - 1) * abs(float(dbeta)) * abs(float(pitch))
+                      / (2.0 * np.pi))
+            Lw = int(np.ceil((2.0 * Dz + span_z) / float(dz_out) + 3.1))
+            if 0 < Lw <= nz_out - 2 and float(dz_out) > 0:
+                L = Lw
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            L = None
 
     def block(carry, args):
         acc = carry
@@ -300,6 +327,15 @@ def _katsevich_backproject(gf, betas, src_z, sid, dgamma, row_h, n_rows,
                 for j, wj in enumerate(wr))
             return jnp.sum(val * w, axis=0)
 
+        if L is not None:
+            k0 = jnp.clip(
+                jnp.floor((jnp.min(sz) - Dz - z0) / dz_out) - 1.0,
+                0.0, float(nz_out - L)).astype(jnp.int32)
+            zw = jax.lax.dynamic_slice(zc, (k0,), (L,))
+            contrib = jax.vmap(one_slice)(zw)
+            return jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(acc, (k0, 0), (L, Pn))
+                + contrib, (k0, 0)), None
         return acc + jax.vmap(one_slice)(zc), None
 
     acc0 = jnp.zeros((nz_out, Pn), dtype)
