@@ -50,7 +50,15 @@ energy axis 4x (``n_energy=32``) moved the wall-clock ~1%, while
 bit-packing each bilinear 2x2 label quad into one int32
 (:func:`_pack_label_quads`; one gather per sample instead of four, plus
 pair-packed partial-path tap rows) took the map from 26.0 s to 8.7 s
-with bit-identical output.  The 3-D scan additionally chunks its views
+with bit-identical output; replacing the per-voxel own-material
+``take_along_axis`` with an on-the-fly one-hot contraction (134M scalar
+gathers saved, profiled ~1.4 s) plus 4x larger spectral pixel blocks
+(fewer lax.map launches and padded block copies) took it to **7.7 s**.
+The quarter-turn ORBIT fold (gather all 4 rot90-leg occupancies and
+taps in one row, the FDK trick) was built and REJECTED on measurement:
+its tap table grows 4x (201 MB, the slow big-table gather regime) and
+the fold never beat the plain scan (9.9/8.1 s across packings vs
+8.7/7.7 — trailing-leg-axis tables additionally pad 4 -> 128 lanes).  The 3-D scan additionally chunks its views
 host-side (``view_chunk``) — dose is additive over views and a single
 over-long device program crashes the experimental tunnel's worker
 (CLAUDE.md).
@@ -123,6 +131,7 @@ def _pack_label_quads(labels2d):
     return (lab | (lx << 8) | (ly << 16) | (lyx << 24)).astype(np.int32)
 
 
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "pixel_block"))
@@ -131,10 +140,12 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
                      pixel_block):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
-    labq:    [ny, nx] int32 quad-packed labels (:func:`_pack_label_quads`)
+    labq:    [ny, nx] int32 quad-packed labels
+             (:func:`_pack_label_quads`)
     mu_kE:   [K, E] linear attenuation [1/cm]
     i0w_E:   [E] photons-per-channel-per-view * E_keV
     vox_xy:  [vox, 2] world (x, y) of voxel centers
+    rho_vox, lab_vox: [L, vox] per-leg voxel density / label
     scalars: (sid, dx, dy, geom_const, gamma_half_fan, h_over_sid, dxdy)
     """
     f32 = jnp.float32
@@ -161,10 +172,11 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
         iy0 = jnp.floor(fy).astype(jnp.int32)
         wx = fx - ix0
         wy = fy - iy0
-        # ONE quad gather per sample; per-corner subwords by shift.
-        # Out-of-range bases clamp to a valid quad cell — the in-bounds
-        # corners still decode correctly via the offset (off in {-1, 0,
-        # +1} at the edges), and truly out-of-bounds corners carry ok=0
+        # ONE quad gather per sample (all legs in the row); per-corner
+        # subwords by shift.  Out-of-range bases clamp to a valid quad
+        # cell — the in-bounds corners still decode correctly via the
+        # offset (off in {-1, 0, +1} at the edges), and truly
+        # out-of-bounds corners carry ok=0
         cy = jnp.clip(iy0, 0, ny - 2)
         cx = jnp.clip(ix0, 0, nx - 2)
         offy, offx = iy0 - cy, ix0 - cx
@@ -218,7 +230,12 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
             att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
             w = att * i0w_E[None, :]  # [b, E] photon*keV weight
             c = jnp.matmul(w, mu_kE.T, precision=hi)  # [b, K]
-            c_own = jnp.take_along_axis(c, lab_b[:, None], 1)[:, 0]
+            # own-material pick as an on-the-fly one-hot contraction:
+            # a take_along_axis here costs 134M scalar gathers over the
+            # scan (profiled ~1.4 s of the 512^2 map); the K compares
+            # fuse into the matmul epilogue
+            oh = (lab_b[:, None] == mat_ids).astype(t_b.dtype)
+            c_own = jnp.sum(c * oh, -1)
             return phi_b * c_own  # keV deposited per cm^3
 
         nb = -(-n_vox // pixel_block)
@@ -266,7 +283,7 @@ def _dose_energy_grid(phantom, spec, n_energy):
 
 
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
-             views=None, pixel_block=16384, z_index=None, n_energy=None):
+             views=None, pixel_block=65536, z_index=None, n_energy=None):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -536,7 +553,10 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
             att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
             w = att * i0w_E[None, :]
             c = jnp.matmul(w, mu_kE.T, precision=hi)
-            c_own = jnp.take_along_axis(c, lab_b[:, None], 1)[:, 0]
+            # one-hot contraction, not take_along_axis (see the 2-D
+            # kernel: the scalar gathers profiled ~15% of the map)
+            oh = (lab_b[:, None] == mat_ids).astype(t_b.dtype)
+            c_own = jnp.sum(c * oh, -1)
             return phi_b * c_own
 
         nb = -(-n_vox // pixel_block)
@@ -557,7 +577,7 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
 
 
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
-                oversample=2, views=None, pixel_block=16384,
+                oversample=2, views=None, pixel_block=65536,
                 n_energy=None, view_chunk=32):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
