@@ -43,7 +43,8 @@ __all__ = ["ConeDominantUnsupported", "validate_cone_hbm",
            "trace_paths_3d",
            "trace_cone_dominant",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
-           "helical_fdk_reconstruct", "project_volume_3d",
+           "helical_fdk_reconstruct", "fdk_tilted_reconstruct",
+           "project_volume_3d",
            "cone_cg_recon", "cone_pwls_recon", "simulate_cone_dect"]
 
 _BIG = 1e30
@@ -266,6 +267,10 @@ def fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
             "geometry has a helical pitch; use helical_fdk_reconstruct "
             "(the circular FDK assumes a z=0 source orbit)"
         )
+    if abs(getattr(ct, "tilt", 0.0)) > 1e-12:
+        raise ValueError(
+            "geometry has a gantry tilt; use fdk_tilted_reconstruct "
+            "(the circular FDK assumes a z=0 source orbit)")
     if getattr(ct, "flat_panel", False):
         raise ValueError(
             "flat-panel geometries reconstruct with "
@@ -688,6 +693,105 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     vol = vol.at[:, jnp.asarray(sel)].set(out)
     vol = jnp.moveaxis(vol.reshape(nz_out, N, N, M), -1, 0)
     return vol[0] if squeeze else vol
+
+
+def _trilinear_volume_sample(vol, zi, yi, xi):
+    """Trilinear sample of ``vol [..., nz, ny, nx]`` at continuous
+    indices ``zi/yi/xi`` (broadcastable to the output shape); points
+    outside the index box return 0."""
+    nz, ny, nx = vol.shape[-3:]
+    z0 = jnp.clip(jnp.floor(zi), 0, nz - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(yi), 0, ny - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xi), 0, nx - 2).astype(jnp.int32)
+    fz = jnp.clip(zi - z0, 0.0, 1.0)
+    fy = jnp.clip(yi - y0, 0.0, 1.0)
+    fx = jnp.clip(xi - x0, 0.0, 1.0)
+    ok = ((zi >= 0.0) & (zi <= nz - 1.0) & (yi >= 0.0)
+          & (yi <= ny - 1.0) & (xi >= 0.0) & (xi <= nx - 1.0))
+    acc = 0.0
+    for dz_ in (0, 1):
+        wz = fz if dz_ else 1.0 - fz
+        for dy_ in (0, 1):
+            wy = fy if dy_ else 1.0 - fy
+            for dx_ in (0, 1):
+                wx = fx if dx_ else 1.0 - fx
+                acc = acc + (wz * wy * wx) * vol[..., z0 + dz_,
+                                                 y0 + dy_, x0 + dx_]
+    return acc * ok
+
+
+def fdk_tilted_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
+                           nz_out=None, dz_out=None, window="sinc",
+                           view_block=8):
+    """Gantry-tilted circular cone-beam FDK -> [nz, N, N] cm^-1 on the
+    PATIENT-frame grid.
+
+    ``geometry``:
+    :class:`~dexct_tpu.system.geometry.TiltedConeBeamGeometry`.  A
+    tilted scan is EXACTLY a standard circular scan of the rigidly
+    rotated patient, so the reconstruction is the existing packed FDK
+    run in the gantry frame (``geometry.untilted()``, on a grid
+    enlarged to cover the rotated patient box) followed by ONE
+    trilinear affine resample back onto the patient grid — the
+    classic clinical shear-stack, done in a single gather pass.
+    ``tilt = 0`` reproduces :func:`fdk_reconstruct` exactly (same
+    grid, and the resample degenerates to identity-position sampling).
+
+    Accepts ``[V, R, C]`` or stacked ``[M, V, R, C]`` sinograms (the
+    stacked form shares the multi-volume packed backprojection).
+    Patient points whose gantry-frame image falls outside the scanned
+    FOV cylinder come back 0 (the clinical reduced-coverage corners of
+    a tilted acquisition).
+    """
+    ct = geometry
+    tau = float(getattr(ct, "tilt", 0.0))
+    single = sino_log.ndim == 3
+    stack = sino_log[None] if single else sino_log
+    V, R, C = stack.shape[-3:]
+    if R != ct.N_rows:
+        raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
+    nz = R if nz_out is None else int(nz_out)
+    dz = float(ct.h_iso if dz_out is None else dz_out)
+    ct_g = ct.untilted() if hasattr(ct, "untilted") else ct
+    if abs(tau) < 1e-12:
+        out = jnp.stack([
+            fdk_reconstruct(s, ct_g, n_matrix, fov, ramp, nz_out=nz,
+                            dz_out=dz, window=window,
+                            view_block=view_block) for s in stack])
+        return out[0] if single else out
+
+    # gantry grid covering R_x(-tau) of the patient grid, at the same
+    # pixel/slice pitch
+    c_t, s_t = abs(np.cos(tau)), abs(np.sin(tau))
+    px = fov / n_matrix
+    z_half = 0.5 * nz * dz
+    fov_g = fov * c_t + 2.0 * z_half * s_t + 2.0 * px
+    n_g = int(-(-fov_g / px // 2) * 2)
+    fov_g = n_g * px
+    zg_half = 0.5 * fov * s_t + z_half * c_t + dz
+    nz_g = int(-(-2.0 * zg_half / dz // 2) * 2)
+    vols = jnp.stack([
+        fdk_reconstruct(s, ct_g, n_g, fov_g, ramp, nz_out=nz_g,
+                        dz_out=dz, window=window,
+                        view_block=view_block) for s in stack])
+
+    # patient grid -> gantry coords: R_x(-tau)
+    dtype = vols.dtype
+    xs = jnp.asarray((np.arange(n_matrix) + 0.5 - n_matrix / 2) * px,
+                     dtype)
+    zs = jnp.asarray((np.arange(nz) + 0.5 - nz / 2) * dz, dtype)
+    ct_, st_ = np.cos(tau), np.sin(tau)
+    y_g = ct_ * xs[None, :] + st_ * zs[:, None]  # [nz, N] (y axis)
+    z_g = -st_ * xs[None, :] + ct_ * zs[:, None]
+    px_g = fov_g / n_g
+    yi = (y_g / px_g + n_g / 2 - 0.5)[:, :, None]
+    zi = (z_g / dz + nz_g / 2 - 0.5)[:, :, None]
+    xi = (xs / px_g + n_g / 2 - 0.5)[None, None, :]
+    out = jax.jit(_trilinear_volume_sample)(
+        vols, jnp.broadcast_to(zi, (nz, n_matrix, n_matrix)),
+        jnp.broadcast_to(yi, (nz, n_matrix, n_matrix)),
+        jnp.broadcast_to(xi, (nz, n_matrix, n_matrix)))
+    return out[0] if single else out
 
 
 def helical_fdk_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
@@ -1479,6 +1583,8 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     if recon == "auto":  # helical geometries MUST NOT hit circular FDK
         if getattr(ct, "flat_panel", False):
             recon = "flat"
+        elif abs(getattr(ct, "tilt", 0.0)) > 1e-12:
+            recon = "tilted"
         else:
             recon = ("helical" if abs(getattr(ct, "pitch", 0.0)) > 1e-12
                      else "fdk")
@@ -1495,6 +1601,12 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # one stacked multi-volume gFDK call: all four volumes' taps
         # ride one 16-float gather row, window math paid once
         stacked = helical_fdk_reconstruct(
+            jnp.stack([log1, log2, mat1, mat2]), ct, n_matrix, fov,
+            ramp, **recon_kw)
+        vols = [np.asarray(v) for v in stacked]
+    elif recon == "tilted":
+        # gantry-frame multi-volume FDK + one shear resample
+        stacked = fdk_tilted_reconstruct(
             jnp.stack([log1, log2, mat1, mat2]), ct, n_matrix, fov,
             ramp, **recon_kw)
         vols = [np.asarray(v) for v in stacked]

@@ -131,6 +131,12 @@ def pack_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             "pipeline (its packed FDK assumes equiangular columns); "
             "use simulate_cone_dect, which routes them through "
             "ops.flatpanel.fdk_flat_reconstruct")
+    if abs(float(getattr(ct, "tilt", 0.0))) > 1e-12:
+        raise ValueError(
+            "gantry-tilted geometries are not supported by the fused "
+            "pipeline (its packed FDK assumes a z=0 orbit); use "
+            "simulate_cone_dect, which routes them through "
+            "ops.conebeam.fdk_tilted_reconstruct")
     if getattr(ct, "ffs", "none") != "none":
         raise ValueError(
             "flying-focal-spot geometries are not supported by the "

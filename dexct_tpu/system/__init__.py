@@ -9,6 +9,7 @@ from .geometry import (
     HelicalConeBeamGeometry,
     ParallelBeamGeometry,
     ScannerGeometry,
+    TiltedConeBeamGeometry,
 )
 from .phantom import (
     VoxelPhantom,
@@ -26,6 +27,7 @@ __all__ = [
     "ParallelBeamGeometry",
     "ConeBeamGeometry",
     "HelicalConeBeamGeometry",
+    "TiltedConeBeamGeometry",
     "FlatPanelConeBeamGeometry",
     "GEOMETRY_REGISTRY",
     "VoxelPhantom",

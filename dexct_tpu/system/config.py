@@ -83,7 +83,7 @@ def _build_geometry(cfg):
                        else cfg.get("detector_filename")),
     )
     if kind in ("fan_beam", "cone_beam", "helical_cone_beam",
-                "flat_panel_cone_beam"):
+                "tilted_cone_beam", "flat_panel_cone_beam"):
         kw = dict(
             SID=float(cfg.get("SID", 60.0)),
             SDD=float(cfg.get("SDD", 100.0)),
@@ -95,8 +95,10 @@ def _build_geometry(cfg):
         if not _na(cfg.get("ffs_delta")):
             kw["ffs_delta"] = float(cfg["ffs_delta"])
         if kind in ("cone_beam", "helical_cone_beam",
-                    "flat_panel_cone_beam"):
+                    "tilted_cone_beam", "flat_panel_cone_beam"):
             kw["N_rows"] = int(cfg.get("N_rows", 16))
+        if kind == "tilted_cone_beam":
+            kw["tilt"] = float(cfg.get("gantry_tilt_rad", 0.0))
         if kind == "flat_panel_cone_beam" and not _na(
                 cfg.get("detector_offset_channels")):
             # lateral panel shift [channels] — half-fan FOV enlargement
@@ -142,7 +144,7 @@ _KNOWN_KEYS = frozenset({
     "phantom_type", "phantom_id", "phantom_filename", "matcomp_filename",
     "Nx", "Ny", "Nz", "dx", "dy", "dz", "z_index",
     "scanner_geometry", "SID", "SDD", "N_channels", "N_projections",
-    "N_rows", "pitch", "flying_focal_spot", "ffs_delta",
+    "N_rows", "pitch", "gantry_tilt_rad", "flying_focal_spot", "ffs_delta",
     "fan_angle_total", "rotation_angle_total", "detector_px_height",
     "detector_mode", "detector_filename", "detector_width",
     "spectrum_id", "spectrum_filename", "N_photons_per_cm2_per_scan",

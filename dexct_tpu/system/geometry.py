@@ -31,7 +31,8 @@ from ..physics.detector import DetectorResponse
 
 __all__ = ["ScannerGeometry", "FanBeamGeometry", "ParallelBeamGeometry",
            "ConeBeamGeometry", "HelicalConeBeamGeometry",
-           "FlatPanelConeBeamGeometry", "GEOMETRY_REGISTRY"]
+           "TiltedConeBeamGeometry", "FlatPanelConeBeamGeometry",
+           "GEOMETRY_REGISTRY"]
 
 
 @dataclasses.dataclass
@@ -307,6 +308,41 @@ class ConeBeamGeometry(FanBeamGeometry):
 
 
 @dataclasses.dataclass
+class TiltedConeBeamGeometry(ConeBeamGeometry):
+    """Gantry-tilted circular cone-beam geometry: the whole gantry
+    (source orbit + detector) is rotated by ``tilt`` radians about the
+    patient x-axis — the clinical head-CT configuration (tilting out of
+    the orbits / reducing posterior-fossa artifacts; typical |tilt| up
+    to ~30°).  The scan is EXACTLY a standard circular cone-beam scan
+    of the rigidly rotated patient, which is how the reconstruction
+    works (:func:`~dexct_tpu.ops.conebeam.fdk_tilted_reconstruct`:
+    gantry-frame FDK + one affine shear-resample back to the patient
+    grid).  ``tilt = 0`` degenerates to :class:`ConeBeamGeometry`
+    exactly (pinned in tests).
+    """
+
+    tilt: float = 0.0  # gantry tilt about the patient x-axis [rad]
+
+    _FFS_MODES = ("none",)  # keep the first version static-spot
+
+    def untilted(self):
+        """The gantry-frame twin: the same scanner with ``tilt = 0``
+        (used by the tilted FDK, which reconstructs in gantry
+        coordinates)."""
+        return dataclasses.replace(self, tilt=0.0)
+
+    def ray_geometry_3d(self):
+        """Parent rays rigidly rotated by R_x(tilt): (x, y, z) ->
+        (x, c*y - s*z, s*y + c*z)."""
+        src, d = super().ray_geometry_3d()
+        c, s = np.cos(self.tilt), np.sin(self.tilt)
+        rot = np.array([[1.0, 0.0, 0.0],
+                        [0.0, c, -s],
+                        [0.0, s, c]])
+        return src @ rot.T, d @ rot.T
+
+
+@dataclasses.dataclass
 class HelicalConeBeamGeometry(ConeBeamGeometry):
     """Helical (spiral) cone-beam geometry: the source advances axially
     by ``pitch`` cm per 2*pi rotation while circling.  ``rotation_total``
@@ -416,5 +452,6 @@ GEOMETRY_REGISTRY = {
     "parallel_beam": ParallelBeamGeometry,
     "cone_beam": ConeBeamGeometry,
     "helical_cone_beam": HelicalConeBeamGeometry,
+    "tilted_cone_beam": TiltedConeBeamGeometry,
     "flat_panel_cone_beam": FlatPanelConeBeamGeometry,
 }

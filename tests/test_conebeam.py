@@ -1167,3 +1167,121 @@ class TestFusedHelical:
                         *args, weighting=wgt, pair_mode=pm, dbeta=db))
                     assert np.abs(a - b).max() <= 1e-7 * max(
                         np.abs(a).max(), 1e-30), (nzv, wgt, pm)
+
+
+class TestTiltedGantry:
+    """Gantry-tilted circular cone beam (TiltedConeBeamGeometry +
+    fdk_tilted_reconstruct): a tilted scan is a standard scan of the
+    rigidly rotated patient, reconstructed in the gantry frame and
+    shear-resampled back."""
+
+    @staticmethod
+    def _cyl(N=48, nz=16):
+        import dataclasses
+
+        ph2 = water_cylinder_phantom(N=N, dx=0.5, radius_cm=8.0)
+        lab3 = np.broadcast_to(ph2.labels[0], (nz, N, N)).copy()
+        return dataclasses.replace(ph2, labels=lab3, dz=0.5)
+
+    def test_rays_are_rotated_parent_rays(self):
+        from dexct_tpu.system import (ConeBeamGeometry,
+                                      TiltedConeBeamGeometry)
+
+        kw = dict(N_channels=32, N_proj=24, N_rows=8, gamma_fan=0.8,
+                  SID=60.0, SDD=100.0, h_iso=0.5)
+        tau = 0.3
+        ct0 = ConeBeamGeometry(**kw)
+        ctt = TiltedConeBeamGeometry(tilt=tau, **kw)
+        s0, d0 = ct0.ray_geometry_3d()
+        st, dt = ctt.ray_geometry_3d()
+        c, s = np.cos(tau), np.sin(tau)
+        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+        np.testing.assert_allclose(st, s0 @ rot.T, atol=1e-12)
+        np.testing.assert_allclose(dt, d0 @ rot.T, atol=1e-12)
+        # untilted() recovers the parent geometry's rays
+        su, du = ctt.untilted().ray_geometry_3d()
+        np.testing.assert_allclose(su, s0, atol=1e-12)
+
+    def test_tilt_zero_matches_fdk(self):
+        from dexct_tpu.ops.conebeam import (cone_sinogram,
+                                            fdk_reconstruct,
+                                            fdk_tilted_reconstruct)
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system import TiltedConeBeamGeometry
+
+        ct = TiltedConeBeamGeometry(
+            N_channels=48, N_proj=48, N_rows=8, gamma_fan=0.8,
+            SID=60.0, SDD=100.0, h_iso=0.5, tilt=0.0, eid=True)
+        ph = self._cyl(N=32, nz=8)
+        sp = kramers_spectrum(120.0)
+        sp.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        _, sino = cone_sinogram(ph, ct, sp)
+        a = np.asarray(fdk_reconstruct(sino, ct.untilted(), 32, 14.0,
+                                       0.8))
+        b = np.asarray(fdk_tilted_reconstruct(sino, ct, 32, 14.0, 0.8))
+        np.testing.assert_array_equal(a, b)
+
+    def test_tilted_cylinder_matches_untilted(self):
+        # a z-uniform water cylinder is invariant under the gantry
+        # tilt, so the tilted reconstruction must match the untilted
+        # one in the fully-covered interior
+        from dexct_tpu.ops.conebeam import (cone_sinogram,
+                                            fdk_reconstruct,
+                                            fdk_tilted_reconstruct)
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system import (ConeBeamGeometry,
+                                      TiltedConeBeamGeometry)
+
+        kw = dict(N_channels=64, N_proj=64, N_rows=12, gamma_fan=0.8,
+                  SID=60.0, SDD=100.0, h_iso=0.4, eid=True)
+        ph = self._cyl(N=48, nz=16)
+        sp = kramers_spectrum(120.0)
+
+        ct0 = ConeBeamGeometry(**kw)
+        sp.rescale_counts(ct0.A_iso * 5.0 / ct0.N_proj)
+        _, sino0 = cone_sinogram(ph, ct0, sp)
+        ref = np.asarray(fdk_reconstruct(sino0, ct0, 48, 18.0, 0.8,
+                                         nz_out=6, dz_out=0.4))
+
+        ctt = TiltedConeBeamGeometry(tilt=np.deg2rad(15.0), **kw)
+        _, sinot = cone_sinogram(ph, ctt, sp)
+        tilted = np.asarray(fdk_tilted_reconstruct(
+            sinot, ctt, 48, 18.0, 0.8, nz_out=6, dz_out=0.4))
+        assert tilted.shape == ref.shape
+        # central region (fully covered at this tilt); the ~4% point
+        # bound is FDK-class: the rotated cylinder is oblique to the
+        # gantry z-axis (cone artifact) and the shear resample is
+        # trilinear (measured 4.4% max / 0.6% mean at 15 degrees)
+        c = np.s_[2:4, 18:30, 18:30]
+        scale = np.abs(ref[c]).max()
+        assert np.abs(tilted[c] - ref[c]).max() < 0.06 * scale
+        # recovered water mu in the center within 2%
+        mu_ref = ref[c].mean()
+        assert abs(tilted[c].mean() / mu_ref - 1.0) < 0.02
+
+    def test_simulate_routes_and_registry_parses(self):
+        from dexct_tpu.ops.conebeam import (fdk_reconstruct,
+                                            simulate_cone_dect)
+        from dexct_tpu.physics import kramers_spectrum, linac_spectrum
+        from dexct_tpu.system import TiltedConeBeamGeometry
+        from dexct_tpu.system.geometry import GEOMETRY_REGISTRY
+
+        assert GEOMETRY_REGISTRY["tilted_cone_beam"] \
+            is TiltedConeBeamGeometry
+        ct = TiltedConeBeamGeometry(
+            N_channels=32, N_proj=24, N_rows=8, gamma_fan=0.8,
+            SID=60.0, SDD=100.0, h_iso=0.5, tilt=0.2, eid=True)
+        ph = self._cyl(N=24, nz=8)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        out = simulate_cone_dect(ct, ph, s1, s2, 24, 10.0, 0.8,
+                                 nz_out=4, dz_out=0.5)
+        assert out["recon_HU"][0].shape == (4, 24, 24)
+        assert np.isfinite(out["recon_HU"][0]).all()
+        # the plain FDK refuses tilted geometries
+        import pytest
+
+        with pytest.raises(ValueError, match="tilt"):
+            fdk_reconstruct(out["sino_log"][0], ct, 24, 10.0, 0.8)
