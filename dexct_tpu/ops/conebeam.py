@@ -1511,7 +1511,7 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
 def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
                        n_iters=10, noise="none", key=None,
                        recon="auto", mask_thresh=0.95, do_recon=True,
-                       **recon_kw):
+                       heel=None, **recon_kw):
     """Full 3-D dual-energy cone-beam pipeline: trace ONCE -> two
     polyenergetic acquisitions -> per-ray GN decomposition -> FDK (or
     helical Feldkamp) of both HU volumes and both basis-material
@@ -1536,19 +1536,41 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     from . import spectral as sp_ops
 
     dtype = jnp.float32
+    if heel is not None and heel.d0_cm == 0.0:
+        heel = None
     paths = cone_material_paths(phantom, ct)
     mu_t1 = jnp.asarray(phantom.materials.mu_table(spec1.E), dtype)
     mu_t2 = jnp.asarray(phantom.materials.mu_table(spec2.E), dtype)
-    i0_1 = sp_ops.effective_fluence(spec1, ct)
-    i0_2 = sp_ops.effective_fluence(spec2, ct)
-    c1 = sp_ops.counts_from_paths(paths, mu_t1, jnp.asarray(i0_1, dtype))
-    c2 = sp_ops.counts_from_paths(paths, mu_t2, jnp.asarray(i0_2, dtype))
+    if heel is not None:
+        # anode heel (ops/heel.py): per-row fluence tables, per-row air
+        # normalization, and the row-vmapped exact decomposition
+        from .heel import (counts_from_paths_heel, heel_fluence,
+                           heel_second_moment)
+
+        i0r_1 = heel_fluence(spec1, ct, heel)
+        i0r_2 = heel_fluence(spec2, ct, heel)
+        c1 = counts_from_paths_heel(paths, mu_t1, i0r_1, dtype=dtype)
+        c2 = counts_from_paths_heel(paths, mu_t2, i0r_2, dtype=dtype)
+    else:
+        i0_1 = sp_ops.effective_fluence(spec1, ct)
+        i0_2 = sp_ops.effective_fluence(spec2, ct)
+        c1 = sp_ops.counts_from_paths(paths, mu_t1,
+                                      jnp.asarray(i0_1, dtype))
+        c2 = sp_ops.counts_from_paths(paths, mu_t2,
+                                      jnp.asarray(i0_2, dtype))
     if noise != "none":
         if key is None:
             key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         v1 = v2 = None
-        if noise == "compound":
+        if noise == "compound" and heel is not None:
+            v1 = counts_from_paths_heel(
+                paths, mu_t1, heel_second_moment(spec1, ct, heel),
+                dtype=dtype)
+            v2 = counts_from_paths_heel(
+                paths, mu_t2, heel_second_moment(spec2, ct, heel),
+                dtype=dtype)
+        elif noise == "compound":
             i2_1 = jnp.asarray(sp_ops.second_moment_fluence(spec1, ct),
                                dtype)
             i2_2 = jnp.asarray(sp_ops.second_moment_fluence(spec2, ct),
@@ -1557,18 +1579,29 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
             v2 = sp_ops.counts_from_paths(paths, mu_t2, i2_2)
         c1 = sp_ops.sample_noise(k1, c1, noise, var=v1)
         c2 = sp_ops.sample_noise(k2, c2, noise, var=v2)
-    log1 = sp_ops.log_sinogram(c1, float(np.sum(i0_1)))
-    log2 = sp_ops.log_sinogram(c2, float(np.sum(i0_2)))
+    if heel is not None:
+        air1 = jnp.asarray(i0r_1.sum(-1), dtype)[None, :, None]
+        air2 = jnp.asarray(i0r_2.sum(-1), dtype)[None, :, None]
+        log1 = sp_ops.log_sinogram(c1, air1)
+        log2 = sp_ops.log_sinogram(c2, air2)
+        from .heel import decompose_cone_sinograms_heel
 
-    _, dec_i0, dec_mus = md.prepare_decomposition(ct, spec1, spec2)
-    flat = jnp.stack([c1.reshape(-1), c2.reshape(-1)])
-    ab = md.gauss_newton_solve(
-        flat, jnp.asarray(dec_i0, dtype), jnp.asarray(dec_mus, dtype),
-        n_iters=n_iters)
-    mask = (c1 >= mask_thresh * jnp.max(c1)).reshape(-1)  # air rays
-    #                                                    (SURVEY §2.5)
-    mat1 = jnp.where(mask, 0.0, ab[:, 0]).reshape(c1.shape)
-    mat2 = jnp.where(mask, 0.0, ab[:, 1]).reshape(c1.shape)
+        mat1, mat2 = decompose_cone_sinograms_heel(
+            ct, c1, c2, spec1, spec2, heel, n_iters=max(n_iters, 10),
+            mask_thresh=mask_thresh)
+    else:
+        log1 = sp_ops.log_sinogram(c1, float(np.sum(i0_1)))
+        log2 = sp_ops.log_sinogram(c2, float(np.sum(i0_2)))
+
+        _, dec_i0, dec_mus = md.prepare_decomposition(ct, spec1, spec2)
+        flat = jnp.stack([c1.reshape(-1), c2.reshape(-1)])
+        ab = md.gauss_newton_solve(
+            flat, jnp.asarray(dec_i0, dtype), jnp.asarray(dec_mus, dtype),
+            n_iters=n_iters)
+        mask = (c1 >= mask_thresh * jnp.max(c1)).reshape(-1)  # air rays
+        #                                                 (SURVEY §2.5)
+        mat1 = jnp.where(mask, 0.0, ab[:, 0]).reshape(c1.shape)
+        mat2 = jnp.where(mask, 0.0, ab[:, 1]).reshape(c1.shape)
 
     if not do_recon:  # forward-projection-only config skips the
         #   reconstruction stage (the dominant cost) entirely

@@ -42,6 +42,7 @@ from . import matdecomp as md_ops
 from . import spectral as sp_ops
 
 __all__ = ["TUNGSTEN", "HeelEffect", "heel_fluence",
+           "heel_second_moment", "counts_from_paths_heel",
            "cone_sinogram_heel", "decompose_cone_sinograms_heel"]
 
 TUNGSTEN = Material("tungsten", 19.3, "W(100.0)")
@@ -98,6 +99,27 @@ def heel_fluence(spec, geometry, heel):
     return i0[None, :] * heel.transmission(geometry, spec.E)
 
 
+def heel_second_moment(spec, geometry, heel):
+    """Per-row second-moment table [N_rows, E] for compound EID noise
+    (transmission scales the photon count linearly; the per-photon
+    weight is unchanged — same convention as
+    :func:`~dexct_tpu.ops.bowtie.bowtie_second_moment`)."""
+    base = sp_ops.second_moment_fluence(spec, geometry)
+    return heel.transmission(geometry, spec.E) * base[None, :]
+
+
+def counts_from_paths_heel(paths, mu_table, i0_rows, *, dtype=None):
+    """Detected counts [V, R, C] for per-row fluence ``i0_rows [R, E]``
+    (the heel analog of
+    :func:`~dexct_tpu.ops.spectral.counts_from_paths`)."""
+    dtype = paths.dtype if dtype is None else dtype
+    hi = jax.lax.Precision.HIGHEST
+    L = jnp.matmul(paths, mu_table.astype(dtype), precision=hi)
+    atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
+    return jnp.einsum("vrce,re->vrc", atten,
+                      jnp.asarray(i0_rows, dtype), precision=hi)
+
+
 def cone_sinogram_heel(phantom, geometry, spectrum, heel, *,
                        dtype=jnp.float32, view_block=None):
     """Polyenergetic cone-beam acquisition with the heel effect.
@@ -120,11 +142,7 @@ def cone_sinogram_heel(phantom, geometry, spectrum, heel, *,
                                           jnp.asarray(i0, dtype))
         return counts, sp_ops.log_sinogram(counts, float(np.sum(i0)))
     i0_r = heel_fluence(spectrum, geometry, heel)  # [R, E]
-    hi = jax.lax.Precision.HIGHEST
-    L = jnp.matmul(paths, mu_t, precision=hi)  # [V, R, C, E]
-    atten = jnp.exp(jnp.clip(-L, -700.0, 2.0))
-    counts = jnp.einsum("vrce,re->vrc", atten,
-                        jnp.asarray(i0_r, dtype), precision=hi)
+    counts = counts_from_paths_heel(paths, mu_t, i0_r, dtype=dtype)
     air_r = jnp.asarray(i0_r.sum(-1), dtype)  # per-row air counts
     sino_log = sp_ops.log_sinogram(counts, air_r[None, :, None])
     return counts, sino_log

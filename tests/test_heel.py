@@ -125,3 +125,39 @@ class TestHeelModel:
         err_naive = np.abs(n1 - t1)[sel].max()
         assert err_aware < 0.2 * err_naive
         assert err_aware < 5e-3 * t1.max()
+
+
+class TestSimulateIntegration:
+    def test_simulate_cone_dect_heel_kwarg(self):
+        from dexct_tpu.ops.conebeam import simulate_cone_dect
+
+        ct, ph, _ = _system(R=6, N=24)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        heel = HeelEffect(d0_cm=20e-4)
+        out = simulate_cone_dect(ct, ph, s1, s2, 24, 10.0, 0.8,
+                                 heel=heel, nz_out=4, dz_out=0.5)
+        # counts/log/decomposition match the standalone heel ops
+        c1, l1 = cone_sinogram_heel(ph, ct, s1, heel)
+        np.testing.assert_array_equal(np.asarray(out["sino_raw"][0]),
+                                      np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(out["sino_log"][0]),
+                                      np.asarray(l1))
+        c2, _ = cone_sinogram_heel(ph, ct, s2, heel)
+        m1, _ = decompose_cone_sinograms_heel(ct, c1, c2, s1, s2, heel,
+                                              n_iters=10)
+        np.testing.assert_array_equal(np.asarray(out["mat_sinos"][0]),
+                                      np.asarray(m1))
+        assert np.isfinite(out["recon_HU"][0]).all()
+        # heel=None and d0=0 reproduce the heel-free path exactly
+        o0 = simulate_cone_dect(ct, ph, s1, s2, 24, 10.0, 0.8,
+                                nz_out=4, dz_out=0.5)
+        oz = simulate_cone_dect(ct, ph, s1, s2, 24, 10.0, 0.8,
+                                heel=HeelEffect(d0_cm=0.0),
+                                nz_out=4, dz_out=0.5)
+        np.testing.assert_array_equal(np.asarray(o0["sino_raw"][0]),
+                                      np.asarray(oz["sino_raw"][0]))
+        np.testing.assert_array_equal(np.asarray(o0["mat_recons"][0]),
+                                      np.asarray(oz["mat_recons"][0]))
