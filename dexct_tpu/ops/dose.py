@@ -436,10 +436,11 @@ def dose_efficiency(d_prime, dose_mGy_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block"))
+    static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block",
+                     "z_window"))
 def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
                         rs, vox_xyz, rho_vox, lab_vox, scalars, *, n_mats,
-                        nx, ny, nz, pixel_block):
+                        nx, ny, nz, pixel_block, z_window=None):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
 
     Rays are parametrized by (gamma, t, r): gamma the in-plane fan
@@ -451,6 +452,14 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
 
     scalars: (sid, dx, dy, dz, geom_const, g_half_fan, t_half_beam,
               voxel_volume)
+
+    ``z_window`` (static, slices): a view's collimated beam reaches at
+    most |z - z_s| <= max|t| * r_max, a hard zero of ``in_beam`` — so
+    with the voxel grid z-major, each view dynamic-slice-updates only
+    a ``z_window``-slice slab of the dose vector instead of all nz
+    (the gFDK slice-window trick applied to dosimetry; for long
+    helical scans the per-view voxel stage becomes O(collimation/dz),
+    not O(scan length)).  ``None`` = full scan; results identical.
     """
     f32 = jnp.float32
     (sid, dx_w, dy_w, dz_w, geom_const, g_half_fan, t_half,
@@ -510,65 +519,93 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
              * sec[None, :, None, None])  # [n_g, n_t, n_r, K]
         Tf = T.reshape(n_g * n_t * n_r, n_mats)
 
-        # voxel coordinates in the (gamma, t, r) frame
-        relx = vox_xyz[:, 0] - src[0]
-        rely = vox_xyz[:, 1] - src[1]
-        r_v = jnp.sqrt(relx * relx + rely * rely)
-        d0 = -src / sid
-        dotp = (relx * d0[0] + rely * d0[1]) / r_v
-        crossp = (d0[0] * rely - d0[1] * relx) / r_v
-        g_v = jnp.arctan2(crossp, dotp)
-        t_v = (vox_xyz[:, 2] - z_s) / r_v
-        gi = jnp.clip((g_v - gammas[0]) / dg, 0.0, n_g - 1.001)
-        ti = jnp.clip((t_v - ts[0]) / dt, 0.0, n_t - 1.001)
-        ri = jnp.clip((r_v - rs[0]) / dr, 0.0, n_r - 1.001)
-        gi0 = jnp.floor(gi).astype(jnp.int32)
-        ti0 = jnp.floor(ti).astype(jnp.int32)
-        ri0 = jnp.floor(ri).astype(jnp.int32)
-        wg = (gi - gi0)[:, None]
-        wt = (ti - ti0)[:, None]
-        wr = (ri - ri0)[:, None]
-        base = (gi0 * n_t + ti0) * n_r + ri0
-        sg = n_t * n_r
         # r-adjacent tap rows are contiguous: pack (row, row+1) so the
         # 8 trilinear taps cost 4 row-2K gathers (see the 2-D kernel)
         Tp = jnp.concatenate([Tf, jnp.roll(Tf, -1, axis=0)], axis=-1)
+        sg = n_t * n_r
 
-        def lerp_r(rows):
-            return rows[:, :n_mats] * (1 - wr) + rows[:, n_mats:] * wr
+        def vox_stage(vox_a, rho_a, lab_a):
+            """Per-view energy deposition for a (slab of the) voxel
+            grid -> (dose contribution [n_a], deposited keV)."""
+            n_a = vox_a.shape[0]
+            relx = vox_a[:, 0] - src[0]
+            rely = vox_a[:, 1] - src[1]
+            r_v = jnp.sqrt(relx * relx + rely * rely)
+            d0 = -src / sid
+            dotp = (relx * d0[0] + rely * d0[1]) / r_v
+            crossp = (d0[0] * rely - d0[1] * relx) / r_v
+            g_v = jnp.arctan2(crossp, dotp)
+            t_v = (vox_a[:, 2] - z_s) / r_v
+            gi = jnp.clip((g_v - gammas[0]) / dg, 0.0, n_g - 1.001)
+            ti = jnp.clip((t_v - ts[0]) / dt, 0.0, n_t - 1.001)
+            ri = jnp.clip((r_v - rs[0]) / dr, 0.0, n_r - 1.001)
+            gi0 = jnp.floor(gi).astype(jnp.int32)
+            ti0 = jnp.floor(ti).astype(jnp.int32)
+            ri0 = jnp.floor(ri).astype(jnp.int32)
+            wg = (gi - gi0)[:, None]
+            wt = (ti - ti0)[:, None]
+            wr = (ri - ri0)[:, None]
+            base = (gi0 * n_t + ti0) * n_r + ri0
 
-        t_vox = (
-            (1 - wg) * ((1 - wt) * lerp_r(Tp[base])
-                        + wt * lerp_r(Tp[base + n_r]))
-            + wg * ((1 - wt) * lerp_r(Tp[base + sg])
-                    + wt * lerp_r(Tp[base + sg + n_r])))  # [vox, K]
+            def lerp_r(rows):
+                return (rows[:, :n_mats] * (1 - wr)
+                        + rows[:, n_mats:] * wr)
 
-        sec_v = jnp.sqrt(1.0 + t_v * t_v)
-        in_beam = ((jnp.abs(g_v) <= g_half_fan)
-                   & (jnp.abs(t_v) <= t_half)).astype(f32)
-        phi0 = geom_const * sec_v / (r_v * r_v) * in_beam
+            t_vox = (
+                (1 - wg) * ((1 - wt) * lerp_r(Tp[base])
+                            + wt * lerp_r(Tp[base + n_r]))
+                + wg * ((1 - wt) * lerp_r(Tp[base + sg])
+                        + wt * lerp_r(Tp[base + sg + n_r])))  # [n_a, K]
 
-        def block(args):
-            t_b, phi_b, lab_b = args
-            att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
-            w = att * i0w_E[None, :]
-            c = jnp.matmul(w, mu_kE.T, precision=hi)
-            # one-hot contraction, not take_along_axis (see the 2-D
-            # kernel: the scalar gathers profiled ~15% of the map)
-            oh = (lab_b[:, None] == mat_ids).astype(t_b.dtype)
-            c_own = jnp.sum(c * oh, -1)
-            return phi_b * c_own
+            sec_v = jnp.sqrt(1.0 + t_v * t_v)
+            in_beam = ((jnp.abs(g_v) <= g_half_fan)
+                       & (jnp.abs(t_v) <= t_half)).astype(f32)
+            phi0 = geom_const * sec_v / (r_v * r_v) * in_beam
 
-        nb = -(-n_vox // pixel_block)
-        pad = nb * pixel_block - n_vox
-        e_vol = jax.lax.map(block, (
-            jnp.pad(t_vox, ((0, pad), (0, 0))).reshape(
-                nb, pixel_block, n_mats),
-            jnp.pad(phi0, (0, pad)).reshape(nb, pixel_block),
-            jnp.pad(lab_vox, (0, pad)).reshape(nb, pixel_block),
-        )).reshape(-1)[:n_vox]
-        dose_acc = dose_acc + e_vol / rho_vox
-        edep_acc = edep_acc + jnp.sum(e_vol) * dvol
+            def block(args):
+                t_b, phi_b, lab_b = args
+                att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
+                w = att * i0w_E[None, :]
+                c = jnp.matmul(w, mu_kE.T, precision=hi)
+                # one-hot contraction, not take_along_axis (see the 2-D
+                # kernel: the scalar gathers profiled ~15% of the map)
+                oh = (lab_b[:, None] == mat_ids).astype(t_b.dtype)
+                c_own = jnp.sum(c * oh, -1)
+                return phi_b * c_own
+
+            pb = min(pixel_block, n_a)
+            nb = -(-n_a // pb)
+            pad = nb * pb - n_a
+            e_vol = jax.lax.map(block, (
+                jnp.pad(t_vox, ((0, pad), (0, 0))).reshape(
+                    nb, pb, n_mats),
+                jnp.pad(phi0, (0, pad)).reshape(nb, pb),
+                jnp.pad(lab_a, (0, pad)).reshape(nb, pb),
+            )).reshape(-1)[:n_a]
+            return e_vol / rho_a, jnp.sum(e_vol) * dvol
+
+        if z_window is not None:
+            # the beam's hard z-reach from this view (in_beam zeroes
+            # anything beyond |t| <= t_half <= max|t| at r <= r_max)
+            span = jnp.abs(ts).max() * rs[-1]
+            nynx = ny * nx
+            k0 = jnp.clip(
+                jnp.floor((z_s - span - vox_xyz[0, 2]) / dz_w) - 1.0,
+                0.0, float(nz - z_window)).astype(jnp.int32)
+            s0 = k0 * nynx
+            n_w = z_window * nynx
+            dv, de = vox_stage(
+                jax.lax.dynamic_slice(vox_xyz, (s0, 0), (n_w, 3)),
+                jax.lax.dynamic_slice(rho_vox, (s0,), (n_w,)),
+                jax.lax.dynamic_slice(lab_vox, (s0,), (n_w,)))
+            dose_acc = jax.lax.dynamic_update_slice(
+                dose_acc,
+                jax.lax.dynamic_slice(dose_acc, (s0,), (n_w,)) + dv,
+                (s0,))
+        else:
+            dv, de = vox_stage(vox_xyz, rho_vox, lab_vox)
+            dose_acc = dose_acc + dv
+        edep_acc = edep_acc + de
         return (dose_acc, edep_acc), 0.0
 
     init = (jnp.zeros(n_vox, f32), jnp.zeros((), f32))
@@ -578,7 +615,7 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
 
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
                 oversample=2, views=None, pixel_block=65536,
-                n_energy=None, view_chunk=32):
+                n_energy=None, view_chunk=32, _z_window="auto"):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
     ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
@@ -633,6 +670,14 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
     # bounded-length device programs (the tunnel-watchdog rule — one
     # over-long 256^2x32 program crashed the worker; CLAUDE.md)
     vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
+    # z-slab window (static): the collimated beam reaches at most
+    # max|t| * r_max from the source z, so each view only touches
+    # Lz = O(collimation/dz) slices — a big win for long helical scans
+    Lz = int(np.ceil(2.0 * float(np.abs(ts).max()) * float(rs[-1])
+                     / phantom.dz)) + 4
+    z_window = Lz if Lz <= nz - 2 else None
+    if _z_window != "auto":  # test hook: force the full scan
+        z_window = _z_window
     dose = np.zeros(nz * ny * nx, np.float64)
     edep = 0.0
     for i0b in range(0, len(betas), vc):
@@ -647,7 +692,7 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
             jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
             jnp.asarray(labels3.ravel()), scalars,
             n_mats=n_mats, nx=nx, ny=ny, nz=nz,
-            pixel_block=int(pixel_block))
+            pixel_block=int(pixel_block), z_window=z_window)
         dose += np.asarray(d_c, np.float64)
         edep += float(e_c)
     dose_mGy = dose.reshape(nz, ny, nx) * KEV_PER_G_TO_MGY
