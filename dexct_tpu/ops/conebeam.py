@@ -432,9 +432,7 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     # (vb-1)*dbeta feeds at most `need` consecutive slices
     L = None
     if dbeta is not None and abs(pitch) > 1e-12 and npad > 4:
-        hw = {"full": 1.0, "pair": 1.0, "feather": 1.2501,
-              "td": 1.5, "cosz": 1.5,
-              "short": 0.5 + 0.5 * C * dgamma / np.pi}[weighting]
+        hw = _helical_window_halfwidth(weighting, C, dgamma)
         s_abs = 2.0 * np.pi * abs(dz_out / pitch)  # slice step in beta_c
         span = (2.0 * hw * np.pi + (vb - 1) * abs(dbeta)) / s_abs
         Lw = int(np.ceil(span + 3.1))  # even-floor start + float margin
@@ -652,10 +650,8 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
             # can reach this block update; k0 is EVEN so the z-pair
             # grouping matches the full scan's exactly
             s_tr = bcp[1] - bcp[0]
-            hwpi = {"full": 1.0, "pair": 1.0, "feather": 1.2501,
-                    "td": 1.5, "cosz": 1.5,
-                    "short": 0.5 + 0.5 * C * dgamma / np.pi
-                    }[weighting] * np.pi
+            hwpi = _helical_window_halfwidth(weighting, C, dgamma) \
+                * np.pi
             # exact lower bound of the nonzero slice range (sign-robust:
             # min over both block endpoints x both window edges)
             kmin = jnp.minimum(
@@ -695,6 +691,17 @@ def _helical_backproject(q, betas, src_z, row_off, beta_c, sid, dgamma,
     return vol[0] if squeeze else vol
 
 
+def _helical_window_halfwidth(weighting, n_channels, dgamma):
+    """Hard-zero |beta - beta_c| half-width of each gFDK weighting, in
+    units of pi — THE single source of truth for the slice-windowed
+    scan's bounds (both the static L and the traced k0 use it; it must
+    match the zero sets in ``win_weight``)."""
+    return {"full": 1.0, "pair": 1.0, "feather": 1.2501,
+            "td": 1.5, "cosz": 1.5,
+            "short": 0.5 + 0.5 * n_channels * dgamma / np.pi}[weighting]
+
+
+@jax.jit
 def _trilinear_volume_sample(vol, zi, yi, xi):
     """Trilinear sample of ``vol [..., nz, ny, nx]`` at continuous
     indices ``zi/yi/xi`` (broadcastable to the output shape); points
@@ -765,15 +772,37 @@ def fdk_tilted_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     c_t, s_t = abs(np.cos(tau)), abs(np.sin(tau))
     px = fov / n_matrix
     z_half = 0.5 * nz * dz
-    fov_g = fov * c_t + 2.0 * z_half * s_t + 2.0 * px
+    # x is unchanged by the tilt, so the gantry grid must cover the
+    # FULL patient fov in x even when the rotated y-z box is narrower
+    fov_g = max(fov, fov * c_t + 2.0 * z_half * s_t) + 2.0 * px
     n_g = int(-(-fov_g / px // 2) * 2)
     fov_g = n_g * px
     zg_half = 0.5 * fov * s_t + z_half * c_t + dz
     nz_g = int(-(-2.0 * zg_half / dz // 2) * 2)
-    vols = jnp.stack([
-        fdk_reconstruct(s, ct_g, n_g, fov_g, ramp, nz_out=nz_g,
-                        dz_out=dz, window=window,
-                        view_block=view_block) for s in stack])
+    # ONE multi-volume packed backprojection for the whole stack (all
+    # M volumes' bilinear taps ride one gather row — the same kernel
+    # and flags fdk_reconstruct uses, so M=1 is bit-equal to it)
+    from .filters import filter_frequency_response
+
+    dtf = jnp.result_type(stack.dtype, jnp.float32)
+    cosg = np.cos(ct_g.gammas)
+    cosk = ct_g.SID / np.sqrt(ct_g.SID ** 2
+                              + np.asarray(ct_g.z_iso) ** 2)
+    w = jnp.asarray(cosg[None, :] * cosk[:, None] * ct_g.SID, dtf)
+    Hf, m = filter_frequency_response(C, ct_g.dgamma, ramp, window,
+                                      "fan")
+    q = jnp.fft.irfft(
+        jnp.fft.rfft(stack.astype(dtf) * w[None, None], n=m, axis=-1)
+        * jnp.asarray(Hf, dtf), n=m, axis=-1)[..., :C] * ct_g.dgamma
+    vols = _fdk_backproject_multi(
+        q, jnp.asarray(ct_g.betas, dtf), float(ct_g.SID),
+        float(ct_g.dgamma), float(ct_g.h_iso), int(R), int(n_g),
+        int(nz_g), float(fov_g), dz,
+        float(ct_g.rotation_total / V), view_block=int(view_block),
+        pair_mode=_fdk_pair_ok(float(ct_g.SID), float(fov_g),
+                               float(ct_g.h_iso), dz, int(nz_g),
+                               int(R)),
+        orbit4=_fdk_orbit4_ok(V, int(n_g), ct_g.rotation_total))
 
     # patient grid -> gantry coords: R_x(-tau)
     dtype = vols.dtype
@@ -787,7 +816,7 @@ def fdk_tilted_reconstruct(sino_log, geometry, n_matrix, fov, ramp, *,
     yi = (y_g / px_g + n_g / 2 - 0.5)[:, :, None]
     zi = (z_g / dz + nz_g / 2 - 0.5)[:, :, None]
     xi = (xs / px_g + n_g / 2 - 0.5)[None, None, :]
-    out = jax.jit(_trilinear_volume_sample)(
+    out = _trilinear_volume_sample(
         vols, jnp.broadcast_to(zi, (nz, n_matrix, n_matrix)),
         jnp.broadcast_to(yi, (nz, n_matrix, n_matrix)),
         jnp.broadcast_to(xi, (nz, n_matrix, n_matrix)))
@@ -1587,7 +1616,7 @@ def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         from .heel import decompose_cone_sinograms_heel
 
         mat1, mat2 = decompose_cone_sinograms_heel(
-            ct, c1, c2, spec1, spec2, heel, n_iters=max(n_iters, 10),
+            ct, c1, c2, spec1, spec2, heel, n_iters=n_iters,
             mask_thresh=mask_thresh)
     else:
         log1 = sp_ops.log_sinogram(c1, float(np.sum(i0_1)))

@@ -184,10 +184,13 @@ def decompose_cone_sinograms_heel(geometry, sino1, sino2, spec1, spec2,
     a = solve(y, jnp.asarray(i0_r, dtype))  # [R, V*C, K]
     a = a.reshape(R, V, C, -1).transpose(1, 0, 2, 3)  # [V, R, C, K]
 
-    # per-row air mask (matdecomp.py:194-196 generalized: the heel makes
-    # raw air counts row-dependent)
-    thr = mask_thresh * jnp.max(s1, axis=(0, 2), keepdims=True)
-    mask = s1 >= thr
+    # per-row air mask anchored to the KNOWN per-row air counts (the
+    # model is available here, unlike the reference's data-max
+    # heuristic, matdecomp.py:194-196): a per-row data max would
+    # misclassify through-object rays as air on any row the object
+    # covers completely
+    air1 = heel_fluence(spec1, geometry, heel).sum(-1)  # [R]
+    mask = s1 >= mask_thresh * jnp.asarray(air1, dtype)[None, :, None]
     mat1 = jnp.where(mask, 0.0, a[..., 0])
     mat2 = jnp.where(mask, 0.0, a[..., 1])
     return mat1, mat2

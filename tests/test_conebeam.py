@@ -1285,3 +1285,42 @@ class TestTiltedGantry:
 
         with pytest.raises(ValueError, match="tilt"):
             fdk_reconstruct(out["sino_log"][0], ct, 24, 10.0, 0.8)
+
+    def test_edge_x_coverage_thin_volume(self):
+        # regression: the gantry grid must keep the FULL patient fov in
+        # x (the tilt leaves x unchanged) — fov*cos(tau) + small-z
+        # terms undershot it for thin volumes and zeroed a ring of
+        # fully-measured voxels near |x| = fov/2.
+        # Config pins the bug: tilt 30 deg, 2-slice output (z_half =
+        # 0.5 cm), fov 20 @ 40 px (px 0.5): the old fov_g =
+        # 20*cos(30) + 2*0.5*sin(30) + 2*0.5 = 18.82 -> n_g 38, half-
+        # extent 9.5 cm — the probe voxels at |x| = 9.75 cm sampled
+        # OUTSIDE the gantry grid and read ~0 despite being fully
+        # measured water; the fixed grid (half-extent >= 10 cm) keeps
+        # them.
+        import dataclasses
+
+        from dexct_tpu.ops.conebeam import (cone_sinogram,
+                                            fdk_tilted_reconstruct)
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system import TiltedConeBeamGeometry
+
+        ph2 = water_cylinder_phantom(N=32, dx=0.75, radius_cm=11.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 32, 32)).copy()
+        ph = dataclasses.replace(ph2, labels=lab3, dz=0.75)
+        ct = TiltedConeBeamGeometry(
+            N_channels=96, N_proj=48, N_rows=8, gamma_fan=0.8,
+            SID=60.0, SDD=100.0, h_iso=0.5, eid=True,
+            tilt=np.deg2rad(30.0))
+        sp = kramers_spectrum(120.0)
+        sp.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        _, sino = cone_sinogram(ph, ct, sp)
+        vol = np.asarray(fdk_tilted_reconstruct(
+            sino, ct, 40, 20.0, 0.8, nz_out=2, dz_out=0.5))
+        mid = vol[0]
+        # last/first pixel centers sit at x = +-9.75 cm, y ~ +-0.25:
+        # 1.75 cm inside the water cylinder and inside the 10-cm fov
+        c = mid[19:21, 18:22].mean()
+        assert c > 0.1  # sanity: water ~0.2 /cm
+        assert mid[20, 39] > 0.75 * c, (mid[20, 39], c)
+        assert mid[20, 0] > 0.75 * c, (mid[20, 0], c)

@@ -271,7 +271,13 @@ class TestZWindow3d:
         assert np.abs(d1 - d2).max() <= 1e-6 * d2.max()
         assert abs(r_auto.deposited_J - r_full.deposited_J) \
             <= 1e-6 * r_full.deposited_J
-        # and the window is genuinely active at this shape
-        from dexct_tpu.ops import dose as dose_mod
-        # recompute the wrapper's Lz bound for this config
-        assert ph.labels.shape[0] == 32
+        # and the window is genuinely ACTIVE at this shape: recompute
+        # the wrapper's Lz bound (collimated-beam reach in slices)
+        from dexct_tpu.ops.dose import _sample_grids
+        gammas, rs = _sample_grids(ct, ph, None, None, 1)
+        t_half = 0.5 * ct.N_rows * ct.h_iso / ct.SID
+        # conservative: wrapper pads t by one grid step; bound with the
+        # unpadded t_half plus the wrapper's +4 margin and the pad slop
+        Lz_min = int(np.ceil(2.0 * t_half * float(rs[-1]) / ph.dz))
+        assert Lz_min + 8 <= ph.labels.shape[0] - 2, \
+            "config no longer activates the z window"

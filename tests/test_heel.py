@@ -161,3 +161,33 @@ class TestSimulateIntegration:
                                       np.asarray(oz["sino_raw"][0]))
         np.testing.assert_array_equal(np.asarray(o0["mat_recons"][0]),
                                       np.asarray(oz["mat_recons"][0]))
+
+    def test_air_mask_survives_fully_covered_rows(self):
+        # regression: a per-row DATA-max air threshold zeroes real
+        # through-object rays on rows the object covers completely;
+        # the mask is anchored to the known per-row air counts instead
+        import dataclasses
+
+        from dexct_tpu.system import ConeBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ct = ConeBeamGeometry(
+            N_channels=32, N_proj=24, N_rows=4, gamma_fan=0.3,
+            SID=60.0, SDD=100.0, h_iso=0.5, eid=True)
+        # cylinder wider than the fan's fov radius (60*sin(0.15) = 9):
+        # every channel of every row is covered
+        ph2 = water_cylinder_phantom(N=32, dx=0.7, radius_cm=10.5)
+        lab3 = np.broadcast_to(ph2.labels[0], (8, 32, 32)).copy()
+        ph = dataclasses.replace(ph2, labels=lab3, dz=0.7)
+        s1 = linac_spectrum()
+        s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+        s2 = kramers_spectrum(80.0)
+        s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        heel = HeelEffect(d0_cm=10e-4)
+        c1, _ = cone_sinogram_heel(ph, ct, s1, heel)
+        c2, _ = cone_sinogram_heel(ph, ct, s2, heel)
+        m1, _ = decompose_cone_sinograms_heel(ct, c1, c2, s1, s2, heel,
+                                              n_iters=15)
+        m1 = np.asarray(m1)
+        # no ray was misclassified as air: every ray carries water
+        assert (m1 > 1.0).all(), (m1.min(), float((m1 <= 1.0).mean()))
