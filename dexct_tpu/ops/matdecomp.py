@@ -10,7 +10,7 @@ spectra) the solver maximizes the Poisson likelihood of
 over basis-material area densities a [g/cm^2] via Newton iterations
 with the exact gradient/Hessian.  Generalizes the reference's two-spectra
 / two-material case to M >= 2 measurements (multi-bin photon counting)
-and K in {2, 3} basis materials.
+and K in {2, 3, 4} basis materials.
 
 TPU-native design vs the reference's per-view Python loop
 (matdecomp.py:109-125):
@@ -103,14 +103,53 @@ def _solve_spd(H_tri, dF, n_mats):
         x1 = (A01 * dF[:, 0] + A11 * dF[:, 1] + A12 * dF[:, 2]) / det
         x2 = (A02 * dF[:, 0] + A12 * dF[:, 1] + A22 * dF[:, 2]) / det
         return jnp.stack([x0, x1, x2], -1)
-    raise NotImplementedError("closed-form solve supports 2 or 3 materials")
+    if n_mats == 4:
+        # H = [[a, b, c, d], [b, e, f, g], [c, f, h, i], [d, g, i, j]]
+        # — symmetric adjugate solve (10 unique cofactors, each a 3x3
+        # minor); branch-free like the 2x2/3x3 cases so the indefinite
+        # full-Newton path keeps working.  Enables 4-material spectral
+        # decompositions (e.g. tissue/bone + two K-edge agents from
+        # >= 4 PCD bins).
+        a, b, c, d, e, f, g, h, i, j = (H_tri[:, k] for k in range(10))
+        A00 = e * (h * j - i * i) - f * (f * j - g * i) \
+            + g * (f * i - g * h)
+        A01 = -(b * (h * j - i * i) - f * (c * j - i * d)
+                + g * (c * i - h * d))
+        A02 = b * (f * j - i * g) - e * (c * j - i * d) \
+            + g * (c * g - f * d)
+        A03 = -(b * (f * i - h * g) - e * (c * i - h * d)
+                + f * (c * g - f * d))
+        A11 = a * (h * j - i * i) - c * (c * j - i * d) \
+            + d * (c * i - h * d)
+        A12 = -(a * (f * j - i * g) - b * (c * j - i * d)
+                + d * (c * g - f * d))
+        A13 = a * (f * i - h * g) - b * (c * i - h * d) \
+            + c * (c * g - f * d)
+        A22 = a * (e * j - g * g) - b * (b * j - g * d) \
+            + d * (b * g - e * d)
+        A23 = -(a * (e * i - f * g) - b * (b * i - f * d)
+                + c * (b * g - e * d))
+        A33 = a * (e * h - f * f) - b * (b * h - f * c) \
+            + c * (b * f - e * c)
+        det = a * A00 + b * A01 + c * A02 + d * A03
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        x0 = (A00 * dF[:, 0] + A01 * dF[:, 1] + A02 * dF[:, 2]
+              + A03 * dF[:, 3]) / det
+        x1 = (A01 * dF[:, 0] + A11 * dF[:, 1] + A12 * dF[:, 2]
+              + A13 * dF[:, 3]) / det
+        x2 = (A02 * dF[:, 0] + A12 * dF[:, 1] + A22 * dF[:, 2]
+              + A23 * dF[:, 3]) / det
+        x3 = (A03 * dF[:, 0] + A13 * dF[:, 1] + A23 * dF[:, 2]
+              + A33 * dF[:, 3]) / det
+        return jnp.stack([x0, x1, x2, x3], -1)
+    raise NotImplementedError("closed-form solve supports 2-4 materials")
 
 
 def _solve_block(y, i0T, musT, grad_w, hess_w, n_iters, eps_init, clip,
                  step_max, a_lo, a_hi, use_full_newton, lm_damping=0.0,
                  polish_iters=4, warm="log", warm_tables=None):
     """Newton iterations for one pixel block (general M measurements,
-    K in {2, 3} basis materials).
+    K in {2, 3, 4} basis materials).
 
     y: [B, M]; i0T: [E, M]; musT: [E, K];
     grad_w: [E, M*K]; hess_w: [E, M*T] with T = K(K+1)/2.
@@ -301,7 +340,7 @@ def gauss_newton_solve(counts, i0, mus, *, n_iters=30, eps_init=1e-6,
     counts: [M, P] detected counts (M = measurements: 2 for classic DE,
         more for multi-bin photon-counting acquisitions).
     i0:     [M, E] effective fluence per energy bin per measurement.
-    mus:    [K, E] basis mass attenuation [cm^2/g], K in {2, 3} and
+    mus:    [K, E] basis mass attenuation [cm^2/g], K in {2, 3, 4} and
         K <= M.
     Returns a: [P, K] area densities [g/cm^2] (matdecomp.py:42 contract).
 
@@ -519,7 +558,7 @@ def decompose_multibin_grid(sinos, ee, i0s, basis, *, n_iters=30,
     """Multi-measurement basis decomposition on an explicit energy grid.
 
     sinos: [M, V, C] counts; ee: [E] energies [keV]; i0s: [M, E]
-    effective fluences; basis: K Materials (K <= M, K in {2, 3}).
+    effective fluences; basis: K Materials (K <= M, K in {2, 3, 4}).
     Returns ([K, V, C] basis sinograms [g/cm^2], air mask [V, C]).
 
     ``a_bounds`` clamps the per-ray area densities; photon-starved rays

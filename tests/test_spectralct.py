@@ -421,3 +421,54 @@ def test_sharded_2d_pcd_matches_single_device():
                     for s in np.asarray(out["basis_sinos"])])
     np.testing.assert_allclose(nat, np.asarray(ref["basis_sinos"]),
                                atol=1e-3)
+
+
+class TestFourMaterialPipeline:
+    """End-to-end K = 4 spectral CT: water/bone + iodine AND gadolinium
+    quantified simultaneously from one 6-bin PCD scan (dual-contrast
+    imaging — the clinical use of two K-edge agents).  Exercises the
+    symmetric 4x4 closed-form Newton solve through the full pipeline."""
+
+    def test_dual_contrast_quantification(self):
+        import dataclasses
+
+        from dexct_tpu.physics.materials import (AIR, Material,
+                                                 MaterialTable)
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        iod = Material("iodine 10mg/mL", 1.008, "H(11.1)O(87.9)I(1.0)")
+        gd = Material("gado 10mg/mL", 1.008, "H(11.1)O(87.9)Gd(1.0)")
+        ph0 = water_cylinder_phantom(N=64, dx=0.3)
+        labels = np.asarray(ph0.labels).copy()
+        yy, xx = np.mgrid[0:64, 0:64]
+        labels[0][np.hypot(yy - 32 - 10, xx - 32) < 5] = 2  # I rod
+        labels[0][np.hypot(yy - 32 + 10, xx - 32) < 5] = 3  # Gd rod
+        ph = dataclasses.replace(
+            ph0, labels=labels,
+            materials=MaterialTable([AIR, WATER, iod, gd]))
+
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=False,
+                             detector=photon_counting_response())
+        s = kramers_spectrum(140.0)
+        s.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        basis = (WATER, BONE,
+                 Material("iodine", 4.93, "I(100.0)"),
+                 Material("gadolinium", 7.9, "Gd(100.0)"))
+        res = simulate_pcd_spectral(
+            ct, ph, s, [20.0, 34.0, 45.0, 52.0, 65.0, 85.0], basis,
+            64, 19.2, n_iters=60)
+        vols = np.asarray(res.basis_recons)  # [4, 64, 64] g/cm^3
+        assert vols.shape[0] == 4
+        # rod centers: 10 mg/mL = 0.010 g/cm^3 of each agent, none of
+        # the other; water background carries neither
+        i_rod = vols[:, 38:46, 28:36].mean((1, 2))
+        g_rod = vols[:, 18:26, 28:36].mean((1, 2))
+        bg = vols[:, 30:34, 8:16].mean((1, 2))
+        assert abs(i_rod[2] - 0.010) < 0.002, i_rod
+        assert abs(i_rod[3]) < 0.002, i_rod
+        assert abs(g_rod[3] - 0.010) < 0.002, g_rod
+        assert abs(g_rod[2]) < 0.002, g_rod
+        assert abs(bg[2]) < 0.001 and abs(bg[3]) < 0.001, bg
+        assert abs(bg[0] - 1.0) < 0.03, bg  # water density
