@@ -131,22 +131,49 @@ def _pack_label_quads(labels2d):
     return (lab | (lx << 8) | (ly << 16) | (lyx << 24)).astype(np.int32)
 
 
+def _pack_label_nines(labels2d):
+    """[ny, nx] labels < 8 -> int32 NINE pack: word (y, x) holds the
+    3x3 block [y:y+3, x:x+3] at 3 bits per label, bit (r*3 + c)*3
+    (edge-replicated past the top edges).
+
+    One word covers the bilinear corners of TWO consecutive polar-r
+    samples whenever the r step is < 1 pixel (the default oversample=2
+    grid steps ~0.7 px), halving the kernel's dominant gather count —
+    measured 7.44 -> 3.88 s on the 512^2/512-view map, bit-identical
+    (tools/bench_dose_probe.py; the same stub probe put the polar
+    gather at 74% of the kernel)."""
+    lab = np.asarray(labels2d, np.int64)
+    if lab.max() >= 8:
+        raise ValueError("nine packing needs labels < 8")
+    ny, nx = lab.shape
+    padded = np.pad(lab, ((0, 2), (0, 2)), mode="edge")
+    out = np.zeros((ny, nx), np.int64)
+    for r in range(3):
+        for c in range(3):
+            out |= padded[r:r + ny, c:c + nx] << ((r * 3 + c) * 3)
+    return out.astype(np.int32)
+
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_mats", "nx", "ny", "pixel_block"))
+    static_argnames=("n_mats", "nx", "ny", "pixel_block", "pair_mode"))
 def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
                      rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
-                     pixel_block):
+                     pixel_block, pair_mode=False):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
     labq:    [ny, nx] int32 quad-packed labels
-             (:func:`_pack_label_quads`)
+             (:func:`_pack_label_quads`), or NINE-packed
+             (:func:`_pack_label_nines`) when ``pair_mode``
     mu_kE:   [K, E] linear attenuation [1/cm]
     i0w_E:   [E] photons-per-channel-per-view * E_keV
     vox_xy:  [vox, 2] world (x, y) of voxel centers
     rho_vox, lab_vox: [L, vox] per-leg voxel density / label
     scalars: (sid, dx, dy, geom_const, gamma_half_fan, h_over_sid, dxdy)
+    pair_mode: serve each consecutive-r sample PAIR with one 3x3-block
+             gather (requires even n_r, labels < 8, and r step < 1 px —
+             the caller checks; bit-identical to the quad path)
     """
     f32 = jnp.float32
     sid, dx_w, dy_w, geom_const, g_half_fan, h_over_sid, dxdy = scalars
@@ -170,30 +197,64 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
         fy = py / dy_w + (ny / 2 - 0.5)
         ix0 = jnp.floor(fx).astype(jnp.int32)
         iy0 = jnp.floor(fy).astype(jnp.int32)
-        wx = fx - ix0
-        wy = fy - iy0
-        # ONE quad gather per sample (all legs in the row); per-corner
-        # subwords by shift.  Out-of-range bases clamp to a valid quad
-        # cell — the in-bounds corners still decode correctly via the
-        # offset (off in {-1, 0, +1} at the edges), and truly
-        # out-of-bounds corners carry ok=0
-        cy = jnp.clip(iy0, 0, ny - 2)
-        cx = jnp.clip(ix0, 0, nx - 2)
-        offy, offx = iy0 - cy, ix0 - cx
-        q = labq[cy, cx]  # [n_g, n_r] int32
-        occ = jnp.zeros((n_g, n_r, n_mats), f32)
-        for ty in (0, 1):
-            for tx in (0, 1):
-                iy = iy0 + ty
-                ix = ix0 + tx
-                ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
-                sy = jnp.clip(ty + offy, 0, 1)
-                sx = jnp.clip(tx + offx, 0, 1)
-                lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF  # [n_g, n_r]
-                w = ((wy if ty else (1.0 - wy))
-                     * (wx if tx else (1.0 - wx))) * ok
-                occ = occ + w[..., None] * (
-                    lab[..., None] == mat_ids[None, None, :])
+        if pair_mode:
+            # ONE 3x3-block gather per consecutive-r sample PAIR: the
+            # r step is < 1 px, so both samples' bilinear corners span
+            # at most 3 cells per axis from the pair's min corner.
+            # Flat 1-D indexing throughout — the 2-D advanced-indexing
+            # form lowered to a gather running at half the chip's
+            # scalar rate (measured, tools/bench_dose_probe.py)
+            nh = n_r // 2
+            fx2 = fx.reshape(n_g, nh, 2)
+            fy2 = fy.reshape(n_g, nh, 2)
+            ix0p = ix0.reshape(n_g, nh, 2)
+            iy0p = iy0.reshape(n_g, nh, 2)
+            ax = jnp.clip(jnp.minimum(ix0p[..., 0], ix0p[..., 1]),
+                          0, nx - 3)
+            ay = jnp.clip(jnp.minimum(iy0p[..., 0], iy0p[..., 1]),
+                          0, ny - 3)
+            w9 = labq.reshape(-1)[ay * nx + ax]  # [n_g, nh]
+            wx2 = fx2 - ix0p
+            wy2 = fy2 - iy0p
+            occ = jnp.zeros((n_g, nh, 2, n_mats), f32)
+            for ty in (0, 1):
+                for tx in (0, 1):
+                    iy = iy0p + ty
+                    ix = ix0p + tx
+                    ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
+                    sy = jnp.clip(iy - ay[..., None], 0, 2)
+                    sx = jnp.clip(ix - ax[..., None], 0, 2)
+                    lab = (w9[..., None] >> ((sy * 3 + sx) * 3)) & 7
+                    w = ((wy2 if ty else (1.0 - wy2))
+                         * (wx2 if tx else (1.0 - wx2))) * ok
+                    occ = occ + w[..., None] * (
+                        lab[..., None] == mat_ids)
+            occ = occ.reshape(n_g, n_r, n_mats)
+        else:
+            wx = fx - ix0
+            wy = fy - iy0
+            # ONE quad gather per sample (all legs in the row);
+            # per-corner subwords by shift.  Out-of-range bases clamp
+            # to a valid quad cell — the in-bounds corners still decode
+            # correctly via the offset (off in {-1, 0, +1} at the
+            # edges), and truly out-of-bounds corners carry ok=0
+            cy = jnp.clip(iy0, 0, ny - 2)
+            cx = jnp.clip(ix0, 0, nx - 2)
+            offy, offx = iy0 - cy, ix0 - cx
+            q = labq.reshape(-1)[cy * nx + cx]  # [n_g, n_r] int32
+            occ = jnp.zeros((n_g, n_r, n_mats), f32)
+            for ty in (0, 1):
+                for tx in (0, 1):
+                    iy = iy0 + ty
+                    ix = ix0 + tx
+                    ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
+                    sy = jnp.clip(ty + offy, 0, 1)
+                    sx = jnp.clip(tx + offx, 0, 1)
+                    lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF  # [n_g, n_r]
+                    w = ((wy if ty else (1.0 - wy))
+                         * (wx if tx else (1.0 - wx))) * ok
+                    occ = occ + w[..., None] * (
+                        lab[..., None] == mat_ids[None, None, :])
         # partial material paths source -> sample center [cm]
         T = (jnp.cumsum(occ, axis=1) - 0.5 * occ) * dr  # [n_g, n_r, K]
         Tf = T.reshape(n_g * n_r, n_mats)
@@ -320,15 +381,23 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
     scalars = jnp.asarray(
         [ct.SID, phantom.dx, phantom.dy, geom_const, 0.5 * ct.gamma_fan,
          ct.h_iso / ct.SID, phantom.dx * phantom.dy], jnp.float32)
+    # pair mode: one 3x3-block gather serves two consecutive-r samples
+    # — eligible whenever the r step stays under a pixel (so a pair's
+    # corners fit the block) and the labels fit 3 bits
+    dr_ = float(rs[1] - rs[0])
+    pair_mode = (labels2d.max() < 8 and len(rs) % 2 == 0
+                 and dr_ <= min(phantom.dx, phantom.dy))
+    pack = _pack_label_nines if pair_mode else _pack_label_quads
     dose, edep = _dose_accumulate(
-        jnp.asarray(_pack_label_quads(labels2d)),
+        jnp.asarray(pack(labels2d)),
         jnp.asarray(mu_kE, jnp.float32),
         jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
         jnp.asarray(gammas, jnp.float32), jnp.asarray(rs, jnp.float32),
         jnp.asarray(vox_xy, jnp.float32),
         jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
         jnp.asarray(labels2d.ravel()), scalars,
-        n_mats=n_mats, nx=nx, ny=ny, pixel_block=int(pixel_block))
+        n_mats=n_mats, nx=nx, ny=ny, pixel_block=int(pixel_block),
+        pair_mode=pair_mode)
     dose_mGy = np.asarray(dose, np.float64).reshape(ny, nx) \
         * KEV_PER_G_TO_MGY
     return DoseResult(dose_mGy, float(edep) * KEV_TO_J)

@@ -26,15 +26,25 @@ jax.config.update("jax_platforms", "cpu")
 # CPU features, and XLA:CPU AOT executables compiled on a different
 # machine SIGILL/segfault at load (observed: a VM migration mid-round
 # crashed the suite inside compilation_cache.get_executable_and_time),
-# so the directory is suffixed with a hash of the host's cpuinfo flags —
-# each machine type gets its own cache.
+# so the directory is suffixed with a hash of the host CPU's identity —
+# each machine type gets its own cache.  The hash covers the WHOLE first
+# processor block of /proc/cpuinfo (model name, family, stepping, flags)
+# plus the jaxlib version: hashing the flags line alone proved
+# insufficient — two heterogeneous hosts shared identical cpuinfo flags
+# while XLA's embedded machine features still differed
+# (prefer-no-scatter/prefer-no-gather are model-derived heuristics, not
+# cpuinfo flags), and the stale entries loaded with a "machine features
+# mismatch" warning and then segfaulted mid-suite.
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     import hashlib
 
+    import jaxlib
+
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        suffix = hashlib.sha1(flags.encode()).hexdigest()[:8]
+            block = f.read().split("\n\n", 1)[0]
+        ident = block + "\n" + getattr(jaxlib, "__version__", "")
+        suffix = hashlib.sha1(ident.encode()).hexdigest()[:8]
     except OSError:
         suffix = "nohost"
     jax.config.update(
