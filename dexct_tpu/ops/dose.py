@@ -154,6 +154,19 @@ def _pack_label_nines(labels2d):
     return out.astype(np.int32)
 
 
+def _pack_label_nines_zminor(labels3):
+    """[nz, ny, nx] labels < 8 -> flat [ny*nx*nz] int32 NINE pack,
+    z-MINOR: word ((y*nx + x)*nz + z) holds layer z's 3x3 block
+    [y:y+3, x:x+3].  Three consecutive words are the three z layers at
+    one (y, x) — so ONE row-3 gather serves all 16 trilinear corner
+    decodes of a consecutive-r sample pair in the 3-D dose kernel
+    (the 2-D pair trick, :func:`_pack_label_nines`, extended to z)."""
+    nz = labels3.shape[0]
+    per_layer = np.stack(
+        [_pack_label_nines(labels3[k]) for k in range(nz)])  # [nz, ny, nx]
+    return np.ascontiguousarray(per_layer.transpose(1, 2, 0)).ravel()
+
+
 
 @functools.partial(
     jax.jit,
@@ -506,10 +519,11 @@ def dose_efficiency(d_prime, dose_mGy_ref):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block",
-                     "z_window"))
+                     "z_window", "pair_mode"))
 def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
                         rs, vox_xyz, rho_vox, lab_vox, scalars, *, n_mats,
-                        nx, ny, nz, pixel_block, z_window=None):
+                        nx, ny, nz, pixel_block, z_window=None,
+                        pair_mode=False):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
 
     Rays are parametrized by (gamma, t, r): gamma the in-plane fan
@@ -560,29 +574,82 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
         wx = fx - ix0
         wy = fy - iy0
         wz = fz - iz0
-        # two quad gathers per sample (one per bracketing z layer)
-        # instead of eight scalar ones — see _pack_label_quads
-        cy = jnp.clip(iy0, 0, ny - 2)
-        cx = jnp.clip(ix0, 0, nx - 2)
-        offy, offx = iy0 - cy, ix0 - cx
-        occ = jnp.zeros((n_g, n_t, n_r, n_mats), f32)
-        for tz in (0, 1):
-            iz = iz0 + tz
-            q = labq3[jnp.clip(iz, 0, nz - 1), cy, cx]
-            ok_z = (iz >= 0) & (iz < nz)
-            w_z = (wz if tz else (1.0 - wz)) * ok_z
-            for ty in (0, 1):
-                for tx in (0, 1):
-                    iy = iy0 + ty
-                    ix = ix0 + tx
-                    ok = ((iy >= 0) & (iy < ny) & (ix >= 0) & (ix < nx))
-                    sy = jnp.clip(ty + offy, 0, 1)
-                    sx = jnp.clip(tx + offx, 0, 1)
-                    lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF
-                    w = (w_z * (wy if ty else (1.0 - wy))
-                         * (wx if tx else (1.0 - wx))) * ok
-                    occ = occ + w[..., None] * (
-                        lab[..., None] == mat_ids[None, None, None, :])
+        if pair_mode:
+            # ONE row-3 gather per consecutive-r sample PAIR: labq3 is
+            # the z-MINOR nine pack (_pack_label_nines_zminor), so the
+            # 3 consecutive words at ((ay*nx+ax)*nz+az) are the three
+            # bracketing z layers' 3x3 (y, x) blocks — they cover all
+            # 16 trilinear corners of the pair (the caller guarantees
+            # the r step keeps pair corners within a 3-cell span on
+            # every axis).  4x fewer gather issues than the quad path;
+            # row-3 gathers cost ~a scalar one (CLAUDE.md rates).
+            # fx/fy are [n_g, 1, n_r] and fz is [1, n_t, n_r] (broadcast
+            # forms) — reshape only the r axis into pairs and let
+            # broadcasting build the full [n_g, n_t, nh, 2] lazily
+            nh = n_r // 2
+            pair = lambda a: a.reshape(a.shape[:-1] + (nh, 2))  # noqa: E731
+            ix0p, iy0p, iz0p = pair(ix0), pair(iy0), pair(iz0)
+            wx2, wy2, wz2 = pair(wx), pair(wy), pair(wz)
+            ax = jnp.clip(jnp.minimum(ix0p[..., 0], ix0p[..., 1]),
+                          0, nx - 3)
+            ay = jnp.clip(jnp.minimum(iy0p[..., 0], iy0p[..., 1]),
+                          0, ny - 3)
+            az = jnp.clip(jnp.minimum(iz0p[..., 0], iz0p[..., 1]),
+                          0, nz - 3)
+            base = (ay * nx + ax) * nz + az  # [n_g, n_t, nh]
+            w3 = jnp.take(labq3, base[..., None]
+                          + jnp.arange(3, dtype=jnp.int32),
+                          axis=0)  # [n_g, n_t, nh, 3]
+            w3_0 = w3[..., 0][..., None]
+            w3_1 = w3[..., 1][..., None]
+            w3_2 = w3[..., 2][..., None]
+            occ = jnp.zeros((n_g, n_t, nh, 2, n_mats), f32)
+            for tz in (0, 1):
+                iz = iz0p + tz
+                ok_z = (iz >= 0) & (iz < nz)
+                w_z = (wz2 if tz else (1.0 - wz2)) * ok_z
+                sz = jnp.clip(iz - az[..., None], 0, 2)
+                word = jnp.where(sz == 0, w3_0,
+                                 jnp.where(sz == 1, w3_1, w3_2))
+                for ty in (0, 1):
+                    for tx in (0, 1):
+                        iy = iy0p + ty
+                        ix = ix0p + tx
+                        ok = ((iy >= 0) & (iy < ny)
+                              & (ix >= 0) & (ix < nx))
+                        sy = jnp.clip(iy - ay[..., None], 0, 2)
+                        sx = jnp.clip(ix - ax[..., None], 0, 2)
+                        lab = (word >> ((sy * 3 + sx) * 3)) & 7
+                        w = (w_z * (wy2 if ty else (1.0 - wy2))
+                             * (wx2 if tx else (1.0 - wx2))) * ok
+                        occ = occ + w[..., None] * (
+                            lab[..., None] == mat_ids)
+            occ = occ.reshape(n_g, n_t, n_r, n_mats)
+        else:
+            # two quad gathers per sample (one per bracketing z layer)
+            # instead of eight scalar ones — see _pack_label_quads
+            cy = jnp.clip(iy0, 0, ny - 2)
+            cx = jnp.clip(ix0, 0, nx - 2)
+            offy, offx = iy0 - cy, ix0 - cx
+            occ = jnp.zeros((n_g, n_t, n_r, n_mats), f32)
+            for tz in (0, 1):
+                iz = iz0 + tz
+                q = labq3[jnp.clip(iz, 0, nz - 1), cy, cx]
+                ok_z = (iz >= 0) & (iz < nz)
+                w_z = (wz if tz else (1.0 - wz)) * ok_z
+                for ty in (0, 1):
+                    for tx in (0, 1):
+                        iy = iy0 + ty
+                        ix = ix0 + tx
+                        ok = ((iy >= 0) & (iy < ny)
+                              & (ix >= 0) & (ix < nx))
+                        sy = jnp.clip(ty + offy, 0, 1)
+                        sx = jnp.clip(tx + offx, 0, 1)
+                        lab = (q >> ((sy * 2 + sx) * 8)) & 0xFF
+                        w = (w_z * (wy if ty else (1.0 - wy))
+                             * (wx if tx else (1.0 - wx))) * ok
+                        occ = occ + w[..., None] * (
+                            lab[..., None] == mat_ids[None, None, None, :])
         # partial material paths along ARC length [cm]
         T = ((jnp.cumsum(occ, axis=2) - 0.5 * occ) * dr
              * sec[None, :, None, None])  # [n_g, n_t, n_r, K]
@@ -684,7 +751,8 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
 
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
                 oversample=2, views=None, pixel_block=65536,
-                n_energy=None, view_chunk=32, _z_window="auto"):
+                n_energy=None, view_chunk=32, _z_window="auto",
+                _pair="auto"):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
     ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
@@ -734,7 +802,22 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
         [ct.SID, phantom.dx, phantom.dy, phantom.dz, geom_const,
          0.5 * ct.gamma_fan, t_half,
          phantom.dx * phantom.dy * phantom.dz], jnp.float32)
-    labq3 = np.stack([_pack_label_quads(labels3[k]) for k in range(nz)])
+    # pair mode: one row-3 nine-pack gather serves both trilinear
+    # corner sets of a consecutive-r sample pair — eligible when the
+    # per-sample step fits a 3-cell span on every axis (in-plane step
+    # dr <= min(dx, dy); z step max|t|*dr <= dz) and labels fit 3 bits
+    dr_ = float(rs[1] - rs[0])
+    pair_mode = (labels3.max() < 8 and len(rs) % 2 == 0
+                 and min(nx, ny, nz) >= 3
+                 and dr_ <= min(phantom.dx, phantom.dy)
+                 and float(np.abs(ts).max()) * dr_ <= phantom.dz)
+    if _pair != "auto":  # test hook: force the quad (or pair) path
+        pair_mode = bool(_pair)
+    if pair_mode:
+        labq3 = _pack_label_nines_zminor(labels3)
+    else:
+        labq3 = np.stack(
+            [_pack_label_quads(labels3[k]) for k in range(nz)])
     # view_chunk: dose is additive over views, so the scan splits into
     # bounded-length device programs (the tunnel-watchdog rule — one
     # over-long 256^2x32 program crashed the worker; CLAUDE.md)
@@ -761,7 +844,8 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
             jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
             jnp.asarray(labels3.ravel()), scalars,
             n_mats=n_mats, nx=nx, ny=ny, nz=nz,
-            pixel_block=int(pixel_block), z_window=z_window)
+            pixel_block=int(pixel_block), z_window=z_window,
+            pair_mode=pair_mode)
         dose += np.asarray(d_c, np.float64)
         edep += float(e_c)
     dose_mGy = dose.reshape(nz, ny, nx) * KEV_PER_G_TO_MGY

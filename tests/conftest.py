@@ -47,10 +47,26 @@ if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         suffix = hashlib.sha1(ident.encode()).hexdigest()[:8]
     except OSError:
         suffix = "nohost"
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(f"~/.jax_cache_cpu_{suffix}"),
-    )
+    cache_dir = os.path.expanduser(f"~/.jax_cache_cpu_{suffix}")
+
+    # Exactly ONE live process may use the shared cache dir: every
+    # observed mid-suite SIGABRT (inside compilation_cache
+    # get/put_executable_and_time, always around the 8-device pjit
+    # executables) coincided with a second CPU-JAX process reading/
+    # writing the same directory.  Hold an exclusive flock for the
+    # process lifetime; a second process falls back to a throwaway
+    # per-PID dir (slower, but never racing).
+    try:
+        import fcntl
+
+        os.makedirs(cache_dir, exist_ok=True)
+        _lock_f = open(os.path.join(cache_dir, ".lock"), "w")  # noqa: SIM115
+        fcntl.flock(_lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # keep _lock_f referenced so the lock lives as long as the process
+    except OSError:
+        cache_dir = os.path.expanduser(f"~/.jax_cache_cpu_pid{os.getpid()}")
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -353,3 +353,85 @@ class TestPairNinePack:
 
         with pytest.raises(ValueError, match="nine packing"):
             _pack_label_nines(np.full((8, 8), 9, np.uint8))
+
+
+class TestPairNinePack3d:
+    """The z-minor nine-pack pair path of the 3-D dose kernel: one
+    row-3 gather (three consecutive z-layer words) serves all 16
+    trilinear corners of a consecutive-r sample pair — bit-identical
+    to the per-sample two-quad path."""
+
+    def test_kernel_pair_vs_quad_same_grid_bitwise(self):
+        import jax.numpy as jnp
+
+        from dexct_tpu.ops import dose as dm
+
+        ph = _cylinder_3d(N=32, nz=12)
+        ct = _cone_geometry(nch=48, nproj=8, nrows=8)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        labels3 = np.asarray(ph.labels, np.int32)
+        nz, ny, nx = labels3.shape
+        mu_kE, i0w = dm._dose_energy_grid(ph, spec, None)
+        betas = np.asarray(ct.betas, np.float64)
+        src_z = np.zeros_like(betas)
+        gammas, rs = dm._sample_grids(ct, ph, None, None, 2)
+        assert len(rs) % 2 == 0, "config must exercise pair mode"
+        t_half = 0.5 * ct.N_rows * ct.h_iso / ct.SID
+        n_t = 2 * ct.N_rows + 1
+        tpad = 2.0 * t_half / (n_t - 1)
+        ts = np.linspace(-t_half - tpad, t_half + tpad, n_t + 2)
+        dr_ = float(rs[1] - rs[0])
+        assert dr_ <= min(ph.dx, ph.dy)
+        assert float(np.abs(ts).max()) * dr_ <= ph.dz
+        xs = (np.arange(nx) + 0.5 - nx / 2) * ph.dx
+        ys = (np.arange(ny) + 0.5 - ny / 2) * ph.dy
+        zs = (np.arange(nz) + 0.5 - nz / 2) * ph.dz
+        vz, vy, vx = np.meshgrid(zs, ys, xs, indexing="ij")
+        vox = np.stack([vx.ravel(), vy.ravel(), vz.ravel()], -1)
+        rho = ph.materials.densities[labels3].ravel()
+        geom_const = ct.SID / (ct.dgamma * ct.h_iso)
+        scalars = jnp.asarray(
+            [ct.SID, ph.dx, ph.dy, ph.dz, geom_const, 0.5 * ct.gamma_fan,
+             t_half, ph.dx * ph.dy * ph.dz], jnp.float32)
+        common = (jnp.asarray(mu_kE, jnp.float32),
+                  jnp.asarray(i0w, jnp.float32),
+                  jnp.asarray(betas, jnp.float32),
+                  jnp.asarray(src_z, jnp.float32),
+                  jnp.asarray(gammas, jnp.float32),
+                  jnp.asarray(ts, jnp.float32),
+                  jnp.asarray(rs, jnp.float32),
+                  jnp.asarray(vox, jnp.float32),
+                  jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
+                  jnp.asarray(labels3.ravel()), scalars)
+        kw = dict(n_mats=ph.n_materials, nx=nx, ny=ny, nz=nz,
+                  pixel_block=4096)
+        labq = np.stack(
+            [dm._pack_label_quads(labels3[k]) for k in range(nz)])
+        d_q, e_q = dm._dose_accumulate_3d(
+            jnp.asarray(labq), *common, pair_mode=False, **kw)
+        d_p, e_p = dm._dose_accumulate_3d(
+            jnp.asarray(dm._pack_label_nines_zminor(labels3)), *common,
+            pair_mode=True, **kw)
+        np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_q))
+        assert float(e_p) == float(e_q)
+
+    def test_production_dispatch_uses_pair_mode(self):
+        """The shipped dose_map_3d picks pair mode at the default
+        oversample=2 grids, and its physics invariants still hold
+        (conservation vs the exact-path beam-energy integral)."""
+        from dexct_tpu.ops import dose as dm
+        from dexct_tpu.ops.dose import beam_energy_removed_3d, dose_map_3d
+
+        ph = _cylinder_3d()
+        ct = _cone_geometry()
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        gammas, rs = dm._sample_grids(ct, ph, None, None, 2)
+        assert (np.asarray(ph.labels).max() < 8 and len(rs) % 2 == 0
+                and float(rs[1] - rs[0]) <= min(ph.dx, ph.dy)), \
+            "default config no longer exercises pair mode"
+        res = dose_map_3d(ph, ct, spec, oversample=2)
+        removed = beam_energy_removed_3d(ph, ct, spec)
+        assert removed > 0
+        assert abs(res.deposited_J - removed) / removed < 0.06
