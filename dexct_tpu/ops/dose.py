@@ -171,8 +171,8 @@ def _pack_label_nines_zminor(labels3):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "pixel_block", "pair_mode"))
-def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
-                     rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
+def _dose_accumulate(labq, mu_kE, i0w_E, betas, view_w, gammas, rs,
+                     vox_xy, rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
                      pixel_block, pair_mode=False):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
@@ -197,7 +197,8 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
     hi = jax.lax.Precision.HIGHEST
     mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
 
-    def one_view(carry, beta):
+    def one_view(carry, bw):
+        beta, w_view = bw
         dose_acc, edep_acc = carry
         src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
         # ray directions: -(cos(beta+gamma), sin(beta+gamma)) (CLAUDE.md)
@@ -320,13 +321,14 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, gammas, rs, vox_xy,
             jnp.pad(phi0, (0, pad)).reshape(nb, pixel_block),
             jnp.pad(lab_vox, (0, pad)).reshape(nb, pixel_block),
         )).reshape(-1)[:n_vox]
-        dose_acc = dose_acc + e_vol / rho_vox  # keV/g
+        dose_acc = dose_acc + w_view * (e_vol / rho_vox)  # keV/g
         # beam-height-weighted 3-D energy integral
-        edep_acc = edep_acc + jnp.sum(e_vol * dxdy * (h_over_sid * r_v))
+        edep_acc = edep_acc + w_view * jnp.sum(
+            e_vol * dxdy * (h_over_sid * r_v))
         return (dose_acc, edep_acc), 0.0
 
     init = (jnp.zeros(n_vox, f32), jnp.zeros((), f32))
-    (dose, edep), _ = jax.lax.scan(one_view, init, betas)
+    (dose, edep), _ = jax.lax.scan(one_view, init, (betas, view_w))
     return dose, edep
 
 
@@ -357,7 +359,8 @@ def _dose_energy_grid(phantom, spec, n_energy):
 
 
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
-             views=None, pixel_block=65536, z_index=None, n_energy=None):
+             views=None, pixel_block=65536, z_index=None, n_energy=None,
+             view_weights=None):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -368,6 +371,9 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         (grid is ``oversample * max(Nx, Ny)`` in each polar axis unless
         n_gamma / n_r override it).
     views: optional array of view angles [rad] (default: ``ct.betas``).
+    view_weights: optional per-view relative fluence [V] (tube-current
+        modulation, ops/aec.py) — each view's deposition scales by its
+        weight, so AEC dose savings are measured with the same kernel.
     n_energy: optional energy-fluence-weighted compression of the
         spectral axis (the exp/matmul stage dominates the kernel at
         ~n_vox*E exp per view); 32 groups reproduce the full-grid map
@@ -405,6 +411,9 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         jnp.asarray(pack(labels2d)),
         jnp.asarray(mu_kE, jnp.float32),
         jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
+        jnp.asarray(np.ones_like(betas) if view_weights is None
+                    else np.asarray(view_weights, np.float64),
+                    jnp.float32),
         jnp.asarray(gammas, jnp.float32), jnp.asarray(rs, jnp.float32),
         jnp.asarray(vox_xy, jnp.float32),
         jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),

@@ -65,6 +65,27 @@ if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         # keep _lock_f referenced so the lock lives as long as the process
     except OSError:
         cache_dir = os.path.expanduser(f"~/.jax_cache_cpu_pid{os.getpid()}")
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # Crash sentinel: a process that died MID-WRITE leaves a truncated
+    # executable blob behind, and every later run then segfaults inside
+    # compilation_cache.get_executable_and_time deserializing it
+    # (observed: one run SIGABRTed in put_executable_and_time; all
+    # subsequent runs SIGSEGVed reading the same tests' entries until
+    # the directory was purged).  ``.dirty`` exists for exactly the
+    # lifetime of a session — finding it at startup means the previous
+    # session crashed, so the cache contents cannot be trusted.
+    _dirty = os.path.join(cache_dir, ".dirty")
+    if os.path.exists(_dirty):
+        import shutil
+
+        for entry in os.listdir(cache_dir):
+            if entry in (".lock", ".dirty"):
+                continue
+            path = os.path.join(cache_dir, entry)
+            shutil.rmtree(path, ignore_errors=True) if os.path.isdir(path) \
+                else os.unlink(path)
+    open(_dirty, "w").close()
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -74,3 +95,13 @@ if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on CPU"
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # clean exit: the cache was fully written, clear the crash sentinel
+    d = jax.config.jax_compilation_cache_dir
+    if d:
+        try:
+            os.unlink(os.path.join(d, ".dirty"))
+        except OSError:
+            pass

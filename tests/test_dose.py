@@ -333,6 +333,7 @@ class TestPairNinePack:
         common = (jnp.asarray(mu_kE, jnp.float32),
                   jnp.asarray(i0w, jnp.float32),
                   jnp.asarray(betas, jnp.float32),
+                  jnp.ones(len(betas), jnp.float32),
                   jnp.asarray(gammas, jnp.float32),
                   jnp.asarray(rs, jnp.float32),
                   jnp.asarray(vox_xy, jnp.float32),
