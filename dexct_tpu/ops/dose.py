@@ -372,7 +372,7 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         n_gamma / n_r override it).
     views: optional array of view angles [rad] (default: ``ct.betas``).
     view_weights: optional per-view relative fluence [V] (tube-current
-        modulation, ops/aec.py) — each view's deposition scales by its
+        modulation, pipeline/tcm.py) — each view's deposition scales by its
         weight, so AEC dose savings are measured with the same kernel.
     n_energy: optional energy-fluence-weighted compression of the
         spectral axis (the exp/matmul stage dominates the kernel at

@@ -140,14 +140,14 @@ def sample_noise(key, counts, mode="poisson", var_scale=1.0, var=None):
 
 
 def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
-                   dtype=jnp.float32, bowtie=None, aec=None):
+                   dtype=jnp.float32, bowtie=None, tcm=None):
     """paths -> (counts, log_sino): the get_sino back half.
 
     Returns device arrays shaped like ``paths[..., 0]``.  With a
     ``bowtie`` (ops/bowtie.py) the fluence — and the air normalization —
-    become per-channel.  With ``aec`` (a per-view relative fluence
-    profile [V] from :func:`~dexct_tpu.ops.aec.aec_profile`) the tube
-    output is modulated per view: counts AND the compound-noise second
+    become per-channel.  With ``tcm`` (a per-view relative output
+    profile [V] from :func:`~dexct_tpu.pipeline.tcm.auto_tcm_profile`)
+    the tube output is modulated per view: counts AND the compound-noise second
     moment scale by ``s(v)``, and the log normalization divides by the
     per-view air level — so the noiseless log sinogram is identical to
     the unmodulated scan's (tube-current modulation changes statistics,
@@ -171,10 +171,10 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
     per_ch = bowtie is not None
     counts = counts_from_paths(paths.astype(dtype), mu_table, i0,
                                per_channel=per_ch)
-    if aec is not None:
+    if tcm is not None:
         # per-view tube-current modulation: s broadcasts over the
         # trailing channel (and row) axes
-        s = jnp.asarray(aec, dtype)
+        s = jnp.asarray(tcm, dtype)
         s = s.reshape(s.shape + (1,) * (counts.ndim - 1))
         counts = counts * s
         air = air * s
@@ -186,7 +186,7 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
             var = counts_from_paths(paths.astype(dtype), mu_table,
                                     jnp.asarray(i2_h, dtype),
                                     per_channel=per_ch)
-            if aec is not None:
+            if tcm is not None:
                 var = var * s
         counts = sample_noise(key, counts, noise, var=var)
     return counts, log_sinogram(counts, air)

@@ -63,7 +63,7 @@ def _water_mu(e):
 
 
 def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None,
-             bowtie=None, aec=None):
+             bowtie=None, tcm=None):
     """Forward project one polyenergetic acquisition.
 
     Reference signature/return (main.py:120): ``(sino_raw, sino_log)``,
@@ -74,12 +74,12 @@ def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None,
     (the DE driver traces once for both spectra).  ``bowtie``
     (ops/bowtie.py) applies channel-dependent beam-shaping filtration;
     the log normalization then uses the per-channel air counts.
-    ``aec`` (ops/aec.py) modulates the tube output per view.
+    ``tcm`` (pipeline/tcm.py) modulates the tube output per view.
     """
     if paths is None:
         paths = material_path_sinogram(phantom, ct)
     return sp_ops.forward_counts(paths, phantom, spec, ct, noise=noise,
-                                 key=key, bowtie=bowtie, aec=aec)
+                                 key=key, bowtie=bowtie, tcm=tcm)
 
 
 def get_recon(sino_log, ct, spec, N_matrix, FOV, ramp, *, window="sinc"):

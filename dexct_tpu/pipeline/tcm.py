@@ -24,12 +24,14 @@ from ..ops import spectral as sp_ops
 from .api import (DectResult, get_basismat_sinos, get_recon,
                   material_path_sinogram)
 
-__all__ = ["auto_tcm_profile", "simulate_tcm_dect"]
+__all__ = ["auto_tcm_profile", "simulate_tcm_dect", "normalize_counts",
+           "z_profile_from_volume"]
 
 
 def auto_tcm_profile(ct, phantom, spec, *, strength=1.0, m_min=0.2,
-                     m_max=4.0, paths=None):
-    """Noise-optimal modulation profile m[V] (mean 1).
+                     m_max=4.0, paths=None, normalize="output",
+                     channel_window=None, report=False):
+    """Noise-optimal modulation profile m[V].
 
     The scout model: a view's variance contribution after log +
     reconstruction is ``W_v / m_v`` with ``W_v = mean_c 1/T_vc`` (the
@@ -39,8 +41,30 @@ def auto_tcm_profile(ct, phantom, spec, *, strength=1.0, m_min=0.2,
     object's mass across views).  Minimizing ``sum_v W_v/m_v`` at fixed
     total output ``sum_v m_v`` gives ``m_v ∝ sqrt(W_v)`` — that is
     ``strength=1``; the exponent scales as ``strength/2`` (0 = no
-    modulation).  Clipped to ``[m_min, m_max]`` (tube limits) and
-    normalized to mean 1 so the TOTAL scan output is unchanged.
+    modulation).  Clipped to ``[m_min, m_max]`` (tube limits).
+
+    ``channel_window``: optional fraction of CENTRAL channels for the
+    ``W_v`` metric.  The FBP variance of a central-ROI pixel takes each
+    view's contribution through the rays that cross the ROI (the ramp
+    kernel decays fast off that channel), so a clinical center-targeted
+    AEC uses ~the central 5 % of channels; ``None`` (default) keeps the
+    all-channel metric (a whole-image objective — air channels dilute
+    it on small objects).
+
+    ``normalize='output'`` (default): mean(m) = 1 — the modulated scan
+    delivers the SAME total output as the uniform one (minimum variance
+    at fixed dose).  ``normalize='noise'``: m is scaled so the
+    predicted image variance ``mean(W/m)`` matches the UNMODULATED
+    scan's ``mean(W)`` — total output mean(m) < 1 is then the dose
+    SAVING at equal noise.  Both iterate clip+rescale to a fixed point
+    (clipping raw sqrt-weights saturates every view on strongly
+    attenuating objects; renormalizing after one clip can push capped
+    views back over m_max).  The final clip wins: the returned profile
+    always obeys the limits.
+
+    ``report=True``: return ``(m, info)`` with the model-predicted
+    ``var_ratio`` (image variance vs uniform), ``dose_ratio`` (total
+    output vs uniform = mean(m)), and the potential ``W``.
     """
     if paths is None:
         paths = material_path_sinogram(phantom, ct)
@@ -49,18 +73,84 @@ def auto_tcm_profile(ct, phantom, spec, *, strength=1.0, m_min=0.2,
     counts = sp_ops.counts_from_paths(jnp.asarray(paths, jnp.float32),
                                       mu_t, i0)
     air = float(np.sum(sp_ops.effective_fluence(spec, ct)))
-    w_v = jnp.mean(air / jnp.maximum(counts, air * 1e-8), axis=-1)  # [V]
+    inv_t = air / jnp.maximum(counts, air * 1e-8)  # [V, C] = e^L
+    if channel_window is not None:
+        C = inv_t.shape[-1]
+        w = max(int(round(C * float(channel_window))), 1)
+        lo = (C - w) // 2
+        inv_t = inv_t[..., lo:lo + w]
+    w_v = jnp.mean(inv_t, axis=-1)  # [V]
     m = w_v ** (0.5 * float(strength))
-    # normalize/clip to a joint fixed point: the tube limits are
-    # relative to the mean output (clipping raw sqrt-weights saturates
-    # every view on strongly attenuating objects), and renormalizing
-    # AFTER a single clip can push capped views back over m_max — so
-    # iterate.  The final clip wins: the returned profile always obeys
-    # the limits; when they bind hard its mean can fall slightly
-    # below 1 (the tube genuinely cannot deliver the requested total).
+    m = m / jnp.mean(m)
     for _ in range(16):
-        m = jnp.clip(m / jnp.mean(m), m_min, m_max)
-    return m
+        m_c = jnp.clip(m, m_min, m_max)
+        if normalize == "output":
+            m = m_c / jnp.mean(m_c)
+        elif normalize == "noise":
+            m = m_c * (jnp.mean(w_v / m_c) / jnp.mean(w_v))
+        else:
+            raise ValueError(f"unknown normalize={normalize!r}")
+    m = jnp.clip(m, m_min, m_max)
+    if not report:
+        return m
+    info = {
+        "var_ratio": float(jnp.mean(w_v / m) / jnp.mean(w_v)),
+        "dose_ratio": float(jnp.mean(m)),
+        "potential": np.asarray(w_v),
+    }
+    return m, info
+
+
+def normalize_counts(counts, m):
+    """Divide modulated counts by the known per-view output scale.
+
+    The result feeds :func:`~dexct_tpu.ops.matdecomp.decompose_sinograms`
+    unchanged: a per-ray fluence scale shared by every energy bin
+    leaves the Poisson-MLE stationary point exactly where it was (the
+    score scales uniformly by ``m``), so normalize-then-decompose is
+    the exact TCM-aware solve, not an approximation.  ``m`` broadcasts
+    over trailing (channel/row) axes.
+    """
+    m = jnp.asarray(m, jnp.result_type(counts))
+    return counts / m.reshape(m.shape + (1,) * (jnp.ndim(counts) - 1))
+
+
+def z_profile_from_volume(phantom, ct, spec=None):
+    """Longitudinal (z) modulation seed: water-equivalent diameter per
+    slice, mapped to the per-view potential along the table trajectory.
+
+    Per slice, ``A_w(z) = sum_xy (mu/mu_w) dx dy`` (attenuation-weighted
+    object area — the quantity a lateral+AP scout pair estimates), and
+    ``d_weq = 2 sqrt(A_w/pi)``.  Each view's potential proxy is
+    ``W(v) = exp(mu_w * d_weq(z_v))`` at the view's source z
+    (``ct.source_z``; circular geometries read the central slice).
+    Feed ``sqrt(W)`` — or the product with an angular potential — into
+    the sqrt rule: ``m = sqrt(W); m /= m.mean()``.
+
+    Returns ``(W_view [V], d_weq [nz])``.
+    """
+    from ..physics.materials import WATER
+
+    labels = np.asarray(phantom.labels)
+    if labels.ndim != 3:
+        raise ValueError("z_profile_from_volume needs a 3-D phantom")
+    nz = labels.shape[0]
+    e_ref = 70.0 if spec is None else float(
+        np.average(spec.E, weights=np.maximum(spec.I0, 0)))
+    mu_tab = phantom.materials.mu_table(np.asarray([e_ref]))[:, 0]
+    mu_w = float(WATER.linear_atten(np.asarray([e_ref]))[0])
+    area_w = (mu_tab[labels] / mu_w).sum(axis=(1, 2)) * phantom.dx \
+        * phantom.dy
+    d_weq = 2.0 * np.sqrt(np.maximum(area_w, 0.0) / np.pi)
+    src_z = getattr(ct, "source_z", None)
+    betas = np.asarray(ct.betas, np.float64)
+    if src_z is None or np.ndim(src_z) == 0:
+        zi = np.full(len(betas), nz // 2)
+    else:
+        zs = (np.arange(nz) + 0.5 - nz / 2) * phantom.dz
+        zi = np.clip(np.searchsorted(zs, np.asarray(src_z)), 0, nz - 1)
+    W_view = np.exp(mu_w * d_weq[zi])
+    return W_view, d_weq
 
 
 def simulate_tcm_dect(ct, phantom, spec1, spec2, N_matrix, FOV, ramp, *,

@@ -88,3 +88,149 @@ class TestTcm:
         n_flat = roi_noise(m_flat, 10)
         n_tcm = roi_noise(m_tcm, 10)
         assert n_tcm < 0.95 * n_flat, (n_tcm, n_flat)
+
+
+class TestAecExtensions:
+    """Round-3 extensions: ROI-targeted potential, noise-normalized
+    dose saving, exact count normalization, dose accounting via
+    dose_map(view_weights), longitudinal (z) modulation seed."""
+
+    def _eccentric(self):
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.9, SID=60.0, SDD=100.0,
+                             eid=False)
+        import dataclasses as dc
+
+        N, dx, a, b = 64, 0.25, 7.5, 2.0
+        ph = water_cylinder_phantom(N=N, dx=dx)
+        ys = (np.arange(N) + 0.5 - N / 2) * dx
+        xx, yy = np.meshgrid(ys, ys, indexing="xy")
+        lab = ((xx / a) ** 2 + (yy / b) ** 2 <= 1.0).astype(np.uint8)
+        ph = dc.replace(ph, labels=lab[None])
+        spec = kramers_spectrum(100.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        return ct, ph, spec
+
+    def test_sqrt_rule_is_the_optimum(self):
+        """Any other same-dose profile (uniform, linear-in-W,
+        perturbed) predicts HIGHER variance — the Lagrange optimality
+        of m ∝ sqrt(W)."""
+        ct, ph, spec = self._eccentric()
+        m, info = auto_tcm_profile(ct, ph, spec, m_min=1e-6, m_max=1e6,
+                                   channel_window=0.05, report=True)
+        m = np.asarray(m)
+        W = info["potential"]
+
+        def predicted_var(mm):
+            mm = mm / mm.mean()  # same total output
+            return np.mean(W / mm)
+
+        v_opt = predicted_var(m)
+        rng = np.random.default_rng(0)
+        for alt in (np.ones_like(W), W / W.mean(),
+                    m * np.exp(0.1 * rng.standard_normal(len(W)))):
+            assert v_opt <= predicted_var(alt) * (1 + 1e-9)
+        assert info["var_ratio"] < 0.92  # ~10% variance cut, same dose
+
+    def test_equal_dose_variance_drops_in_fbp_variance_model(self):
+        """The package's analytic FBP variance map (ensemble-validated
+        in test_noisemap) confirms the predicted center-ROI cut."""
+        from dexct_tpu.ops.noisemap import fbp_variance_map
+        from dexct_tpu.pipeline.api import get_sino
+
+        ct, ph, spec = self._eccentric()
+        m, info = auto_tcm_profile(ct, ph, spec, m_min=0.3, m_max=3.0,
+                                   channel_window=0.05, report=True)
+        m = np.asarray(m)
+        raw, _ = get_sino(ct, ph, spec)
+        raw = np.asarray(raw)
+        n, fov = 64, 16.0
+        v_uni = np.asarray(fbp_variance_map(jnp.asarray(raw), ct, n, fov))
+        v_tcm = np.asarray(fbp_variance_map(
+            jnp.asarray(raw * m[:, None]), ct, n, fov))
+        c = slice(n // 2 - 4, n // 2 + 4)
+        ratio = v_tcm[c, c].mean() / v_uni[c, c].mean()
+        assert ratio < 0.94
+        assert abs(ratio - info["var_ratio"]) < 0.15
+
+    def test_equal_noise_dose_drops(self):
+        """normalize='noise': predicted variance matches uniform while
+        the measured dose (dose_map with view_weights) drops at least
+        as much as the fluence-sum prediction."""
+        from dexct_tpu.ops.dose import dose_map
+
+        ct, ph, spec = self._eccentric()
+        m, info = auto_tcm_profile(ct, ph, spec, m_min=0.3, m_max=3.0,
+                                   channel_window=0.05,
+                                   normalize="noise", report=True)
+        m = np.asarray(m)
+        assert abs(info["var_ratio"] - 1.0) < 1e-6
+        assert info["dose_ratio"] < 0.95
+        d_uni = dose_map(ph, ct, spec)
+        d_tcm = dose_map(ph, ct, spec, view_weights=m)
+        ratio = d_tcm.deposited_J / d_uni.deposited_J
+        # the fluence-sum prediction is conservative here: high-mA
+        # (long-path) views illuminate the ellipse's NARROW
+        # cross-section, so their extra fluence deposits less energy
+        # per unit than average
+        assert ratio <= info["dose_ratio"] + 0.01
+        assert abs(ratio - info["dose_ratio"]) < 0.10
+
+    def test_forward_counts_tcm_invariance_and_normalization(self):
+        """Tube output modulation changes statistics, not line
+        integrals: the noiseless tcm= log sinogram equals the
+        unmodulated one, and normalize_counts restores the exact
+        decomposition input."""
+        from dexct_tpu.pipeline.api import get_sino
+        from dexct_tpu.pipeline.tcm import normalize_counts
+
+        ct, ph, spec = self._eccentric()
+        raw0, slog0 = get_sino(ct, ph, spec)
+        m = np.linspace(0.5, 2.0, ct.N_proj)
+        raw1, slog1 = get_sino(ct, ph, spec, tcm=m)
+        np.testing.assert_allclose(np.asarray(raw1),
+                                   np.asarray(raw0) * m[:, None],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(slog1), np.asarray(slog0),
+                                   rtol=0, atol=2e-6)
+        back = np.asarray(normalize_counts(jnp.asarray(raw1), m))
+        np.testing.assert_allclose(back, np.asarray(raw0), rtol=1e-6)
+
+    def test_view_weights_linear(self):
+        from dexct_tpu.ops.dose import dose_map
+
+        ct = FanBeamGeometry(N_channels=48, N_proj=16, gamma_fan=0.9,
+                             SID=60.0, SDD=100.0, h_iso=0.1, eid=True)
+        ph = water_cylinder_phantom(N=48, dx=0.25)
+        spec = kramers_spectrum(100.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        d1 = dose_map(ph, ct, spec)
+        d2 = dose_map(ph, ct, spec, view_weights=np.full(ct.N_proj, 2.0))
+        np.testing.assert_allclose(d2.dose_mGy, 2.0 * d1.dose_mGy,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(d2.deposited_J, 2.0 * d1.deposited_J,
+                                   rtol=1e-6)
+
+    def test_z_profile_tracks_water_equivalent_diameter(self):
+        from dexct_tpu.pipeline.tcm import z_profile_from_volume
+        from dexct_tpu.physics.materials import AIR, WATER, MaterialTable
+        from dexct_tpu.system.geometry import HelicalConeBeamGeometry
+        from dexct_tpu.system.phantom import VoxelPhantom
+
+        nz, N = 24, 32
+        ys = (np.arange(N) + 0.5 - N / 2) * 0.5
+        xx, yy = np.meshgrid(ys, ys, indexing="xy")
+        lab = np.zeros((nz, N, N), np.uint8)
+        for k in range(nz):
+            r = 2.0 + 4.0 * k / (nz - 1)  # thin head -> wide belly
+            lab[k] = (np.hypot(xx, yy) <= r).astype(np.uint8)
+        ph = VoxelPhantom("zcone", lab, MaterialTable([AIR, WATER]),
+                          0.5, 0.5, 0.5)
+        ct = HelicalConeBeamGeometry(
+            N_channels=32, N_proj=64, N_rows=4, gamma_fan=0.9, SID=60.0,
+            SDD=100.0, h_iso=0.25, eid=True, pitch=6.0,
+            rotation_total=4.0 * np.pi)
+        W_view, d_weq = z_profile_from_volume(ph, ct)
+        assert d_weq[-1] > d_weq[0] * 1.5
+        assert W_view[-1] > W_view[0]
+        assert np.all(np.diff(W_view) >= -1e-9)
