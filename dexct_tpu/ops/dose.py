@@ -529,10 +529,10 @@ def dose_efficiency(d_prime, dose_mGy_ref):
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block",
                      "z_window", "pair_mode"))
-def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
-                        rs, vox_xyz, rho_vox, lab_vox, scalars, *, n_mats,
-                        nx, ny, nz, pixel_block, z_window=None,
-                        pair_mode=False):
+def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, view_w,
+                        gammas, ts, rs, vox_xyz, rho_vox, lab_vox,
+                        scalars, *, n_mats, nx, ny, nz, pixel_block,
+                        z_window=None, pair_mode=False):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
 
     Rays are parametrized by (gamma, t, r): gamma the in-plane fan
@@ -566,7 +566,7 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
     sec = jnp.sqrt(1.0 + ts * ts)  # [n_t] 1/cos(cone angle)
 
     def one_view(carry, bz):
-        beta, z_s = bz
+        beta, z_s, w_view = bz
         dose_acc, edep_acc = carry
         src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
         ang = beta + gammas  # [n_g]
@@ -745,30 +745,35 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, gammas, ts,
                 jax.lax.dynamic_slice(lab_vox, (s0,), (n_w,)))
             dose_acc = jax.lax.dynamic_update_slice(
                 dose_acc,
-                jax.lax.dynamic_slice(dose_acc, (s0,), (n_w,)) + dv,
+                jax.lax.dynamic_slice(dose_acc, (s0,), (n_w,))
+                + w_view * dv,
                 (s0,))
         else:
             dv, de = vox_stage(vox_xyz, rho_vox, lab_vox)
-            dose_acc = dose_acc + dv
-        edep_acc = edep_acc + de
+            dose_acc = dose_acc + w_view * dv
+        edep_acc = edep_acc + w_view * de
         return (dose_acc, edep_acc), 0.0
 
     init = (jnp.zeros(n_vox, f32), jnp.zeros((), f32))
-    (dose, edep), _ = jax.lax.scan(one_view, init, (betas, src_zs))
+    (dose, edep), _ = jax.lax.scan(one_view, init,
+                                   (betas, src_zs, view_w))
     return dose, edep
 
 
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
                 oversample=2, views=None, pixel_block=65536,
-                n_energy=None, view_chunk=32, _z_window="auto",
-                _pair="auto"):
+                n_energy=None, view_chunk=32, view_weights=None,
+                _z_window="auto", _pair="auto"):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
     ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
     (or the helical subclass — the per-view source z is taken from
     ``ct.source_z``).  The same primary-beam local-deposition model as
     :func:`dose_map` (incl. the optional ``n_energy`` spectral
-    compression); ``DoseResult.dose_mGy`` has shape [Nz, Ny, Nx]
+    compression, and ``view_weights`` — per-view relative tube output
+    [V], e.g. a longitudinal TCM profile built from
+    :func:`~dexct_tpu.pipeline.tcm.z_profile_from_volume`);
+    ``DoseResult.dose_mGy`` has shape [Nz, Ny, Nx]
     and ``deposited_J`` is the plain 3-D integral (conservation partner:
     :func:`beam_energy_removed_3d`).
     """
@@ -839,6 +844,8 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
     z_window = Lz if Lz <= nz - 2 else None
     if _z_window != "auto":  # test hook: force the full scan
         z_window = _z_window
+    vw = (np.ones_like(betas) if view_weights is None
+          else np.asarray(view_weights, np.float64))
     dose = np.zeros(nz * ny * nx, np.float64)
     edep = 0.0
     for i0b in range(0, len(betas), vc):
@@ -847,6 +854,7 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
             jnp.asarray(i0w, jnp.float32),
             jnp.asarray(betas[i0b:i0b + vc], jnp.float32),
             jnp.asarray(src_z[i0b:i0b + vc], jnp.float32),
+            jnp.asarray(vw[i0b:i0b + vc], jnp.float32),
             jnp.asarray(gammas, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(rs, jnp.float32),
             jnp.asarray(vox, jnp.float32),

@@ -97,6 +97,28 @@ def _rebin_spectrum(spec, n_energy):
     return e_g[keep] / n_g[keep], n_g[keep]
 
 
+def _slab_clip(p0, seg, half_extents):
+    """Segment ∩ axis-aligned box: parameters (t0, t1) ⊂ [0, 1].
+
+    ``half_extents``: per-axis half sizes of the box centered at the
+    origin.  Degenerate axes (|seg| ~ 0) constrain nothing when the
+    point is inside and empty the interval when outside; an empty
+    intersection returns t1 == t0 (zero-length sampling window)."""
+    lo = jnp.zeros(p0.shape[:-1], p0.dtype)
+    hi_t = jnp.ones(p0.shape[:-1], p0.dtype)
+    for ax, h in enumerate(half_extents):
+        sa = seg[..., ax]
+        pa = p0[..., ax]
+        inv = 1.0 / jnp.where(jnp.abs(sa) < 1e-20, 1e-20, sa)
+        ta = (-h - pa) * inv
+        tb = (h - pa) * inv
+        lo = jnp.maximum(lo, jnp.minimum(ta, tb))
+        hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
+    t0 = jnp.clip(lo, 0.0, 1.0)
+    t1 = jnp.clip(hi_t, 0.0, 1.0)
+    return t0, jnp.maximum(t1, t0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "s_in", "s_out", "x_block",
@@ -145,12 +167,25 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
     r2 = xcom.ELECTRON_RADIUS_CM ** 2
 
     def march(p0, p1, n_steps):
-        """Material path lengths along segments p0->p1: [..., K]."""
+        """Material path lengths along segments p0->p1: [..., K].
+
+        The segment is slab-clipped to the decode hull
+        ``|px| <= (nx/2 + 0.5) dx`` (ditto y): beyond it BOTH bilinear
+        corners are out of range, so occupancy is identically zero
+        (vacuum) — restricting the samples there is exactly equivalent
+        and concentrates every step in-grid.  Source->vertex and
+        vertex->detector segments are mostly OUTSIDE the grid (the
+        source sits at SID, the detector at SDD-SID), so the clip
+        roughly doubles the in-grid sampling density at the same
+        step count."""
         seg = p1 - p0
         length = jnp.sqrt(jnp.sum(seg * seg, -1))  # [...]
-        frac = (jnp.arange(n_steps, dtype=f32) + 0.5) / n_steps
+        t0, t1 = _slab_clip(p0, seg,
+                            ((nx / 2 + 0.5) * dx_w, (ny / 2 + 0.5) * dy_w))
+        frac = t0[..., None] + (t1 - t0)[..., None] \
+            * ((jnp.arange(n_steps, dtype=f32) + 0.5) / n_steps)
         # sample points [..., S, 2]
-        pts = p0[..., None, :] + seg[..., None, :] * frac[:, None]
+        pts = p0[..., None, :] + seg[..., None, :] * frac[..., None]
         fx = pts[..., 0] / dx_w + (nx / 2 - 0.5)
         fy = pts[..., 1] / dy_w + (ny / 2 - 0.5)
         ix0 = jnp.floor(fx).astype(jnp.int32)
@@ -176,8 +211,8 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
                      * (wx if tx else (1.0 - wx))) * ok
                 occ = occ + w[..., None] * (
                     lab[..., None] == mat_ids)
-        # mean occupancy over steps * length = path [cm] per material
-        return occ.sum(-2) * (length / n_steps)[..., None]
+        # mean occupancy over steps * clipped length = path [cm]
+        return occ.sum(-2) * (length * (t1 - t0) / n_steps)[..., None]
 
     def one_view(carry, beta):
         src = sid * jnp.stack([jnp.cos(beta), jnp.sin(beta)])
@@ -297,10 +332,15 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     labels2d = np.asarray(phantom.slice_labels(z_index), np.int32)
     ny, nx = labels2d.shape
     n_mats = phantom.n_materials
+    # the marches slab-clip to the grid hull, so every step lands
+    # in-grid: half the PRE-CLIP step counts keep the old in-grid
+    # sampling density (the clip fraction of a source/detector segment
+    # is ~0.3-0.5) at half the march cost — accuracy pinned by the MC
+    # cross-validation tests
     if s_in is None:
-        s_in = max(nx, ny)
+        s_in = max(nx, ny) // 2
     if s_out is None:
-        s_out = max(nx, ny) // 2
+        s_out = max(nx, ny) // 4
     betas = np.asarray(ct.betas if views is None else views, np.float64)
 
     # coarse vertex grid.  The z-extent: the fan's photons fill
@@ -568,11 +608,16 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
     r2 = xcom.ELECTRON_RADIUS_CM ** 2
 
     def march3(p0, p1, n_steps):
-        """Material path lengths along 3-D segments: [..., K]."""
+        """Material path lengths along 3-D segments: [..., K]
+        (slab-clipped to the decode hull — see the 2-D ``march``)."""
         seg = p1 - p0
         length = jnp.sqrt(jnp.sum(seg * seg, -1))
-        frac = (jnp.arange(n_steps, dtype=f32) + 0.5) / n_steps
-        pts = p0[..., None, :] + seg[..., None, :] * frac[:, None]
+        t0, t1 = _slab_clip(p0, seg, ((nx / 2 + 0.5) * dx_w,
+                                      (ny / 2 + 0.5) * dy_w,
+                                      (nz / 2 + 0.5) * dz_w))
+        frac = t0[..., None] + (t1 - t0)[..., None] \
+            * ((jnp.arange(n_steps, dtype=f32) + 0.5) / n_steps)
+        pts = p0[..., None, :] + seg[..., None, :] * frac[..., None]
         fx = pts[..., 0] / dx_w + (nx / 2 - 0.5)
         fy = pts[..., 1] / dy_w + (ny / 2 - 0.5)
         fz = pts[..., 2] / dz_w + (nz / 2 - 0.5)
@@ -602,7 +647,7 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
                          * (wx if tx else (1.0 - wx))) * ok
                     occ = occ + w[..., None] * (
                         lab[..., None] == mat_ids)
-        return occ.sum(-2) * (length / n_steps)[..., None]
+        return occ.sum(-2) * (length * (t1 - t0) / n_steps)[..., None]
 
     def one_view(carry, beta):
         src = jnp.stack([sid * jnp.cos(beta), sid * jnp.sin(beta),
@@ -719,10 +764,15 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
     labels3 = np.asarray(phantom.labels, np.int32)
     nz, ny, nx = labels3.shape
     n_mats = phantom.n_materials
+    # the marches slab-clip to the grid hull, so every step lands
+    # in-grid: half the PRE-CLIP step counts keep the old in-grid
+    # sampling density (the clip fraction of a source/detector segment
+    # is ~0.3-0.5) at half the march cost — accuracy pinned by the MC
+    # cross-validation tests
     if s_in is None:
-        s_in = max(nx, ny)
+        s_in = max(nx, ny) // 2
     if s_out is None:
-        s_out = max(nx, ny) // 2
+        s_out = max(nx, ny) // 4
     betas = np.asarray(ct.betas if views is None else views, np.float64)
 
     # coarse 3-D vertex grid (pad, never crop)

@@ -399,6 +399,7 @@ class TestPairNinePack3d:
                   jnp.asarray(i0w, jnp.float32),
                   jnp.asarray(betas, jnp.float32),
                   jnp.asarray(src_z, jnp.float32),
+                  jnp.ones(len(betas), jnp.float32),
                   jnp.asarray(gammas, jnp.float32),
                   jnp.asarray(ts, jnp.float32),
                   jnp.asarray(rs, jnp.float32),
@@ -436,3 +437,20 @@ class TestPairNinePack3d:
         removed = beam_energy_removed_3d(ph, ct, spec)
         assert removed > 0
         assert abs(res.deposited_J - removed) / removed < 0.06
+
+    def test_view_weights_linear_3d(self):
+        """Per-view tube-output weighting (longitudinal TCM dose
+        accounting) is exactly linear in the 3-D kernel."""
+        from dexct_tpu.ops.dose import dose_map_3d
+
+        ph = _cylinder_3d(N=24, nz=8)
+        ct = _cone_geometry(nch=32, nproj=8, nrows=4)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        d1 = dose_map_3d(ph, ct, spec)
+        d2 = dose_map_3d(ph, ct, spec,
+                         view_weights=np.full(ct.N_proj, 2.0))
+        np.testing.assert_allclose(d2.dose_mGy, 2.0 * d1.dose_mGy,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(d2.deposited_J, 2.0 * d1.deposited_J,
+                                   rtol=1e-6)
