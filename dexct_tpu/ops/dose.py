@@ -171,9 +171,9 @@ def _pack_label_nines_zminor(labels3):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "pixel_block", "pair_mode"))
-def _dose_accumulate(labq, mu_kE, i0w_E, betas, view_w, gammas, rs,
-                     vox_xy, rho_vox, lab_vox, scalars, *, n_mats, nx, ny,
-                     pixel_block, pair_mode=False):
+def _dose_accumulate(labq, mu_kE, mu_dep_kE, i0w_E, betas, view_w,
+                     gammas, rs, vox_xy, rho_vox, lab_vox, scalars, *,
+                     n_mats, nx, ny, pixel_block, pair_mode=False):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
     labq:    [ny, nx] int32 quad-packed labels
@@ -304,7 +304,7 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, view_w, gammas, rs,
             t_b, phi_b, lab_b = args
             att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
             w = att * i0w_E[None, :]  # [b, E] photon*keV weight
-            c = jnp.matmul(w, mu_kE.T, precision=hi)  # [b, K]
+            c = jnp.matmul(w, mu_dep_kE.T, precision=hi)  # [b, K]
             # own-material pick as an on-the-fly one-hot contraction:
             # a take_along_axis here costs 134M scalar gathers over the
             # scan (profiled ~1.4 s of the 512^2 map); the K compares
@@ -332,35 +332,52 @@ def _dose_accumulate(labq, mu_kE, i0w_E, betas, view_w, gammas, rs,
     return dose, edep
 
 
-def _dose_energy_grid(phantom, spec, n_energy):
-    """(mu_kE [K, G], i0w [G]): the spectral tables of the dose matmul
-    stage, optionally compressed to ``n_energy`` energy-fluence-weighted
-    groups.
+def _dose_energy_grid(phantom, spec, n_energy, scoring="removed"):
+    """(mu_kE [K, G], mu_dep_kE [K, G], i0w [G]): the spectral tables of
+    the dose matmul stage, optionally compressed to ``n_energy``
+    energy-fluence-weighted groups.
 
-    The voxel integrand is ``sum_E i0*dE*E * exp(-T.mu(E)) * mu_own(E)``
-    — smooth in E away from edges — so grouping bins and evaluating mu
-    at each group's energy-fluence centroid preserves the 0th/1st
-    moments exactly (the GN warm-compression idea, ops/matdecomp.py).
-    ``n_energy=None`` keeps the spectrum's native grid (exact)."""
+    ``mu_kE`` attenuates the fluence; ``mu_dep_kE`` weights the local
+    deposition.  ``scoring='removed'`` (the historical model) scores ALL
+    removed energy locally (mu_dep = mu — conserves the beam-energy
+    integral exactly, but overestimates local dose where scattered
+    photons escape); ``scoring='kerma'`` scores collision kerma
+    (mu_dep = mu_en via
+    :meth:`~dexct_tpu.physics.materials.MaterialTable.mu_en_table` —
+    the textbook primary-beam dose surrogate; deposited_J then excludes
+    the scattered-photon energy, so it is <= beam_energy_removed by
+    the scatter fraction).
+
+    The voxel integrand is ``sum_E i0*dE*E * exp(-T.mu(E)) * w_own(E)``
+    — smooth in E away from edges — so grouping bins and evaluating the
+    tables at each group's energy-fluence centroid preserves the
+    0th/1st moments exactly (the GN warm-compression idea,
+    ops/matdecomp.py).  ``n_energy=None`` keeps the native grid."""
+    if scoring not in ("removed", "kerma"):
+        raise ValueError(f"unknown scoring={scoring!r}")
     i0w_full = np.asarray(spec.I0, np.float64) * spec.bin_widths() \
         * np.asarray(spec.E, np.float64)  # photons * keV
     if not n_energy or n_energy >= len(spec.E):
-        return phantom.materials.mu_table(spec.E), i0w_full
-    e = np.asarray(spec.E, np.float64)
-    live = i0w_full > 0
-    e_l, w_l = e[live], i0w_full[live]
-    edges = np.linspace(e_l.min(), e_l.max(), int(n_energy) + 1)
-    idx = np.clip(np.digitize(e_l, edges) - 1, 0, int(n_energy) - 1)
-    w_g = np.bincount(idx, weights=w_l, minlength=int(n_energy))
-    e_g = np.bincount(idx, weights=w_l * e_l, minlength=int(n_energy))
-    keep = w_g > 0
-    e_c = e_g[keep] / w_g[keep]
-    return phantom.materials.mu_table(e_c), w_g[keep]
+        e_c, i0w = spec.E, i0w_full
+    else:
+        e = np.asarray(spec.E, np.float64)
+        live = i0w_full > 0
+        e_l, w_l = e[live], i0w_full[live]
+        edges = np.linspace(e_l.min(), e_l.max(), int(n_energy) + 1)
+        idx = np.clip(np.digitize(e_l, edges) - 1, 0, int(n_energy) - 1)
+        w_g = np.bincount(idx, weights=w_l, minlength=int(n_energy))
+        e_g = np.bincount(idx, weights=w_l * e_l, minlength=int(n_energy))
+        keep = w_g > 0
+        e_c, i0w = e_g[keep] / w_g[keep], w_g[keep]
+    mu = phantom.materials.mu_table(e_c)
+    mu_dep = (mu if scoring == "removed"
+              else phantom.materials.mu_en_table(e_c))
+    return mu, mu_dep, i0w
 
 
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
              views=None, pixel_block=65536, z_index=None, n_energy=None,
-             view_weights=None):
+             view_weights=None, scoring="removed"):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -385,7 +402,8 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
     labels2d = phantom.slice_labels(z_index).astype(np.int32)
     ny, nx = labels2d.shape
     n_mats = phantom.n_materials
-    mu_kE, i0w = _dose_energy_grid(phantom, spec, n_energy)
+    mu_kE, mu_dep, i0w = _dose_energy_grid(phantom, spec, n_energy,
+                                           scoring)
     betas = np.asarray(ct.betas if views is None else views, np.float64)
     gammas, rs = _sample_grids(ct, phantom, n_gamma, n_r, oversample)
 
@@ -410,6 +428,7 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
     dose, edep = _dose_accumulate(
         jnp.asarray(pack(labels2d)),
         jnp.asarray(mu_kE, jnp.float32),
+        jnp.asarray(mu_dep, jnp.float32),
         jnp.asarray(i0w, jnp.float32), jnp.asarray(betas, jnp.float32),
         jnp.asarray(np.ones_like(betas) if view_weights is None
                     else np.asarray(view_weights, np.float64),
@@ -529,10 +548,10 @@ def dose_efficiency(d_prime, dose_mGy_ref):
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block",
                      "z_window", "pair_mode"))
-def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, view_w,
-                        gammas, ts, rs, vox_xyz, rho_vox, lab_vox,
-                        scalars, *, n_mats, nx, ny, nz, pixel_block,
-                        z_window=None, pair_mode=False):
+def _dose_accumulate_3d(labq3, mu_kE, mu_dep_kE, i0w_E, betas, src_zs,
+                        view_w, gammas, ts, rs, vox_xyz, rho_vox,
+                        lab_vox, scalars, *, n_mats, nx, ny, nz,
+                        pixel_block, z_window=None, pair_mode=False):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
 
     Rays are parametrized by (gamma, t, r): gamma the in-plane fan
@@ -711,7 +730,7 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, view_w,
                 t_b, phi_b, lab_b = args
                 att = jnp.exp(-jnp.matmul(t_b, mu_kE, precision=hi))
                 w = att * i0w_E[None, :]
-                c = jnp.matmul(w, mu_kE.T, precision=hi)
+                c = jnp.matmul(w, mu_dep_kE.T, precision=hi)
                 # one-hot contraction, not take_along_axis (see the 2-D
                 # kernel: the scalar gathers profiled ~15% of the map)
                 oh = (lab_b[:, None] == mat_ids).astype(t_b.dtype)
@@ -763,7 +782,7 @@ def _dose_accumulate_3d(labq3, mu_kE, i0w_E, betas, src_zs, view_w,
 def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
                 oversample=2, views=None, pixel_block=65536,
                 n_energy=None, view_chunk=32, view_weights=None,
-                _z_window="auto", _pair="auto"):
+                scoring="removed", _z_window="auto", _pair="auto"):
     """Absorbed-dose volume of a circular or helical cone-beam scan.
 
     ``ct`` is a :class:`~dexct_tpu.system.geometry.ConeBeamGeometry`
@@ -780,7 +799,8 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
     labels3 = np.asarray(phantom.labels, np.int32)
     nz, ny, nx = labels3.shape
     n_mats = phantom.n_materials
-    mu_kE, i0w = _dose_energy_grid(phantom, spec, n_energy)
+    mu_kE, mu_dep, i0w = _dose_energy_grid(phantom, spec, n_energy,
+                                           scoring)
     betas = np.asarray(ct.betas if views is None else views, np.float64)
     src_z = getattr(ct, "source_z", None)
     if src_z is None or np.ndim(src_z) == 0:
@@ -851,6 +871,7 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
     for i0b in range(0, len(betas), vc):
         d_c, e_c = _dose_accumulate_3d(
             jnp.asarray(labq3), jnp.asarray(mu_kE, jnp.float32),
+            jnp.asarray(mu_dep, jnp.float32),
             jnp.asarray(i0w, jnp.float32),
             jnp.asarray(betas[i0b:i0b + vc], jnp.float32),
             jnp.asarray(src_z[i0b:i0b + vc], jnp.float32),

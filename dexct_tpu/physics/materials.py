@@ -58,6 +58,81 @@ class Material:
             w * xcom.ELEMENT_Z[s] / xcom.ATOMIC_WEIGHT[s]
             for s, w in xcom.parse_matcomp(self.matcomp))
 
+    def _z2_per_gram(self):
+        """sum_i w_i Z_i^2 / A_i — the coherent-scatter mixture weight
+        (Rayleigh scales ~Z^2 per atom at fixed E in the CT band)."""
+        return sum(w * xcom.ELEMENT_Z[s] ** 2 / xcom.ATOMIC_WEIGHT[s]
+                   for s, w in xcom.parse_matcomp(self.matcomp))
+
+    def mass_energy_absorption(self, energy_keV):
+        """Mass energy-absorption coefficient mu_en/rho [cm^2/g].
+
+        Per-process construction, calibrated on the vendored NIST water
+        mu_en anchors (:data:`WATER_MUEN_ANCHORS`):
+
+        * Compton: free-electron Klein-Nishina cross-section times the
+          exact mean recoil fraction f_tr(E)
+          (:func:`~dexct_tpu.physics.xcom.klein_nishina_transfer_fraction`)
+          — electrons/g is exact per material.
+        * Coherent (transfers nothing): inferred FROM the water anchors
+          (coh_w = mu_w - muC_w - photo_w with photo_w = muen_w -
+          muC_w f_tr) and transferred to other media by the Z^2/A
+          mixture rule.
+        * Photoelectric (+pair above 1.022 MeV): the residual
+          mu - muC - coh, scored as full local transfer (fluorescence
+          yields are small and the photons are reabsorbed locally for
+          the low-Z study media; pair's 2 m_e c^2 escape fraction is a
+          few % at linac energies).
+
+        Water reproduces the NIST anchors exactly by construction;
+        air/tissue/bone ride the same calibration through their exact
+        Compton terms and Z^2-scaled coherent (a few % — the residual
+        photo term dominates wherever the scaling is roughest).  For
+        high-Z metals treat it as a transfer-model estimate.
+        """
+        e = np.atleast_1d(np.asarray(energy_keV, np.float64))
+        f = xcom.klein_nishina_transfer_fraction(e)
+        sig = xcom.klein_nishina_cross_section(e)
+        mu_c = self.electrons_per_gram() * sig
+        mu = self.mass_atten(e)
+        # water calibration curves
+        mu_w = xcom.mixatten(WATER.matcomp, e)
+        mu_c_w = WATER.electrons_per_gram() * sig
+        muen_w = water_mu_en_over_rho(e)
+        photo_w = np.maximum(muen_w - mu_c_w * f, 0.0)
+        coh_w = np.maximum(mu_w - mu_c_w - photo_w, 0.0)
+        coh = coh_w * (self._z2_per_gram() / WATER._z2_per_gram())
+        photo = np.maximum(mu - mu_c - coh, 0.0)
+        out = np.clip(photo + mu_c * f, 0.0, mu)
+        return out if np.ndim(energy_keV) else float(out[0])
+
+    def linear_energy_absorption(self, energy_keV):
+        """mu_en [1/cm]."""
+        return self.density * self.mass_energy_absorption(energy_keV)
+
+
+# NIST mass energy-absorption anchors for LIQUID WATER (Hubbell &
+# Seltzer tables; mu_en/rho [cm^2/g]) — the calibration dataset for
+# Material.mass_energy_absorption.  Log-log interpolated between
+# anchors (the curve is smooth: no edges above 1 keV in water).
+WATER_MUEN_ANCHORS = (
+    (10.0, 4.944), (15.0, 1.374), (20.0, 0.5503), (30.0, 0.1557),
+    (40.0, 0.0695), (50.0, 0.04188), (60.0, 0.03190), (80.0, 0.02583),
+    (100.0, 0.02546), (150.0, 0.02764), (200.0, 0.02967),
+    (300.0, 0.03192), (500.0, 0.03279), (1000.0, 0.03103),
+    (1250.0, 0.02965), (2000.0, 0.02608), (3000.0, 0.02281),
+    (4000.0, 0.02066), (6000.0, 0.01806),
+)
+
+
+def water_mu_en_over_rho(energy_keV):
+    """NIST water mu_en/rho [cm^2/g], log-log anchor interpolation."""
+    e = np.asarray(energy_keV, np.float64)
+    ea = np.array([a[0] for a in WATER_MUEN_ANCHORS])
+    va = np.array([a[1] for a in WATER_MUEN_ANCHORS])
+    return np.exp(np.interp(np.log(np.clip(e, ea[0], ea[-1])),
+                            np.log(ea), np.log(va)))
+
 
 # Reference-pinned materials (matdecomp.py:12-17, plots.py:140, 487-498).
 TISSUE = Material(
@@ -149,6 +224,13 @@ class MaterialTable:
         """Mass attenuation LUT (mu/rho)[label, energy] [cm^2/g]."""
         e = np.asarray(energy_keV, dtype=np.float64)
         return np.stack([m.mass_atten(e) for m in self.materials])
+
+    def mu_en_table(self, energy_keV):
+        """Linear energy-absorption LUT mu_en[label, energy] [1/cm] —
+        the KERMA deposition weights (ops/dose.py scoring='kerma')."""
+        e = np.asarray(energy_keV, dtype=np.float64)
+        return np.stack(
+            [m.linear_energy_absorption(e) for m in self.materials])
 
     # -- CSV round trip ------------------------------------------------------
     @classmethod

@@ -142,6 +142,35 @@ def klein_nishina_cross_section(energy_keV):
     return 2.0 * np.pi * ELECTRON_RADIUS_CM**2 * (t1 + t2 - t3)
 
 
+def klein_nishina_transfer_fraction(energy_keV, n_theta=4096):
+    """Mean fraction of photon energy transferred to the recoil electron
+    per Klein-Nishina interaction: f_tr(E) = sigma_tr / sigma_KN.
+
+    Exact quadrature of (1 - E'/E) dSigma/dOmega over the sphere (the
+    closed form exists but is error-prone; the integrand is smooth so
+    midpoint quadrature at 4096 angles is exact to ~1e-10).  This is
+    the Compton piece of the mass energy-TRANSFER coefficient: at CT
+    energies in low-Z media, mu_tr = mu_photo (full local transfer,
+    fluorescence yield ~0) + mu_C * f_tr (recoil electrons), with
+    coherent scatter transferring nothing.  f_tr rises from ~0 at low
+    E (Thomson limit: elastic) through 0.34 at m_e c^2 to 0.53 at
+    2 MeV.
+    """
+    e = np.atleast_1d(np.asarray(energy_keV, np.float64))
+    k = e[:, None] / ELECTRON_REST_KEV  # [E, 1]
+    ct = np.cos((np.arange(n_theta) + 0.5) * np.pi / n_theta)[None, :]
+    st_dt = np.sin((np.arange(n_theta) + 0.5) * np.pi / n_theta)[None, :] \
+        * (np.pi / n_theta)
+    ratio = 1.0 / (1.0 + k * (1.0 - ct))  # E'/E
+    dsdo = 0.5 * ELECTRON_RADIUS_CM**2 * ratio**2 * (
+        ratio + 1.0 / ratio - (1.0 - ct * ct))
+    w = 2.0 * np.pi * dsdo * st_dt
+    sigma = np.sum(w, -1)
+    sigma_tr = np.sum(w * (1.0 - ratio), -1)
+    out = sigma_tr / sigma
+    return out if np.ndim(energy_keV) else float(out[0])
+
+
 # ---------------------------------------------------------------------------
 # Element construction: anchors + edge-aligned bracket interpolation
 # ---------------------------------------------------------------------------

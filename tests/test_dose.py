@@ -318,7 +318,7 @@ class TestPairNinePack:
         spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
         labels2d = ph.slice_labels(None).astype(np.int32)
         ny, nx = labels2d.shape
-        mu_kE, i0w = dm._dose_energy_grid(ph, spec, None)
+        mu_kE, mu_dep, i0w = dm._dose_energy_grid(ph, spec, None)
         betas = np.asarray(ct.betas, np.float64)
         gammas, rs = dm._sample_grids(ct, ph, None, None, 2)
         xs = (np.arange(nx) + 0.5 - nx / 2) * ph.dx
@@ -331,6 +331,7 @@ class TestPairNinePack:
             [ct.SID, ph.dx, ph.dy, geom_const, 0.5 * ct.gamma_fan,
              ct.h_iso / ct.SID, ph.dx * ph.dy], jnp.float32)
         common = (jnp.asarray(mu_kE, jnp.float32),
+                  jnp.asarray(mu_dep, jnp.float32),
                   jnp.asarray(i0w, jnp.float32),
                   jnp.asarray(betas, jnp.float32),
                   jnp.ones(len(betas), jnp.float32),
@@ -373,7 +374,7 @@ class TestPairNinePack3d:
         spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
         labels3 = np.asarray(ph.labels, np.int32)
         nz, ny, nx = labels3.shape
-        mu_kE, i0w = dm._dose_energy_grid(ph, spec, None)
+        mu_kE, mu_dep, i0w = dm._dose_energy_grid(ph, spec, None)
         betas = np.asarray(ct.betas, np.float64)
         src_z = np.zeros_like(betas)
         gammas, rs = dm._sample_grids(ct, ph, None, None, 2)
@@ -396,6 +397,7 @@ class TestPairNinePack3d:
             [ct.SID, ph.dx, ph.dy, ph.dz, geom_const, 0.5 * ct.gamma_fan,
              t_half, ph.dx * ph.dy * ph.dz], jnp.float32)
         common = (jnp.asarray(mu_kE, jnp.float32),
+                  jnp.asarray(mu_dep, jnp.float32),
                   jnp.asarray(i0w, jnp.float32),
                   jnp.asarray(betas, jnp.float32),
                   jnp.asarray(src_z, jnp.float32),
@@ -454,3 +456,88 @@ class TestPairNinePack3d:
                                    rtol=1e-6)
         np.testing.assert_allclose(d2.deposited_J, 2.0 * d1.deposited_J,
                                    rtol=1e-6)
+
+
+class TestKermaScoring:
+    """scoring='kerma' deposits collision kerma (mu_en weights) instead
+    of all removed energy (mu weights) — the textbook primary-beam dose
+    surrogate.  The removed model stays the conservation partner."""
+
+    def test_kerma_below_removed_and_ratio_physical(self):
+        from dexct_tpu.ops.dose import beam_energy_removed, dose_map
+
+        ph = water_cylinder_phantom(N=48, dx=0.25, radius_cm=4.0)
+        ct = _geometry(nch=64, nproj=24)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 20.0 / ct.N_proj)
+        d_rem = dose_map(ph, ct, spec)
+        d_ker = dose_map(ph, ct, spec, scoring="kerma")
+        removed = beam_energy_removed(ph, ct, spec)
+        m = d_rem.dose_mGy > 0.01 * d_rem.dose_mGy.max()
+        assert np.all(d_ker.dose_mGy[m] < d_rem.dose_mGy[m])
+        assert d_ker.deposited_J < d_rem.deposited_J
+        # removed-model conservation is untouched
+        assert abs(d_rem.deposited_J - removed) / removed < 0.05
+        # water at ~60-70 keV effective: mu_en/mu ~ 0.15-0.30; the
+        # volume kerma fraction of removed energy must sit in that band
+        frac = d_ker.deposited_J / d_rem.deposited_J
+        assert 0.10 < frac < 0.45
+
+    def test_kerma_mono_center_anchor(self):
+        """Mono-energetic center dose with kerma scoring equals the
+        closed form with mu_en in the deposition (and mu in the
+        attenuation)."""
+        from dexct_tpu.ops.dose import dose_map
+        from dexct_tpu.physics.materials import WATER
+
+        R, E0, n_ph = 4.0, 60.0, 1e8
+        ph = water_cylinder_phantom(N=64, dx=0.2, radius_cm=R)
+        ct = _geometry()
+        spec = Spectrum(np.array([E0]), np.array([n_ph]), "mono60")
+        res = dose_map(ph, ct, spec, oversample=3, scoring="kerma")
+        mu_w = WATER.linear_atten(np.array([E0]))[0]
+        muen_w = WATER.linear_energy_absorption(np.array([E0]))[0]
+        n_photons = n_ph * E0
+        phi_iso = n_photons * ct.SID / (ct.dgamma * ct.h_iso * ct.SID**2)
+        expect = ct.N_proj * phi_iso * np.exp(-mu_w * R) * muen_w * E0
+        expect_mGy = expect * 1.602176634e-16 / 1e-3 * 1e3
+        n = res.dose_mGy.shape[0]
+        c = res.dose_mGy[n // 2 - 2:n // 2 + 2, n // 2 - 2:n // 2 + 2]
+        np.testing.assert_allclose(c.mean(), expect_mGy, rtol=0.05)
+
+    def test_kerma_3d_matches_2d_central_slice_model(self):
+        """3-D kerma scoring wires the same tables (pair mode and all):
+        central-slice agreement with the 2-D map on a z-uniform object,
+        same bar as the removed-model test."""
+        from dexct_tpu.ops.dose import dose_map, dose_map_3d
+
+        ph3 = _cylinder_3d(N=32, nz=12, dx=0.25, dz=0.25, radius_cm=3.0)
+        ct3 = _cone_geometry(nch=64, nproj=16, nrows=16)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct3.A_iso * 20.0 / ct3.N_proj)
+        d3 = dose_map_3d(ph3, ct3, spec, oversample=3,
+                         scoring="kerma").dose_mGy
+        from dexct_tpu.system.geometry import FanBeamGeometry
+
+        ct2 = FanBeamGeometry(
+            N_channels=ct3.N_channels, N_proj=ct3.N_proj,
+            gamma_fan=ct3.gamma_fan, SID=ct3.SID, SDD=ct3.SDD,
+            h_iso=ct3.h_iso, eid=ct3.eid)
+        lab2 = np.asarray(ph3.labels)[ph3.labels.shape[0] // 2]
+        ph2 = VoxelPhantom("slice", lab2, ph3.materials, ph3.dx, ph3.dy,
+                           ph3.dz)
+        d2 = dose_map(ph2, ct2, spec, oversample=3, scoring="kerma") \
+            .dose_mGy
+        mid = d3[d3.shape[0] // 2]
+        m = d2 > 0.05 * d2.max()
+        rel = np.abs(mid[m] - d2[m]) / d2.max()
+        assert rel.max() < 0.08
+
+    def test_bad_scoring_rejected(self):
+        from dexct_tpu.ops.dose import dose_map
+
+        ph = water_cylinder_phantom(N=16, dx=0.5, radius_cm=2.0)
+        ct = _geometry(nch=16, nproj=4)
+        spec = kramers_spectrum(80.0)
+        with pytest.raises(ValueError, match="scoring"):
+            dose_map(ph, ct, spec, scoring="exact")

@@ -261,3 +261,76 @@ class TestCompounds:
         assert mu_gd > mu_i > 3.0
         # iodine just above its K edge: the classic ~30 cm^2/g
         assert 24.0 < float(xcom.element_mu("I", 33.5)) < 38.0
+
+
+class TestEnergyAbsorption:
+    """mu_en/rho: water anchored on the vendored NIST table; other media
+    by the per-process transfer construction (KN recoil fraction +
+    Z^2-scaled coherent calibrated on water)."""
+
+    def test_water_exact_at_anchors(self):
+        from dexct_tpu.physics.materials import (WATER,
+                                                 WATER_MUEN_ANCHORS)
+
+        e = np.array([a[0] for a in WATER_MUEN_ANCHORS])
+        v = np.array([a[1] for a in WATER_MUEN_ANCHORS])
+        # exact below ~400 keV; at 0.5-1.25 MeV the free-KN transfer
+        # slightly exceeds NIST mu_en (binding + radiative g-factor)
+        # and the photo term clips to zero -> <=0.7% there
+        np.testing.assert_allclose(WATER.mass_energy_absorption(e), v,
+                                   rtol=7e-3)
+        ct_band = e <= 300.0
+        np.testing.assert_allclose(
+            WATER.mass_energy_absorption(e[ct_band]), v[ct_band],
+            rtol=1e-10)
+
+    def test_air_tracks_nist(self):
+        """Air is an INDEPENDENT check of the construction (different
+        composition, same calibration): NIST air mu_en/rho at the
+        classic CT energies, 2% bar."""
+        from dexct_tpu.physics.materials import AIR
+
+        e = np.array([30.0, 50.0, 60.0, 80.0, 100.0, 150.0])
+        nist = np.array([0.1537, 0.04098, 0.03041, 0.02407, 0.02325,
+                         0.02496])
+        got = AIR.mass_energy_absorption(e)
+        np.testing.assert_allclose(got, nist, rtol=0.02)
+
+    def test_transfer_fraction_physics(self):
+        from dexct_tpu.physics import xcom
+
+        e = np.array([10.0, 30.0, 60.0, 100.0, 300.0, 1000.0, 6000.0])
+        f = xcom.klein_nishina_transfer_fraction(e)
+        assert np.all((f > 0) & (f < 1))
+        assert np.all(np.diff(f) > 0)  # rises with energy
+        # Thomson limit: elastic, f -> 0
+        assert xcom.klein_nishina_transfer_fraction(0.1) < 2e-4
+        # exact-quadrature values at the textbook shape: ~0.34 at
+        # m_e c^2, ~0.53 at 2 MeV, ~0.64 at 6 MeV
+        assert abs(xcom.klein_nishina_transfer_fraction(511.0) - 0.344) \
+            < 0.005
+        assert abs(xcom.klein_nishina_transfer_fraction(2000.0) - 0.531) \
+            < 0.005
+
+    def test_mu_en_bounded_by_mu(self):
+        from dexct_tpu.physics.materials import (BONE, TISSUE, TITANIUM,
+                                                 WATER)
+
+        e = np.logspace(1, 3.7, 64)
+        for m in (WATER, TISSUE, BONE, TITANIUM):
+            muen = m.mass_energy_absorption(e)
+            mu = m.mass_atten(e)
+            assert np.all(muen <= mu + 1e-12), m.name
+            assert np.all(muen >= 0), m.name
+
+    def test_compton_limit_at_high_energy(self):
+        """Where Compton dominates (water ~1 MeV), mu_en/mu approaches
+        the KN transfer fraction."""
+        from dexct_tpu.physics import xcom
+        from dexct_tpu.physics.materials import TISSUE
+
+        e = np.array([800.0])
+        ratio = (TISSUE.mass_energy_absorption(e)
+                 / TISSUE.mass_atten(e))[0]
+        f = xcom.klein_nishina_transfer_fraction(800.0)
+        assert abs(ratio - f) < 0.05

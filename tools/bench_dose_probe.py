@@ -230,7 +230,7 @@ def main():
 
     labels2d = ph.slice_labels(None).astype(np.int32)
     ny, nx = labels2d.shape
-    mu_kE, i0w = dm._dose_energy_grid(ph, spec, None)
+    mu_kE, _mu_dep, i0w = dm._dose_energy_grid(ph, spec, None)
     betas = np.asarray(ct.betas, np.float64)
     gammas, rs = dm._sample_grids(ct, ph, None, None, 2)
     xs = (np.arange(nx) + 0.5 - nx / 2) * ph.dx
