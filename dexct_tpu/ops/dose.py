@@ -9,16 +9,25 @@ CTDI-style summary metrics.
 
 Physics model (documented approximation)
 ----------------------------------------
-**Collision energy removal with local deposition**: the energy a ray
-loses in a voxel, ``phi(E) * mu(E, x) * E``, is scored *in that voxel*.
-This is exact bookkeeping of the energy removed from the primary beam
-(it pairs with the forward model's Beer-Lambert attenuation, so total
-deposited energy == total beam energy removed — pinned by a
-conservation test), but it ignores scatter transport: Compton-scattered
-photons and bremsstrahlung escape re-deposit elsewhere.  At CT energies
-in tissue this overestimates local dose where ``mu_en < mu``; treat the
-map as a primary-beam dose map, the standard fast-CT-dose surrogate
-(a Monte Carlo transport stage is out of scope).
+Two scoring modes bracket the truth (``scoring=`` on both maps):
+
+**'removed'** (default): the energy a ray loses in a voxel,
+``phi(E) * mu(E, x) * E``, is scored *in that voxel*.  Exact
+bookkeeping of the energy removed from the primary beam (pairs with
+the forward model's Beer-Lambert attenuation, so total deposited ==
+total beam energy removed — pinned by a conservation test) and the
+right TOTAL for large bodies (most scattered energy reabsorbs), but
+locally too peaked: the scattered-photon energy actually re-deposits
+spread out.
+
+**'kerma'**: deposition contracts against ``mu_en`` instead
+(:meth:`~dexct_tpu.physics.materials.MaterialTable.mu_en_table` —
+NIST-water-anchored collision kerma; attenuation keeps ``mu``).  The
+textbook primary-beam dose surrogate: exact local dose if every
+scattered photon escaped; ``deposited_J`` then reads the kerma
+fraction of the removed energy (~0.2-0.4 at CT energies in water).
+True dose lies between the modes; a Monte Carlo transport stage is
+out of scope.
 
 TPU-native design
 -----------------
