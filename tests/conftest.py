@@ -46,3 +46,22 @@ if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on CPU"
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+# Release compiled executables between test MODULES.  Full-suite runs
+# segfaulted at ~80-85% inside plain XLA:CPU compilation (and, when the
+# persistent cache was on, inside its serialize/deserialize wrappers) —
+# never at the same test, never in isolation, RAM free: the signature
+# of accumulated loaded-executable state (hundreds of live AOT code
+# objects in one process) breaking the compiler/loader late in the
+# session.  Dropping the jit caches per module keeps the live count
+# bounded by one module's compiles; cross-module recompiles of shared
+# helpers cost a few % of wall-clock.
+_LAST_MODULE = [None]
+
+
+def pytest_runtest_setup(item):
+    mod = item.module.__name__
+    if _LAST_MODULE[0] is not None and _LAST_MODULE[0] != mod:
+        jax.clear_caches()
+    _LAST_MODULE[0] = mod
