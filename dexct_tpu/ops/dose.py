@@ -429,7 +429,11 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
          ct.h_iso / ct.SID, phantom.dx * phantom.dy], jnp.float32)
     # pair mode: one 3x3-block gather serves two consecutive-r samples
     # — eligible whenever the r step stays under a pixel (so a pair's
-    # corners fit the block) and the labels fit 3 bits
+    # corners fit the block) and the labels fit 3 bits.  (A 5x5 pack
+    # serving FOUR samples per row-3 gather was built and REJECTED:
+    # 6.52 s vs 4.10 s on the 512^2/512-view map — the per-corner
+    # word-select chain costs more than the halved gather count saves;
+    # ROADMAP rejected levers.)
     dr_ = float(rs[1] - rs[0])
     pair_mode = (labels2d.max() < 8 and len(rs) % 2 == 0
                  and dr_ <= min(phantom.dx, phantom.dy))
