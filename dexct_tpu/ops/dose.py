@@ -809,6 +809,21 @@ def dose_map_3d(phantom, ct, spec, *, n_gamma=None, n_t=None, n_r=None,
     and ``deposited_J`` is the plain 3-D integral (conservation partner:
     :func:`beam_energy_removed_3d`).
     """
+    # the polar fluence model is EQUIANGULAR (per-channel counts over
+    # uniform dgamma) with the orbit in a z-normal plane: flat-panel
+    # (equidistant-column) and gantry-tilted geometries would get a
+    # silently wrong fluence profile — fail loudly instead
+    from ..system.geometry import (FlatPanelConeBeamGeometry,
+                                   TiltedConeBeamGeometry)
+
+    if isinstance(ct, FlatPanelConeBeamGeometry):
+        raise ValueError(
+            "dose_map_3d assumes equiangular channels; flat-panel "
+            "fluence varies per column (cos^2) — not supported")
+    if isinstance(ct, TiltedConeBeamGeometry) and float(ct.tilt) != 0.0:
+        raise ValueError(
+            "dose_map_3d assumes a z-normal orbit; for tilted scans "
+            "compute dose in the gantry frame on the rotated phantom")
     labels3 = np.asarray(phantom.labels, np.int32)
     nz, ny, nx = labels3.shape
     n_mats = phantom.n_materials

@@ -140,7 +140,8 @@ def sample_noise(key, counts, mode="poisson", var_scale=1.0, var=None):
 
 
 def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
-                   dtype=jnp.float32, bowtie=None, tcm=None):
+                   dtype=jnp.float32, bowtie=None, tcm=None,
+                   sigma_e=0.0):
     """paths -> (counts, log_sino): the get_sino back half.
 
     Returns device arrays shaped like ``paths[..., 0]``.  With a
@@ -152,6 +153,14 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
     per-view air level — so the noiseless log sinogram is identical to
     the unmodulated scan's (tube-current modulation changes statistics,
     not line integrals).
+
+    ``sigma_e`` (compound mode): additive ELECTRONIC noise std in
+    detected-signal units per ray — the EID readout floor.  Quantum
+    variance scales with the tube output but sigma_e^2 does not, so at
+    starved doses the image noise flattens instead of following
+    1/sqrt(dose) (the clinical low-dose wall; electronic noise is why
+    PCDs win there).  Pick a physical scale via the air signal, e.g.
+    ``sigma_e = 1e-4 * air`` for a 10^-4 dynamic-range floor.
     """
     e = spec.E
     mu_table = jnp.asarray(phantom.materials.mu_table(e), dtype)
@@ -188,5 +197,7 @@ def forward_counts(paths, phantom, spec, geometry, *, noise="none", key=None,
                                     per_channel=per_ch)
             if tcm is not None:
                 var = var * s
+            if sigma_e:
+                var = var + jnp.asarray(sigma_e, dtype) ** 2
         counts = sample_noise(key, counts, noise, var=var)
     return counts, log_sinogram(counts, air)

@@ -63,7 +63,7 @@ def _water_mu(e):
 
 
 def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None,
-             bowtie=None, tcm=None):
+             bowtie=None, tcm=None, sigma_e=0.0):
     """Forward project one polyenergetic acquisition.
 
     Reference signature/return (main.py:120): ``(sino_raw, sino_log)``,
@@ -79,7 +79,8 @@ def get_sino(ct, phantom, spec, *, noise="none", key=None, paths=None,
     if paths is None:
         paths = material_path_sinogram(phantom, ct)
     return sp_ops.forward_counts(paths, phantom, spec, ct, noise=noise,
-                                 key=key, bowtie=bowtie, tcm=tcm)
+                                 key=key, bowtie=bowtie, tcm=tcm,
+                                 sigma_e=sigma_e)
 
 
 def get_recon(sino_log, ct, spec, N_matrix, FOV, ramp, *, window="sinc"):

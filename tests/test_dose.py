@@ -541,3 +541,35 @@ class TestKermaScoring:
         spec = kramers_spectrum(80.0)
         with pytest.raises(ValueError, match="scoring"):
             dose_map(ph, ct, spec, scoring="exact")
+
+
+class TestDoseGeometryGuards:
+    def test_flat_panel_rejected(self):
+        from dexct_tpu.ops.dose import dose_map_3d
+        from dexct_tpu.system.geometry import FlatPanelConeBeamGeometry
+
+        ph = _cylinder_3d(N=16, nz=4)
+        ct = FlatPanelConeBeamGeometry(
+            N_channels=16, N_proj=4, N_rows=4, gamma_fan=0.9, SID=60.0,
+            SDD=100.0, h_iso=0.25, eid=True)
+        spec = kramers_spectrum(80.0)
+        with pytest.raises(ValueError, match="equiangular"):
+            dose_map_3d(ph, ct, spec)
+
+    def test_tilted_rejected_unless_zero(self):
+        from dexct_tpu.ops.dose import dose_map_3d
+        from dexct_tpu.system.geometry import TiltedConeBeamGeometry
+
+        ph = _cylinder_3d(N=16, nz=4)
+        spec = kramers_spectrum(80.0)
+        spec.rescale_counts(1e3)
+        ct = TiltedConeBeamGeometry(
+            N_channels=16, N_proj=4, N_rows=4, gamma_fan=0.9, SID=60.0,
+            SDD=100.0, h_iso=0.25, eid=True, tilt=0.3)
+        with pytest.raises(ValueError, match="tilted|z-normal"):
+            dose_map_3d(ph, ct, spec)
+        ct0 = TiltedConeBeamGeometry(
+            N_channels=16, N_proj=4, N_rows=4, gamma_fan=0.9, SID=60.0,
+            SDD=100.0, h_iso=0.25, eid=True, tilt=0.0)
+        r = dose_map_3d(ph, ct0, spec)  # tilt=0 degenerates: allowed
+        assert r.deposited_J > 0

@@ -165,3 +165,70 @@ class TestNoise:
         # EID second moment carries an extra eta E factor vs the mean
         m1, m2 = effective_fluence(spec, eid), second_moment_fluence(spec, eid)
         assert (m2[m1 > 0] > m1[m1 > 0]).any()
+
+
+class TestElectronicNoise:
+    def test_low_dose_noise_flattens(self):
+        """Compound EID noise with an electronic floor: quantum variance
+        scales with tube output, sigma_e^2 does not — so dropping the
+        dose 16x multiplies the log-sino noise by LESS than 4x with the
+        floor on, and by ~4x with it off (the clinical low-dose wall)."""
+        import dataclasses
+
+        import jax
+
+        from dexct_tpu.pipeline.api import get_sino
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system.geometry import FanBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ct = FanBeamGeometry(N_channels=48, N_proj=12, gamma_fan=0.9,
+                             SID=60.0, SDD=100.0, h_iso=0.1, eid=True)
+        ph = water_cylinder_phantom(N=48, dx=0.25, radius_cm=5.0)
+
+        def noise_of(scale, sigma_e, seed=0):
+            """Ensemble log-sino std over the most-attenuated decile of
+            rays — the rays the electronic floor actually bites."""
+            spec = kramers_spectrum(120.0)
+            spec.rescale_counts(scale)
+            raw, ref = get_sino(ct, ph, spec)
+            sel = np.asarray(raw) <= np.quantile(np.asarray(raw), 0.10)
+            reals = []
+            for k in range(6):
+                _, slog = get_sino(ct, ph, spec, noise="compound",
+                                   key=jax.random.PRNGKey(seed + k),
+                                   sigma_e=sigma_e)
+                reals.append((np.asarray(slog) - np.asarray(ref))[sel])
+            return np.std(np.stack(reals))
+
+        # calibrate the scales so quantum log-noise stays far above
+        # the f32 pipeline quantization at BOTH doses (the noisemap
+        # tests' lesson), and the floor at ~1 sigma of the darkest
+        # low-dose ray: doubles its variance at low dose, adds ~3% at
+        # 16x the dose
+        from dexct_tpu.ops import spectral as sp_ops
+
+        air1 = float(np.sum(sp_ops.effective_fluence(
+            kramers_spectrum(120.0), ct)))
+        lo_scale = 1.6e4 / air1
+        spec_probe = kramers_spectrum(120.0)
+        spec_probe.rescale_counts(lo_scale)
+        raw_lo, _ = get_sino(ct, ph, spec_probe)
+        # EID quantum variance is ENERGY-weighted (~counts * E_eff):
+        # put the floor at one quantum sigma of the darkest low-dose
+        # ray — doubles its variance at low dose, adds ~6% at 16x
+        e_eff = float(np.sum(sp_ops.second_moment_fluence(
+            spec_probe, ct)) / np.sum(sp_ops.effective_fluence(
+                spec_probe, ct)))
+        sig_e = float(np.sqrt(np.asarray(raw_lo).min() * e_eff))
+
+        hi_on = noise_of(16.0 * lo_scale, sig_e)
+        lo_on = noise_of(lo_scale, sig_e)
+        hi_off = noise_of(16.0 * lo_scale, 0.0)
+        lo_off = noise_of(lo_scale, 0.0)
+        # quantum-only: 16x dose drop -> ~4x noise (sampling slop)
+        assert 3.0 < lo_off / hi_off < 5.0
+        # with the floor the low-dose noise grows EXTRA vs quantum-only
+        assert lo_on > 1.25 * lo_off
+        # and the floor is invisible at high dose
+        assert abs(hi_on / hi_off - 1.0) < 0.15
