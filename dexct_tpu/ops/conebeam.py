@@ -1934,7 +1934,7 @@ def _fdk_backproject_multi(qs, betas, sid, dgamma, row_h, n_rows,
 
 def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
                     n_iters=60, beta=1e-2, delta=5e-3, nonneg=True,
-                    x0=None, power_iters=12):
+                    x0=None, power_iters=12, sigma_e=0.0, var_ratio=1.0):
     """3-D penalized weighted least-squares statistical reconstruction.
 
     The volumetric analog of
@@ -1947,7 +1947,7 @@ def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
     :func:`fdk_reconstruct` to cut iterations several-fold.  Returns
     the [Nz, Ny, Nx] volume in cm^-1.
     """
-    from .iterative import _pwls_fista
+    from .iterative import _pwls_fista, pwls_weights
 
     src, dirs = geometry.ray_geometry_3d()
     src = jnp.asarray(src, jnp.float32)
@@ -1958,8 +1958,7 @@ def cone_pwls_recon(sino_log, counts, geometry, vol_shape, voxel, *,
         return project_volume_3d(vol, src, dirs, dx, dy, dz)
 
     y = jnp.asarray(sino_log, jnp.float32)
-    c = jnp.asarray(counts, jnp.float32)
-    w = c / jnp.maximum(jnp.mean(c), 1e-30)
+    w = pwls_weights(counts, sigma_e=sigma_e, var_ratio=var_ratio)
     if x0 is None:
         x0 = jnp.zeros(tuple(vol_shape), jnp.float32)
     return _pwls_fista(apply_fn, y, w, jnp.asarray(x0, jnp.float32),

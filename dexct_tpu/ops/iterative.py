@@ -28,7 +28,29 @@ import jax.numpy as jnp
 from .fourier import FourierProjectorPlan, fourier_project_images
 
 __all__ = ["make_projection_operator", "cg_recon", "sirt_recon",
-           "pwls_recon"]
+           "pwls_recon", "pwls_weights"]
+
+
+def pwls_weights(counts, *, sigma_e=0.0, var_ratio=1.0):
+    """Inverse log-domain noise-variance weights for PWLS.
+
+    Delta method on y = -ln(N/N0): var(y) ~= var(N)/N^2 with
+    var(N) = var_ratio * N + sigma_e^2 (quantum + electronic readout),
+    so w = N^2 / (var_ratio * N + sigma_e^2), normalized to mean 1.
+
+    ``var_ratio`` is the quantum variance-to-mean ratio (1 for Poisson
+    counting; the EID compound value is
+    :func:`~dexct_tpu.ops.lowdose.quantum_var_ratio`).  ``sigma_e`` is
+    the electronic noise std in the same signal units as ``counts``.
+    With the defaults this reduces to the plain count weighting
+    (w = N), but at starved doses the electronic floor makes var(N)
+    flatten while N^2 keeps falling — rays below the floor must be
+    down-weighted ~N^2, not ~N, or they dominate the data term with
+    pure readout noise.
+    """
+    c = jnp.maximum(jnp.asarray(counts, jnp.float32), 1e-30)
+    w = c * c / (jnp.float32(var_ratio) * c + jnp.float32(sigma_e) ** 2)
+    return w / jnp.maximum(jnp.mean(w), 1e-30)
 
 
 def make_projection_operator(plan: FourierProjectorPlan, view_shape):
@@ -213,15 +235,17 @@ def _pwls_fista(apply_fn, y, w, x0, n_iters, beta, delta, nonneg,
 
 def pwls_recon(plan: FourierProjectorPlan, sino_log, counts, view_shape,
                *, n_iters=60, beta=1e-3, delta=5e-3, nonneg=True,
-               x0=None, power_iters=12):
+               x0=None, power_iters=12, sigma_e=0.0, var_ratio=1.0):
     """Penalized weighted least-squares statistical reconstruction.
 
     Minimizes  1/2 ||A x - y||^2_W + beta * R(x)  with
 
-    * y the log sinogram, W = diag(counts / mean(counts)) — the inverse
-      log-domain noise variance (var[-ln(N/N0)] ~ 1/N), so photon-
-      starved rays (metal shadows, low dose) are down-weighted instead
-      of streaking through FBP's uniform view weighting;
+    * y the log sinogram, W = :func:`pwls_weights` — the inverse
+      log-domain noise variance (var[-ln(N/N0)] ~ 1/N for pure
+      counting; ``sigma_e``/``var_ratio`` add the electronic readout
+      floor and the EID compound ratio), so photon-starved rays (metal
+      shadows, low dose) are down-weighted instead of streaking through
+      FBP's uniform view weighting;
     * R the 4-neighbor Huber roughness penalty (quadratic smoothing in
       flat regions, linear — edge-preserving — across boundaries of
       height >> ``delta`` [1/cm]); ``beta`` is RELATIVE to the data
@@ -236,8 +260,7 @@ def pwls_recon(plan: FourierProjectorPlan, sino_log, counts, view_shape,
     """
     apply_fn = make_projection_operator(plan, view_shape)
     y = jnp.asarray(sino_log, jnp.float32)
-    c = jnp.asarray(counts, jnp.float32)
-    w = c / jnp.maximum(jnp.mean(c), 1e-30)
+    w = pwls_weights(counts, sigma_e=sigma_e, var_ratio=var_ratio)
     if x0 is None:
         x0 = jnp.zeros((plan.n_img, plan.n_img), jnp.float32)
     return _pwls_fista(apply_fn, y, w, jnp.asarray(x0, jnp.float32),

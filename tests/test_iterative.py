@@ -128,6 +128,57 @@ class TestPwls:
         assert x[flat].std() < 0.5 * fbp[flat].std(), (
             x[flat].std(), fbp[flat].std())
 
+    def test_pwls_weights_reduce_to_counts(self):
+        from dexct_tpu.ops.iterative import pwls_weights
+
+        c = jnp.asarray([10.0, 1e3, 1e6])
+        w = np.asarray(pwls_weights(c))
+        np.testing.assert_allclose(w, np.asarray(c) / np.mean(np.asarray(c)),
+                                   rtol=1e-6)
+        # below the electronic floor the weights fall like N^2, not N
+        w_e = np.asarray(pwls_weights(c, sigma_e=100.0))
+        assert w_e[0] / w_e[2] < 0.02 * (w[0] / w[2])
+        # var_ratio is a pure rescale (normalization removes it)
+        np.testing.assert_allclose(
+            np.asarray(pwls_weights(c, var_ratio=60.0)), w, rtol=1e-5)
+
+    def test_electronic_floor_weighting_wins(self, setup):
+        """Starved rays dominated by readout noise must be down-weighted
+        ~N^2: PWLS with the correct sigma_e beats Poisson-only weights
+        on the same data."""
+        from dexct_tpu.ops.fbp import fan_backproject, filter_sinogram
+        from dexct_tpu.ops.iterative import pwls_recon
+
+        ph, ct, plan, mu, mu_img, sino = setup
+        rng = np.random.default_rng(11)
+        n0, s_e = 2000.0, 25.0
+        clean = n0 * np.exp(-np.asarray(sino))
+        counts = rng.poisson(clean) + rng.normal(0.0, s_e, clean.shape)
+        counts = np.maximum(counts, 0.1)  # central rays ~16 photons:
+        # readout noise swamps them and the log blows up
+        y = -np.log(counts / n0)
+        fbp = np.asarray(fan_backproject(
+            filter_sinogram(jnp.asarray(y, jnp.float32), ct, 0.8),
+            jnp.asarray(ct.betas, jnp.float32), ct.SID, ct.dgamma,
+            plan.n_img, 24.0))
+        x0 = jnp.maximum(jnp.asarray(fbp), 0.0)
+        # beta in the variance-dominated regime (at ~3x this beta the
+        # solution is smoothing-bias-dominated and the weighting choice
+        # washes out — measured sweep in the commit message)
+        kw = dict(n_iters=150, beta=1e-2, delta=5e-3, x0=x0)
+        x_pois = np.asarray(pwls_recon(plan, y, counts, (128, 128), **kw))
+        x_elec = np.asarray(pwls_recon(plan, y, counts, (128, 128),
+                                       sigma_e=s_e, **kw))
+        gt = np.asarray(mu_img)
+        n = gt.shape[0]
+        interior = np.hypot(*(np.mgrid[0:n, 0:n] - (n - 1) / 2)) \
+            * (24.0 / n) < 8.0
+        rmse_p = np.sqrt(((x_pois - gt)[interior] ** 2).mean())
+        rmse_e = np.sqrt(((x_elec - gt)[interior] ** 2).mean())
+        assert rmse_e < 0.7 * rmse_p, (rmse_e, rmse_p)
+        # and the flat-region streak noise drops even harder
+        assert x_elec[56:72, 56:72].std() < 0.5 * x_pois[56:72, 56:72].std()
+
     def test_neighbor_penalty_has_no_wraparound(self):
         """The Huber roughness gradient must be edge-clamped, not
         circulant: in 3-D a wrapped pair would couple slice 0 and slice
