@@ -177,6 +177,18 @@ BRAIN = Material(
     "H(10.7)C(14.5)N(2.2)O(71.2)Na(0.2)P(0.4)S(0.2)Cl(0.3)K(0.3)",
 )
 CSF = Material("csf", 1.007, "H(11.1)O(88.0)Na(0.5)Cl(0.4)")
+# ICRU-44 lung tissue at the inflated (in-vivo) bulk density — the
+# thorax phantom's parenchyma (~-740 HU)
+LUNG = Material(
+    "lung (inflated)", 0.26,
+    "H(10.3)C(10.5)N(3.1)O(74.9)Na(0.2)P(0.2)S(0.3)Cl(0.3)K(0.2)",
+)
+# ICRU-44 whole blood (heart chambers / great vessels)
+BLOOD = Material(
+    "blood", 1.06,
+    "H(10.2)C(11.0)N(3.3)O(74.5)Na(0.1)P(0.1)S(0.2)Cl(0.3)K(0.2)"
+    "Fe(0.1)",
+)
 
 BUILTIN_MATERIALS = {
     m.name: m

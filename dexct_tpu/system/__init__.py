@@ -14,8 +14,12 @@ from .geometry import (
 from .phantom import (
     VoxelPhantom,
     contrast_rods_phantom,
+    head_phantom,
+    head_phantom_3d,
     pelvis_phantom,
     pelvis_phantom_3d,
+    thorax_phantom,
+    thorax_phantom_3d,
     water_cylinder_phantom,
 )
 
@@ -35,4 +39,8 @@ __all__ = [
     "contrast_rods_phantom",
     "pelvis_phantom",
     "pelvis_phantom_3d",
+    "head_phantom",
+    "head_phantom_3d",
+    "thorax_phantom",
+    "thorax_phantom_3d",
 ]

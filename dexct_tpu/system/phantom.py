@@ -41,6 +41,11 @@ __all__ = [
     "VoxelPhantom",
     "water_cylinder_phantom",
     "pelvis_phantom",
+    "pelvis_phantom_3d",
+    "head_phantom",
+    "head_phantom_3d",
+    "thorax_phantom",
+    "thorax_phantom_3d",
     "contrast_rods_phantom",
     "qa_phantom",
 ]
@@ -489,6 +494,174 @@ def head_phantom_3d(N=256, nz=32, dx=0.1, dz=None, implant=None,
         mats.append({"titanium": TITANIUM,
                      "steel": STEEL_316L}[implant])
     default_name = "head3d" + (f"_{implant}" if implant else "")
+    return VoxelPhantom(name or default_name, labels,
+                        MaterialTable(mats), dx, dx, dz)
+
+
+def thorax_phantom(N=512, dx=0.1, implant=None, name=None):
+    """Synthetic anthropomorphic thorax slice (mid-chest level).
+
+    The missing anatomy class between the pelvis and head phantoms, and
+    the natural testbed for the motion/gated subsystems (breathing) and
+    for strong-contrast objects in air-like background (lung nodules,
+    rib streaks).  Label map: 0 air, 1 adipose (subcutaneous), 2 soft
+    tissue, 3 muscle (paraspinal), 4 bone (ribs, spine, sternum),
+    5 lung parenchyma (ICRU-44 inflated, ~-740 HU), 6 blood (heart
+    chambers + descending aorta), and optionally 7 = metal
+    (``implant in {'titanium', 'steel'}`` — a fixation plate on the
+    sternum, the classic cardiac-adjacent metal case).
+    """
+    from ..physics.materials import BLOOD, LUNG
+
+    half = N * dx / 2.0
+    rx, ry = 0.90 * half, 0.64 * half  # wide axial chest ellipse
+    labels = np.zeros((N, N), dtype=np.uint8)
+
+    labels[_ellipse_mask(N, dx, 0, 0, rx, ry)] = 1  # adipose shell
+    labels[_ellipse_mask(N, dx, 0, 0, 0.93 * rx, 0.90 * ry)] = 2
+
+    # paraspinal muscles
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.16 * rx, -0.62 * ry,
+                             0.14 * rx, 0.18 * ry, angle=sx * 0.2)] = 3
+
+    # lungs (posterior-weighted, slightly rotated)
+    for sx in (-1, 1):
+        labels[_ellipse_mask(N, dx, sx * 0.42 * rx, -0.05 * ry,
+                             0.34 * rx, 0.62 * ry, angle=-sx * 0.12)] = 5
+
+    # heart: blood mass center-left, anterior — carved out of the left
+    # lung (as anatomically), plus a soft-tissue myocardial rim
+    heart_out = _ellipse_mask(N, dx, -0.14 * rx, 0.18 * ry,
+                              0.24 * rx, 0.30 * ry, angle=0.45)
+    heart_in = _ellipse_mask(N, dx, -0.14 * rx, 0.18 * ry,
+                             0.19 * rx, 0.24 * ry, angle=0.45)
+    labels[heart_out] = 2
+    labels[heart_in] = 6
+    # descending aorta (left of the spine)
+    labels[_ellipse_mask(N, dx, -0.10 * rx, -0.52 * ry,
+                         0.045 * rx, 0.065 * ry)] = 6
+
+    # spine: vertebral body + posterior arch around a canal
+    labels[_ellipse_mask(N, dx, 0.0, -0.60 * ry, 0.10 * rx,
+                         0.16 * ry)] = 4
+    labels[_ellipse_mask(N, dx, 0.0, -0.58 * ry, 0.030 * rx,
+                         0.045 * ry)] = 2  # spinal canal
+    # sternum (anterior midline)
+    labels[_ellipse_mask(N, dx, 0.0, 0.86 * ry, 0.10 * rx,
+                         0.045 * ry)] = 4
+
+    # rib cross-sections along the chest wall (inside the adipose
+    # shell, tangentially oriented)
+    rib_ts = np.deg2rad([25, 55, 85, 115, 145, 170])
+    for sx in (-1, 1):
+        for t in rib_ts:
+            cx = sx * 0.84 * rx * np.sin(t)
+            cy = 0.82 * ry * np.cos(t)
+            tang = np.arctan2(0.82 * ry * -np.sin(t) * sx,
+                              0.84 * rx * np.cos(t) * sx)
+            labels[_ellipse_mask(N, dx, cx, cy, 0.045 * rx, 0.018 * rx,
+                                 angle=tang)] = 4
+
+    mats = [AIR, ADIPOSE, TISSUE, MUSCLE, BONE, LUNG, BLOOD]
+    if implant:
+        metal = {"titanium": TITANIUM, "steel": STEEL_316L}[implant]
+        mats.append(metal)
+        # sternal fixation plate
+        labels[_ellipse_mask(N, dx, 0.0, 0.87 * ry, 0.060 * rx,
+                             0.012 * rx)] = 7
+
+    default_name = "thorax" + (f"_{implant}" if implant else "")
+    return VoxelPhantom(name or default_name, labels, MaterialTable(mats),
+                        dx, dx, dx)
+
+
+def thorax_phantom_3d(N=256, nz=32, dx=0.2, dz=None, implant=None,
+                      name=None):
+    """Z-varying anthropomorphic thorax volume.
+
+    Adds over :func:`thorax_phantom`: ellipsoidal lung apices/bases, a
+    diaphragm dome rising into the right lung base (the high-contrast
+    z-gradient that stresses cone/helical recon and breathing-motion
+    studies), a z-limited heart, and ribs that appear only in
+    alternating z-bands with a per-band angular advance (the real
+    oblique rib-cage sampling pattern along z).  Labels as
+    :func:`thorax_phantom`.
+    """
+    from ..physics.materials import BLOOD, LUNG
+
+    dz = dx if dz is None else dz
+    half = N * dx / 2.0
+    L = nz * dz
+    zc = (np.arange(nz) + 0.5 - nz / 2.0) * dz
+    labels = np.zeros((nz, N, N), dtype=np.uint8)
+    rx, ry = 0.90 * half, 0.64 * half
+
+    for iz, z in enumerate(zc):
+        u = z / (0.5 * L)  # -1 base .. +1 apex
+        lab = labels[iz]
+        lab[_ellipse_mask(N, dx, 0, 0, rx, ry)] = 1
+        lab[_ellipse_mask(N, dx, 0, 0, 0.93 * rx, 0.90 * ry)] = 2
+        for sx in (-1, 1):
+            lab[_ellipse_mask(N, dx, sx * 0.16 * rx, -0.62 * ry,
+                              0.14 * rx, 0.18 * ry, angle=sx * 0.2)] = 3
+        # lungs: ellipsoidal caps (apex at u=+1, base at u=-1)
+        fl = np.sqrt(max(1.0 - (u / 1.05) ** 2, 0.0))
+        if fl > 0.05:
+            for sx in (-1, 1):
+                lab[_ellipse_mask(N, dx, sx * 0.42 * rx, -0.05 * ry,
+                                  fl * 0.34 * rx, fl * 0.62 * ry,
+                                  angle=-sx * 0.12)] = 5
+            # diaphragm dome: soft tissue (liver) rises into the right
+            # lung base — intrusion radius grows below the dome apex
+            u_dome = -0.30
+            if u < u_dome:
+                g = np.sqrt(min((u_dome - u) / 0.7, 1.0))
+                lab[_ellipse_mask(N, dx, 0.42 * rx, -0.05 * ry,
+                                  min(g * 0.32 * rx, fl * 0.33 * rx),
+                                  min(g * 0.60 * ry, fl * 0.60 * ry),
+                                  angle=-0.12)] = 2
+        # heart: mid-lower band
+        hz = (z + 0.15 * L) / (0.30 * L)
+        if abs(hz) < 1.0:
+            g = np.sqrt(1.0 - hz * hz)
+            lab[_ellipse_mask(N, dx, -0.14 * rx, 0.18 * ry,
+                              g * 0.24 * rx, g * 0.30 * ry,
+                              angle=0.45)] = 2
+            lab[_ellipse_mask(N, dx, -0.14 * rx, 0.18 * ry,
+                              g * 0.19 * rx, g * 0.24 * ry,
+                              angle=0.45)] = 6
+        # aorta + spine + sternum run the whole volume
+        lab[_ellipse_mask(N, dx, -0.10 * rx, -0.52 * ry,
+                          0.045 * rx, 0.065 * ry)] = 6
+        lab[_ellipse_mask(N, dx, 0.0, -0.60 * ry, 0.10 * rx,
+                          0.16 * ry)] = 4
+        lab[_ellipse_mask(N, dx, 0.0, -0.58 * ry, 0.030 * rx,
+                          0.045 * ry)] = 2
+        lab[_ellipse_mask(N, dx, 0.0, 0.86 * ry, 0.10 * rx,
+                          0.045 * ry)] = 4
+        # ribs: alternating z-bands, each band's ring advanced by half
+        # an intercostal step (oblique rib-cage pattern)
+        band = int(np.floor((z + 0.5 * L) / (0.125 * L)))
+        if band % 2 == 0:
+            shift = np.deg2rad(7.5 * (band // 2))
+            for sx in (-1, 1):
+                for t in np.deg2rad([25, 55, 85, 115, 145, 170]) + shift:
+                    cx = sx * 0.84 * rx * np.sin(t)
+                    cy = 0.82 * ry * np.cos(t)
+                    tang = np.arctan2(0.82 * ry * -np.sin(t) * sx,
+                                      0.84 * rx * np.cos(t) * sx)
+                    lab[_ellipse_mask(N, dx, cx, cy, 0.045 * rx,
+                                      0.018 * rx, angle=tang)] = 4
+        if implant and abs(hz) < 0.6:
+            lab[_ellipse_mask(N, dx, 0.0, 0.87 * ry, 0.060 * rx,
+                              0.012 * rx)] = 7
+
+    mats = [AIR, ADIPOSE, TISSUE, MUSCLE, BONE, LUNG, BLOOD]
+    if implant:
+        mats.append({"titanium": TITANIUM,
+                     "steel": STEEL_316L}[implant])
+    default_name = "thorax3d" + (f"_{implant}" if implant else "")
     return VoxelPhantom(name or default_name, labels,
                         MaterialTable(mats), dx, dx, dz)
 

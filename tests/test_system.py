@@ -335,3 +335,74 @@ class TestHeadPhantom:
                           jnp.asarray(mu, jnp.float32))
         vol = np.asarray(fdk_reconstruct(sino, ct, 64, 26.0, 0.8))
         assert np.isfinite(vol).all() and vol.max() > 0.1
+
+
+class TestThoraxPhantom:
+    """Round-3 anthropomorphic thorax (system.phantom.thorax_phantom):
+    lungs, ribs/spine/sternum, heart + aorta, diaphragm dome in 3-D."""
+
+    def test_labels_and_mono_anchors(self):
+        import numpy as np
+
+        from dexct_tpu.system.phantom import thorax_phantom
+
+        ph = thorax_phantom(N=256, dx=0.15)
+        lab = ph.slice_labels()
+        assert set(np.unique(lab)) == {0, 1, 2, 3, 4, 5, 6}
+        m = np.asarray(ph.M_mono(70.0))
+        lung = m[lab == 5]
+        assert -820.0 < lung.mean() < -650.0     # inflated parenchyma
+        assert m[lab == 6].mean() > 20.0         # blood pool
+        assert m[lab == 4].mean() > 900.0        # cortical bone
+        assert m[lab == 1].mean() < -40.0        # subcutaneous fat
+        # ribs: bone exists in the chest wall away from spine/sternum
+        yy, xx = np.mgrid[:256, :256]
+        lateral = np.abs(xx - 128) > 80
+        assert ((lab == 4) & lateral).sum() > 50
+
+    def test_implant_and_pipeline_smoke(self):
+        import numpy as np
+
+        from dexct_tpu.pipeline.api import get_recon, get_sino
+        from dexct_tpu.physics.spectrum import kramers_spectrum
+        from dexct_tpu.system import FanBeamGeometry
+        from dexct_tpu.system.phantom import thorax_phantom
+
+        ph = thorax_phantom(N=128, dx=0.3, implant="titanium")
+        assert ph.n_materials == 8
+        ct = FanBeamGeometry(N_channels=96, N_proj=96,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+        _, slog = get_sino(ct, ph, spec)
+        _, hu = get_recon(slog, ct, spec, 128, 38.4, 0.8)
+        hu = np.asarray(hu)
+        lab = ph.slice_labels()
+        # lungs reconstruct strongly negative (same grid by construction)
+        assert hu[lab == 5].mean() < -500.0
+        assert hu.max() > 500.0  # ribs/metal
+
+    def test_thorax_3d_structure(self):
+        import numpy as np
+
+        from dexct_tpu.system.phantom import thorax_phantom_3d
+
+        ph = thorax_phantom_3d(N=128, nz=24, dx=0.3)
+        lab = np.asarray(ph.labels)
+        assert lab.shape == (24, 128, 128)
+        lung = (lab == 5).sum(axis=(1, 2))
+        # lungs are an ellipsoid: apex/base slices well below the middle
+        assert lung[1] < 0.5 * lung[12] and lung[-2] < 0.5 * lung[12]
+        # diaphragm dome: in the lung-base band the RIGHT side (positive
+        # x = columns > center) has less lung than the left
+        base = 4
+        right = (lab[base, :, 64:] == 5).sum()
+        left = (lab[base, :, :64] == 5).sum()
+        assert right < 0.8 * left, (right, left)
+        # ribs alternate along z: bone counts vary band to band
+        bone = (lab == 4).sum(axis=(1, 2)).astype(float)
+        assert bone.max() > 1.3 * bone.min()
+        # heart is z-limited
+        heart = (lab == 6).sum(axis=(1, 2))
+        assert heart[0] < heart[8]
