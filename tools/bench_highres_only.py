@@ -1,0 +1,57 @@
+"""Re-measure the high-res EXACT config alone (1024^2 phantom, 1440
+views x 1600 channels, 4x 1024^2 recons; SURVEY §7 scale-out shape).
+
+The round-2 verdict bar is e2e <= 1.5 s; round-3 measured 1.515-1.52 s
+on earlier VM hosts.  This runs ONLY that config so the number can be
+re-pinned quickly after host migrations.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum
+from dexct_tpu.pipeline.fused import dect_step, pack_dect
+from dexct_tpu.system.geometry import FanBeamGeometry
+from dexct_tpu.system.phantom import pelvis_phantom
+from dexct_tpu.utils.profiling import fence
+
+
+def main():
+    print("devices:", jax.devices())
+    hct = FanBeamGeometry(N_channels=1600, N_proj=1440,
+                          gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                          eid=True)
+    hph = pelvis_phantom(N=1024, dx=0.05)
+    hs1 = linac_spectrum()
+    hs1.rescale_counts(hct.A_iso * 9.0 / hct.N_proj)
+    hs2 = kramers_spectrum(80.0)
+    hs2.rescale_counts(hct.A_iso * 1.0 / hct.N_proj)
+    t0 = time.perf_counter()
+    ha, hm = pack_dect(hct, hph, hs1, hs2, 1024, 50.0, 0.8, n_iters=10,
+                       projector="siddon_dominant", recon="parallel",
+                       recon_n_theta=1440, recon_nt=2048)
+    ha = jax.device_put(ha)
+    print(f"pack: {time.perf_counter() - t0:.1f}s")
+    hstep = jax.jit(functools.partial(dect_step, meta=hm))
+    t0 = time.perf_counter()
+    out = hstep(ha)
+    fence(out["mat_recons"])
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s")
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = hstep(ha)
+        fence(out["mat_recons"])
+        times.append(time.perf_counter() - t0)
+    print("steady:", [f"{t:.3f}" for t in times])
+    print(f"highres_exact_e2e_s: {np.median(times):.4f}")
+
+
+if __name__ == "__main__":
+    main()
