@@ -13,6 +13,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np
 
 from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum
@@ -51,6 +55,11 @@ def main():
         times.append(time.perf_counter() - t0)
     print("steady:", [f"{t:.3f}" for t in times])
     print(f"highres_exact_e2e_s: {np.median(times):.4f}")
+    if "--profile" in sys.argv:
+        with jax.profiler.trace("/tmp/hr_trace"):
+            out = hstep(ha)
+            fence(out["mat_recons"])
+        print("profile -> /tmp/hr_trace")
 
 
 if __name__ == "__main__":
