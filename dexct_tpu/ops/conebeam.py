@@ -41,7 +41,7 @@ import numpy as np
 
 __all__ = ["ConeDominantUnsupported", "validate_cone_hbm",
            "trace_paths_3d",
-           "trace_cone_dominant",
+           "trace_cone_dominant", "trace_cone_dominant_bundled",
            "cone_material_paths", "cone_sinogram", "fdk_reconstruct",
            "helical_fdk_reconstruct", "fdk_tilted_reconstruct",
            "project_volume_3d",
@@ -154,6 +154,80 @@ def trace_paths_3d(labels, src, dirs, dx, dy, dz, *, n_materials,
     return acc.reshape(*batch_shape, n_materials)
 
 
+def _cone_dominant_cached(phantom, geometry, src, dirs, labels_np,
+                          group=16, trace_bundle=8):
+    """Packed dominant cone trace with host plans + pack tables cached
+    on the phantom/geometry objects (the standalone one-shot path used
+    to pay ~2.5 s of replan/repack per call — BASELINE.md).
+
+    Prefers the BUNDLED kernel (the fused cone pipeline's tracer,
+    :func:`plan_cone_dominant_bundled`) under the same eligibility
+    guards as ``pipeline.cone.pack_cone_dect``, falling back to the
+    cached per-ray plan.  Raises :class:`ConeDominantUnsupported` when
+    no packed kernel fits (callers fall back to the DDA).
+    """
+    from .siddon import _geom_key, _obj_cache
+
+    nz, ny, nx = labels_np.shape
+    d = np.asarray(dirs).reshape(-1, 3)
+    dom = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
+    max_slope = float(np.max(np.abs(d[:, 2]) / np.maximum(dom, 1e-12)))
+    lb, _ = validate_cone_dominant((nz, ny, nx), phantom.n_materials,
+                                   phantom.dx, phantom.dy, phantom.dz,
+                                   max_slope, group)
+    gc = _obj_cache(geometry)
+    pc = _obj_cache(phantom)
+    gkey = _geom_key(src, dirs)
+    src_a = np.asarray(src)
+    lab_key = (int(labels_np.sum(dtype=np.int64)), nz, ny, nx)
+
+    # same eligibility guards as pipeline.cone.pack_cone_dect: 3-bit
+    # labels (the 30-column shared window), [V, R, C, 3] rays, and the
+    # wider W=3 pack under the 512 MiB table guard
+    if (trace_bundle and lb == 3 and min(ny, nx) >= 30
+            and src_a.ndim == 4 and 4 * nz * ny * nx * 3 * 2 <= 512 << 20):
+        bkey = ("cone_bplan", gkey, nz, ny, nx, float(phantom.dx),
+                float(phantom.dz), int(group), int(trace_bundle))
+        bplan = gc.get(bkey)
+        if bplan is None:
+            bplan = gc[bkey] = plan_cone_dominant_bundled(
+                src_a, np.asarray(dirs), (nz, ny, nx), phantom.dx,
+                phantom.dy, phantom.dz, lbits=lb, group=int(group),
+                bundle=int(trace_bundle))
+        if bplan["frac_bundled"] >= 0.25:
+            pkey = ("cone_packw", lab_key, int(group), lb,
+                    int(bplan["words"]))
+            packs = pc.get(pkey)
+            if packs is None:
+                labj = jnp.asarray(labels_np)
+                packs = pc[pkey] = (
+                    build_cone_pack(labj, group, lb,
+                                    words=bplan["words"]),
+                    build_cone_pack(labj.transpose(0, 2, 1), group, lb,
+                                    words=bplan["words"]))
+            return trace_cone_dominant_bundled(
+                labels_np, src_a, dirs, phantom.dx, phantom.dy,
+                phantom.dz, n_materials=phantom.n_materials, plan=bplan,
+                packs=packs)
+
+    key = ("cone_plan", gkey)
+    plan = gc.get(key)
+    if plan is None:
+        plan = gc[key] = plan_cone_dominant(d)
+    pkey = ("cone_pack", lab_key, int(group), lb)
+    packs = pc.get(pkey)
+    if packs is None:
+        labj = jnp.asarray(labels_np)
+        packs = pc[pkey] = (build_cone_pack(labj, group, lb),
+                            build_cone_pack(labj.transpose(0, 2, 1),
+                                            group, lb))
+    return trace_cone_dominant(
+        labels_np, np.asarray(src, np.float32),
+        np.asarray(dirs, np.float32), phantom.dx, phantom.dy,
+        phantom.dz, n_materials=phantom.n_materials, group=group,
+        plan=plan, packs=packs)
+
+
 def cone_material_paths(phantom, geometry, *, dtype=jnp.float32,
                         view_block=None, method="auto"):
     """[N_proj, N_rows, N_channels, n_materials] exact cone-beam paths.
@@ -171,10 +245,8 @@ def cone_material_paths(phantom, geometry, *, dtype=jnp.float32,
     labels_np = np.asarray(phantom.labels).astype(np.int32)
     if method in ("auto", "dominant"):
         try:
-            return trace_cone_dominant(
-                labels_np, np.asarray(src, np.float32),
-                np.asarray(dirs, np.float32), phantom.dx, phantom.dy,
-                phantom.dz, n_materials=phantom.n_materials)
+            return _cone_dominant_cached(phantom, geometry, src, dirs,
+                                         labels_np)
         except ConeDominantUnsupported:
             # capability limits only — genuine input errors propagate
             if method == "dominant":
@@ -1497,7 +1569,7 @@ def plan_cone_dominant_bundled(src, dirs, labels_shape, dx, dy, dzc, *,
 
 
 def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
-                        group=16):
+                        group=16, plan=None, packs=None):
     """Exact cone-beam paths via dominant-axis packed marching.
 
     Requirements (:class:`ConeDominantUnsupported` otherwise — callers
@@ -1506,7 +1578,10 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
     < 32 materials, a z-slope bound
     ``group * cell * max|dz_dir/dominant_dir| <= dz`` (one row group
     then spans at most two z-layers), and packed tables under 512 MiB
-    (see :func:`validate_cone_dominant`).
+    (see :func:`validate_cone_dominant`).  ``plan`` (from
+    :func:`plan_cone_dominant`) and ``packs=(pack_y, pack_x)`` (from
+    :func:`build_cone_pack` at the default words) let repeated calls
+    skip the host replan / eager repack.
     """
     nz, ny, nx = labels3.shape
     d = np.asarray(dirs).reshape(-1, 3)
@@ -1515,10 +1590,14 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
     lb, W = validate_cone_dominant((nz, ny, nx), n_materials, dx, dy, dz,
                                    max_slope, group)
 
-    idx_y, idx_x, inv, n_y, n_x = plan_cone_dominant(d)
-    labels3 = jnp.asarray(labels3)
-    pack_y = build_cone_pack(labels3, group, lb)
-    pack_x = build_cone_pack(labels3.transpose(0, 2, 1), group, lb)
+    idx_y, idx_x, inv, n_y, n_x = (plan_cone_dominant(d) if plan is None
+                                   else plan)
+    if packs is None:
+        labels3 = jnp.asarray(labels3)
+        pack_y = build_cone_pack(labels3, group, lb)
+        pack_x = build_cone_pack(labels3.transpose(0, 2, 1), group, lb)
+    else:
+        pack_y, pack_x = packs
 
     src2 = jnp.asarray(np.asarray(src).reshape(-1, 3))
     dirs2 = jnp.asarray(d)
@@ -1535,6 +1614,67 @@ def trace_cone_dominant(labels3, src, dirs, dx, dy, dz, *, n_materials,
         lbits=lb)[:max(n_x, 1)]
     cat = jnp.concatenate([out_y[:n_y], out_x[:n_x]], axis=0)
     return cat[jnp.asarray(inv)].reshape(*batch_shape, n_materials)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("labels_shape", "n_materials", "group", "lbits",
+                     "words", "bundle"))
+def _trace_cone_bundled_core(pack_y, pack_x, src2, dirs2, bun_y, rest_y,
+                             bun_x, rest_x, inv, dx, dy, dzc, *,
+                             labels_shape, n_materials, group, lbits,
+                             words, bundle):
+    """One jitted program for the four bundled-cone-plan kernels + the
+    inverse permutation (mirrors ops/siddon_fast._trace_bundled_core)."""
+    nz, ny, nx = labels_shape
+    swap = jnp.asarray([1, 0, 2])
+    kern = functools.partial(_trace_cone_dominant, n_materials=n_materials,
+                             group=group, lbits=lbits, words=words)
+    cat = jnp.concatenate([
+        kern(pack_y, (nz, ny, nx), src2[bun_y], dirs2[bun_y],
+             dx, dy, dzc, bundle=bundle),
+        kern(pack_y, (nz, ny, nx), src2[rest_y], dirs2[rest_y],
+             dx, dy, dzc),
+        kern(pack_x, (nz, nx, ny), src2[bun_x][:, swap],
+             dirs2[bun_x][:, swap], dy, dx, dzc, bundle=bundle),
+        kern(pack_x, (nz, nx, ny), src2[rest_x][:, swap],
+             dirs2[rest_x][:, swap], dy, dx, dzc),
+    ], axis=0)
+    return cat[inv]
+
+
+def trace_cone_dominant_bundled(labels3, src, dirs, dx, dy, dz, *,
+                                n_materials, plan, packs=None):
+    """Exact cone paths via the BUNDLED dominant-axis fast path.
+
+    ``plan`` comes from :func:`plan_cone_dominant_bundled` on the SAME
+    [V, R, C, 3] geometry; ``packs=(pack_y, pack_x)`` supplies
+    precomputed :func:`build_cone_pack` tables at the plan's
+    group/lbits/words.  Bit-identical to :func:`trace_cone_dominant`
+    (the planner only bundles rays whose shared column window and
+    z-layer bracket provably cover them; the rest run per-ray over the
+    same packs)."""
+    nz, ny, nx = labels3.shape
+    batch_shape = np.asarray(src).shape[:-1]
+    src2 = jnp.asarray(np.asarray(src, np.float32).reshape(-1, 3))
+    dirs2 = jnp.asarray(np.asarray(dirs, np.float32).reshape(-1, 3))
+    g, w, lb, B = plan["group"], plan["words"], plan["lbits"], plan["bundle"]
+    if packs is None:
+        labels3 = jnp.asarray(labels3)
+        packs = (build_cone_pack(labels3, g, lb, words=w),
+                 build_cone_pack(labels3.transpose(0, 2, 1), g, lb,
+                                 words=w))
+    dev = plan.get("_dev")
+    if dev is None:
+        dev = plan["_dev"] = tuple(
+            jnp.asarray(plan[k])
+            for k in ("bun_y", "rest_y", "bun_x", "rest_x", "inv"))
+    out = _trace_cone_bundled_core(
+        packs[0], packs[1], src2, dirs2, *dev, dx, dy, dz,
+        labels_shape=(int(nz), int(ny), int(nx)),
+        n_materials=int(n_materials), group=int(g), lbits=int(lb),
+        words=int(w), bundle=int(B))
+    return out.reshape(*batch_shape, n_materials)
 
 
 def simulate_cone_dect(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["material_path_sinogram", "mono_sinogram", "trace_paths"]
 
@@ -147,17 +148,121 @@ def trace_paths(labels, src, dirs, dx, dy, *, n_materials, n_steps=None):
     return acc.reshape(*batch_shape, n_materials)
 
 
+def _obj_cache(obj):
+    """Per-object memo dict (plans, packed tables, device rays).  Objects
+    that refuse attributes (frozen/slots) just recompute every call."""
+    try:
+        return obj.__dict__.setdefault("_dexct_trace_cache", {})
+    except AttributeError:
+        return {}
+
+
+def _geom_key(src, dirs):
+    """Cheap fingerprint of a ray set: shape + corner samples.  Geometry
+    dataclasses are mutable, so the cached plans key on the *rays*."""
+    s = np.asarray(src)
+    d = np.asarray(dirs)
+    return (s.shape, float(s.flat[0]), float(s.flat[-1]),
+            float(d.flat[0]), float(d.flat[-1]))
+
+
+def _dominant_sinogram_cached(phantom, geometry, src, dirs, dtype,
+                              trace_group, trace_bundle):
+    """Dominant-axis exact trace with host plans + packed tables cached
+    on the phantom/geometry objects.
+
+    Prefers the bundled-gather kernel (B adjacent same-view channels
+    share one row-window gather per row group — the round-3 fused-
+    pipeline tracer, ops/siddon_fast.plan_dominant_split_bundled) and
+    falls back to the per-ray row-window plan when bundling is
+    infeasible (anisotropic dominance mix, tiny grids, >8 labels).
+    Outputs are bit-identical between the two plans (the planner only
+    bundles rays whose shared window provably covers them).
+    Returns None when no packed dominant kernel fits this grid.
+    """
+    from . import siddon_fast as sf
+
+    labels = np.asarray(phantom.slice_labels())
+    ny, nx = labels.shape
+    try:
+        pack, _, grp = sf.select_dominant_pack(
+            ny, nx, phantom.n_materials, phantom.dx, phantom.dy,
+            group=trace_group)
+    except ValueError:
+        return None
+    lb = sf.rowwin_lbits(phantom.n_materials)
+    src_a = np.asarray(src)
+    gc = _obj_cache(geometry)
+    pc = _obj_cache(phantom)
+    gkey = _geom_key(src, dirs)
+
+    # device copies of the (float64 host) rays, once per geometry
+    rkey = ("rays", gkey, jnp.dtype(dtype).name)
+    rays = gc.get(rkey)
+    if rays is None:
+        rays = gc[rkey] = (jnp.asarray(src, dtype), jnp.asarray(dirs, dtype))
+
+    bundled_ok = (trace_bundle and grp > 8 and lb == 3
+                  and min(ny, nx) >= 30 and src_a.ndim == 3)
+    if bundled_ok:
+        bkey = ("bplan", gkey, ny, nx, float(phantom.dx),
+                float(phantom.dy), int(grp), int(trace_bundle))
+        bplan = gc.get(bkey)
+        if bplan is None:
+            bplan = gc[bkey] = sf.plan_dominant_split_bundled(
+                src_a, np.asarray(dirs), (ny, nx), phantom.dx, phantom.dy,
+                lbits=lb, group=int(grp), bundle=int(trace_bundle))
+        if bplan["frac_bundled"] >= 0.5:
+            pkey = ("packw", int(getattr(phantom, "z_index", 0)), ny, nx,
+                    int(labels.sum(dtype=np.int64)), int(grp), lb,
+                    int(bplan["words"]))
+            packs = pc.get(pkey)
+            if packs is None:
+                lab = jnp.asarray(labels.astype(np.int32))
+                packs = pc[pkey] = (
+                    sf.pack_labels_rowwin(lab, int(grp), lbits=lb,
+                                          words=bplan["words"]),
+                    sf.pack_labels_rowwin(lab.T, int(grp), lbits=lb,
+                                          words=bplan["words"]))
+            return sf.trace_paths_dominant_bundled(
+                labels, rays[0], rays[1], float(phantom.dx),
+                float(phantom.dy), n_materials=phantom.n_materials,
+                plan=bplan, packs=packs)
+
+    # per-ray dominant plan (still one row-window gather per ray per group)
+    key = ("plan", gkey)
+    plan = gc.get(key)
+    if plan is None:
+        plan = gc[key] = sf.plan_dominant_split(
+            np.asarray(dirs).reshape(-1, 2))
+    pkey = ("pack", int(getattr(phantom, "z_index", 0)), ny, nx,
+            int(labels.sum(dtype=np.int64)), int(grp), lb)
+    packs = pc.get(pkey)
+    if packs is None:
+        lab = jnp.asarray(labels.astype(np.int32))
+        packs = pc[pkey] = (pack(lab), pack(lab.T))
+    return sf.trace_paths_dominant(
+        labels, rays[0], rays[1], float(phantom.dx), float(phantom.dy),
+        n_materials=phantom.n_materials, plan=plan, group=trace_group,
+        packs=packs)
+
+
 def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32,
-                           method="auto"):
+                           method="auto", trace_group=16, trace_bundle=8):
     """Full material-path sinogram [N_proj, N_channels, n_materials].
 
     Host-side convenience wrapper: derives ray geometry from the
     :class:`~dexct_tpu.system.geometry.ScannerGeometry` and traces on
-    device.  Both methods are exact Siddon:
+    device.  All methods are exact Siddon:
 
-    * 'dominant' — dominant-axis 2-band packed marching
-      (ops/siddon_fast.py): one int32 gather per ray per two rows, ~3x
-      the DDA's throughput on TPU.  Needs even grid dims and < 32 labels.
+    * 'dominant' — dominant-axis packed row-window marching
+      (ops/siddon_fast.py), with BUNDLED gathers when the fan geometry
+      allows (8 adjacent same-view channels share one row-window gather
+      per 16-row group — the same kernel the fused pipeline runs, so the
+      public API and ``pipeline.fused`` trace at the same rate).  Host
+      plans and packed label tables are cached on the geometry/phantom
+      objects, so repeated calls pay only the device program.
+      Needs even grid dims, square cells and < 32 labels.
     * 'dda' — the sequential per-ray walk (this module); any grid.
     * 'auto' — 'dominant' when its constraints hold, else 'dda'.
     """
@@ -167,24 +272,20 @@ def material_path_sinogram(phantom, geometry, *, dtype=jnp.float32,
         # closed-form ellipse tracing: exact, zero gathers
         return material_path_sinogram_analytic(phantom, geometry, dtype)
     src, dirs = geometry.ray_geometry()
-    labels = jnp.asarray(phantom.slice_labels())
     if method == "auto":
         ok = (phantom.Ny % 2 == 0 and phantom.Nx % 2 == 0
-              and phantom.n_materials < 32)
+              and phantom.n_materials < 32
+              and abs(phantom.dx - phantom.dy)
+              <= 1e-9 * max(abs(phantom.dx), abs(phantom.dy)))
         method = "dominant" if ok else "dda"
     if method == "dominant":
-        from .siddon_fast import trace_paths_dominant
-
-        return trace_paths_dominant(
-            labels,
-            jnp.asarray(src, dtype),
-            jnp.asarray(dirs, dtype),
-            float(phantom.dx),
-            float(phantom.dy),
-            n_materials=phantom.n_materials,
-        )
+        out = _dominant_sinogram_cached(phantom, geometry, src, dirs,
+                                        dtype, trace_group, trace_bundle)
+        if out is not None:
+            return out
+        # no packed kernel fits this grid: exact DDA fallback
     return trace_paths(
-        labels,
+        jnp.asarray(phantom.slice_labels()),
         jnp.asarray(src, dtype),
         jnp.asarray(dirs, dtype),
         float(phantom.dx),

