@@ -12,12 +12,16 @@ coefficient mu/rho in cm^2/g of the mixture.
 The elemental curves come from two sources (see
 :mod:`dexct_tpu.physics.nist_data`):
 
-* **Anchor elements** (25 as of round 3: H, C, N, O, Na, Mg, Al, Si, P, S,
-  Cl, K, Ca, Ti, V, Cr, Mn, Fe, Co, Ni, Cu, Mo, I, W, Pb): vendored
-  NIST-grid mass-attenuation tables with exact absorption-edge rows —
-  accurate to ~1-2 % over 5 keV - 10 MeV (<=1 % for Ca/P/I and the ICRU
-  tissue/bone compound closures; see :mod:`nist_data_ext`).  This covers
-  every element appearing in the reference study's materials.
+* **Anchor elements** (30 as of round 4: H, C, N, O, Na, Mg, Al, Si, P, S,
+  Cl, K, Ca, Ti, V, Cr, Mn, Fe, Co, Ni, Cu, Zr, Mo, Sn, I, Ba, Ce, Gd, W,
+  Pb): vendored NIST-grid mass-attenuation tables with exact
+  absorption-edge rows — accurate to ~1-2 % over 5 keV - 10 MeV (<=1 %
+  for Ca/P/I and the ICRU tissue/bone compound closures; see
+  :mod:`nist_data_ext`; ~1-1.5 % for the round-4 contrast/filter set
+  Zr/Sn/Ba/Ce/Gd, see :mod:`nist_data_r4`).  This covers every element
+  appearing in the reference study's materials plus the contrast agents
+  (I, Gd, Ba, Ce), beam-filter metals (Sn, Mo, Cu, Al) and implant
+  ceramics (Zr) the framework's own features advertise.
 * **Every other element**: edge-aligned log-Z interpolation between the two
   bracketing anchors.  The Compton part is exact Klein-Nishina times Z/A;
   the non-Compton residual (photoelectric + coherent + pair + binding
@@ -25,8 +29,9 @@ The elemental curves come from two sources (see
   *reduced energy* u = E/E_K (so every anchor's K edge maps onto the
   target's exact tabulated K-edge energy), above ~400 keV at fixed E (pair
   production has no edge structure), with a smooth log-E crossfade between.
-  Accuracy ~2-4 % at diagnostic energies with the round-3 anchor set (the
-  widest remaining gaps are Cu-Mo, Mo-I and I-W).
+  Accuracy ~1-3 % at diagnostic energies with the round-4 anchor set (the
+  widest remaining gaps are Cu-Zr, Ce-Gd, Gd-W and W-Pb — none containing
+  an element any shipped feature quantifies).
 
 The framework remains internally self-consistent (simulation and
 decomposition share these tables), and exact per-element tables can still be
@@ -187,7 +192,8 @@ ENERGY_GRID_KEV = np.logspace(0.0, 4.0, 512)
 # from Mo-Cu, Ba/Gd from I-W instead of Cu-W).
 _ANCHOR_SYMBOLS = (
     "H", "C", "N", "O", "Na", "Mg", "Al", "Si", "P", "S", "Cl", "K", "Ca",
-    "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Mo", "I", "W", "Pb",
+    "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Zr", "Mo", "Sn", "I",
+    "Ba", "Ce", "Gd", "W", "Pb",
 )
 
 # Reduced-energy warp applies below ~200 keV (all edges sit below 116 keV),

@@ -14,9 +14,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# This script re-pins numbers right after VM host migrations — exactly
+# the scenario where foreign AOT entries in /root/.jax_cache SIGILL at
+# load (CLAUDE.md).  Opt IN to the persistent cache only when the host
+# is known-stable; on a crash at load after a "machine features"
+# warning, clear /root/.jax_cache and rerun without the flag.
+if os.environ.get("DEXCT_HIGHRES_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np
 
 from dexct_tpu.physics.spectrum import kramers_spectrum, linac_spectrum

@@ -6,7 +6,8 @@ Usage: /opt/venv/bin/python tools/parse_xplane.py /tmp/hr_trace [top_n]
 
 Prints the TPU line totals grouped by HLO-op name prefix (fusion
 buckets keep their full name up to the first digit run), sorted by
-total self time.  Lines on the async/DMA planes are listed separately
+total duration (not self time; hierarchical lines double-count their
+children).  Lines on the async/DMA planes are listed separately
 so overlapped copies aren't misread as wall-time additive (the
 round-2 lesson recorded in ROADMAP.md).
 """
@@ -38,13 +39,17 @@ def main():
             span = 0
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
-                key = re.split(r"[.\d]", name, 1)[0][:48]
+                key = re.split(r"[.\d]", name, maxsplit=1)[0][:48]
+                if not key:  # names starting with a digit keep the full name
+                    key = name[:48]
                 tot[key] += ev.duration_ps
                 cnt[key] += 1
                 span += ev.duration_ps
             if span == 0:
                 continue
-            print(f"-- line: {line.name}  total {span/1e12*1e3:.1f} ms")
+            # durations, not self time: hierarchical lines (e.g. an "XLA
+            # Modules" line whose module event spans all ops) double-count
+            print(f"-- line: {line.name}  total duration {span/1e12*1e3:.1f} ms")
             for key, ps in tot.most_common(top_n):
                 print(f"   {ps/1e12*1e3:9.2f} ms  x{cnt[key]:<5d} {key}")
 
