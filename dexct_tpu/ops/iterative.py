@@ -68,19 +68,29 @@ def _laplacian(x):
             - jnp.roll(x, 1, 1) - jnp.roll(x, -1, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "n_iters", "lam"))
-def _cg(apply_fn, b, x0, n_iters, lam):
-    at = jax.linear_transpose(apply_fn, x0)
+@functools.partial(jax.jit, static_argnames=("apply_fn", "n_iters", "lam",
+                                             "axis_name"))
+def _cg(apply_fn, b, x0, n_iters, lam, axis_name=None):
+    """CG on the normal equations.  Under ``shard_map`` (``axis_name``
+    set), ``apply_fn`` is the LOCAL view-wedge operator and every
+    A^T-product is psum'd over the mesh axis (SURVEY §2.7: all-reduce of
+    partial backprojection accumulations); the image-space iterates stay
+    replicated, so the CG scalars need no collectives."""
+    at_raw = jax.linear_transpose(apply_fn, x0)
+
+    def at(z):
+        (g,) = at_raw(z)
+        if axis_name is not None:
+            g = jax.lax.psum(g, axis_name)
+        return g
 
     def normal(x):
-        ax = apply_fn(x)
-        (atax,) = at(ax)
-        out = atax
+        out = at(apply_fn(x))
         if lam:
             out = out + lam * _laplacian(x)
         return out
 
-    (atb,) = at(b)
+    atb = at(b)
     r0 = atb - normal(x0)
     p0 = r0
 
@@ -189,26 +199,38 @@ def _neighbor_penalty_grad(x, delta):
 @functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "n_iters", "beta", "delta", "nonneg",
-                     "power_iters"),
+                     "power_iters", "axis_name"),
 )
 def _pwls_fista(apply_fn, y, w, x0, n_iters, beta, delta, nonneg,
-                power_iters):
-    at = jax.linear_transpose(apply_fn, x0)
+                power_iters, axis_name=None):
+    """FISTA on the PWLS objective.  With ``axis_name`` (inside
+    ``shard_map``): ``apply_fn``/``y``/``w`` are the LOCAL view wedge,
+    the A^T W (.) products psum over the mesh axis, and the power
+    iteration estimates the GLOBAL ||A^T W A|| — the iterates, step
+    size, and penalty all live in replicated image space.  ``w`` must
+    be normalized globally (callers use :func:`pwls_weights` on the
+    full sinogram before sharding)."""
+    at_raw = jax.linear_transpose(apply_fn, x0)
+
+    def at(z):
+        (g,) = at_raw(z)
+        if axis_name is not None:
+            g = jax.lax.psum(g, axis_name)
+        return g
 
     def grad_data(x):
-        (g,) = at(w * (apply_fn(x) - y))
-        return g
+        return at(w * (apply_fn(x) - y))
 
     # Lipschitz bound: ||A^T W A|| by power iteration + the penalty's
     # curvature bound 4*ndim*beta (2*ndim neighbor pairs, |huber''| <= 1)
     v = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
 
     def power(v, _):
-        (nv,) = at(w * apply_fn(v))
+        nv = at(w * apply_fn(v))
         return nv / jnp.maximum(jnp.linalg.norm(nv), 1e-30), None
 
     v, _ = jax.lax.scan(power, v, None, length=power_iters)
-    (nv,) = at(w * apply_fn(v))
+    nv = at(w * apply_fn(v))
     lmax = jnp.maximum(jnp.vdot(v, nv).real, 1e-30)
     # beta is RELATIVE to the data-term curvature (scale-free API):
     # beta_abs = beta * lmax makes the tuning independent of geometry,

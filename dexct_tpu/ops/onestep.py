@@ -116,19 +116,33 @@ def _roughness(x, delta):
 @functools.partial(
     jax.jit,
     static_argnames=("forward_fn", "n_iters", "beta", "delta", "lr",
-                     "nonneg"),
+                     "nonneg", "axis_name"),
 )
 def _fit(forward_fn, counts, mus, i0s, x0, n_iters, beta, delta,
-         lr, nonneg):
+         lr, nonneg, axis_name=None):
+    """Adam on the Poisson-WLS + Huber objective.  With ``axis_name``
+    (inside ``shard_map``): ``counts``/``forward_fn`` are the LOCAL view
+    wedge; the data normalization and the data-term gradient psum over
+    the mesh axis, while the roughness penalty (a function of the
+    replicated basis images alone) is added once per device."""
     w = 1.0 / jnp.maximum(counts, 1.0)  # Poisson WLS weights
     norm = jnp.sum(w * counts * counts)  # makes the loss O(1)
+    if axis_name is not None:
+        norm = jax.lax.psum(norm, axis_name)
 
-    def loss(x):
+    def data_loss(x):
         lam = forward_fn(x, mus, i0s)
-        data = 0.5 * jnp.sum(w * (lam - counts) ** 2) / norm
-        return data + beta * _roughness(x, delta) / x.size
+        return 0.5 * jnp.sum(w * (lam - counts) ** 2) / norm
 
-    grad = jax.grad(loss)
+    def penalty(x):
+        return beta * _roughness(x, delta) / x.size
+
+    if axis_name is None:
+        grad = jax.grad(lambda x: data_loss(x) + penalty(x))
+    else:
+        def grad(x):
+            g = jax.lax.psum(jax.grad(data_loss)(x), axis_name)
+            return g + jax.grad(penalty)(x)
 
     def body(carry, i):
         x, m, v = carry
