@@ -45,7 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..physics import xcom
+from ..physics import formfactor, xcom
 from .dose import _pack_label_quads
 
 __all__ = [
@@ -55,6 +55,8 @@ __all__ = [
     "single_scatter_sinogram",
     "single_scatter_conebeam",
     "mc_single_scatter_reference",
+    "mc_second_order_reference",
+    "multiple_to_single_factor",
     "scatter_to_primary_ratio",
 ]
 
@@ -122,10 +124,10 @@ def _slab_clip(p0, seg, half_extents):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "s_in", "s_out", "x_block",
-                     "c_block"))
-def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
-                  betas, det_gammas, scalars, *, n_mats, nx, ny, s_in,
-                  s_out, x_block, c_block):
+                     "c_block", "coherent"))
+def _scatter_scan(labq, ne_w, f2w_t, cell_xy_t, mu_gE, mu_fine, resp_fine,
+                  resp_g, n0_g, betas, det_gammas, scalars, *, n_mats, nx,
+                  ny, s_in, s_out, x_block, c_block, coherent):
     """Single-scatter detected signal, scanned over views: [V, C].
 
     One jit, one device->host fetch for the whole scan (a per-view host
@@ -145,22 +147,36 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
     mu_gE:      [K, G] attenuation at the compressed incident bins
     mu_fine:    [K, F] attenuation on the fine exit grid
     resp_fine:  [F] detector weight on the fine grid
+    resp_g:     [G] detector weight at the incident bins (elastic exit)
+    f2w:        [X, Q] cell coherent angular weight: cell-mean
+                Sum_i n_i F_i(q)^2 x cell area, on the uniform q grid
+                q_j = j / dq_inv (physics/formfactor.py).  Shipped
+                transposed [Q, X] (HBM lane-tile padding, CLAUDE.md).
     n0_g:       [G] photons per channel per view at the compressed bins
     scalars:    (sid, sdd, dx, dy, geom_const, e_fine0, de_fine, a_det,
-                 g_half_fan, h_over_sid) + e_g
+                 g_half_fan, h_over_sid, dq_inv) + e_g
+
+    When ``coherent`` the Rayleigh term rides the SAME exit marches:
+    dSigma_R/dOmega = (r_e^2/2)(1+cos^2) F^2(q) is gathered from f2w at
+    q = E sin(theta/2)/hc, the exit attenuation re-reads the already
+    contracted ``l_fine`` at the *unshifted* energy (elastic), and the
+    detector responds at E — so coherent costs gathers, not marches.
     """
     f32 = jnp.float32
     (sid, sdd, dx_w, dy_w, geom_const, ef0, def_, a_det, g_half,
-     h_over_sid) = scalars[:10]
-    e_g = scalars[10:]  # [G] compressed bin centers
+     h_over_sid, dq_inv) = scalars[:11]
+    e_g = scalars[11:]  # [G] compressed bin centers
     # resident input ships transposed [2, X] (a trailing dim of 2 pads
     # to the 128-lane tile in HBM, CLAUDE.md); transposing inside the
     # jit is a free layout choice
     cell_xy = cell_xy_t.T
+    f2w = f2w_t.T  # [X, Q]
+    Q = f2w.shape[1]
     X = cell_xy.shape[0]
     C = det_gammas.shape[0]
     F = mu_fine.shape[1]
     hi = jax.lax.Precision.HIGHEST
+    inv_hc = 1.0 / formfactor.HC_KEV_A
     mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
     nxb, ncb = X // x_block, C // c_block
     inv_mec2 = 1.0 / xcom.ELECTRON_REST_KEV
@@ -232,11 +248,14 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
         in_fan = (jnp.abs(g_v) <= g_half).astype(f32)
         phi = (geom_const / (r_v * r_v))[:, None] * n0_g[None, :] \
             * jnp.exp(-jnp.matmul(t_in, mu_gE, precision=hi))  # [X, G]
-        w_x = ne_w * (h_over_sid * r_v) * in_fan  # [X] electrons
+        col = (h_over_sid * r_v) * in_fan  # [X] scattering column [cm]
+        w_x = ne_w * col  # electrons
 
         cells_b = cell_xy.reshape(nxb, x_block, 2)
         phi_b = phi.reshape(nxb, x_block, -1)
         wx_b = w_x.reshape(nxb, x_block)
+        col_b = col.reshape(nxb, x_block)
+        f2_b = f2w.reshape(nxb, x_block, Q)
         uin_b = u_in.reshape(nxb, x_block, 2)
         det_b = det_xy.reshape(ncb, c_block, 2)
 
@@ -245,7 +264,7 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
             nrm = nrm / jnp.sqrt(jnp.sum(nrm * nrm, -1))[:, None]
 
             def per_vertex_block(args):
-                cb_xy, phi_bb, w_bb, uin_bb = args
+                cb_xy, phi_bb, w_bb, col_bb, f2_bb, uin_bb = args
                 t_ex = march(
                     jnp.repeat(cb_xy[:, None, :], c_block, 1),
                     jnp.repeat(det_blk[None, :, :], x_block, 0),
@@ -280,11 +299,45 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
                 contrib = (phi_bb[:, None, :] * kn * resp
                            * jnp.exp(-jnp.clip(l_ex, 0.0, 60.0))
                            * d_omega[..., None])
-                return jnp.sum(contrib * w_bb[:, None, None],
-                               axis=(0, 2))  # [cb]
+                out_cb = jnp.sum(contrib * w_bb[:, None, None],
+                                 axis=(0, 2))  # [cb]
+                if coherent:
+                    # Rayleigh: elastic, forward-peaked; F^2 gathered
+                    # at q = E sin(theta/2)/hc from the per-cell table
+                    q_half = jnp.sqrt(jnp.clip(
+                        (1.0 - cos_t) * 0.5, 0.0, 1.0)) * inv_hc
+                    qi = jnp.clip(q_half[..., None] * e_g * dq_inv,
+                                  0.0, Q - 1.001)
+                    qi0 = jnp.floor(qi).astype(jnp.int32)
+                    wq = qi - qi0
+                    f2full = jnp.broadcast_to(
+                        f2_bb[:, None, :], (x_block, c_block, Q))
+                    f0 = jnp.take_along_axis(f2full, qi0, -1)
+                    f1 = jnp.take_along_axis(f2full, qi0 + 1, -1)
+                    f2v = f0 + (f1 - f0) * wq  # [xb, cb, G]
+                    ray = 0.5 * r2 * (1.0 + cos_t[..., None] ** 2) * f2v
+                    # exit attenuation at the UNSHIFTED energy: re-read
+                    # the contracted l_fine at the incident bins
+                    fic = jnp.clip((e_g - ef0) / def_, 0.0, F - 1.001)
+                    fic0 = jnp.floor(fic).astype(jnp.int32)
+                    wfc = fic - fic0
+                    idx_c = jnp.broadcast_to(
+                        fic0[None, None, :],
+                        (x_block, c_block, fic0.shape[0]))
+                    l0c = jnp.take_along_axis(l_fine, idx_c, -1)
+                    l1c = jnp.take_along_axis(l_fine, idx_c + 1, -1)
+                    l_exc = l0c + (l1c - l0c) * wfc
+                    contrib_r = (phi_bb[:, None, :] * ray
+                                 * resp_g[None, None, :]
+                                 * jnp.exp(-jnp.clip(l_exc, 0.0, 60.0))
+                                 * d_omega[..., None])
+                    out_cb = out_cb + jnp.sum(
+                        contrib_r * col_bb[:, None, None], axis=(0, 2))
+                return out_cb
 
             parts = jax.lax.map(per_vertex_block,
-                                (cells_b, phi_b, wx_b, uin_b))
+                                (cells_b, phi_b, wx_b, col_b, f2_b,
+                                 uin_b))
             return parts.sum(0)  # [cb]
 
         s_view = jax.lax.map(per_channel_block, det_b).reshape(-1)
@@ -294,11 +347,56 @@ def _scatter_scan(labq, ne_w, cell_xy_t, mu_gE, mu_fine, resp_fine, n0_g,
     return out  # [V, C]
 
 
+def _material_f2_tables(materials, e_max_keV, n_q):
+    """Per-material coherent weight tables on a uniform q grid.
+
+    Returns (f2_mat [K, Q], q grid [Q]): Sum_i n_i F_i(q)^2 per unit
+    volume for each material.  The grid spans [0, min(3, E_max/hc)]
+    1/A — beyond q = 3 the form factors have fallen > 4 orders and the
+    kernel clamps to the last entry.
+    """
+    q_max = min(3.0, float(e_max_keV) / formfactor.HC_KEV_A)
+    q = np.linspace(0.0, q_max, n_q)
+    f2 = np.stack([
+        formfactor.material_f2_per_volume(m, m.density, q)
+        if m.density > 0 else np.zeros_like(q)
+        for m in materials])
+    return f2, q
+
+
+def _cell_f2_weights(labels2d, materials, coarse, cell_area, e_max_keV,
+                     n_q):
+    """[nyc*nxc, Q] cell-mean coherent weight x cell area (the per-unit-z
+    Rayleigh analog of ``ne_w``), averaged exactly like the electron
+    density: per-material occupancy fractions of each coarse cell."""
+    ny, nx = labels2d.shape
+    cf = int(coarse)
+    nyc, nxc = -(-ny // cf), -(-nx // cf)
+    f2_mat, _ = _material_f2_tables(materials, e_max_keV, n_q)
+    lab_pad = np.pad(labels2d, ((0, nyc * cf - ny), (0, nxc * cf - nx)))
+    blocks = lab_pad.reshape(nyc, cf, nxc, cf)
+    out = np.zeros((nyc, nxc, n_q))
+    for k in range(len(f2_mat)):
+        if not np.any(f2_mat[k]):
+            continue
+        occ = (blocks == k).mean((1, 3))
+        out += occ[..., None] * f2_mat[k][None, None, :]
+    return out.reshape(-1, n_q) * cell_area
+
+
 def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
                             n_fine=96, s_in=None, s_out=None, views=None,
                             channel_sub=1, x_block=1024, c_block=32,
-                            z_index=None, view_chunk=4):
-    """Deterministic single-scatter sinogram [V, C] in detected units.
+                            z_index=None, view_chunk=4, coherent=True,
+                            n_q=48, multiple_factor=0.0):
+    """Deterministic scatter sinogram [V, C] in detected units.
+
+    Transport content: single Compton (Klein-Nishina) + single coherent
+    (Rayleigh, atomic form factors — ``coherent``); optionally a
+    multiplicative higher-order tail ``multiple_factor`` (the
+    2nd-to-1st-order ratio measured by
+    :func:`multiple_to_single_factor`; second scatter is even smoother
+    than first, so a flat multiplier is the standard closure).
 
     coarse: vertex-grid downsampling factor relative to the phantom
         grid (scatter is low-frequency; 4-8 is plenty).
@@ -307,8 +405,10 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     s_in/s_out: marching steps for incident/exit paths (default:
         phantom N and N/2).
     channel_sub: evaluate every k-th detector channel and interpolate
-        the rest (scatter is smooth across channels; 4-8 is safe and
-        cuts the exit-march cost by the same factor).
+        the rest (Compton is smooth across channels; the coherent
+        forward peak has ~0.03 rad angular width, so keep
+        sub * dgamma below ~0.01 rad — production channel counts take
+        4-8 comfortably, and the cost falls by the same factor).
     x_block/c_block: device blocking of the (vertex x channel) exit
         marching — bounds the largest live intermediate at
         [x_block, c_block, s_out] independent of problem size.
@@ -361,6 +461,17 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     cell_xy = cell_xy[keep]
     cell_area = (cf * phantom.dx) * (cf * phantom.dy)
     ne_w = ne_cells.ravel()[keep] * cell_area  # electrons per unit z
+    # spectra rebin first (the coherent q grid needs e_g)
+    e_g, n0_g = _rebin_spectrum(spec, n_energy)
+    if coherent:
+        f2w = _cell_f2_weights(labels2d, phantom.materials, cf,
+                               cell_area, e_g.max(), n_q)[keep]
+        _, q_grid = _material_f2_tables(phantom.materials, e_g.max(),
+                                        n_q)
+        dq_inv = 1.0 / (q_grid[1] - q_grid[0])
+    else:
+        f2w = np.zeros((len(ne_w), 1))
+        dq_inv = 1.0
     # pad vertices to a multiple of x_block (zero weight)
     X = len(ne_w)
     x_block = min(int(x_block), X) if X else 1
@@ -369,6 +480,7 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
         cell_xy = np.concatenate([cell_xy,
                                   np.repeat(cell_xy[:1], xpad, 0)])
         ne_w = np.concatenate([ne_w, np.zeros(xpad)])
+        f2w = np.concatenate([f2w, np.zeros((xpad, f2w.shape[1]))])
 
     # evaluated channels (subsampled) padded to a multiple of c_block
     gam_all = np.asarray(ct.gammas, np.float64)
@@ -385,13 +497,13 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
         gam_eval = np.concatenate([gam_eval,
                                    np.repeat(gam_eval[-1:], cpad)])
 
-    # spectra and attenuation tables
-    e_g, n0_g = _rebin_spectrum(spec, n_energy)
+    # attenuation tables (e_g/n0_g rebinned above)
     mu_gE = phantom.materials.mu_table(e_g)  # [K, G]
     e_min_p = float(compton_energy(e_g.min(), -1.0)) * 0.95
     e_fine = np.linspace(e_min_p, float(e_g.max()) * 1.001, n_fine)
     mu_fine = phantom.materials.mu_table(e_fine)  # [K, F]
     resp_fine = np.asarray(ct.detector_response(e_fine), np.float64)
+    resp_g = np.asarray(ct.detector_response(e_g), np.float64)
 
     # detector element area and fluence normalization
     h_det = ct.h_iso * ct.SDD / ct.SID
@@ -401,25 +513,29 @@ def single_scatter_sinogram(phantom, ct, spec, *, coarse=4, n_energy=12,
     scalars = np.concatenate([
         [ct.SID, ct.SDD, phantom.dx, phantom.dy, geom_const,
          float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det,
-         0.5 * ct.gamma_fan, ct.h_iso / ct.SID], e_g])
+         0.5 * ct.gamma_fan, ct.h_iso / ct.SID, dq_inv], e_g])
     vc = len(betas) if view_chunk is None else max(int(view_chunk), 1)
     parts = []
     for i0 in range(0, len(betas), vc):
         parts.append(np.asarray(_scatter_scan(
             jnp.asarray(_pack_label_quads(labels2d)),
             jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(f2w.T, jnp.float32),
             jnp.asarray(cell_xy.T, jnp.float32),
             jnp.asarray(mu_gE, jnp.float32),
             jnp.asarray(mu_fine, jnp.float32),
             jnp.asarray(resp_fine, jnp.float32),
+            jnp.asarray(resp_g, jnp.float32),
             jnp.asarray(n0_g, jnp.float32),
             jnp.asarray(betas[i0:i0 + vc], jnp.float32),
             jnp.asarray(gam_eval, jnp.float32),
             jnp.asarray(scalars, jnp.float32),
             n_mats=n_mats, nx=nx, ny=ny, s_in=int(s_in),
-            s_out=int(s_out), x_block=x_block, c_block=c_block),
+            s_out=int(s_out), x_block=x_block, c_block=c_block,
+            coherent=bool(coherent)),
             np.float64))
     s_eval = np.concatenate(parts)[:, :n_eval]
+    s_eval = s_eval * (1.0 + float(multiple_factor))
     if sub == 1:
         return s_eval
     out = np.empty((len(betas), ct.N_channels))
@@ -447,13 +563,17 @@ def scatter_to_primary_ratio(scatter_sino, primary_sino, *,
 
 
 def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
-                                seed=0, march_step=None, z_index=None):
+                                seed=0, march_step=None, z_index=None,
+                                coherent=True):
     """Host float64 Monte Carlo single-scatter oracle for ONE view.
 
     Next-event estimation with RANDOM vertices and exact geometry —
     no coarse grids, no energy compression, adaptive marching — an
     independent cross-check of :func:`single_scatter_sinogram`'s
-    discretizations.  Returns (scatter [C], stderr [C]).
+    discretizations.  ``coherent`` adds the Rayleigh NEE term (per-
+    vertex material form factors, elastic exit attenuation) — the same
+    physics as the device kernel's coherent branch, discretized
+    independently.  Returns (scatter [C], stderr [C]).
     """
     rng = np.random.default_rng(seed)
     labels2d = np.asarray(phantom.slice_labels(z_index), np.int32)
@@ -531,9 +651,22 @@ def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
     # pdf_area = 1/(C seg_len s dgamma); fluence = n0 SID/(dgamma h r^2)
     # -> the dgamma and one power of s cancel
     n_tot = n0.sum()
-    w_vtx = (ct.N_channels * seg_len / n_samples) * n_tot \
-        * np.exp(-l_in) * ne_v[idx] * h_v * ct.SID \
-        / (ct.h_iso * s[idx])
+    # base vertex weight WITHOUT the interaction density: Compton
+    # multiplies by n_e, Rayleigh by Sum n_i F_i(q)^2 (q per channel)
+    w_base = (ct.N_channels * seg_len / n_samples) * n_tot \
+        * np.exp(-l_in) * h_v * ct.SID / (ct.h_iso * s[idx])
+    w_vtx = w_base * ne_v[idx]
+    if coherent:
+        f2_mat, q_grid = _material_f2_tables(
+            phantom.materials, float(e.max()), 128)
+        fxi = np.clip(np.round(vtx[idx, 0] / phantom.dx
+                               + (nx / 2 - 0.5)).astype(int), 0, nx - 1)
+        fyi = np.clip(np.round(vtx[idx, 1] / phantom.dy
+                               + (ny / 2 - 0.5)).astype(int), 0, ny - 1)
+        f2_v = f2_mat[labels2d[fyi, fxi]]  # [n, Qm]
+        mu_e = mu_table[:, ei[idx]]  # [K, n] at the unshifted energy
+        resp_e = ct.detector_response(e[ei[idx]])
+        r2_e = xcom.ELECTRON_RADIUS_CM ** 2
 
     # NEE to every detector element
     tally = np.zeros(ct.N_channels)
@@ -555,10 +688,257 @@ def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
         l_ex = np.einsum("nk,kn->n", t_ex, mu_ep)
         resp = ct.detector_response(e_p)
         w = w_vtx * kn * d_omega * np.exp(-l_ex) * resp
+        if coherent:
+            q = formfactor.momentum_transfer(e_i, cos_t)
+            qi = np.clip(q / (q_grid[1] - q_grid[0]), 0.0,
+                         len(q_grid) - 1.001)
+            qi0 = qi.astype(int)
+            wq = qi - qi0
+            f2q = np.take_along_axis(f2_v, qi0[:, None], 1)[:, 0]
+            f2q += wq * (np.take_along_axis(
+                f2_v, qi0[:, None] + 1, 1)[:, 0] - f2q)
+            l_exc = np.einsum("nk,kn->n", t_ex, mu_e)
+            w = w + (w_base * 0.5 * r2_e * (1.0 + cos_t**2) * f2q
+                     * d_omega * np.exp(-l_exc) * resp_e)
         tally[c] = w.sum()
         tally2[c] = (w * w).sum() * n_samples
     stderr = np.sqrt(np.maximum(tally2 - tally**2, 0.0) / n_samples)
     return tally, stderr
+
+
+def mc_second_order_reference(phantom, ct, spec, beta, n_samples, *,
+                              seed=0, march_step=None, z_index=None,
+                              n_rows=None):
+    """Host float64 Monte Carlo SECOND-order (Compton-Compton) scatter
+    for ONE view: (scatter [C], stderr [C]) in detected units.
+
+    Transport model: the phantom slice is z-extruded (a body is long
+    compared with the beam), the beam illuminates the collimated slab
+    (``n_rows`` x h_iso; default the geometry's slice), the detector
+    band sits at z = 0.  First vertices are sampled exactly as in
+    :func:`mc_single_scatter_reference`; the scattered direction is
+    drawn from the Klein-Nishina phase function (inverse-CDF in
+    cos theta, uniform azimuth, full 3-D), the second vertex is
+    importance-sampled along the scattered ray inside the xy hull, and
+    next-event estimation connects it to every detector element.
+    Rayleigh chains are excluded (elastic + forward-peaked: their
+    higher-order contribution changes neither energy nor direction
+    much and is far below the MC noise at this order).
+
+    The ratio sum(second)/sum(first) is the ``multiple_factor`` closure
+    consumed by the deterministic estimators; second scatter is even
+    smoother across channels than first, which is what justifies the
+    flat multiplier (checked by test: the 2nd-order channel profile is
+    broad and structureless).
+    """
+    rng = np.random.default_rng(seed)
+    labels2d = np.asarray(phantom.slice_labels(z_index), np.int32)
+    ny, nx = labels2d.shape
+    if march_step is None:
+        march_step = 0.5 * min(phantom.dx, phantom.dy)
+
+    e = np.asarray(spec.E, np.float64)
+    n0 = np.asarray(spec.I0, np.float64) * spec.bin_widths()
+    live = n0 > 0
+    e, n0 = e[live], n0[live]
+    p_e = n0 / n0.sum()
+    mu_table = phantom.materials.mu_table(e)  # [K, Elive]
+    ne_img = electron_density_image(phantom, z_index)
+
+    src2 = ct.SID * np.array([np.cos(beta), np.sin(beta)])
+    ang = beta + ct.gammas
+    det2 = src2[None, :] - ct.SDD * np.stack(
+        [np.cos(ang), np.sin(ang)], -1)
+    h_det = ct.h_iso * ct.SDD / ct.SID
+    a_det = (ct.SDD * ct.dgamma) * h_det
+
+    r_img = 0.5 * float(np.hypot(nx * phantom.dx, ny * phantom.dy))
+    r0, r1 = ct.SID - r_img, ct.SID + r_img
+    seg_len = r1 - r0
+    if n_rows is None:
+        n_rows = getattr(ct, "N_rows", 1)
+
+    def march_xy(p0, p1):
+        """Material paths along 2-D xy segments [n, K] (z-extruded)."""
+        segv = p1 - p0
+        lens = np.linalg.norm(segv, axis=-1)
+        n_steps = max(int(np.ceil(max(lens.max(), 1e-9) / march_step)),
+                      2)
+        fr = (np.arange(n_steps) + 0.5) / n_steps
+        pts = p0[:, None, :] + segv[:, None, :] * fr[None, :, None]
+        fx = pts[..., 0] / phantom.dx + (nx / 2 - 0.5)
+        fy = pts[..., 1] / phantom.dy + (ny / 2 - 0.5)
+        ix = np.clip(np.round(fx).astype(int), 0, nx - 1)
+        iy = np.clip(np.round(fy).astype(int), 0, ny - 1)
+        inside = ((fx > -0.5) & (fx < nx - 0.5)
+                  & (fy > -0.5) & (fy < ny - 0.5))
+        lab = np.where(inside, labels2d[iy, ix], -1)
+        K = phantom.n_materials
+        occ = np.zeros((len(p0), K))
+        for kmat in range(K):
+            occ[:, kmat] = (lab == kmat).sum(1)
+        return occ * (lens / n_steps)[:, None]
+
+    def march_3d(p0_xyz, p1_xyz):
+        """[n, K] material paths of 3-D segments through the extruded
+        slice: xy marching scaled by the 3-D/2-D length ratio."""
+        d2 = np.linalg.norm(p1_xyz[:, :2] - p0_xyz[:, :2], axis=-1)
+        d3 = np.linalg.norm(p1_xyz - p0_xyz, axis=-1)
+        t = march_xy(p0_xyz[:, :2], p1_xyz[:, :2])
+        # degenerate xy (near-vertical ray): constant material column
+        degen = d2 < 1e-9
+        if np.any(degen):
+            fx = np.clip(np.round(p0_xyz[degen, 0] / phantom.dx
+                                  + (nx / 2 - 0.5)).astype(int),
+                         0, nx - 1)
+            fy = np.clip(np.round(p0_xyz[degen, 1] / phantom.dy
+                                  + (ny / 2 - 0.5)).astype(int),
+                         0, ny - 1)
+            t[degen] = 0.0
+            t[degen, labels2d[fy, fx]] = d3[degen]
+        scale = np.where(degen, 1.0, d3 / np.maximum(d2, 1e-12))
+        return t * scale[:, None]
+
+    # --- stage 1: first Compton vertex (same sampling as 1st order) --
+    g_half = 0.5 * ct.gamma_fan
+    gam = rng.uniform(-g_half, g_half, n_samples)
+    ei = rng.choice(len(e), n_samples, p=p_e)
+    s = r0 + seg_len * rng.random(n_samples)
+    angv = beta + gam
+    u_in2 = -np.stack([np.cos(angv), np.sin(angv)], -1)
+    vtx = src2[None, :] + u_in2 * s[:, None]
+    fxv = vtx[:, 0] / phantom.dx + (nx / 2 - 0.5)
+    fyv = vtx[:, 1] / phantom.dy + (ny / 2 - 0.5)
+    inside = ((fxv > 0) & (fxv < nx - 1) & (fyv > 0) & (fyv < ny - 1))
+    ne_v = np.where(
+        inside,
+        ne_img[np.clip(np.round(fyv).astype(int), 0, ny - 1),
+               np.clip(np.round(fxv).astype(int), 0, nx - 1)], 0.0)
+    sel = ne_v > 0
+    if not np.any(sel):
+        return np.zeros(ct.N_channels), np.zeros(ct.N_channels)
+    idx = np.where(sel)[0]
+    n1 = len(idx)
+    t_in = march_xy(np.broadcast_to(src2, (n1, 2)), vtx[idx])
+    l_in = np.einsum("nk,kn->n", t_in, mu_table[:, ei[idx]])
+    # illuminated column n_rows*h(r); per-row fluence is collimation-
+    # independent, so w1 scales with n_rows (matches the device
+    # kernels' overlap gate)
+    h_v = n_rows * ct.h_iso * s[idx] / ct.SID
+    n_tot = n0.sum()
+    w1 = (ct.N_channels * seg_len / n_samples) * n_tot \
+        * np.exp(-l_in) * ne_v[idx] * h_v * ct.SID \
+        / (ct.h_iso * s[idx])
+    e_i = e[ei[idx]]
+
+    # --- stage 2: KN-sampled scattered direction -------------------
+    # per-spectrum-bin inverse CDF of the KN phase function in cos
+    cgrid = np.linspace(-1.0, 1.0, 513)
+    cmid = 0.5 * (cgrid[1:] + cgrid[:-1])
+    kn_tab = klein_nishina_differential(e[:, None], cmid[None, :])
+    sig_int = 2.0 * np.pi * kn_tab.sum(1) * (cgrid[1] - cgrid[0])
+    cdf = np.cumsum(kn_tab, 1)
+    cdf /= cdf[:, -1:]
+    u = rng.random(n1)
+    rows = ei[idx]
+    ic = np.array([np.searchsorted(cdf[r], uu)
+                   for r, uu in zip(rows, u)])
+    cos1 = cmid[np.clip(ic, 0, len(cmid) - 1)]
+    phi1 = rng.uniform(0.0, 2.0 * np.pi, n1)
+    sin1 = np.sqrt(np.maximum(1.0 - cos1**2, 0.0))
+    # orthonormal frame about the (in-plane) incident direction
+    e1 = np.concatenate([u_in2[idx], np.zeros((n1, 1))], -1)
+    e2 = np.stack([-u_in2[idx, 1], u_in2[idx, 0], np.zeros(n1)], -1)
+    e3 = np.broadcast_to(np.array([0.0, 0.0, 1.0]), (n1, 3))
+    u1 = (cos1[:, None] * e1
+          + (sin1 * np.cos(phi1))[:, None] * e2
+          + (sin1 * np.sin(phi1))[:, None] * e3)
+    e_1 = compton_energy(e_i, cos1)
+    w2 = w1 * sig_int[rows]
+
+    # --- second vertex along the scattered ray ----------------------
+    x1 = np.concatenate([vtx[idx], np.zeros((n1, 1))], -1)
+    # xy chord to the hull
+    hx, hy = (nx / 2) * phantom.dx, (ny / 2) * phantom.dy
+    t_exit = np.full(n1, np.inf)
+    for axis, h in ((0, hx), (1, hy)):
+        ua = u1[:, axis]
+        pa = x1[:, axis]
+        with np.errstate(divide="ignore"):
+            t_hi = np.where(np.abs(ua) > 1e-12,
+                            np.maximum((h - pa) / ua, (-h - pa) / ua),
+                            np.inf)
+        t_exit = np.minimum(t_exit, t_hi)
+    diag = 2.0 * r_img
+    t_max = np.minimum(t_exit / np.maximum(
+        np.linalg.norm(u1[:, :2], axis=-1)
+        / np.maximum(np.linalg.norm(u1, axis=-1), 1e-12), 1e-6),
+        4.0 * diag)
+    t_max = np.maximum(t_max, 1e-6)
+    t2 = t_max * rng.random(n1)
+    x2 = x1 + u1 * t2[:, None]
+    fx2 = x2[:, 0] / phantom.dx + (nx / 2 - 0.5)
+    fy2 = x2[:, 1] / phantom.dy + (ny / 2 - 0.5)
+    in2 = ((fx2 > 0) & (fx2 < nx - 1) & (fy2 > 0) & (fy2 < ny - 1))
+    ne_2 = np.where(
+        in2, ne_img[np.clip(np.round(fy2).astype(int), 0, ny - 1),
+                    np.clip(np.round(fx2).astype(int), 0, nx - 1)], 0.0)
+    sel2 = ne_2 > 0
+    if not np.any(sel2):
+        return np.zeros(ct.N_channels), np.zeros(ct.N_channels)
+    j = np.where(sel2)[0]
+    t12 = march_3d(x1[j], x2[j])
+    mu_e1 = phantom.materials.mu_table(e_1[j])  # [K, m]
+    l_12 = np.einsum("nk,kn->n", t12, mu_e1)
+    w3 = w2[j] * t_max[j] * ne_2[j] * np.exp(-l_12)
+
+    # --- NEE from the second vertex to every element ----------------
+    tally = np.zeros(ct.N_channels)
+    tally2 = np.zeros(ct.N_channels)
+    det3 = np.concatenate([det2, np.zeros((ct.N_channels, 1))], -1)
+    u1j = u1[j]
+    for c in range(ct.N_channels):
+        dvec = det3[c][None, :] - x2[j]
+        r_d = np.linalg.norm(dvec, axis=-1)
+        u_out = dvec / r_d[:, None]
+        cos2 = np.einsum("nd,nd->n", u1j, u_out)
+        e_2 = compton_energy(e_1[j], cos2)
+        kn2 = klein_nishina_differential(e_1[j], cos2)
+        nrm = (src2 - det2[c]) / ct.SDD
+        cos_inc = np.abs(u_out[:, :2] @ nrm)
+        d_omega = a_det * cos_inc / r_d**2
+        t_ex = march_3d(x2[j], np.broadcast_to(det3[c],
+                                               (len(j), 3)))
+        mu_e2 = phantom.materials.mu_table(e_2)
+        l_ex = np.einsum("nk,kn->n", t_ex, mu_e2)
+        resp = ct.detector_response(e_2)
+        w = w3 * kn2 * d_omega * np.exp(-l_ex) * resp
+        tally[c] = w.sum()
+        tally2[c] = (w * w).sum() * n_samples
+    stderr = np.sqrt(np.maximum(tally2 - tally**2, 0.0) / n_samples)
+    return tally, stderr
+
+
+def multiple_to_single_factor(phantom, ct, spec, *, beta=0.0,
+                              n_samples=40000, seed=0, z_index=None,
+                              n_rows=None):
+    """Measured 2nd-to-1st-order detected-scatter ratio for a protocol.
+
+    Runs both MC references on one view and returns
+    ``sum(second) / sum(first)`` — the ``multiple_factor`` closure for
+    the deterministic estimators.  For cone protocols pass
+    ``n_rows`` (the collimation width in rows); the extruded-slice
+    transport then matches the central-row regime (scatter varies
+    slowly along z).  Truncation note: orders >= 3 are a geometric tail
+    of this ratio (S_multi ~ m/(1-m) instead of m); for m <~ 0.3 the
+    difference is inside the MC error.
+    """
+    s1, _ = mc_single_scatter_reference(
+        phantom, ct, spec, beta, n_samples, seed=seed, z_index=z_index)
+    s2, _ = mc_second_order_reference(
+        phantom, ct, spec, beta, n_samples, seed=seed + 1,
+        z_index=z_index, n_rows=n_rows)
+    return float(s2.sum() / s1.sum())
 
 
 # ---------------------------------------------------------------------------
@@ -570,11 +950,11 @@ def mc_single_scatter_reference(phantom, ct, spec, beta, n_samples, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "s_in", "s_out",
-                     "x_block", "d_block"))
-def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
-                       resp_fine, n0_g, betas, det_gk_t, scalars, *,
-                       n_mats, nx, ny, nz, s_in, s_out, x_block,
-                       d_block):
+                     "x_block", "d_block", "coherent"))
+def _scatter_scan_cone(labq3, ne_w, f2w_t, cell_xyz_t, mu_gE, mu_fine,
+                       resp_fine, resp_g, n0_g, betas, det_gk_t,
+                       scalars, *, n_mats, nx, ny, nz, s_in, s_out,
+                       x_block, d_block, coherent):
     """Cone-beam single scatter, scanned over views: [V, D].
 
     det_gk: [D, 2] evaluated detector elements as (fan angle gamma,
@@ -582,26 +962,31 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
     cell_xyz: [X, 3] 3-D vertices, X padded to x_block (ne_w = 0);
             ne_w is electrons per unit z (cell xy-area folded) — the
             z extent enters via the beam-cell overlap below.
+    f2w:    [X, Q] cell coherent weight (see the 2-D kernel); the
+            Rayleigh term rides the same exit marches.
     The axial beam gate is FRACTIONAL: each cell contributes its
     overlap length with the collimated slab |z| < t_half * r, with the
     scatter geometry evaluated at the overlap midpoint — a hard gate
     zeroes every vertex when the beam is thinner than a cell (the
     N_rows=1 anchor case).
     scalars: (sid, sdd, dx, dy, dz, geom_const, e_fine0, de_fine,
-              a_det, g_half_fan, t_half_beam, half_cell_z) + e_g
+              a_det, g_half_fan, t_half_beam, half_cell_z, dq_inv) + e_g
     """
     f32 = jnp.float32
     (sid, sdd, dx_w, dy_w, dz_w, geom_const, ef0, def_, a_det, g_half,
-     t_half, half_cz) = scalars[:12]
-    e_g = scalars[12:]
+     t_half, half_cz, dq_inv) = scalars[:13]
+    e_g = scalars[13:]
     # resident inputs ship transposed (tiny trailing dims pad to the
     # 128-lane tile in HBM, CLAUDE.md)
     cell_xyz = cell_xyz_t.T
     det_gk = det_gk_t.T
+    f2w = f2w_t.T  # [X, Q]
+    Q = f2w.shape[1]
     X = cell_xyz.shape[0]
     D = det_gk.shape[0]
     F = mu_fine.shape[1]
     hi = jax.lax.Precision.HIGHEST
+    inv_hc = 1.0 / formfactor.HC_KEV_A
     mat_ids = jnp.arange(n_mats, dtype=jnp.int32)
     nxb, ndb = X // x_block, D // d_block
     inv_mec2 = 1.0 / xcom.ELECTRON_REST_KEV
@@ -685,11 +1070,14 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
         phi = (geom_const * sec_v / (r_ip * r_ip))[:, None] \
             * n0_g[None, :] * jnp.exp(
                 -jnp.matmul(t_in, mu_gE, precision=hi))  # [X, G]
-        w_x = ne_w * overlap * in_fan
+        col = overlap * in_fan  # [X] scattering column [cm]
+        w_x = ne_w * col
 
         cells_b = pos.reshape(nxb, x_block, 3)  # overlap-midpoint vertex
         phi_b = phi.reshape(nxb, x_block, -1)
         wx_b = w_x.reshape(nxb, x_block)
+        col_b = col.reshape(nxb, x_block)
+        f2_b = f2w.reshape(nxb, x_block, Q)
         uin_b = u_in.reshape(nxb, x_block, 3)
         det_b = det_xyz.reshape(ndb, d_block, 3)
         nrm_b = nrm2.reshape(ndb, d_block, 2)
@@ -698,7 +1086,7 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
             det_blk, nrm_blk = args
 
             def per_vertex_block(vargs):
-                cb_xyz, phi_bb, w_bb, uin_bb = vargs
+                cb_xyz, phi_bb, w_bb, col_bb, f2_bb, uin_bb = vargs
                 t_ex = march3(
                     jnp.repeat(cb_xyz[:, None, :], d_block, 1),
                     jnp.repeat(det_blk[None, :, :], x_block, 0),
@@ -730,11 +1118,41 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
                 contrib = (phi_bb[:, None, :] * kn * resp
                            * jnp.exp(-jnp.clip(l_ex, 0.0, 60.0))
                            * d_omega[..., None])
-                return jnp.sum(contrib * w_bb[:, None, None],
-                               axis=(0, 2))  # [db]
+                out_db = jnp.sum(contrib * w_bb[:, None, None],
+                                 axis=(0, 2))  # [db]
+                if coherent:
+                    q_half = jnp.sqrt(jnp.clip(
+                        (1.0 - cos_t) * 0.5, 0.0, 1.0)) * inv_hc
+                    qi = jnp.clip(q_half[..., None] * e_g * dq_inv,
+                                  0.0, Q - 1.001)
+                    qi0 = jnp.floor(qi).astype(jnp.int32)
+                    wq = qi - qi0
+                    f2full = jnp.broadcast_to(
+                        f2_bb[:, None, :], (x_block, d_block, Q))
+                    f0 = jnp.take_along_axis(f2full, qi0, -1)
+                    f1 = jnp.take_along_axis(f2full, qi0 + 1, -1)
+                    f2v = f0 + (f1 - f0) * wq
+                    ray = 0.5 * r2 * (1.0 + cos_t[..., None] ** 2) * f2v
+                    fic = jnp.clip((e_g - ef0) / def_, 0.0, F - 1.001)
+                    fic0 = jnp.floor(fic).astype(jnp.int32)
+                    wfc = fic - fic0
+                    idx_c = jnp.broadcast_to(
+                        fic0[None, None, :],
+                        (x_block, d_block, fic0.shape[0]))
+                    l0c = jnp.take_along_axis(l_fine, idx_c, -1)
+                    l1c = jnp.take_along_axis(l_fine, idx_c + 1, -1)
+                    l_exc = l0c + (l1c - l0c) * wfc
+                    contrib_r = (phi_bb[:, None, :] * ray
+                                 * resp_g[None, None, :]
+                                 * jnp.exp(-jnp.clip(l_exc, 0.0, 60.0))
+                                 * d_omega[..., None])
+                    out_db = out_db + jnp.sum(
+                        contrib_r * col_bb[:, None, None], axis=(0, 2))
+                return out_db
 
             parts = jax.lax.map(per_vertex_block,
-                                (cells_b, phi_b, wx_b, uin_b))
+                                (cells_b, phi_b, wx_b, col_b, f2_b,
+                                 uin_b))
             return parts.sum(0)
 
         s_view = jax.lax.map(per_det_block, (det_b, nrm_b)).reshape(-1)
@@ -747,8 +1165,11 @@ def _scatter_scan_cone(labq3, ne_w, cell_xyz_t, mu_gE, mu_fine,
 def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
                             n_fine=96, s_in=None, s_out=None, views=None,
                             channel_sub=8, row_sub=2, x_block=1024,
-                            d_block=32, view_chunk=4):
-    """Cone-beam single-scatter sinogram [V, N_rows, N_channels].
+                            d_block=32, view_chunk=4, coherent=True,
+                            n_q=48, multiple_factor=0.0):
+    """Cone-beam scatter sinogram [V, N_rows, N_channels]
+    (single Compton + single Rayleigh + optional multiple tail — see
+    :func:`single_scatter_sinogram`).
 
     ``ct`` is a circular :class:`~dexct_tpu.system.geometry.
     ConeBeamGeometry` (helical: pass explicit ``views`` of a circular
@@ -794,6 +1215,25 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
     # electrons per unit z: the axial extent enters via the in-kernel
     # fractional beam-cell overlap
     ne_w = ne_cells.ravel()[keep] * cell_area
+    e_g, n0_g = _rebin_spectrum(spec, n_energy)
+    if coherent:
+        lab_blk = np.pad(labels3, ((0, ncz * cf - nz),
+                                   (0, ncy * cf - ny),
+                                   (0, ncx * cf - nx))).reshape(
+            ncz, cf, ncy, cf, ncx, cf)
+        f2_mat, q_grid = _material_f2_tables(phantom.materials,
+                                             e_g.max(), n_q)
+        f2_cells = np.zeros((ncz, ncy, ncx, n_q))
+        for k in range(len(f2_mat)):
+            if not np.any(f2_mat[k]):
+                continue
+            occ = (lab_blk == k).mean((1, 3, 5))
+            f2_cells += occ[..., None] * f2_mat[k][None, None, None, :]
+        f2w = f2_cells.reshape(-1, n_q)[keep] * cell_area
+        dq_inv = 1.0 / (q_grid[1] - q_grid[0])
+    else:
+        f2w = np.zeros((len(ne_w), 1))
+        dq_inv = 1.0
     X = len(ne_w)
     x_block = min(int(x_block), X) if X else 1
     xpad = -X % x_block
@@ -801,6 +1241,7 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
         cell_xyz = np.concatenate([cell_xyz,
                                    np.repeat(cell_xyz[:1], xpad, 0)])
         ne_w = np.concatenate([ne_w, np.zeros(xpad)])
+        f2w = np.concatenate([f2w, np.zeros((xpad, f2w.shape[1]))])
 
     # evaluated detector elements: subsampled rows x channels
     gam_all = np.asarray(ct.gammas, np.float64)
@@ -820,12 +1261,12 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
         det_gk = np.concatenate([det_gk,
                                  np.repeat(det_gk[-1:], dpad, 0)])
 
-    e_g, n0_g = _rebin_spectrum(spec, n_energy)
     mu_gE = phantom.materials.mu_table(e_g)
     e_min_p = float(compton_energy(e_g.min(), -1.0)) * 0.95
     e_fine = np.linspace(e_min_p, float(e_g.max()) * 1.001, n_fine)
     mu_fine = phantom.materials.mu_table(e_fine)
     resp_fine = np.asarray(ct.detector_response(e_fine), np.float64)
+    resp_g = np.asarray(ct.detector_response(e_g), np.float64)
 
     h_det = ct.h_iso * ct.SDD / ct.SID
     a_det = (ct.SDD * ct.dgamma) * h_det
@@ -835,7 +1276,8 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
     scalars = np.concatenate([
         [ct.SID, ct.SDD, phantom.dx, phantom.dy, phantom.dz, geom_const,
          float(e_fine[0]), float(e_fine[1] - e_fine[0]), a_det,
-         0.5 * ct.gamma_fan, t_half, 0.5 * cf * phantom.dz], e_g])
+         0.5 * ct.gamma_fan, t_half, 0.5 * cf * phantom.dz, dq_inv],
+        e_g])
     # view_chunk: same tunnel-robustness split as the 2-D estimator
     # (one jit call / fetch per chunk; None = one program for all views)
     labq3 = np.stack([_pack_label_quads(labels3[k]) for k in range(nz)])
@@ -844,18 +1286,22 @@ def single_scatter_conebeam(phantom, ct, spec, *, coarse=4, n_energy=10,
     for i0 in range(0, len(betas), vc):
         parts.append(np.asarray(_scatter_scan_cone(
             jnp.asarray(labq3), jnp.asarray(ne_w, jnp.float32),
+            jnp.asarray(f2w.T, jnp.float32),
             jnp.asarray(cell_xyz.T, jnp.float32),
             jnp.asarray(mu_gE, jnp.float32),
             jnp.asarray(mu_fine, jnp.float32),
             jnp.asarray(resp_fine, jnp.float32),
+            jnp.asarray(resp_g, jnp.float32),
             jnp.asarray(n0_g, jnp.float32),
             jnp.asarray(betas[i0:i0 + vc], jnp.float32),
             jnp.asarray(det_gk.T, jnp.float32),
             jnp.asarray(scalars, jnp.float32),
             n_mats=n_mats, nx=nx, ny=ny, nz=nz, s_in=int(s_in),
-            s_out=int(s_out), x_block=x_block, d_block=d_block),
+            s_out=int(s_out), x_block=x_block, d_block=d_block,
+            coherent=bool(coherent)),
             np.float64))
     s_eval = np.concatenate(parts)[:, :n_eval]
+    s_eval = s_eval * (1.0 + float(multiple_factor))
     s_eval = s_eval.reshape(len(betas), len(ri), len(ci))
 
     # bilinear upsample (rows, then channels) of the smooth surface
