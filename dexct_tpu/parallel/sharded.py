@@ -69,8 +69,17 @@ def sharded_dect_step(mesh, meta: DectMeta, arrays_keys, axis="views"):
     ``arrays_keys``: the keys of the packed arrays dict (the sharding spec
     pytree must match its structure).  Requires
     ``N_proj % mesh.shape[axis] == 0``.
+
+    At ``mesh.shape[axis] == 1`` the body runs WITHOUT an axis name: the
+    single shard holds every view, so the collectives are no-ops and the
+    full local kernels (8-fold symmetry BP, local rebin) apply — the
+    shard_map wrapper then costs nothing (measured
+    tools/bench_sharding_tax.py; with the axis name the view-local
+    2-fold BP made the D=1 build ~2.9x the unsharded program).
     """
-    body = functools.partial(dect_step, meta=meta, axis_name=axis)
+    d = int(mesh.shape[axis])
+    body = functools.partial(dect_step, meta=meta,
+                             axis_name=axis if d > 1 else None)
     mapped = shard_map(
         body,
         mesh=mesh,

@@ -347,6 +347,24 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
                 par_t0, par_dt, nt, meta.n_matrix, meta.fov,
                 jnp.pi / n_th_total,
             )
+        elif (meta.par_sym and meta.comm and meta.comm[0] == "halo"
+                and qs.shape[1] % 2 == 0):
+            # halo layout: the shard's theta rows are the stacked
+            # sub-wedges [w_i; w_{i+D}] (parallel/halo.py shard_tables),
+            # and w_{i+D} = w_i + pi/2 exactly — the rotation pairing
+            # the 4-fold kernel needs, SHARD-LOCALLY.  Halves the
+            # sharded BP gathers vs the view-local 2-fold (the
+            # real-chip D=1 tax measurement that motivated this:
+            # tools/bench_sharding_tax.py).
+            from ..ops.fbp_fast import (pack_filtered_sym,
+                                        parallel_backproject_sym)
+
+            n_loc = qs.shape[1]
+            imgs = parallel_backproject_sym(
+                pack_filtered_sym(qs), n_img,
+                a["par_thetas"][: n_loc // 2], par_t0, par_dt, nt,
+                meta.n_matrix, meta.fov, jnp.pi / n_th_total,
+            )
         elif meta.par_sym:
             # sharded (or odd-grid) wedge: the point-mirror pairing is
             # view-local, so it works on any theta subset — half the
