@@ -230,12 +230,27 @@ def rebin_to_parallel(sinos, idx, w, nt, quad=False, taps=8):
         g_per = taps // 2
     w8 = w.reshape(-1, taps)
     n_bins = n_theta * nt
+    # tap-pair weight expansion matrix: wexp[p, e*K+k] = w2[p, e] — the
+    # [gathered-row, 2, K] reinterpret it replaces tiles its trailing
+    # K=4 to the (8, 128) tile (a 28 ms relayout copy per step at the
+    # 1024^2 scale, profiled); the matmul + leading-split-sum route
+    # below is relayout-free
+    sel2 = jnp.concatenate(
+        [jnp.eye(2, dtype=jnp.float32)[:, :1].repeat(k, 1),
+         jnp.eye(2, dtype=jnp.float32)[:, 1:].repeat(k, 1)], axis=1)
 
     def chunk_vals(args):
         st, wc = args  # [B*g_per], [B, taps]
-        rows = tab[st].reshape(-1, taps, k)
-        return jnp.einsum("rt,rtk->rk", wc, rows,
+        if quad:
+            rows = tab[st].reshape(-1, taps, k)
+            return jnp.einsum("rt,rtk->rk", wc, rows,
+                              precision=jax.lax.Precision.HIGHEST)
+        g = tab[st]  # [B*g_per, 2K]
+        w2 = wc.reshape(-1, 2)  # row-major split: pairs per gathered row
+        wexp = jnp.matmul(w2, sel2,
                           precision=jax.lax.Precision.HIGHEST)
+        p = (g * wexp).reshape(-1, g_per, 2 * k).sum(1)  # [B, 2K]
+        return p[:, :k] + p[:, k:]
 
     # chunk bound: padded gather temp = B*g_per rows * 128 lanes * 4 B
     max_bins = max((150 << 20) // (g_per * 128 * 4), nt)
@@ -345,6 +360,24 @@ def parallel_backproject_multi(packed, n_images, thetas, t0, dt, nt,
 # Exactly the same arithmetic as parallel_backproject_multi (validated
 # bitwise-tolerance in tests); single-device only — theta-sharded wedges
 # cannot pair v with v + n_theta/2 locally.
+
+
+def _disc_gather_maps(g_list, full_flat, N, z_index):
+    """Full-image gather maps for the symmetry-BP recomposition.
+
+    Replaces the final ``full.at[:, full_flat].set(out)`` disc scatter
+    (measured 38 ms/call at 1024² — TPU scatters run ~1 GB/s) with
+    plain row-K gathers from the accumulator: ``g_full[i]`` is pixel
+    i's slot in the accumulator extended by one zero row at
+    ``z_index`` (out-of-FOV pixels land there, preserving the disc
+    mask exactly).
+    """
+    out = []
+    for g in g_list:
+        gf = np.full(N * N, z_index, np.int64)
+        gf[full_flat] = g
+        out.append(jnp.asarray(gf))
+    return out
 
 
 def pack_filtered_sym(qs):
@@ -465,9 +498,9 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
     # recompose the full disc by gathering each pixel's two contributions
     accT = acc.reshape(4, K, P).transpose(0, 2, 1).reshape(4 * P, K)
-    out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]).T * dtheta
-    full = jnp.zeros((K, N * N), dtype)
-    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    accz = jnp.concatenate([accT, jnp.zeros((1, K), dtype)], 0)
+    g1f, g2f = _disc_gather_maps([g1, g2], full_flat, N, 4 * P)
+    full = (accz[g1f] + accz[g2f]).T * dtheta
     return full.reshape(K, N, N)
 
 
@@ -586,9 +619,9 @@ def parallel_backproject_sym2(packed, n_images, thetas, t0, dt, nt,
     acc0 = jnp.zeros((2 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
     accT = acc.reshape(2, K, P).transpose(0, 2, 1).reshape(2 * P, K)
-    out = accT[jnp.asarray(g1)].T * dtheta
-    full = jnp.zeros((K, N * N), dtype)
-    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    accz = jnp.concatenate([accT, jnp.zeros((1, K), dtype)], 0)
+    (g1f,) = _disc_gather_maps([g1], full_flat, N, 2 * P)
+    full = accz[g1f].T * dtheta
     return full.reshape(K, N, N)
 
 
@@ -753,10 +786,10 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
     accT = acc.reshape(8, K, P).transpose(0, 2, 1).reshape(8 * P, K)
-    out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]
-           + accT[jnp.asarray(g3)] + accT[jnp.asarray(g4)]).T * dtheta
-    full = jnp.zeros((K, N * N), dtype)
-    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    accz = jnp.concatenate([accT, jnp.zeros((1, K), dtype)], 0)
+    g1f, g2f, g3f, g4f = _disc_gather_maps([g1, g2, g3, g4], full_flat,
+                                           N, 8 * P)
+    full = (accz[g1f] + accz[g2f] + accz[g3f] + accz[g4f]).T * dtheta
     return full.reshape(K, N, N)
 
 
@@ -908,8 +941,8 @@ def parallel_backproject_sym8_qs(qs, n_images, thetas_q, t0, dt, nt,
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, ids))
     accT = acc.reshape(8, K, P).transpose(0, 2, 1).reshape(8 * P, K)
-    out = (accT[jnp.asarray(g1)] + accT[jnp.asarray(g2)]
-           + accT[jnp.asarray(g3)] + accT[jnp.asarray(g4)]).T * dtheta
-    full = jnp.zeros((K, N * N), dtype)
-    full = full.at[:, jnp.asarray(full_flat)].set(out)
+    accz = jnp.concatenate([accT, jnp.zeros((1, K), dtype)], 0)
+    g1f, g2f, g3f, g4f = _disc_gather_maps([g1, g2, g3, g4], full_flat,
+                                           N, 8 * P)
+    full = (accz[g1f] + accz[g2f] + accz[g3f] + accz[g4f]).T * dtheta
     return full.reshape(K, N, N)
