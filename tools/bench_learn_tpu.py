@@ -38,12 +38,14 @@ def psnr(img, ref, peak=2000.0):
 def main():
     print("devices:", jax.devices())
     t0 = time.perf_counter()
-    train = make_training_set(seed=11, n_phantoms=24, N=128, dx=0.15,
-                              n_views=192, n_channels=128,
-                              target="clean")
-    held = make_training_set(seed=77, n_phantoms=4, N=128, dx=0.15,
-                             n_views=192, n_channels=128,
-                             target="clean")
+    # dose_hi: the data module's default is calibrated for its 64^2 toy
+    # geometry; at 128^2/192 views it leaves ~500 HU rms inputs.  4x
+    # puts the low-dose input at ~100-150 HU rms — deep enough to
+    # matter, shallow enough to be a CT image
+    kw = dict(N=128, dx=0.15, n_views=192, n_channels=128,
+              dose_hi=2e-7, target="clean")
+    train = make_training_set(seed=11, n_phantoms=24, **kw)
+    held = make_training_set(seed=77, n_phantoms=4, **kw)
     print(f"data gen: {time.perf_counter() - t0:.1f}s "
           f"(train {train['x'].shape}, held {held['x'].shape})")
     px, py = extract_patches(3, train["x"], train["y"], patch=64,
@@ -65,8 +67,10 @@ def main():
     print(f"compile+10 steps: {time.perf_counter() - t0:.1f}s "
           f"(loss {losses[0]:.4f} -> {losses[-1]:.4f})")
 
-    # steady-state timing: per-step wall including the scalar loss fetch
-    steps_timed = 100
+    # steady-state timing: per-step wall including the scalar loss
+    # fetch; 500 steps amortize the per-call entry copies (the first
+    # 100-step run measured 357 ms/step of call overhead pollution)
+    steps_timed = 500
     t0 = time.perf_counter()
     params1, _ = train_denoiser(model, params1, px, py,
                                 steps=steps_timed, batch=batch,
@@ -84,6 +88,7 @@ def main():
           f"(final loss {np.mean(losses[-50:]):.5f})")
 
     # held-out evaluation (full 128^2 images through the trained net)
+    fence(apply_denoiser(model, params2, held["x"][0]))  # compile
     p_in, p_out = [], []
     t0 = time.perf_counter()
     for i in range(held["x"].shape[0]):
@@ -92,7 +97,7 @@ def main():
         p_in.append(psnr(held["x"][i], held["clean"][i]))
         p_out.append(psnr(np.asarray(den), held["clean"][i]))
     t_apply = (time.perf_counter() - t0) / held["x"].shape[0]
-    print(f"apply: {t_apply * 1e3:.1f} ms per 128^2 image "
+    print(f"apply (warm): {t_apply * 1e3:.1f} ms per 128^2 image "
           f"(incl per-image fence)")
     print(f"held-out PSNR: noisy {np.mean(p_in):.2f} dB -> "
           f"denoised {np.mean(p_out):.2f} dB "

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dexct_tpu.ops import spectral as sp_ops
+from dexct_tpu.ops.bhc import fit_water_bhc_bowtie
 from dexct_tpu.ops.bowtie import design_flattening_bowtie
 from dexct_tpu.ops.conebeam import cone_material_paths, fdk_reconstruct
 from dexct_tpu.ops.dose import KEV_TO_J, dose_map_3d
@@ -177,13 +178,20 @@ def main():
     fence(sino_log[0, 0])
     ladder["noise+correct"] = _stage("noise + scatter corr", t0)
 
+    # ---- water BHC (bowtie-aware, per channel; rows share it) ------
+    t0 = time.perf_counter()
+    bhc = fit_water_bhc_bowtie(spec, ct2, bow)
+    sino_log = bhc(sino_log)  # [V, R, C]: [C]-trailing coeffs broadcast
+    fence(sino_log[0, 0])
+    ladder["bhc"] = _stage("water BHC (bowtie)", t0)
+
     # ---- FDK full volume -------------------------------------------
     t0 = time.perf_counter()
     vol = fdk_reconstruct(sino_log, ct, N, FOV, 0.8, nz_out=NZ,
                           dz_out=0.1)
     fence(vol[0, 0])
     ladder["fdk"] = _stage("FDK 256^2 x 64", t0)
-    mu_w = float(spec.effective_water_mu())
+    mu_w = float(bhc.mu_eff)
     hu = 1000.0 * (np.asarray(vol) - mu_w) / mu_w
     gt = np.asarray(ph_mid.M_mono(70.0))
     # central-slice interior comparison
@@ -203,8 +211,9 @@ def main():
     r0 = R // 2 - 1
     sino2d = np.asarray(sino_log[:, r0])  # central row ~ fan
     cnt2d = np.asarray(corrected[:, r0])
+    x0 = jnp.maximum(jnp.asarray(vol[NZ // 2]), 0.0)  # FDK warm start
     rec2d = pwls_recon(plan, jnp.asarray(sino2d), jnp.asarray(cnt2d),
-                       (V, C), n_iters=30, beta=2e-3)
+                       (V, C), n_iters=60, beta=1e-2, x0=x0)
     fence(rec2d[0])
     hu2 = 1000.0 * (np.asarray(rec2d) - mu_w) / mu_w
     print(f"  PWLS central slice: soft-tissue median "
