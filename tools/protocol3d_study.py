@@ -60,12 +60,26 @@ from dexct_tpu.system.phantom import VoxelPhantom, pelvis_phantom_3d
 from dexct_tpu.utils.profiling import fence
 
 V, R, C = 1000, 64, 800
+# dz == dx: the packed cone tracer's z-slope bound needs the 16-row
+# dominant group (16*dx*slope = 0.148 cm at this cone angle) inside
+# one z layer — dz=0.1 silently fell back to the DDA (measured: the
+# 51M-ray trace then exceeds the tunnel's ~60 s program limit)
 N, NZ, DX = 256, 64, 0.2
+H_ISO = 0.0625  # 64 rows x 0.0625 = 4 cm collimation at iso
+NZ_OUT = 20  # recon the illuminated slab (|z| < 2 cm + cone divergence)
+DOSE_VIEW_SUB = 4  # dose is smooth in views; weights rescale by sub
 if "--tiny" in sys.argv:  # CPU shakeout of the composition logic
     V, R, C = 40, 8, 64
     N, NZ, DX = 64, 16, 0.8
+    H_ISO = 0.5  # keep the beam thicker than a voxel at tiny scale
+    NZ_OUT = 4
 FOV = N * DX  # recon on the phantom grid (clean oracle comparison)
-DOSE_MGY = 6.0
+DOSE_MGY = 20.0  # abdomen/pelvis CTDI-class
+# anti-scatter grid: wide collimation on a body WITHOUT one is
+# multiple-scatter dominated (measured here: single-scatter SPR ~0.7,
+# 2nd/1st MC ratio ~12 — the flat-multiple closure is out of its
+# regime); every clinical wide-cone scanner fields a grid
+GRID_P, GRID_S = 0.95, 0.10
 
 
 def _stage(name, t0):
@@ -80,10 +94,26 @@ def main():
     t0 = time.perf_counter()
     ct = ConeBeamGeometry(N_channels=C, N_proj=V, N_rows=R,
                           gamma_fan=0.8230337, SID=60.0, SDD=100.0,
-                          h_iso=0.0625, eid=True)
-    ph = pelvis_phantom_3d(N=N, nz=NZ, dx=DX, dz=0.1)
-    spec = kramers_spectrum(120.0)
-    spec.rescale_counts(ct.A_iso * DOSE_MGY / ct.N_proj)
+                          h_iso=H_ISO, eid=True)
+    ph = pelvis_phantom_3d(N=N, nz=NZ, dx=DX, dz=DX)
+    # Shipped 120 kV binary, re-anchored to TRUE free-in-air kerma at
+    # the isocenter: the file's "1 mGy" label integrates to ~0.26 Gy
+    # of actual air kerma (sum phi E muen/rho_air — the reference's
+    # label convention, not this framework's physics), so DOSE_MGY
+    # here is made a real measurement: kerma_air(iso, free-in-air,
+    # full scan) = DOSE_MGY.
+    from dexct_tpu.physics.materials import AIR
+    from dexct_tpu.physics.spectrum import Spectrum
+    spec = Spectrum.from_file(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "input", "spectrum", "120kV_1mGy_float32.bin"), "120kV")
+    e_s = np.asarray(spec.E, np.float64)
+    w_s = np.asarray(spec.I0, np.float64) * spec.bin_widths()
+    kerma_label = float(np.sum(
+        w_s * e_s * AIR.mass_energy_absorption(e_s))) * KEV_TO_J * 1e6
+    print(f"  shipped '1 mGy' label = {kerma_label:.1f} mGy true air "
+          f"kerma; re-anchored")
+    spec.rescale_counts(ct.A_iso * (DOSE_MGY / kerma_label) / ct.N_proj)
     bow = design_flattening_bowtie(ct, water_radius_cm=15.0)
     heel = HeelEffect(d0_cm=15e-4)
     ladder["setup"] = _stage("setup", t0)
@@ -100,9 +130,22 @@ def main():
           f"mean {m_v.mean():.3f}")
     ladder["tcm"] = _stage("tcm scout", t0)
 
-    # ---- exact cone trace (one program; ~51M rays) ------------------
+    # ---- exact cone trace (view-chunked: the 51M-ray one-program
+    # variant OOMs — output + bundle accumulators + unpermute are
+    # ~3x 1.4 GB live at once) -----------------------------------
     t0 = time.perf_counter()
-    paths = cone_material_paths(ph, ct)
+    from dexct_tpu.ops.conebeam import _cone_dominant_cached
+    src3, dirs3 = ct.ray_geometry_3d()
+    labels_np = np.asarray(ph.labels).astype(np.int32)
+    tparts = []
+    tvc = max(V // 4, 1)
+    for i in range(0, V, tvc):
+        p = _cone_dominant_cached(ph, ct, src3[i:i + tvc],
+                                  dirs3[i:i + tvc], labels_np)
+        fence(p[0, 0, 0])
+        tparts.append(p)
+    paths = jnp.concatenate(tparts)
+    del tparts
     fence(paths[0, 0, 0])
     ladder["trace"] = _stage("exact cone trace", t0)
 
@@ -131,14 +174,45 @@ def main():
     for i in range(0, V, vc):
         chunks.append(_counts_chunk(paths[i:i + vc], i0_dev, mu_dev))
     counts = jnp.concatenate(chunks) * jnp.asarray(
-        m_v, jnp.float32)[:, None, None]
+        m_v, jnp.float32)[:, None, None] * GRID_P
     fence(counts[0, 0])
-    air_rc = i0_rc.sum(-1)  # [R, C] per-element air level (TCM-free)
+    # air level: the scanner's air calibration sees the grid too
+    air_rc = i0_rc.sum(-1) * GRID_P  # [R, C] (TCM-free)
     ladder["counts"] = _stage("counts (bowtie+heel+TCM)", t0)
+
+    # ---- TCM-weighted beam energy removed (paths still resident;
+    # computed early so the big paths buffer can be freed before the
+    # recon/dose stages — the first full run crashed the remote
+    # compile helper with everything live) ------------------------
+    t0 = time.perf_counter()
+    i0w = jnp.asarray(np.asarray(spec.I0) * spec.bin_widths()
+                      * np.asarray(spec.E), jnp.float32)
+    mu_full = jnp.asarray(ph.materials.mu_table(np.asarray(spec.E)),
+                          jnp.float32)
+
+    @jax.jit
+    def _removed_chunk(p_chunk, w_chunk):
+        L = jnp.matmul(p_chunk, mu_full,
+                       precision=jax.lax.Precision.HIGHEST)
+        per_view = jnp.sum((1.0 - jnp.exp(-L)) * i0w, axis=(1, 2, 3))
+        return jnp.sum(per_view * w_chunk)
+
+    removed = 0.0
+    for i in range(0, V, 50):
+        removed += float(_removed_chunk(
+            paths[i:i + 50], jnp.asarray(m_v[i:i + 50], jnp.float32)))
+    removed *= KEV_TO_J
+    del paths
+    ladder["removed"] = _stage("beam energy removed", t0)
 
     # ---- first-principles scatter (coherent + multiple tail) -------
     t0 = time.perf_counter()
-    m_mult = multiple_to_single_factor(ph_mid, ct2, spec,
+    # channel-reduced MC proxy: m is a ratio of channel-integrated
+    # totals, so 200 NEE targets measure it 4x faster than 800
+    ct2m = FanBeamGeometry(N_channels=200, N_proj=V,
+                           gamma_fan=ct.gamma_fan, SID=ct.SID,
+                           SDD=ct.SDD, h_iso=ct.h_iso, eid=True)
+    m_mult = multiple_to_single_factor(ph_mid, ct2m, spec,
                                        n_samples=20000, seed=5,
                                        n_rows=R)
     print(f"  multiple-to-single factor (MC, {R}-row collimation): "
@@ -159,7 +233,7 @@ def main():
             f = np.ascontiguousarray(sg[:, r, sl])
             for j, cc in enumerate(range(c0, min(c0 + 100, C))):
                 scatter[:, r, cc] = np.interp(np.arange(V), vg, f[:, j])
-    scatter *= m_v[:, None, None].astype(np.float32)
+    scatter *= m_v[:, None, None].astype(np.float32) * GRID_S
     spr = float(scatter.sum() / np.asarray(counts).sum())
     print(f"  mean SPR at the detector: {spr:.4f}")
     ladder["scatter"] = _stage("cone scatter (det.)", t0)
@@ -187,15 +261,15 @@ def main():
 
     # ---- FDK full volume -------------------------------------------
     t0 = time.perf_counter()
-    vol = fdk_reconstruct(sino_log, ct, N, FOV, 0.8, nz_out=NZ,
-                          dz_out=0.1)
+    vol = fdk_reconstruct(sino_log, ct, N, FOV, 0.8, nz_out=NZ_OUT,
+                          dz_out=DX)
     fence(vol[0, 0])
-    ladder["fdk"] = _stage("FDK 256^2 x 64", t0)
+    ladder["fdk"] = _stage(f"FDK {N}^2 x {NZ_OUT}", t0)
     mu_w = float(bhc.mu_eff)
     hu = 1000.0 * (np.asarray(vol) - mu_w) / mu_w
     gt = np.asarray(ph_mid.M_mono(70.0))
     # central-slice interior comparison
-    mid = hu[NZ // 2]
+    mid = hu[NZ_OUT // 2]
     yy, xx = np.mgrid[0:N, 0:N]
     rr = np.hypot((yy - N / 2 + 0.5) * (FOV / N),
                   (xx - N / 2 + 0.5) * (FOV / N))
@@ -211,7 +285,7 @@ def main():
     r0 = R // 2 - 1
     sino2d = np.asarray(sino_log[:, r0])  # central row ~ fan
     cnt2d = np.asarray(corrected[:, r0])
-    x0 = jnp.maximum(jnp.asarray(vol[NZ // 2]), 0.0)  # FDK warm start
+    x0 = jnp.maximum(jnp.asarray(vol[NZ_OUT // 2]), 0.0)  # FDK warm start
     rec2d = pwls_recon(plan, jnp.asarray(sino2d), jnp.asarray(cnt2d),
                        (V, C), n_iters=60, beta=1e-2, x0=x0)
     fence(rec2d[0])
@@ -224,14 +298,20 @@ def main():
     # ---- one exact-3D-operator application (multi-chip sizing) -----
     t0 = time.perf_counter()
     from dexct_tpu.ops.conebeam import project_volume_3d
-    ct_q = ConeBeamGeometry(N_channels=C, N_proj=V // 8, N_rows=R,
-                            gamma_fan=ct.gamma_fan, SID=60.0, SDD=100.0,
-                            h_iso=ct.h_iso, eid=True)
+    # 25-view probe: one application of the exact LINEAR operator (the
+    # DDA, ~10x the packed tracer) on 25x64x800 rays stays under the
+    # tunnel's ~60 s program limit; the full-protocol cost is linear in
+    # views
+    ct_q = ConeBeamGeometry(N_channels=C, N_proj=max(V // 40, 1),
+                            N_rows=R, gamma_fan=ct.gamma_fan, SID=60.0,
+                            SDD=100.0, h_iso=ct.h_iso, eid=True)
     srcq, dirsq = ct_q.ray_geometry_3d()
-    volj = jnp.asarray(np.asarray(vol), jnp.float32)
+    volj = jnp.zeros((NZ, N, N), jnp.float32).at[
+        (NZ - NZ_OUT) // 2:(NZ + NZ_OUT) // 2].set(
+        jnp.asarray(np.asarray(vol), jnp.float32))
     pj = jax.jit(lambda v: project_volume_3d(
         v, jnp.asarray(srcq, jnp.float32), jnp.asarray(dirsq, jnp.float32),
-        DX, DX, 0.1))
+        DX, DX, DX))
     out = pj(volj)
     fence(out[0, 0])
     t_first = time.perf_counter() - t0
@@ -239,38 +319,22 @@ def main():
     out = pj(volj)
     fence(out[0, 0])
     t_apply = time.perf_counter() - t0
-    print(f"  exact 3-D operator, {V // 8}x{R}x{C} rays on 256^2x64: "
+    nv_q = max(V // 40, 1)
+    print(f"  exact 3-D operator, {nv_q}x{R}x{C} rays on {N}^2x{NZ}: "
           f"{t_apply:.2f} s/application (compile+first {t_first:.1f} s)"
-          f" -> full-protocol PWLS needs ~{8 * 2 * t_apply:.0f} s/iter "
+          f" -> full-protocol PWLS ~{V / nv_q * 2 * t_apply:.0f} s/iter "
           f"on one chip (the sharded path's job)")
     ladder["op3d"] = _stage("3-D operator timing", t0)
 
     # ---- 3-D dose with the TCM profile + conservation --------------
     t0 = time.perf_counter()
-    res = dose_map_3d(ph, ct, spec, view_weights=m_v, view_chunk=16,
-                      n_energy=24)
+    v_dose = np.asarray(ct.betas)[::DOSE_VIEW_SUB]
+    w_dose = m_v[::DOSE_VIEW_SUB] * DOSE_VIEW_SUB
+    # oversample=1/n_energy=16/view_chunk=4: the probed memory-viable
+    # config at this volume (oversample=2 compiles to 16.6 GB > HBM)
+    res = dose_map_3d(ph, ct, spec, views=v_dose, view_weights=w_dose,
+                      view_chunk=4, n_energy=16, oversample=1)
     fence_val = float(np.asarray(res.dose_mGy[NZ // 2]).max())
-    # TCM-weighted beam energy removed, per view chunk on device (the
-    # host f64 path would materialize a 49 GB [V,R,C,E] intermediate
-    # at this scale) — no bowtie/heel here: the conservation partner is
-    # the bare beam, matching dose_map_3d's transport model
-    i0w = jnp.asarray(np.asarray(spec.I0) * spec.bin_widths()
-                      * np.asarray(spec.E), jnp.float32)
-    mu_full = jnp.asarray(ph.materials.mu_table(np.asarray(spec.E)),
-                          jnp.float32)
-
-    @jax.jit
-    def _removed_chunk(p_chunk, w_chunk):
-        L = jnp.matmul(p_chunk, mu_full,
-                       precision=jax.lax.Precision.HIGHEST)
-        per_view = jnp.sum((1.0 - jnp.exp(-L)) * i0w, axis=(1, 2, 3))
-        return jnp.sum(per_view * w_chunk)
-
-    removed = 0.0
-    for i in range(0, V, 50):
-        removed += float(_removed_chunk(
-            paths[i:i + 50], jnp.asarray(m_v[i:i + 50], jnp.float32)))
-    removed *= KEV_TO_J
     ratio = res.deposited_J / removed
     print(f"  dose max(central slice) {fence_val:.2f} mGy; "
           f"deposited {res.deposited_J:.3e} J vs removed "
