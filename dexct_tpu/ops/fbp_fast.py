@@ -755,6 +755,27 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
     voff = (jnp.arange(n_blocks * view_block, dtype=jnp.int32)
             % jnp.int32(max(vq, 1))).reshape(n_blocks, view_block) * nt
 
+    # Static tap-selection matrices (same construction as the qs
+    # variant): contracting the RAW gathered rows with stacked (u, v)
+    # weights and folding tap pairs via two 0/1 matmuls avoids the
+    # per-group sliced-taps intermediates, whose [B, P, 16K] relayout
+    # copy the round-4 headline trace measured at ~7.5 ms/call
+    # (copy.1569: 1.7 GB at ~220 GB/s).
+    sa_np = np.zeros((16 * K, 8 * K), np.float32)
+    sb_np = np.zeros((16 * K, 8 * K), np.float32)
+    for j, (g, mirrored) in enumerate(
+            [(0, False), (4, False), (8, False), (12, False),
+             (2, True), (6, True), (10, True), (14, True)]):
+        for k in range(K):
+            if mirrored:  # lerp_m: wa on group g+1, wb on group g
+                sa_np[(g + 1) * K + k, j * K + k] = 1.0
+                sb_np[g * K + k, j * K + k] = 1.0
+            else:         # lerp: wa on group g, wb on group g+1
+                sa_np[g * K + k, j * K + k] = 1.0
+                sb_np[(g + 1) * K + k, j * K + k] = 1.0
+    Sa = jnp.asarray(sa_np)
+    Sb = jnp.asarray(sb_np)
+
     def block(acc, args):
         th, wv, vo = args
         ct_, st_ = jnp.cos(th), jnp.sin(th)
@@ -766,22 +787,14 @@ def parallel_backproject_sym8(packed, n_images, thetas_q, t0, dt, nt,
         w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
         idx = vo[:, None] + c0.astype(jnp.int32)
         rows = packed[idx.reshape(-1)].reshape(idx.shape + (16 * K,))
-        wa, wb_ = (1.0 - f)[..., None], f[..., None]
-
-        def lerp(g):  # normal taps of packed group pair (g, g+1)
-            return rows[..., g * K:(g + 1) * K] * wa \
-                + rows[..., (g + 1) * K:(g + 2) * K] * wb_
-
-        def lerp_m(g):  # mirrored taps (fraction 1-f)
-            return rows[..., g * K:(g + 1) * K] * wb_ \
-                + rows[..., (g + 1) * K:(g + 2) * K] * wa
-
-        taps = jnp.concatenate([
-            lerp(0), lerp(4), lerp(8), lerp(12),      # A+ B+ C+ D+
-            lerp_m(2), lerp_m(6), lerp_m(10), lerp_m(14),  # A- B- C- D-
-        ], axis=-1)  # [B, P, 8K]
-        return acc + jnp.einsum("bp,bpk->kp", w, taps,
-                               precision=jax.lax.Precision.HIGHEST), None
+        u = w * (1.0 - f)
+        v = w * f
+        hi = jax.lax.Precision.HIGHEST
+        AB = jnp.einsum("ubp,bpc->upc", jnp.stack([u, v]), rows,
+                        precision=hi)  # [2, P, 16K]
+        sel = (jnp.matmul(AB[0], Sa, precision=hi)
+               + jnp.matmul(AB[1], Sb, precision=hi))
+        return acc + sel.T, None
 
     acc0 = jnp.zeros((8 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
