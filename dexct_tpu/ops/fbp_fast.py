@@ -473,6 +473,25 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
     voff = (jnp.arange(n_blocks * view_block, dtype=jnp.int32)
             % jnp.int32(max(v2, 1))).reshape(n_blocks, view_block) * nt
 
+    # stacked-(u, v) contraction + static 0/1 tap-pair folding (same
+    # structure as the 8-fold kernels — avoids the sliced-taps
+    # intermediates and their gather-row relayout copy, profiled at
+    # bench scale in round 4).  Groups per pack_filtered_sym row:
+    # A=(0,1) B=(4,5) normal; C=(2,3) D=(6,7) mirrored.
+    sa_np = np.zeros((8 * K, 4 * K), np.float32)
+    sb_np = np.zeros((8 * K, 4 * K), np.float32)
+    for j, (g, mirrored) in enumerate(
+            [(0, False), (4, False), (2, True), (6, True)]):
+        for k in range(K):
+            if mirrored:
+                sa_np[(g + 1) * K + k, j * K + k] = 1.0
+                sb_np[g * K + k, j * K + k] = 1.0
+            else:
+                sa_np[g * K + k, j * K + k] = 1.0
+                sb_np[(g + 1) * K + k, j * K + k] = 1.0
+    Sa = jnp.asarray(sa_np)
+    Sb = jnp.asarray(sb_np)
+
     def block(acc, args):
         th, wv, vo = args
         ct_, st_ = jnp.cos(th), jnp.sin(th)
@@ -484,15 +503,14 @@ def parallel_backproject_sym(packed, n_images, thetas_half, t0, dt, nt,
         w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
         idx = vo[:, None] + c0.astype(jnp.int32)
         rows = packed[idx.reshape(-1)].reshape(idx.shape + (8 * K,))
-        wa, wb_ = (1.0 - f)[..., None], f[..., None]
-        taps = jnp.concatenate([
-            rows[..., 0:K] * wa + rows[..., K:2 * K] * wb_,        # A
-            rows[..., 4 * K:5 * K] * wa + rows[..., 5 * K:6 * K] * wb_,  # B
-            rows[..., 2 * K:3 * K] * wb_ + rows[..., 3 * K:4 * K] * wa,  # C
-            rows[..., 6 * K:7 * K] * wb_ + rows[..., 7 * K:8 * K] * wa,  # D
-        ], axis=-1)  # [B, P, 4K]
-        return acc + jnp.einsum("bp,bpk->kp", w, taps,
-                               precision=jax.lax.Precision.HIGHEST), None
+        u = w * (1.0 - f)
+        v = w * f
+        hi = jax.lax.Precision.HIGHEST
+        AB = jnp.einsum("ubp,bpc->upc", jnp.stack([u, v]), rows,
+                        precision=hi)  # [2, P, 8K]
+        sel = (jnp.matmul(AB[0], Sa, precision=hi)
+               + jnp.matmul(AB[1], Sb, precision=hi))
+        return acc + sel.T, None
 
     acc0 = jnp.zeros((4 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
@@ -608,13 +626,29 @@ def parallel_backproject_sym2(packed, n_images, thetas, t0, dt, nt,
         w = jnp.where(inside, 1.0, 0.0) * wv[:, None] * valid[None, :]
         idx = vo[:, None] + c0.astype(jnp.int32)
         rows = packed[idx.reshape(-1)].reshape(idx.shape + (4 * K,))
-        wa, wb_ = (1.0 - f)[..., None], f[..., None]
-        taps = jnp.concatenate([
-            rows[..., 0:K] * wa + rows[..., K:2 * K] * wb_,          # A
-            rows[..., 2 * K:3 * K] * wb_ + rows[..., 3 * K:4 * K] * wa,  # C
-        ], axis=-1)  # [B, P, 2K]
-        return acc + jnp.einsum("bp,bpk->kp", w, taps,
-                               precision=jax.lax.Precision.HIGHEST), None
+        u = w * (1.0 - f)
+        v_ = w * f
+        hi = jax.lax.Precision.HIGHEST
+        # stacked-(u, v) contraction + 0/1 tap folding (see the sym8
+        # kernels): groups A=(0,1) normal, C=(2,3) mirrored
+        AB = jnp.einsum("ubp,bpc->upc", jnp.stack([u, v_]), rows,
+                        precision=hi)  # [2, P, 4K]
+        sel = (jnp.matmul(AB[0], Sa, precision=hi)
+               + jnp.matmul(AB[1], Sb, precision=hi))
+        return acc + sel.T, None
+
+    sa_np = np.zeros((4 * K, 2 * K), np.float32)
+    sb_np = np.zeros((4 * K, 2 * K), np.float32)
+    for j, (g, mirrored) in enumerate([(0, False), (2, True)]):
+        for k in range(K):
+            if mirrored:
+                sa_np[(g + 1) * K + k, j * K + k] = 1.0
+                sb_np[g * K + k, j * K + k] = 1.0
+            else:
+                sa_np[g * K + k, j * K + k] = 1.0
+                sb_np[(g + 1) * K + k, j * K + k] = 1.0
+    Sa = jnp.asarray(sa_np)
+    Sb = jnp.asarray(sb_np)
 
     acc0 = jnp.zeros((2 * K, P), dtype)
     acc, _ = jax.lax.scan(block, acc0, (tb, wb, voff))
