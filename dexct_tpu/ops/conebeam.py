@@ -166,7 +166,7 @@ def _cone_dominant_cached(phantom, geometry, src, dirs, labels_np,
     cached per-ray plan.  Raises :class:`ConeDominantUnsupported` when
     no packed kernel fits (callers fall back to the DDA).
     """
-    from .siddon import _geom_key, _obj_cache
+    from .siddon import _arr_fingerprint, _geom_key, _obj_cache
 
     nz, ny, nx = labels_np.shape
     d = np.asarray(dirs).reshape(-1, 3)
@@ -179,7 +179,7 @@ def _cone_dominant_cached(phantom, geometry, src, dirs, labels_np,
     pc = _obj_cache(phantom)
     gkey = _geom_key(src, dirs)
     src_a = np.asarray(src)
-    lab_key = (int(labels_np.sum(dtype=np.int64)), nz, ny, nx)
+    lab_key = (_arr_fingerprint(labels_np), nz, ny, nx)
 
     # same eligibility guards as pipeline.cone.pack_cone_dect: 3-bit
     # labels (the 30-column shared window), [V, R, C, 3] rays, and the
@@ -187,7 +187,8 @@ def _cone_dominant_cached(phantom, geometry, src, dirs, labels_np,
     if (trace_bundle and lb == 3 and min(ny, nx) >= 30
             and src_a.ndim == 4 and 4 * nz * ny * nx * 3 * 2 <= 512 << 20):
         bkey = ("cone_bplan", gkey, nz, ny, nx, float(phantom.dx),
-                float(phantom.dz), int(group), int(trace_bundle))
+                float(phantom.dy), float(phantom.dz), int(group),
+                int(trace_bundle))
         bplan = gc.get(bkey)
         if bplan is None:
             bplan = gc[bkey] = plan_cone_dominant_bundled(

@@ -870,11 +870,14 @@ def mc_second_order_reference(phantom, ct, spec, beta, n_samples, *,
                             np.inf)
         t_exit = np.minimum(t_exit, t_hi)
     diag = 2.0 * r_img
-    t_max = np.minimum(t_exit / np.maximum(
-        np.linalg.norm(u1[:, :2], axis=-1)
-        / np.maximum(np.linalg.norm(u1, axis=-1), 1e-12), 1e-6),
-        4.0 * diag)
-    t_max = np.maximum(t_max, 1e-6)
+    # t_exit is already a 3-D ray parameter (the plane crossings above
+    # use the 3-D direction's xy components), so no xy->3-D rescale is
+    # applied (ADVICE round 4: the old |u1_xy| division double-counted
+    # the correction and inflated t_max with zero-weight samples).
+    # Near-vertical rays have an unbounded xy exit; the explicit 4*diag
+    # cap bounds their z-extruded support, beyond which exp(-l_12)
+    # through >~100 cm of body is numerically zero.
+    t_max = np.clip(t_exit, 1e-6, 4.0 * diag)
     t2 = t_max * rng.random(n1)
     x2 = x1 + u1 * t2[:, None]
     fx2 = x2[:, 0] / phantom.dx + (nx / 2 - 0.5)

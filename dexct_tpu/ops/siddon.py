@@ -27,6 +27,7 @@ sort-based oracle in tests).
 from __future__ import annotations
 
 import functools
+import hashlib
 
 import jax
 import jax.numpy as jnp
@@ -157,13 +158,34 @@ def _obj_cache(obj):
         return {}
 
 
+def _arr_fingerprint(arr):
+    """Content hash of an array for cache keys.
+
+    Hashes the full bytes up to 64 MiB; beyond that a strided ~64 MiB
+    sample plus the exact float64 sum.  Replaces the round-3 corner-
+    sample / translation-invariant ``labels.sum()`` fingerprints, which
+    silently reused stale plans after in-place mutations that preserved
+    the corners or the sum (e.g. whole-voxel object shifts in motion
+    studies) — ADVICE round 4."""
+    a = np.ascontiguousarray(arr)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((a.shape, a.dtype.str)).encode())
+    cap = 64 << 20
+    if a.nbytes <= cap:
+        h.update(a.tobytes())
+    else:
+        flat = a.reshape(-1)
+        stride = -(-a.nbytes // cap)
+        h.update(np.ascontiguousarray(flat[::stride]).tobytes())
+        h.update(np.float64(flat.sum(dtype=np.float64)).tobytes())
+    return h.hexdigest()
+
+
 def _geom_key(src, dirs):
-    """Cheap fingerprint of a ray set: shape + corner samples.  Geometry
+    """Fingerprint of a ray set: shape + content hash.  Geometry
     dataclasses are mutable, so the cached plans key on the *rays*."""
     s = np.asarray(src)
-    d = np.asarray(dirs)
-    return (s.shape, float(s.flat[0]), float(s.flat[-1]),
-            float(d.flat[0]), float(d.flat[-1]))
+    return (s.shape, _arr_fingerprint(src), _arr_fingerprint(dirs))
 
 
 def _dominant_sinogram_cached(phantom, geometry, src, dirs, dtype,
@@ -195,6 +217,7 @@ def _dominant_sinogram_cached(phantom, geometry, src, dirs, dtype,
     gc = _obj_cache(geometry)
     pc = _obj_cache(phantom)
     gkey = _geom_key(src, dirs)
+    lkey = _arr_fingerprint(labels)
 
     # device copies of the (float64 host) rays, once per geometry
     rkey = ("rays", gkey, jnp.dtype(dtype).name)
@@ -213,8 +236,7 @@ def _dominant_sinogram_cached(phantom, geometry, src, dirs, dtype,
                 src_a, np.asarray(dirs), (ny, nx), phantom.dx, phantom.dy,
                 lbits=lb, group=int(grp), bundle=int(trace_bundle))
         if bplan["frac_bundled"] >= 0.5:
-            pkey = ("packw", int(getattr(phantom, "z_index", 0)), ny, nx,
-                    int(labels.sum(dtype=np.int64)), int(grp), lb,
+            pkey = ("packw", ny, nx, lkey, int(grp), lb,
                     int(bplan["words"]))
             packs = pc.get(pkey)
             if packs is None:
@@ -235,8 +257,7 @@ def _dominant_sinogram_cached(phantom, geometry, src, dirs, dtype,
     if plan is None:
         plan = gc[key] = sf.plan_dominant_split(
             np.asarray(dirs).reshape(-1, 2))
-    pkey = ("pack", int(getattr(phantom, "z_index", 0)), ny, nx,
-            int(labels.sum(dtype=np.int64)), int(grp), lb)
+    pkey = ("pack", ny, nx, lkey, int(grp), lb)
     packs = pc.get(pkey)
     if packs is None:
         lab = jnp.asarray(labels.astype(np.int32))
