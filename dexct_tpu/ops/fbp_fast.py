@@ -744,6 +744,31 @@ def pack_filtered_sym8(qs):
     return packed.transpose(1, 2, 0).reshape(len(ia) * T, 16 * K)
 
 
+def pack_filtered_sym8_rows(qsel):
+    """[K, n_orb, 4, T] explicit orbit members -> packed [n_orb*T, 16K].
+
+    Same packing (and member order: theta, pi/2+theta, pi/2-theta,
+    pi-theta) as :func:`pack_filtered_sym8`, but with the four orbit
+    members supplied explicitly instead of sliced from a contiguous
+    global [K, V, T] grid.  The halo-sharded 8-fold BP gathers them
+    from the local + reflection-partner filtered wedges using the orbit
+    tables built by :func:`dexct_tpu.parallel.halo.plan_sym8_orbits`.
+    """
+    K, n_orb, _, T = qsel.shape
+
+    def groups(q):
+        nxt = jnp.concatenate([q[..., 1:], q[..., -1:]], -1)
+        rev = q[..., ::-1]
+        m0 = jnp.concatenate([rev[..., 1:], rev[..., -1:]], -1)
+        return [q, nxt, m0, rev]
+
+    packed = jnp.concatenate(
+        groups(qsel[:, :, 0]) + groups(qsel[:, :, 1])
+        + groups(qsel[:, :, 2]) + groups(qsel[:, :, 3]),
+        axis=0)  # [16K, n_orb, T]
+    return packed.transpose(1, 2, 0).reshape(n_orb * T, 16 * K)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_images", "nt", "n_matrix", "fov", "view_block"),

@@ -23,6 +23,9 @@ __all__ = ["sharded_dect_step", "shard_arrays"]
 _VIEW_SHARDED = ("src", "dirs", "betas", "fp_fan_idx", "fp_fan_w",
                  # parallel-recon θ-line tables shard with the θ wedge
                  "rb_idx", "rb_w", "par_thetas",
+                 # per-shard 8-fold orbit tables (parallel/halo.py
+                 # plan_sym8_orbits)
+                 "sym8_orb_idx", "sym8_orb_th", "sym8_orb_w",
                  # per-shard dominant-axis ray plans (parallel/halo.py),
                  # per-ray and bundled variants
                  "dom_idx_y", "dom_idx_x", "dom_inv",

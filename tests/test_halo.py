@@ -58,6 +58,63 @@ class TestPlan:
         with pytest.raises(ValueError):
             plan_halo(ct, 4, 60, NT)  # 60 % 8 != 0
 
+    @pytest.mark.parametrize("n_devices", [2, 4, 8])
+    def test_sym8_orbit_tables_cover_grid(self, n_devices):
+        """Orbits + wedge-boundary 4-fold pairs must cover every theta
+        row of the global grid exactly once (the same coverage invariant
+        the single-device sym8 + boundary split satisfies)."""
+        from dexct_tpu.parallel.halo import plan_sym8_orbits
+
+        D, n_theta = n_devices, N_THETA
+        idx, th, w = plan_sym8_orbits(D, n_theta)
+        ntq = n_theta // (2 * D)
+        n_orb = ntq // 2
+        counts = np.zeros(n_theta, np.int64)
+        for i in range(D):
+            base = np.array([i * ntq, (i + D) * ntq,
+                             (D - 1 - i) * ntq, (2 * D - 1 - i) * ntq])
+            for o in range(n_orb):
+                j = i * n_orb + o
+                if w[j] == 0:
+                    continue
+                rows, theta = idx[j], th[j]
+                # member order (theta, pi/2+theta, pi/2-theta, pi-theta)
+                anchor = int(round(theta / (np.pi / n_theta)))
+                want = [anchor, n_theta // 2 + anchor,
+                        n_theta // 2 - anchor, n_theta - anchor]
+                # local buffer row -> global theta row
+                got = [int(base[r // ntq] + r % ntq) for r in rows]
+                assert got == want, (i, o, got, want)
+                counts[want] += 1
+            # the shard's 4-fold boundary pair covers rows
+            # {i*ntq, i*ntq + n_theta/2} (+ point mirror, no new rows)
+            counts[[i * ntq, i * ntq + n_theta // 2]] += 1
+        assert (counts == 1).all()
+
+    def test_sym8_branch_taken(self, system):
+        """The halo-sharded step must actually run the 8-fold kernel
+        (pack_filtered_sym8_rows), not silently fall back to 4-fold."""
+        import dexct_tpu.ops.fbp_fast as ff
+
+        ct, arrays, meta, single = system
+        plan = plan_halo(ct, 2, N_THETA, NT)
+        a2, m2 = apply_halo_plan(arrays, meta, plan)
+        assert "sym8_orb_idx" in a2
+        called = []
+        orig = ff.pack_filtered_sym8_rows
+        ff.pack_filtered_sym8_rows = (
+            lambda q: (called.append(q.shape), orig(q))[1])
+        try:
+            mesh = view_mesh(2)
+            out = sharded_dect_step(mesh, m2, a2.keys())(
+                shard_arrays(a2, mesh))
+        finally:
+            ff.pack_filtered_sym8_rows = orig
+        assert called and called[0][2] == 4
+        np.testing.assert_allclose(
+            np.asarray(out["recon_raw"][0]),
+            np.asarray(single["recon_raw"][0]), atol=1e-5)
+
     def test_halo_wider_than_ring_rejected(self):
         # tiny V at high D: halo spans the whole ring
         ct = FanBeamGeometry(N_channels=16, N_proj=16,
