@@ -452,8 +452,25 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
     amplitude bias through the clamped edge taps near the TD boundary,
     so linear stays the default.
     """
+    arrays, statics = _host_prep(
+        sino_log.shape, geometry, n_matrix, fov, z_out=z_out,
+        n_psi=n_psi, view_block=view_block, taper=taper, interp=interp,
+        deriv=deriv, ramp=ramp, window=window,
+        dtype=jnp.result_type(sino_log.dtype, jnp.float32))
+    return _filter_backproject_chain(
+        sino_log.astype(arrays["betas"].dtype), arrays["betas"],
+        arrays["src_z"], arrays["Wf"], arrays["Wb"], arrays["kern_im"],
+        arrays["cosk"], **statics)
+
+
+def _host_prep(sino_shape, geometry, n_matrix, fov, *, z_out, n_psi,
+               view_block, taper, interp, deriv, ramp, window, dtype):
+    """Validation + host tables shared by the single-device and the
+    view-sharded (:mod:`dexct_tpu.parallel.katsevich`) entry points.
+    Returns ``(arrays, statics)`` for :func:`_filter_backproject_chain`.
+    """
     ct = geometry
-    V, R, C = sino_log.shape
+    V, R, C = sino_shape
     if R != ct.N_rows:
         raise ValueError(f"sinogram has {R} rows, geometry {ct.N_rows}")
     pitch = float(getattr(ct, "pitch", 0.0))
@@ -464,7 +481,6 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
         raise ValueError(
             "the Katsevich chain assumes a static focal spot; "
             "reconstruct z-FFS scans with helical_fdk_reconstruct")
-    dtype = jnp.result_type(sino_log.dtype, jnp.float32)
     dgamma = float(ct.dgamma)
     dbeta = float(ct.rotation_total / V)
     betas = np.asarray(ct.betas, np.float64)
@@ -489,36 +505,80 @@ def katsevich_reconstruct(sino_log, geometry, n_matrix, fov, *,
     if deriv not in ("spectral", "stencil4"):
         raise ValueError(
             f"deriv must be 'spectral'|'stencil4', got {deriv}")
-    g = sino_log.astype(dtype)
-    # 1. derivative at constant ray direction (split chain rule)
-    g1 = _fixed_direction_derivative(g, dbeta, dgamma, deriv=deriv,
-                                     ramp=ramp, window=window)
-    # 2. cone-length weight per row
+    if taper is None:
+        taper = 0.5 * float(ct.h_iso)
+    # cone-length weight per row (stage 2)
     cosk = ct.SID / np.sqrt(ct.SID ** 2 + np.asarray(ct.z_iso) ** 2)
-    g1 = g1 * jnp.asarray(cosk, dtype)[None, :, None]
-    # 3. forward kappa rebinning (dense MXU contraction)
-    gk = jnp.einsum("vrc,pcr->vpc", g1, jnp.asarray(Wf),
-                    precision=jax.lax.Precision.HIGHEST)
-    # 4. Hilbert filter along the kappa-line
+    # Hilbert kernel spectrum (stage 4): real antisymmetric -> purely
+    # imaginary FFT; ship the imaginary part as a REAL array (complex
+    # host->device transfers are unimplemented on the tunnel backend —
+    # CLAUDE.md)
     L = 1
     while L < 3 * C:
         L *= 2
-    # the kernel is real antisymmetric -> its FFT is purely imaginary;
-    # ship the imaginary part as a REAL array (complex host->device
-    # transfers are unimplemented on the tunnel backend — CLAUDE.md)
-    kern_im = jnp.asarray(
-        np.imag(np.fft.fft(_hilbert_kernel(C, dgamma, L))), jnp.float32)
-    spec = jnp.fft.fft(gk, n=L, axis=-1) * (1j * kern_im)[None, None, :]
+    kern_im = np.imag(np.fft.fft(_hilbert_kernel(C, dgamma, L)))
+    arrays = {
+        "betas": jnp.asarray(betas, dtype),
+        "src_z": jnp.asarray(src_z, dtype),
+        "Wf": jnp.asarray(Wf),
+        "Wb": jnp.asarray(Wb),
+        "kern_im": jnp.asarray(kern_im, jnp.float32),
+        "cosk": jnp.asarray(cosk, dtype),
+    }
+    statics = dict(
+        dbeta=dbeta, dgamma=dgamma, deriv=deriv, ramp=ramp,
+        window=window, fft_len=int(L), sid=float(ct.SID),
+        row_h=float(ct.h_iso), n_rows=int(R), pitch=pitch,
+        n_matrix=int(n_matrix), nz_out=int(len(z_out)),
+        fov=float(fov), dz_out=dz, z0=float(z_out[0]),
+        beta_mid=float(0.5 * (betas[0] + betas[-1])),
+        taper=float(taper), view_block=int(view_block), interp=interp)
+    return arrays, statics
+
+
+def _filter_backproject_chain(g, betas, src_z, Wf, Wb, kern_im, cosk, *,
+                              dbeta, dgamma, deriv, ramp, window,
+                              fft_len, sid, row_h, n_rows, pitch,
+                              n_matrix, nz_out, fov, dz_out, z0,
+                              beta_mid, taper, view_block, interp,
+                              halo=0, axis_name=None):
+    """Stages 1-6 of the Katsevich chain on a (possibly view-sharded)
+    ``[V(+2*halo), R, C]`` block.
+
+    Stages 1-5 are per-view apart from the beta stencil's +-2-view
+    support; the sharded caller
+    (:func:`dexct_tpu.parallel.katsevich.sharded_katsevich_reconstruct`)
+    passes ``halo=2`` with neighbour views attached (scan-end shards
+    edge-replicated, matching the unsharded pad), so the cropped
+    interior is identical to the single-device chain.  Under
+    ``axis_name`` the volume partial sums over the mesh axis — the
+    SURVEY §2.7 all-reduce-of-partial-backprojections pattern applied
+    to the exact helical family.
+    """
+    dtype = g.dtype
+    C = g.shape[-1]
+    # 1. derivative at constant ray direction (split chain rule)
+    g1 = _fixed_direction_derivative(g, dbeta, dgamma, deriv=deriv,
+                                     ramp=ramp, window=window)
+    if halo:
+        g1 = g1[halo:-halo]
+    # 2. cone-length weight per row
+    g1 = g1 * cosk[None, :, None]
+    # 3. forward kappa rebinning (dense MXU contraction)
+    gk = jnp.einsum("vrc,pcr->vpc", g1, Wf,
+                    precision=jax.lax.Precision.HIGHEST)
+    # 4. Hilbert filter along the kappa-line
+    spec = jnp.fft.fft(gk, n=fft_len, axis=-1) \
+        * (1j * kern_im)[None, None, :]
     gh = jnp.real(jnp.fft.ifft(spec, axis=-1))[..., :C].astype(dtype)
     # 5. backward rebinning to detector rows
-    gf = jnp.einsum("vpc,crp->vrc", gh, jnp.asarray(Wb),
+    gf = jnp.einsum("vpc,crp->vrc", gh, Wb,
                     precision=jax.lax.Precision.HIGHEST)
     # 6. PI backprojection
-    if taper is None:
-        taper = 0.5 * float(ct.h_iso)
-    return _katsevich_backproject(
-        gf, jnp.asarray(betas, dtype), jnp.asarray(src_z, dtype),
-        float(ct.SID), dgamma, float(ct.h_iso), int(R), pitch,
-        int(n_matrix), int(len(z_out)), float(fov), dz,
-        float(z_out[0]), float(0.5 * (betas[0] + betas[-1])), dbeta,
-        float(taper), view_block=int(view_block), interp=interp)
+    vol = _katsevich_backproject(
+        gf, betas, src_z, sid, dgamma, row_h, n_rows, pitch, n_matrix,
+        nz_out, fov, dz_out, z0, beta_mid, dbeta, taper,
+        view_block=view_block, interp=interp)
+    if axis_name is not None:
+        vol = jax.lax.psum(vol, axis_name)
+    return vol

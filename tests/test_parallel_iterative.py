@@ -120,3 +120,55 @@ class TestShardedOneStep:
             view_mesh(4), res.counts, s.E, i0s, basis, plan, (48, 48),
             **kw))
         np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+class TestShardedKatsevich:
+    """VERDICT round-4 item 4: the exact helical family meets the same
+    SURVEY §2.7 obligation — view wedges per device, a 2-view beta-
+    stencil halo ppermute, one psum'd volume partial."""
+
+    @pytest.mark.parametrize("n_devices", [2, 4])
+    def test_matches_single_device(self, n_devices):
+        from dexct_tpu.ops.conebeam import cone_material_paths
+        from dexct_tpu.ops.katsevich import katsevich_reconstruct
+        from dexct_tpu.parallel import sharded_katsevich_reconstruct
+        from dexct_tpu.physics.materials import AIR, WATER, MaterialTable
+        from dexct_tpu.system import HelicalConeBeamGeometry
+        from dexct_tpu.system.phantom import VoxelPhantom
+
+        n, nz, dx = 32, 12, 0.5
+        cy = (np.arange(n) + 0.5 - n / 2) * dx
+        Y, X = np.meshgrid(cy, cy)
+        lab = np.zeros((nz, n, n), np.uint8)
+        lab[:, (X**2 + (Y - 1.5) ** 2) < 16.0] = 1
+        mt = MaterialTable([AIR, WATER])
+        ph = VoxelPhantom("cyl", lab, mt, dx, dx, dx)
+        ct = HelicalConeBeamGeometry(
+            N_channels=48, N_proj=256, N_rows=12, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.3, pitch=2.0,
+            rotation_total=8.0 * np.pi)
+        mu = mt.mu_table(np.array([60.0]))[:, 0]
+        sino = jnp.einsum("vrcm,m->vrc", cone_material_paths(ph, ct),
+                          jnp.asarray(mu, jnp.float32))
+        cz = (np.arange(nz) + 0.5 - nz / 2) * dx
+        ref = np.asarray(katsevich_reconstruct(sino, ct, n, 14.0,
+                                               z_out=cz[5:8]))
+        got = np.asarray(sharded_katsevich_reconstruct(
+            view_mesh(n_devices), sino, ct, n, 14.0, z_out=cz[5:8]))
+        np.testing.assert_allclose(got, ref, atol=5e-6,
+                                   err_msg=f"D={n_devices}")
+        # sanity: the reconstruction itself is right (unit amplitude)
+        inner = (X**2 + (Y - 1.5) ** 2) < 9.0
+        assert abs(got[1][inner].mean() / float(mu[1]) - 1.0) < 0.02
+
+    def test_indivisible_rejected(self):
+        from dexct_tpu.parallel import sharded_katsevich_reconstruct
+        from dexct_tpu.system import HelicalConeBeamGeometry
+
+        ct = HelicalConeBeamGeometry(
+            N_channels=16, N_proj=30, N_rows=4, gamma_fan=0.8230337,
+            SID=60.0, SDD=100.0, h_iso=0.3, pitch=1.0,
+            rotation_total=4.0 * np.pi)
+        sino = jnp.zeros((30, 4, 16))
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_katsevich_reconstruct(view_mesh(4), sino, ct, 16, 6.0)
