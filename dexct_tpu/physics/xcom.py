@@ -323,12 +323,28 @@ def _element_table_cached(symbol):
     return np.asarray(element_mu(symbol, ENERGY_GRID_KEV), np.float64)
 
 
+@lru_cache(maxsize=None)
+def _full_table_grid(symbol):
+    """(E, mu) frozen full-table arrays, edge rows strictly increasing."""
+    from .nist_data_full import FULL_TABLES
+
+    e, mu = FULL_TABLES[symbol]
+    e = e.copy()
+    for i in range(1, len(e)):
+        if e[i] <= e[i - 1]:
+            e[i] = e[i - 1] * (1.0 + 1e-9)
+    return e, mu
+
+
 def element_mu(symbol, energy_keV):
     """Mass attenuation mu/rho [cm^2/g] of one element at ``energy_keV``.
 
     Resolution order: user-registered table (:func:`register_element_table`)
-    -> vendored NIST anchor table -> edge-aligned interpolation between the
-    bracketing anchors (module docstring)."""
+    -> vendored NIST anchor table -> frozen full-periodic-table set
+    (:mod:`dexct_tpu.physics.nist_data_full` — the validated bracket
+    construction sampled onto an exact-edge grid, with per-element
+    held-out-anchor uncertainty) -> live edge-aligned interpolation
+    (fallback only; reachable when the frozen set is unavailable)."""
     e = np.asarray(energy_keV, dtype=np.float64)
     if symbol in _REGISTERED:
         e_ref, mu_ref = _REGISTERED[symbol]
@@ -337,7 +353,11 @@ def element_mu(symbol, energy_keV):
         return _anchor_mu(symbol, e)
     if symbol not in ELEMENT_Z:
         raise ValueError(f"unknown element symbol: {symbol!r}")
-    return _interp_element_mu(symbol, e)
+    try:
+        e_ref, mu_ref = _full_table_grid(symbol)
+    except (ImportError, KeyError):
+        return _interp_element_mu(symbol, e)
+    return _loglog_interp(e, e_ref, mu_ref)
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,66 @@ class TestRegistry:
             xcom.register_element_table("Xx", [1, 2], [1, 2])
         with pytest.raises(ValueError):
             xcom.register_element_table("Be", [1, 2, 3], [1, 2])
+
+
+class TestFullPeriodicTable:
+    """Round-5 VERDICT item 7: mixatten tabulated for Z = 1-92 — the
+    frozen bracket construction (nist_data_full.py) with held-out-anchor
+    uncertainty, live interpolation retired to fallback."""
+
+    def test_every_element_resolves_from_tables(self):
+        from dexct_tpu.physics.nist_data_full import FULL_TABLES, UNCERTAINTY
+
+        es = np.array([10.0, 30.0, 60.0, 100.0, 500.0, 1250.0, 6000.0])
+        n_frozen = 0
+        for sym in xcom.ELEMENT_Z:
+            mu = np.asarray(xcom.element_mu(sym, es))
+            assert np.all(mu > 0) and np.all(np.isfinite(mu)), sym
+            if sym in FULL_TABLES:
+                n_frozen += 1
+                assert sym in UNCERTAINTY
+        assert n_frozen == 62 and len(FULL_TABLES) == 62
+
+    def test_frozen_matches_live_construction(self):
+        """The frozen tables sample the validated construction; away
+        from edges the two must agree closely (the table is denser than
+        the live grid only, never different physics)."""
+        for sym in ("Ag", "Cd", "Nd", "Pt", "U", "Zn", "Sr"):
+            ek = xcom.K_EDGE_KEV.get(sym, 0.0)
+            es = np.geomspace(max(1.2 * ek, 15.0), 6000.0, 40)
+            frozen = np.asarray(xcom.element_mu(sym, es))
+            live = np.asarray(xcom._interp_element_mu(sym, es))
+            np.testing.assert_allclose(frozen, live, rtol=0.02,
+                                       err_msg=sym)
+
+    def test_exact_k_edges_in_frozen_tables(self):
+        """Edge positions are exact by construction: the jump sits at
+        the element's own K edge, not at a warped anchor edge."""
+        for sym, ek in (("Au", 80.7249), ("Ag", 25.514), ("U", 115.606)):
+            lo = float(xcom.element_mu(sym, ek * (1 - 1e-6)))
+            hi = float(xcom.element_mu(sym, ek * (1 + 1e-6)))
+            assert hi / lo > 2.0, (sym, lo, hi)
+            # and no jump just outside the edge bracket
+            a = float(xcom.element_mu(sym, ek * 0.97))
+            b = float(xcom.element_mu(sym, ek * 0.99))
+            assert abs(b / a - 1.0) < 0.15, (sym, a, b)
+
+    def test_uncertainty_bounds_are_honest(self):
+        """CT-relevant brackets carry few-percent bounds; the H-C
+        bracket (He..B, no CT relevance) is honestly large."""
+        from dexct_tpu.physics.nist_data_full import UNCERTAINTY
+
+        for sym in ("Zn", "Sr", "Ag", "Cs", "Pt", "U"):
+            assert UNCERTAINTY[sym][0] < 0.04, (sym, UNCERTAINTY[sym])
+        assert UNCERTAINTY["Be"][0] > 0.05
+
+    def test_registered_table_still_wins(self):
+        e = np.array([40.0, 60.0, 100.0])
+        base = np.asarray(xcom.element_mu("Zn", e))
+        try:
+            xcom.register_element_table("Zn", e, base * 2.0)
+            np.testing.assert_allclose(
+                np.asarray(xcom.element_mu("Zn", e)), base * 2.0)
+        finally:
+            xcom._REGISTERED.pop("Zn", None)
+            xcom._element_table_cached.cache_clear()
