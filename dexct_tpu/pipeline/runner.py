@@ -75,14 +75,19 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
                spectrum_dir="./input/spectrum", noise="none", seed=0,
                n_iters=50, param_file=None, verbose=True, bhc=False,
                engine="fused", projector="fourier", recon="parallel",
-               recon3d="auto", resume=False):
+               recon3d="auto", resume=False, denoise=False):
     """Execute one run config over its DE spectrum pairs (main.py:90-178).
 
     engine='fused' runs the single-jit fast pipeline (projector/recon
     select its algorithms); engine='composed' runs the exact composed op
     path (Siddon DDA + direct fan FBP).  ``bhc=True`` additionally writes
     water- and bone-BHC reconstructions per acquisition (the
-    plots.py:184-195 read-side contract).
+    plots.py:184-195 read-side contract).  ``denoise=True`` runs the
+    vendored learned denoiser (:mod:`dexct_tpu.learn.denoiser_io`) on
+    every reconstructed HU image of the pair — both spectra (and all
+    slices of a volume) batched into ONE device program to amortize the
+    tunnel fence — and writes ``recon_denoised_{raw,HU}_float32.bin``
+    alongside the §2.6 outputs.
     """
     pairs = spec_pairs or DEFAULT_SPEC_PAIRS
     writer = StageWriter(out_dir, cfg.run_id, param_file)
@@ -91,7 +96,7 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
     for spec_id1, spec_id2, d1, d2 in pairs:
         t0 = time.time()
         if resume and _pair_complete(out_dir, cfg, spec_id1, spec_id2,
-                                     d1, d2):
+                                     d1, d2, denoise=denoise):
             if verbose:
                 print(f"resume: skipping completed pair "
                       f"{spec_id1}-{spec_id2}")
@@ -177,6 +182,25 @@ def run_config(cfg: RunConfig, *, out_dir="./output", spec_pairs=None,
             mat_recons=(None if dect.mat_recons[0] is None
                         else [np.asarray(m) for m in dect.mat_recons]),
         )
+        if (denoise and cfg.do_back_projection
+                and dect.recon_HU[0] is not None):
+            from ..learn.denoiser_io import denoise_hu_batch
+            from .api import effective_water_mu
+
+            hu = [np.asarray(dect.recon_HU[i]) for i in range(2)]
+            batch = np.concatenate(
+                [h.reshape(-1, *h.shape[-2:]) for h in hu], 0)
+            dn = denoise_hu_batch(batch)
+            pos = 0
+            for i, (sid, dose, spec) in enumerate(
+                    ((spec_id1, d1, spec1), (spec_id2, d2, spec2))):
+                n = int(np.prod(hu[i].shape[:-2], initial=1))
+                hu_dn = dn[pos:pos + n].reshape(hu[i].shape)
+                pos += n
+                mu_w = float(effective_water_mu(spec, cfg.ct))
+                writer.denoised(sid, dose,
+                                recon_raw=mu_w * (1.0 + hu_dn / 1000.0),
+                                recon_HU=hu_dn)
         if bhc and cfg.do_back_projection and isinstance(cfg.ct, _Cone):
             import warnings
 
@@ -286,7 +310,8 @@ def _cone_dect(cfg, spec1, spec2, *, n_iters, noise, seed,
     )
 
 
-def _pair_complete(out_dir, cfg, spec_id1, spec_id2, d1, d2):
+def _pair_complete(out_dir, cfg, spec_id1, spec_id2, d1, d2,
+                   denoise=False):
     """All stage artifacts of a DE pair already on disk (SURVEY.md §5
     checkpoint/resume: stage binaries are the checkpoint format)."""
     from ..utils.io import acquisition_dir, matdecomp_dir
@@ -299,6 +324,10 @@ def _pair_complete(out_dir, cfg, spec_id1, spec_id2, d1, d2):
         if cfg.do_back_projection:
             want += [os.path.join(d, "recon_raw_float32.bin"),
                      os.path.join(d, "recon_HU_float32.bin")]
+            if denoise:
+                want += [os.path.join(
+                    d, "recon_denoised_raw_float32.bin"),
+                    os.path.join(d, "recon_denoised_HU_float32.bin")]
     md = matdecomp_dir(out_dir, cfg.run_id, spec_id1, spec_id2, d1, d2)
     want += [os.path.join(md, "mat1_sino_float32.bin"),
              os.path.join(md, "mat2_sino_float32.bin")]

@@ -59,6 +59,10 @@ def main(argv=None):
                    "helical; katsevich: exact helical FBP)")
     p.add_argument("--bhc", action="store_true",
                    help="also write water/bone BHC reconstructions")
+    p.add_argument("--denoise", action="store_true",
+                   help="also write learned-denoiser reconstructions "
+                        "(recon_denoised_{raw,HU}; vendored DnCNN "
+                        "checkpoint, both spectra batched per pair)")
     p.add_argument("--resume", action="store_true",
                    help="skip DE pairs whose stage artifacts exist")
     args = p.parse_args(argv)
@@ -79,6 +83,7 @@ def main(argv=None):
         recon3d=args.recon3d,
         bhc=args.bhc,
         resume=args.resume,
+        denoise=args.denoise,
     )
 
 

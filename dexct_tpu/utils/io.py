@@ -116,6 +116,20 @@ class StageWriter:
                           arr)
         return d
 
+    def denoised(self, spec_id, dose, recon_raw=None, recon_HU=None):
+        """``recon_denoised_{raw,HU}_float32.bin`` alongside the §2.6
+        acquisition outputs — the learned-denoiser product extension
+        (round-5; same extension discipline as the BHC artifacts)."""
+        d = acquisition_dir(self.out_dir, self.run_id, spec_id, dose)
+        os.makedirs(d, exist_ok=True)
+        if recon_raw is not None:
+            write_f32(os.path.join(d, "recon_denoised_raw_float32.bin"),
+                      recon_raw)
+        if recon_HU is not None:
+            write_f32(os.path.join(d, "recon_denoised_HU_float32.bin"),
+                      recon_HU)
+        return d
+
     def bhc(self, phantom_id, spec_id, kind, recon_raw=None, recon_HU=None):
         """``{phantom}_bhc_{spec}/recon_{kind}BHC_{units}_float32.bin``
         (read-side contract at plots.py:184-195)."""

@@ -112,3 +112,95 @@ def test_sharded_training_matches_single_device(dataset):
     den_r = apply_denoiser(model, p_ref, x[3])
     den_s = apply_denoiser(model, p_sh, x[3])
     assert _rms(den_s, den_r) < 0.5  # HU
+
+
+class TestDenoiserProduct:
+    """Round-5 VERDICT item 6: the denoiser's product surface —
+    checkpoint persistence and the runner's --denoise stage writing
+    recon_denoised_{raw,HU}_float32.bin per the §2.6 extension."""
+
+    def _tiny_ckpt(self, tmp_path):
+        from dexct_tpu.learn import init_denoiser, save_params
+
+        model, params = init_denoiser(jax.random.PRNGKey(1), features=4,
+                                      depth=2, patch=16)
+        path = str(tmp_path / "w" / "tiny.npz")
+        save_params(path, params, features=4, depth=2)
+        return model, params, path
+
+    def test_checkpoint_round_trip(self, tmp_path):
+        from dexct_tpu.learn import apply_denoiser, load_params
+
+        model, params, path = self._tiny_ckpt(tmp_path)
+        m2, p2 = load_params(path)
+        x = np.linspace(-500, 1500, 24 * 24).reshape(24, 24)
+        np.testing.assert_allclose(
+            np.asarray(apply_denoiser(m2, p2, x)),
+            np.asarray(apply_denoiser(model, params, x)), rtol=1e-6)
+
+    def test_checkpoint_shape_mismatch_rejected(self, tmp_path):
+        from dexct_tpu.learn import load_params
+        from dexct_tpu.learn.denoiser_io import _META_PREFIX
+
+        _, _, path = self._tiny_ckpt(tmp_path)
+        with np.load(path) as z:
+            arrs = {k: z[k] for k in z.files}
+        k0 = next(k for k in arrs if not k.startswith(_META_PREFIX))
+        arrs[k0] = np.zeros((3, 3))
+        np.savez(path, **arrs)
+        with pytest.raises(ValueError, match="shape"):
+            load_params(path)
+
+    def test_runner_denoise_stage(self, tmp_path, monkeypatch):
+        """--denoise writes finite denoised artifacts alongside the
+        contract outputs, batched (both spectra in one call)."""
+        import dexct_tpu.learn.denoiser_io as dio
+        from dexct_tpu.pipeline.runner import run_config
+        from dexct_tpu.system.config import RunConfig
+        from dexct_tpu.system.geometry import FanBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        _, _, path = self._tiny_ckpt(tmp_path)
+        monkeypatch.setattr(dio, "default_weights_path", lambda: path)
+        dio._CACHE.clear()
+        calls = []
+        orig = dio.denoise_hu_batch
+
+        def spy(images_hu, **kw):
+            calls.append(np.asarray(images_hu).shape)
+            return orig(images_hu, **kw)
+
+        monkeypatch.setattr(dio, "denoise_hu_batch", spy)
+        ct = FanBeamGeometry(N_channels=48, N_proj=48,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                             eid=True)
+        ph = water_cylinder_phantom(N=48, dx=0.4)
+        cfg = RunConfig("r5dn", True, True, ct, ph, None, 48, 19.2, 0.8)
+        run_config(cfg, out_dir=str(tmp_path / "out"), n_iters=6,
+                   verbose=False, denoise=True,
+                   spec_pairs=[("80kV", "140kV", 1.0, 5.0)])
+        # one batched call holding BOTH spectra images
+        assert len(calls) == 1 and calls[0][0] == 2
+        for sid, dose in (("80kV", 1000), ("140kV", 5000)):
+            d = (tmp_path / "out" / "r5dn" / f"{sid}_{dose:04d}uGy")
+            hu = np.fromfile(
+                str(d / "recon_denoised_HU_float32.bin"), np.float32)
+            raw = np.fromfile(
+                str(d / "recon_denoised_raw_float32.bin"), np.float32)
+            assert hu.size == 48 * 48 and np.isfinite(hu).all()
+            assert raw.size == 48 * 48 and np.isfinite(raw).all()
+            # raw is the HU-inverse map (positive where HU > -1000)
+            assert raw.min() > -0.05
+
+    def test_pair_complete_requires_denoised(self, tmp_path):
+        from dexct_tpu.pipeline.runner import _pair_complete
+        from dexct_tpu.system.config import RunConfig
+        from dexct_tpu.system.geometry import FanBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ct = FanBeamGeometry(N_channels=16, N_proj=16,
+                             gamma_fan=0.8230337, SID=60.0, SDD=100.0)
+        ph = water_cylinder_phantom(N=16, dx=0.4)
+        cfg = RunConfig("r", True, True, ct, ph, None, 16, 6.4, 0.8)
+        assert not _pair_complete(str(tmp_path), cfg, "a", "b", 1, 1,
+                                  denoise=True)
