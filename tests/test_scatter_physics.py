@@ -406,3 +406,69 @@ class TestMultipleScatter:
         s1 = single_scatter_sinogram(ph, ct, spec, coarse=2, n_energy=4,
                                      views=v, multiple_factor=0.25)
         np.testing.assert_allclose(s1, 1.25 * s0, rtol=1e-6)
+
+
+class TestDeepOrderMC:
+    """Round-5 VERDICT item 3: the deep-order Compton walk that
+    CONVERGES the multiple-scatter tail instead of extrapolating it
+    from order 2."""
+
+    def _setup(self):
+        ct = _geometry()
+        ph = water_cylinder_phantom(N=48, dx=0.33333, radius_cm=6.0)
+        spec = kramers_spectrum(120.0)
+        spec.rescale_counts(1e6)
+        return ph, ct, spec
+
+    def test_orders_1_2_match_references(self):
+        """One consistent sampler: the walk's first two orders must
+        reproduce the dedicated order-1/order-2 references within MC
+        error (the totals' seed spread is ~5-10% at this n; the quoted
+        per-channel stderr underestimates it because vertex weights
+        are shared across channels)."""
+        from dexct_tpu.ops.scatter_physics import (
+            mc_multi_order_reference, mc_second_order_reference,
+            mc_single_scatter_reference)
+
+        ph, ct, spec = self._setup()
+        tot, err = mc_multi_order_reference(ph, ct, spec, 0.0, 12000,
+                                            orders=2, seed=7)
+        s1, _ = mc_single_scatter_reference(ph, ct, spec, 0.0, 12000,
+                                            seed=8, coherent=False)
+        s2, _ = mc_second_order_reference(ph, ct, spec, 0.0, 12000,
+                                          seed=9)
+        assert 0.7 < tot[0] / s1.sum() < 1.4, (tot[0], s1.sum())
+        assert 0.6 < tot[1] / s2.sum() < 1.6, (tot[1], s2.sum())
+
+    def test_series_decays_and_factor_converges(self):
+        """For a 12-cm water cylinder the order series decays
+        geometrically; the converged factor exceeds the order-2 ratio
+        and the extrapolated remainder is a small stated fraction."""
+        from dexct_tpu.ops.scatter_physics import multiple_to_single_factor
+
+        ph, ct, spec = self._setup()
+        diag = {}
+        m_conv = multiple_to_single_factor(ph, ct, spec,
+                                           n_samples=12000, seed=11,
+                                           orders=6, tail_bound=diag)
+        m2 = float(diag["series"][1] / diag["series"][0])
+        assert m_conv > m2  # orders >= 3 only add
+        # geometric-ish decay after the peak
+        s = diag["series"]
+        assert s[3] < s[1] and s[5] < s[3]
+        assert 0.0 <= diag["tail_fraction"] < 0.35
+        assert 0.0 <= diag["r_last"] < 1.0
+
+    def test_energy_cut_only_lowers(self):
+        from dexct_tpu.ops.scatter_physics import mc_multi_order_reference
+
+        ph, ct, spec = self._setup()
+        lo, _ = mc_multi_order_reference(ph, ct, spec, 0.0, 4000,
+                                         orders=3, seed=13,
+                                         e_cut_keV=40.0)
+        hi, _ = mc_multi_order_reference(ph, ct, spec, 0.0, 4000,
+                                         orders=3, seed=13,
+                                         e_cut_keV=10.0)
+        # same seed: identical first-order; deep orders can only lose
+        np.testing.assert_allclose(lo[0], hi[0], rtol=1e-12)
+        assert lo[2] <= hi[2] * 1.05

@@ -75,10 +75,13 @@ if "--tiny" in sys.argv:  # CPU shakeout of the composition logic
     NZ_OUT = 4
 FOV = N * DX  # recon on the phantom grid (clean oracle comparison)
 DOSE_MGY = 20.0  # abdomen/pelvis CTDI-class
-# anti-scatter grid: wide collimation on a body WITHOUT one is
-# multiple-scatter dominated (measured here: single-scatter SPR ~0.7,
-# 2nd/1st MC ratio ~12 — the flat-multiple closure is out of its
-# regime); every clinical wide-cone scanner fields a grid
+# anti-scatter grid: wide-cone single-scatter SPR ~0.7 on this habitus
+# without one; every clinical wide-cone scanner fields a grid.  (The
+# round-4 note here cited "2nd/1st MC ratio ~12" as evidence of a
+# multiple-DOMINATED regime — that ratio compared R-row 2nd order to
+# 1-row single scatter; the round-5 deep-order walk at the true
+# collimation measures the per-slab multiple fraction at ~0.2-0.5,
+# converged — see tools/mc_order_convergence.py.)
 GRID_P, GRID_S = 0.95, 0.10
 
 
@@ -212,11 +215,20 @@ def main():
     ct2m = FanBeamGeometry(N_channels=200, N_proj=V,
                            gamma_fan=ct.gamma_fan, SID=ct.SID,
                            SDD=ct.SDD, h_iso=ct.h_iso, eid=True)
+    # round-5: CONVERGED deep-order walk (tools/mc_order_convergence.py
+    # carries the full per-order table).  The round-4 order-2 ratio
+    # compared R-row 2nd order against 1-ROW single scatter (~12 at
+    # R=64) — a per-R overstatement of the per-slab multiple fraction;
+    # the walk measures every order at the true collimation.
+    diag = {}
     m_mult = multiple_to_single_factor(ph_mid, ct2m, spec,
                                        n_samples=20000, seed=5,
-                                       n_rows=R)
-    print(f"  multiple-to-single factor (MC, {R}-row collimation): "
-          f"{m_mult:.3f}")
+                                       n_rows=R, orders=12,
+                                       tail_bound=diag)
+    print(f"  multiple-to-single factor (deep-order MC, {R}-row "
+          f"collimation): {m_mult:.3f} "
+          f"(tail fraction {diag['tail_fraction']:.2%}, "
+          f"r_last {diag['r_last']:.2f})")
     ladder["mc_factor"] = _stage("multiple-tail MC", t0)
     t0 = time.perf_counter()
     v_eval = np.arange(0, V, 50)  # scatter varies slowly over views
