@@ -391,6 +391,18 @@ def pack_labels_rowwin16(labels):
     return pack_labels_rowwin(labels, 16)
 
 
+def pack_labels_rowwin_multi(labels_list, group, lbits=5, words=None):
+    """Z label images -> one [Ny/group * Nx, Z*group*W] row-window pack.
+
+    Slice-major concatenation of :func:`pack_labels_rowwin` per slice:
+    one gather row then carries every slice's window, and the
+    ``n_slices`` tracer decodes them from slice offset ``z*group*W``.
+    All slices must share the grid shape."""
+    packs = [pack_labels_rowwin(lab, group, lbits=lbits, words=words)
+             for lab in labels_list]
+    return jnp.concatenate(packs, axis=1)
+
+
 def plan_dominant_split(dirs, pad_to=1024):
     """Host-side ray partition by dominant axis.
 
@@ -809,11 +821,13 @@ def _trace_dominant8(packed8, labels_shape, src, dirs, dx, dy, *,
 @functools.partial(
     jax.jit,
     static_argnames=("labels_shape", "n_materials", "group", "lbits",
-                     "group_block", "words", "bundle", "_stub_gather"),
+                     "group_block", "words", "bundle", "n_slices",
+                     "_stub_gather"),
 )
 def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
                         n_materials, group, lbits=5, group_block=4,
-                        words=None, bundle=1, _stub_gather=False):
+                        words=None, bundle=1, n_slices=1,
+                        _stub_gather=False):
     """Exact paths for y-dominant rays via ``group``-row window marching.
 
     One row-``group*W`` int32 gather per ray per ``group`` image rows:
@@ -837,6 +851,15 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
     (:func:`plan_dominant_split_bundled` builds bundles that satisfy
     this and routes the rest to the unbundled kernel); the caller
     passes a matching wider ``words``.
+
+    ``n_slices > 1``: ``packed`` holds Z slices' row windows
+    concatenated slice-major per row (``[G*nx, Z*group*W]`` — build
+    with :func:`pack_labels_rowwin_multi`); ONE gather per group
+    serves every slice and only the label decode repeats, returning
+    ``[n_rays, Z, M]``.  The round-5 z-stack lever: the measured trace
+    rate is gather-COUNT-bound through ~256-byte rows (CLAUDE.md), so
+    a 2-slice pack at row-2*g*W traces two slices for one slice's
+    gathers.
     """
     cpw = _rowwin_cols_per_word(lbits)
     W = _rowwin_words(group, lbits) if words is None else int(words)
@@ -908,48 +931,60 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
             # results — never set in production paths.
             codes = jnp.broadcast_to(
                 jax.lax.dynamic_slice_in_dim(packed, ig * nx, 1)[0],
-                (anchor.shape[0], group * W))
+                (anchor.shape[0], n_slices * group * W))
         else:
             codes = packed[ig * nx + anchor]  # [R or NB, g*W]: ONE
             #                                   gather per group
         anchor_b = anchor[None, :] if bundle > 1 else anchor
 
-        out = 0.0
+        outs = [0.0] * n_slices
         for k, (tA, tB, ja, jb, valid) in enumerate(rows):
             j_hi = jnp.maximum(ja, jb)
             t_c = (x0 + j_hi * dx - px) / sdx
             t_c = jnp.where(okx, jnp.clip(t_c, tA, tB), tA)
-            # per-bundle words broadcast over the B axis inside the
-            # fused shift/select — no widened per-ray code table
-            ws = [codes[:, W * k + w] for w in range(W)]
-            if bundle > 1:
-                ws = [w_[None, :] for w_ in ws]
-
-            def lab_at(j):
-                # shifts on the non-selected words may be negative; the
-                # where() discards those lanes (same contract the 8-row
-                # kernel relies on)
-                rel = jnp.clip(j - anchor_b, 0, cpw * W - 1)
-                sel = ws[W - 1] >> (lbits * (rel - cpw * (W - 1)))
-                for w in range(W - 2, -1, -1):
-                    sel = jnp.where(rel <= cpw * w + cpw - 1,
-                                    ws[w] >> (lbits * (rel - cpw * w)), sel)
-                return sel & lmask
-
             va = jnp.where(valid, t_c - tA, 0.0)
             vb = jnp.where(valid, tB - t_c, 0.0)
-            out = out + va[..., None] * jax.nn.one_hot(
-                lab_at(ja), n_materials, dtype=dtype)
-            out = out + vb[..., None] * jax.nn.one_hot(
-                lab_at(jb), n_materials, dtype=dtype)
-        return out
+            # the ray geometry (segment lengths, window columns) is
+            # slice-independent: a multi-slice pack re-decodes labels
+            # per slice from the SAME gathered row, sharing the whole
+            # subband math — the z-stack's per-slice trace cost then
+            # scales with decode, not gather count
+            for z in range(n_slices):
+                # per-bundle words broadcast over the B axis inside the
+                # fused shift/select — no widened per-ray code table
+                ws = [codes[:, z * group * W + W * k + w]
+                      for w in range(W)]
+                if bundle > 1:
+                    ws = [w_[None, :] for w_ in ws]
+
+                def lab_at(j, ws=ws):
+                    # shifts on the non-selected words may be negative;
+                    # the where() discards those lanes (same contract
+                    # the 8-row kernel relies on)
+                    rel = jnp.clip(j - anchor_b, 0, cpw * W - 1)
+                    sel = ws[W - 1] >> (lbits * (rel - cpw * (W - 1)))
+                    for w in range(W - 2, -1, -1):
+                        sel = jnp.where(rel <= cpw * w + cpw - 1,
+                                        ws[w] >> (lbits * (rel - cpw * w)),
+                                        sel)
+                    return sel & lmask
+
+                outs[z] = outs[z] + va[..., None] * jax.nn.one_hot(
+                    lab_at(ja), n_materials, dtype=dtype)
+                outs[z] = outs[z] + vb[..., None] * jax.nn.one_hot(
+                    lab_at(jb), n_materials, dtype=dtype)
+        return outs[0] if n_slices == 1 else jnp.stack(outs, axis=-2)
 
     n_groups = ny // group
-    acc0 = jnp.zeros((*shp, n_materials), dtype)
+    out_shape = ((n_rays, n_materials) if n_slices == 1
+                 else (n_rays, n_slices, n_materials))
+    acc_shape = (*shp, n_materials) if n_slices == 1 \
+        else (*shp, n_slices, n_materials)
+    acc0 = jnp.zeros(acc_shape, dtype)
     if group_block == 0:
         acc = jax.lax.fori_loop(
             0, n_groups, lambda g, a: a + group_contrib(g), acc0)
-        return acc.reshape(n_rays, n_materials)
+        return acc.reshape(out_shape)
     block = max(1, min(group_block, n_groups))
     while n_groups % block:
         block -= 1
@@ -961,7 +996,7 @@ def _trace_dominant_grp(packed, labels_shape, src, dirs, dx, dy, *,
         return jax.lax.fori_loop(0, block, one, acc), None
 
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_groups // block))
-    return acc.reshape(n_rays, n_materials)
+    return acc.reshape(out_shape)
 
 
 def _trace_dominant16(packed16, labels_shape, src, dirs, dx, dy, *,

@@ -444,6 +444,22 @@ def _project_paths(a, meta: DectMeta, axis_name=None):
     """
     unperm_all = lambda *xs: xs  # noqa: E731  (siddon_dominant overrides
     #                                  with the inverse ray-plan permute)
+    if "paths" in a:
+        # precomputed material paths (the z-stack's slice-PAIRED trace:
+        # pipeline/zstack.py computes them OUTSIDE the per-slice vmap,
+        # two slices per gather).  In ray-plan order when the dominant
+        # plan's inverse permutation ships alongside; natural [V, C, M]
+        # otherwise.
+        paths = a["paths"]
+        if "dom_inv" in a:
+            inv = a["dom_inv"]
+            shape_vc = a["src"].shape[:-1]
+
+            def unperm_all(*xs):
+                packed = jnp.stack(xs, axis=-1)[inv]
+                return tuple(packed[..., i].reshape(shape_vc)
+                             for i in range(len(xs)))
+        return paths, unperm_all
     if meta.projector == "fourier":
         # O(N^2 log N) Fourier-slice projector (ops/fourier.py)
         from ..ops.fourier import fourier_paths_from_arrays

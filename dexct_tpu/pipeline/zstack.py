@@ -36,12 +36,16 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     zs = list(range(phantom.Nz)) if z_indices is None else list(z_indices)
     if not zs:
         raise ValueError("empty z_indices")
-    # Bundled-gather tracing LOSES under the z-stack's vmap/lax.map slice
-    # batching (the shared bundle window gathers materialize per slice):
-    # measured on the v5e at Nz=8/512², 439 ms/slice bundled vs
-    # 301 ms/slice per-ray (tools/bench_final_r3.py).  Default to the
-    # per-ray kernel here; callers can still opt in explicitly.
-    pack_kw.setdefault("trace_bundle", 0)
+    # Round-5 slice-PAIRED tracing: the bundle plan depends only on
+    # geometry, so TWO slices' 3-bit labels pack into one gather row
+    # (row-2*g*W — under the measured ~256 B width cliff, CLAUDE.md)
+    # and the tracer runs OUTSIDE the per-slice vmap, two slices per
+    # gather.  This replaces both round-3 settlements: vmapped bundled
+    # tracing lost (439 vs 301 ms/slice — per-slice window gathers
+    # materialized), and per-ray tracing paid full gathers per slice.
+    # ``trace_pairs=False`` restores the round-3 per-ray default.
+    trace_pairs = bool(pack_kw.pop("trace_pairs", True)) and len(zs) > 1
+    pack_kw.setdefault("trace_bundle", 8 if trace_pairs else 0)
     packs = []
     meta = None
     for z in zs:
@@ -110,15 +114,125 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
         # identical slices: still batch over labels so vmap has an axis
         arrays["labels"] = jnp.stack([p["labels"] for p in packs])
         in_axes["labels"] = 0
+    bundled = (meta.projector == "siddon_dominant"
+               and meta.fp_meta[0] == "bundled")
+    # pair packing speaks the rowwin format only: bundled plans, or
+    # per-ray plans at group > 8 (grp 8/2 use different pack layouts)
+    if trace_pairs and meta.projector == "siddon_dominant" and (
+            bundled or meta.fp_meta[2] > 8):
+        from ..ops.siddon_fast import (pack_labels_rowwin_multi,
+                                       rowwin_lbits)
+
+        if bundled:
+            _, grp, _b, w = meta.fp_meta
+        else:
+            _ny, _nx, grp = meta.fp_meta
+            w = None
+        lb = rowwin_lbits(meta.n_materials)
+        labs = [jnp.asarray(
+            dataclasses.replace(phantom, z_index=int(z))
+            .slice_labels().astype(np.int32)) for z in zs]
+        if len(labs) % 2:  # odd stack: duplicate the last slice; its
+            labs.append(labs[-1])  # paths are discarded after the trace
+        py, px = [], []
+        for p0 in range(0, len(labs), 2):
+            pair = labs[p0:p0 + 2]
+            py.append(pack_labels_rowwin_multi(
+                pair, int(grp), lbits=lb, words=w))
+            px.append(pack_labels_rowwin_multi(
+                [la.T for la in pair], int(grp), lbits=lb, words=w))
+        arrays["dom_pack_pair_y"] = jnp.stack(py)
+        arrays["dom_pack_pair_x"] = jnp.stack(px)
+        in_axes["dom_pack_pair_y"] = "pair"
+        in_axes["dom_pack_pair_x"] = "pair"
+        # the per-slice packs are dead weight once paths precompute
+        for k in ("dom_pack_y", "dom_pack_x"):
+            arrays.pop(k, None)
+            in_axes.pop(k, None)
     return arrays, meta, in_axes
+
+
+def _inject_pair_paths(arrays, meta, in_axes, nz):
+    """Run the slice-paired trace (lax.map over pairs, two slices per
+    gather) and hand the per-slice ``paths`` to the vmapped step.
+
+    Returns ``(arrays, in_axes)`` with the pair packs consumed; no-op
+    when the pack has no pair tables.
+    """
+    if "dom_pack_pair_y" not in arrays:
+        return arrays, in_axes
+    import functools
+
+    from ..ops.siddon_fast import _trace_dominant_grp, rowwin_lbits
+
+    a = dict(arrays)
+    axes = {k: v for k, v in in_axes.items() if v != "pair"}
+    pair_y = a.pop("dom_pack_pair_y")
+    pair_x = a.pop("dom_pack_pair_x")
+    src2 = a["src"].reshape(-1, 2)
+    dirs2 = a["dirs"].reshape(-1, 2)
+    lab_shape = tuple(int(s) for s in a["labels"].shape[-2:])
+    lb = rowwin_lbits(meta.n_materials)
+    if meta.fp_meta[0] == "bundled":
+        _, grp, bund, w = meta.fp_meta
+        kern = functools.partial(
+            _trace_dominant_grp, group=int(grp), lbits=lb,
+            words=int(w), n_materials=meta.n_materials, n_slices=2)
+
+        def body(packs):
+            py, px = packs
+            return jnp.concatenate([
+                kern(py, lab_shape, src2[a["dom_bun_y"]],
+                     dirs2[a["dom_bun_y"]], meta.dx, meta.dy,
+                     bundle=int(bund)),
+                kern(py, lab_shape, src2[a["dom_rest_y"]],
+                     dirs2[a["dom_rest_y"]], meta.dx, meta.dy),
+                kern(px, lab_shape[::-1],
+                     src2[a["dom_bun_x"]][:, ::-1],
+                     dirs2[a["dom_bun_x"]][:, ::-1], meta.dy, meta.dx,
+                     bundle=int(bund)),
+                kern(px, lab_shape[::-1],
+                     src2[a["dom_rest_x"]][:, ::-1],
+                     dirs2[a["dom_rest_x"]][:, ::-1], meta.dy, meta.dx),
+            ], axis=0)  # [R_total, 2, M]
+    else:
+        _ny, _nx, grp = meta.fp_meta
+        kern = functools.partial(
+            _trace_dominant_grp, group=int(grp), lbits=lb,
+            n_materials=meta.n_materials, n_slices=2)
+
+        def body(packs):
+            py, px = packs
+            out_y = kern(py, lab_shape, src2[a["dom_idx_y"]],
+                         dirs2[a["dom_idx_y"]], meta.dx, meta.dy)
+            out_x = kern(px, lab_shape[::-1],
+                         src2[a["dom_idx_x"]][:, ::-1],
+                         dirs2[a["dom_idx_x"]][:, ::-1],
+                         meta.dy, meta.dx)
+            return jnp.concatenate([out_y[:_ny], out_x[:_nx]], axis=0)
+
+    pp = jax.lax.map(body, (pair_y, pair_x))  # [P, R, 2, M]
+    a["paths"] = pp.transpose(0, 2, 1, 3).reshape(
+        2 * pp.shape[0], pp.shape[1], pp.shape[3])[:nz]
+    axes["paths"] = 0
+    return a, axes
+
+
+def _stack_nz(arrays, in_axes):
+    stacked = [v for k, v in arrays.items() if in_axes[k] == 0]
+    return int(stacked[0].shape[0]) if stacked else 1
 
 
 def zstack_step(arrays, meta, in_axes):
     """vmap of the fused DE step over the slice axis.
 
     Output pytree gains a leading Nz axis on every leaf (sinograms,
-    basis sinograms, reconstructions).
+    basis sinograms, reconstructions).  Pair-packed stacks
+    (``pack_zstack(trace_pairs=True)``) trace two slices per gather
+    BEFORE the vmap (:func:`_inject_pair_paths`).
     """
+    arrays, in_axes = _inject_pair_paths(arrays, meta, in_axes,
+                                         _stack_nz(arrays, in_axes))
     return jax.vmap(lambda a: dect_step(a, meta), in_axes=(in_axes,))(arrays)
 
 
@@ -131,13 +245,15 @@ def make_jitted_zstack_step(meta, in_axes, z_chunk=None):
     beyond one chip's HBM; chunked, memory is flat in Nz at ~z_chunk x
     the single-slice footprint).
     """
-    axes = dict(in_axes)
+    axes_in = dict(in_axes)
     if z_chunk is None:
-        return jax.jit(lambda a: zstack_step(a, meta, axes))
+        return jax.jit(lambda a: zstack_step(a, meta, axes_in))
 
     def run(arrays):
-        stacked = {k: v for k, v in arrays.items() if axes[k] == 0}
-        shared = {k: v for k, v in arrays.items() if axes[k] is None}
+        a, axes = _inject_pair_paths(arrays, meta, axes_in,
+                                     _stack_nz(arrays, axes_in))
+        stacked = {k: v for k, v in a.items() if axes[k] == 0}
+        shared = {k: v for k, v in a.items() if axes[k] is None}
         nz = next(iter(stacked.values())).shape[0]
         if nz % z_chunk:
             raise ValueError(f"Nz={nz} not divisible by z_chunk={z_chunk}")
@@ -145,12 +261,12 @@ def make_jitted_zstack_step(meta, in_axes, z_chunk=None):
             k: v.reshape((nz // z_chunk, z_chunk) + v.shape[1:])
             for k, v in stacked.items()
         }
-        body_axes = {k: (0 if k in stacked else None) for k in arrays}
+        body_axes = {k: (0 if k in stacked else None) for k in a}
 
         def body(ch):
-            a = {**shared, **ch}
+            ab = {**shared, **ch}
             return jax.vmap(lambda x: dect_step(x, meta),
-                            in_axes=(body_axes,))(a)
+                            in_axes=(body_axes,))(ab)
 
         out = jax.lax.map(body, chunked)
         return jax.tree.map(

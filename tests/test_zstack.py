@@ -116,3 +116,49 @@ def test_zstack_z_subset(system):
         projector="siddon", recon="fan")
     out = make_jitted_zstack_step(meta, axes)(arrays)
     assert out["recon_HU"][0].shape == (2, 64, 64)
+
+
+def test_zstack_pair_trace_bit_identical(system):
+    """Round-5 item 2: the slice-PAIRED trace (two slices per gather,
+    traced outside the vmap) must reproduce the per-ray default
+    bit-identically — the bundled and per-ray dominant plans are
+    bit-identical by the planner's window contract, and the pair pack
+    only re-decodes the same windows."""
+    ct, ph, s1, s2 = system
+    kw = dict(n_iters=8, projector="siddon_dominant", recon="parallel",
+              recon_n_theta=64, recon_nt=128)
+    ap, mp, axp = pack_zstack(ct, ph, s1, s2, 64, 20.0, 0.8, **kw)
+    assert "dom_pack_pair_y" in ap and axp["dom_pack_pair_y"] == "pair"
+    assert "dom_pack_y" not in ap  # per-slice packs dropped
+    out_p = make_jitted_zstack_step(mp, axp)(ap)
+    a0, m0, ax0 = pack_zstack(ct, ph, s1, s2, 64, 20.0, 0.8,
+                              trace_pairs=False, **kw)
+    assert "dom_pack_pair_y" not in a0
+    out_0 = make_jitted_zstack_step(m0, ax0)(a0)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(out_p["sino_raw"][i]),
+            np.asarray(out_0["sino_raw"][i]))
+        np.testing.assert_allclose(
+            np.asarray(out_p["recon_HU"][i]),
+            np.asarray(out_0["recon_HU"][i]), atol=1e-4)
+
+
+def test_zstack_pair_trace_odd_nz(system):
+    """Odd Nz duplicates the final slice inside the last pair and
+    discards its paths — outputs still match per-slice runs."""
+    import dataclasses
+
+    ct, ph, s1, s2 = system
+    kw = dict(n_iters=8, projector="siddon_dominant", recon="parallel",
+              recon_n_theta=64, recon_nt=128)
+    a, m, ax = pack_zstack(ct, ph, s1, s2, 64, 20.0, 0.8,
+                           z_indices=[0, 1, 2], **kw)
+    out = make_jitted_zstack_step(m, ax)(a)
+    assert out["recon_HU"][0].shape[0] == 3
+    ph2 = dataclasses.replace(ph, z_index=2)
+    a1, m1 = pack_dect(ct, ph2, s1, s2, 64, 20.0, 0.8, **kw)
+    ref = make_jitted_step(m1)(a1)
+    np.testing.assert_allclose(
+        np.asarray(out["recon_HU"][0][2]),
+        np.asarray(ref["recon_HU"][0]), rtol=2e-4, atol=2e-4)
