@@ -179,10 +179,12 @@ def _pack_label_nines_zminor(labels3):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_mats", "nx", "ny", "pixel_block", "pair_mode"))
+    static_argnames=("n_mats", "nx", "ny", "pixel_block", "pair_mode",
+                     "vox_tap_fold"))
 def _dose_accumulate(labq, mu_kE, mu_dep_kE, i0w_E, betas, view_w,
                      gammas, rs, vox_xy, rho_vox, lab_vox, scalars, *,
-                     n_mats, nx, ny, pixel_block, pair_mode=False):
+                     n_mats, nx, ny, pixel_block, pair_mode=False,
+                     vox_tap_fold=False):
     """Scan over views; returns (dose [vox] in keV/g, deposited keV).
 
     labq:    [ny, nx] int32 quad-packed labels
@@ -299,8 +301,16 @@ def _dose_accumulate(labq, mu_kE, mu_dep_kE, i0w_E, betas, view_w,
         # r-adjacent tap rows are contiguous in Tf: pack (row, row+1)
         # side by side so each gamma tap is ONE row-2K gather
         Tp = jnp.concatenate([Tf, jnp.roll(Tf, -1, axis=0)], axis=-1)
-        lo = Tp[base]          # rows (gi0, ri0) | (gi0, ri0+1)
-        hi_t = Tp[base + n_r]  # rows (gi0+1, ri0) | (gi0+1, ri0+1)
+        if vox_tap_fold:
+            # fold BOTH gamma rows in too: one row-4K gather per voxel
+            # (the gather rate is count-bound at these widths)
+            Tq = jnp.concatenate([Tp, jnp.roll(Tp, -n_r, axis=0)], -1)
+            rows4 = Tq[base]
+            lo = rows4[:, :2 * n_mats]
+            hi_t = rows4[:, 2 * n_mats:]
+        else:
+            lo = Tp[base]          # rows (gi0, ri0) | (gi0, ri0+1)
+            hi_t = Tp[base + n_r]  # rows (gi0+1, ri0) | (gi0+1, ri0+1)
         t_lo = lo[:, :n_mats] * (1 - wr) + lo[:, n_mats:] * wr
         t_hi = hi_t[:, :n_mats] * (1 - wr) + hi_t[:, n_mats:] * wr
         t_vox = t_lo * (1 - wg) + t_hi * wg  # [vox, K]
@@ -386,7 +396,7 @@ def _dose_energy_grid(phantom, spec, n_energy, scoring="removed"):
 
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
              views=None, pixel_block=65536, z_index=None, n_energy=None,
-             view_weights=None, scoring="removed"):
+             view_weights=None, scoring="removed", vox_tap_fold=False):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -451,7 +461,7 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
         jnp.asarray(labels2d.ravel()), scalars,
         n_mats=n_mats, nx=nx, ny=ny, pixel_block=int(pixel_block),
-        pair_mode=pair_mode)
+        pair_mode=pair_mode, vox_tap_fold=bool(vox_tap_fold))
     dose_mGy = np.asarray(dose, np.float64).reshape(ny, nx) \
         * KEV_PER_G_TO_MGY
     return DoseResult(dose_mGy, float(edep) * KEV_TO_J)

@@ -36,16 +36,20 @@ def pack_zstack(ct, phantom, spec1, spec2, n_matrix, fov, ramp, *,
     zs = list(range(phantom.Nz)) if z_indices is None else list(z_indices)
     if not zs:
         raise ValueError("empty z_indices")
-    # Round-5 slice-PAIRED tracing: the bundle plan depends only on
-    # geometry, so TWO slices' 3-bit labels pack into one gather row
-    # (row-2*g*W — under the measured ~256 B width cliff, CLAUDE.md)
-    # and the tracer runs OUTSIDE the per-slice vmap, two slices per
-    # gather.  This replaces both round-3 settlements: vmapped bundled
-    # tracing lost (439 vs 301 ms/slice — per-slice window gathers
-    # materialized), and per-ray tracing paid full gathers per slice.
-    # ``trace_pairs=False`` restores the round-3 per-ray default.
+    # Round-5 slice-PAIRED tracing: the dominant ray plan depends only
+    # on geometry, so TWO slices' 3-bit labels pack into one gather row
+    # (row-2*g*W — at the measured ~256 B width cliff, CLAUDE.md) and
+    # the tracer runs OUTSIDE the per-slice vmap, two slices per
+    # gather.  Measured at Nz=8/512² on the v5e (tools/bench_zstack.py):
+    # per-ray pairs 242 ms/slice, bundled pairs 251, round-3 per-slice
+    # default 258 — bit-identical sinograms all three.  The win is
+    # bounded by the DECODE floor (~60% of the trace budget repeats per
+    # slice; only the gather count halves), so per-ray pairs are the
+    # default: the bundled plan's wider shared windows add pack cost
+    # without beating the per-ray pair row at this width.
+    # ``trace_pairs=False`` restores the round-3 per-slice trace.
     trace_pairs = bool(pack_kw.pop("trace_pairs", True)) and len(zs) > 1
-    pack_kw.setdefault("trace_bundle", 8 if trace_pairs else 0)
+    pack_kw.setdefault("trace_bundle", 0)
     packs = []
     meta = None
     for z in zs:

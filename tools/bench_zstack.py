@@ -4,8 +4,11 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -38,27 +41,47 @@ def main():
     s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
     s2 = kramers_spectrum(80.0)
     s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
-    t0 = time.time()
-    arrays, meta, in_axes = pack_zstack(
-        ct, ph, s1, s2, 512, 50.0, 0.8, n_iters=10,
-        projector="siddon_dominant", recon="parallel", trace_bundle=0)
-    log(f"pack {time.time()-t0:.1f}s")
-    arrays = jax.device_put(arrays)
-    step = make_jitted_zstack_step(meta, in_axes, z_chunk=2)
-    t0 = time.time()
-    out = step(arrays)
-    _ = float(out["mat_recons"][0][0, 0, 0])
-    log(f"compile+first {time.time()-t0:.1f}s")
-    ts = []
-    for _i in range(3):
+    results = {}
+    ref_sino = None
+    # round-5 A/B: slice-PAIRED trace (two slices per gather; bundled
+    # and per-ray pair variants) vs the round-3 per-slice default
+    configs = [
+        ("pairs_bundled", dict()),  # round-5 default
+        ("pairs_perray", dict(trace_bundle=0)),
+        ("r3_perray", dict(trace_pairs=False)),
+    ]
+    if "--quick" in sys.argv:
+        configs = configs[:1]
+    for name, kw in configs:
+        t0 = time.time()
+        arrays, meta, in_axes = pack_zstack(
+            ct, ph, s1, s2, 512, 50.0, 0.8, n_iters=10,
+            projector="siddon_dominant", recon="parallel", **kw)
+        log(f"[{name}] pack {time.time()-t0:.1f}s "
+            f"(pair tables: {'dom_pack_pair_y' in arrays})")
+        arrays = jax.device_put(arrays)
+        step = make_jitted_zstack_step(meta, in_axes, z_chunk=2)
         t0 = time.time()
         out = step(arrays)
         _ = float(out["mat_recons"][0][0, 0, 0])
-        ts.append(time.time() - t0)
-    best = min(ts)
-    log(f"zstack8: {[f'{t:.3f}' for t in ts]}")
-    print(json.dumps({"zstack8_s": round(best, 4),
-                      "ms_per_slice": round(best / 8 * 1e3, 1)}))
+        log(f"[{name}] compile+first {time.time()-t0:.1f}s")
+        ts = []
+        for _i in range(3):
+            t0 = time.time()
+            out = step(arrays)
+            _ = float(out["mat_recons"][0][0, 0, 0])
+            ts.append(time.time() - t0)
+        best = min(ts)
+        log(f"[{name}] zstack8: {[f'{t:.3f}' for t in ts]} "
+            f"-> {best / 8 * 1e3:.0f} ms/slice")
+        results[name] = round(best / 8 * 1e3, 1)
+        sino = np.asarray(out["sino_raw"][0])
+        if ref_sino is None:
+            ref_sino = sino
+        else:
+            log(f"[{name}] sino max|diff| vs first: "
+                f"{float(np.abs(sino - ref_sino).max()):.3e}")
+    print(json.dumps({"ms_per_slice": results}))
 
 
 if __name__ == "__main__":
