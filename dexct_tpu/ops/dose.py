@@ -82,7 +82,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dose_map", "dose_map_3d", "DoseResult", "beam_energy_removed",
+__all__ = ["dose_map", "sharded_dose_map", "dose_map_3d", "DoseResult", "beam_energy_removed",
            "beam_energy_removed_3d", "ctdi_metrics", "organ_dose_report",
            "dose_efficiency", "ctdi_vol", "dlp", "dose_z_profile"]
 
@@ -396,7 +396,7 @@ def _dose_energy_grid(phantom, spec, n_energy, scoring="removed"):
 
 def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
              views=None, pixel_block=65536, z_index=None, n_energy=None,
-             view_weights=None, scoring="removed", vox_tap_fold=False):
+             view_weights=None, scoring="removed", vox_tap_fold=True):
     """Absorbed-dose map of a fan-beam acquisition.
 
     phantom/ct/spec: the standard triplet (the same objects
@@ -418,6 +418,23 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
 
     Returns a :class:`DoseResult`.
     """
+    args, statics, shape = _dose_prep(
+        phantom, ct, spec, n_gamma=n_gamma, n_r=n_r,
+        oversample=oversample, views=views, pixel_block=pixel_block,
+        z_index=z_index, n_energy=n_energy, view_weights=view_weights,
+        scoring=scoring, vox_tap_fold=vox_tap_fold)
+    dose, edep = _dose_accumulate(*args, **statics)
+    dose_mGy = np.asarray(dose, np.float64).reshape(shape) \
+        * KEV_PER_G_TO_MGY
+    return DoseResult(dose_mGy, float(edep) * KEV_TO_J)
+
+
+def _dose_prep(phantom, ct, spec, *, n_gamma, n_r, oversample, views,
+               pixel_block, z_index, n_energy, view_weights, scoring,
+               vox_tap_fold):
+    """Host prep shared by :func:`dose_map` and :func:`sharded_dose_map`:
+    returns (positional device args, static kwargs, image shape) for
+    :func:`_dose_accumulate`."""
     labels2d = phantom.slice_labels(z_index).astype(np.int32)
     ny, nx = labels2d.shape
     n_mats = phantom.n_materials
@@ -448,7 +465,7 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
     pair_mode = (labels2d.max() < 8 and len(rs) % 2 == 0
                  and dr_ <= min(phantom.dx, phantom.dy))
     pack = _pack_label_nines if pair_mode else _pack_label_quads
-    dose, edep = _dose_accumulate(
+    args = (
         jnp.asarray(pack(labels2d)),
         jnp.asarray(mu_kE, jnp.float32),
         jnp.asarray(mu_dep, jnp.float32),
@@ -459,10 +476,48 @@ def dose_map(phantom, ct, spec, *, n_gamma=None, n_r=None, oversample=2,
         jnp.asarray(gammas, jnp.float32), jnp.asarray(rs, jnp.float32),
         jnp.asarray(vox_xy, jnp.float32),
         jnp.asarray(np.maximum(rho, 1e-12), jnp.float32),
-        jnp.asarray(labels2d.ravel()), scalars,
-        n_mats=n_mats, nx=nx, ny=ny, pixel_block=int(pixel_block),
-        pair_mode=pair_mode, vox_tap_fold=bool(vox_tap_fold))
-    dose_mGy = np.asarray(dose, np.float64).reshape(ny, nx) \
+        jnp.asarray(labels2d.ravel()), scalars)
+    statics = dict(n_mats=n_mats, nx=nx, ny=ny,
+                   pixel_block=int(pixel_block), pair_mode=pair_mode,
+                   vox_tap_fold=bool(vox_tap_fold))
+    return args, statics, (ny, nx)
+
+
+def sharded_dose_map(mesh, phantom, ct, spec, *, axis="views",
+                     **dose_kw):
+    """View-sharded :func:`dose_map`: each device scans its wedge of
+    views (dose is additive over views) and ONE psum reduces the
+    [vox] map + deposited-energy scalar — the SURVEY §2.7 pattern
+    applied to the dose subsystem.  Same arguments/result as
+    :func:`dose_map`; requires ``V % mesh.shape[axis] == 0``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    kw = dict(n_gamma=None, n_r=None, oversample=2, views=None,
+              pixel_block=65536, z_index=None, n_energy=None,
+              view_weights=None, scoring="removed", vox_tap_fold=True)
+    kw.update(dose_kw)
+    args, statics, shape = _dose_prep(phantom, ct, spec, **kw)
+    D = int(mesh.shape[axis])
+    V = args[4].shape[0]
+    if V % D:
+        raise ValueError(f"views {V} not divisible by mesh {axis}={D}")
+    if D == 1:
+        dose, edep = _dose_accumulate(*args, **statics)
+    else:
+        inner = _dose_accumulate.__wrapped__
+
+        def body(*a):
+            d, e = inner(*a, **statics)
+            return (jax.lax.psum(d, axis), jax.lax.psum(e, axis))
+
+        specs = [P()] * len(args)
+        specs[4] = specs[5] = P(axis)  # betas, view weights
+        mapped = shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                           out_specs=(P(), P()), check_vma=False)
+        dose, edep = jax.jit(mapped)(*args)
+    dose_mGy = np.asarray(dose, np.float64).reshape(shape) \
         * KEV_PER_G_TO_MGY
     return DoseResult(dose_mGy, float(edep) * KEV_TO_J)
 
