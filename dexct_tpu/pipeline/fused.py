@@ -308,9 +308,10 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
             # the whole view orbit {i, V/2-i, V/2+i, V-i} at both
             # point-mirrored pixels — 8x fewer gathers than the plain
             # packed BP (ops/fbp_fast.py).  The four self-paired
-            # boundary views go through the 4-fold kernel.  Requires
-            # all theta lines locally, so the view-sharded path keeps
-            # the standard packed BP below.
+            # boundary views go through the 4-fold kernel.  The
+            # view-sharded paths reach the same kernel below: the halo
+            # layout via the pairwise theta-line exchange, the
+            # all_gather layout via per-shard orbit slices (round 5).
             from ..ops.fbp_fast import (pack_filtered_sym,
                                         pack_filtered_sym8,
                                         parallel_backproject_sym,
@@ -404,8 +405,69 @@ def reconstruct_stack(sinos, a, meta: DectMeta, axis_name=None):
                 a["par_thetas"][: n_loc // 2], par_t0, par_dt, nt,
                 meta.n_matrix, meta.fov, jnp.pi / n_th_total,
             )
+        elif (meta.par_sym and axis_name is not None
+                and not (meta.comm and meta.comm[0] == "halo")
+                and n_th % 4 == 0 and n_th >= 8):
+            # all_gather fallback at FULL 8-fold (round 5): gather the
+            # filtered theta-lines (small — same order as the fan-sino
+            # all_gather this path already pays) and give each shard a
+            # static slice of the global orbit set.  axis_size is
+            # static under shard_map, so the orbit split is built at
+            # trace time; the pad anchors carry zero weight and every
+            # shard adds the 4 boundary views at 1/D.
+            from ..ops.fbp_fast import (pack_filtered_sym,
+                                        pack_filtered_sym8_rows,
+                                        parallel_backproject_sym,
+                                        parallel_backproject_sym8)
+
+            # gather the REBINNED (pre-filter) theta-lines: collectives
+            # between the filter FFT and the transposed symmetry pack
+            # push a non-major layout into XLA:CPU's fft thunk
+            # (RET_CHECK dim0-major on the virtual test mesh), so each
+            # shard selects its orbit-member rows FIRST (one-hot MXU
+            # contraction, zero-weight pad orbits folded in) and
+            # filters only those — same filter work per shard, and the
+            # FFT->pack chain is the proven single-device layout
+            par_full = jax.lax.all_gather(par, axis_name, axis=1,
+                                          tiled=True)
+            D = jax.lax.axis_size(axis_name)
+            n_anchor = n_th // 4 - 1
+            n_orb = max(-(-n_anchor // D), 1)
+            anchors = np.zeros(D * n_orb, np.int32)
+            anchors[:n_anchor] = np.arange(1, n_anchor + 1)
+            w_orb = (anchors > 0).astype(np.float32)
+            iax = jax.lax.axis_index(axis_name)
+            a_sh = jax.lax.dynamic_slice(jnp.asarray(anchors),
+                                         (iax * n_orb,), (n_orb,))
+            w_sh = jax.lax.dynamic_slice(jnp.asarray(w_orb),
+                                         (iax * n_orb,), (n_orb,))
+            th_sh = a_sh.astype(par.dtype) * (jnp.pi / n_th)
+            mem = jnp.stack([a_sh, n_th // 2 + a_sh, n_th // 2 - a_sh,
+                             (n_th - a_sh) % n_th], -1)
+            sel = (mem.reshape(-1, 1) == jnp.arange(n_th)[None, :]
+                   ).astype(par.dtype) * jnp.repeat(w_sh, 4)[:, None]
+            par_orb = jnp.einsum("on,knt->kot", sel, par_full,
+                                 precision=jax.lax.Precision.HIGHEST)
+            q_orb = _filter_views(par_orb, 1.0, a["par_H"], par_m,
+                                  par_dt)
+            T = q_orb.shape[-1]
+            qsel = q_orb.reshape(n_img, n_orb, 4, T)
+            orbit_img = parallel_backproject_sym8(
+                pack_filtered_sym8_rows(qsel), n_img, th_sh, par_t0,
+                par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / n_th_total,
+            )
+            bsel = np.array([0, n_th // 4, n_th // 2, 3 * n_th // 4])
+            bth = jnp.asarray(bsel[:2] * (np.pi / n_th), par.dtype)
+            q_bnd = _filter_views(par_full[:, bsel], 1.0, a["par_H"],
+                                  par_m, par_dt)
+            imgs = orbit_img + parallel_backproject_sym(
+                pack_filtered_sym(q_bnd), n_img, bth,
+                par_t0, par_dt, nt, meta.n_matrix, meta.fov,
+                jnp.pi / (n_th_total * D),
+            )
         elif meta.par_sym:
-            # sharded (or odd-grid) wedge: the point-mirror pairing is
+            # odd-grid wedge fallback: the point-mirror pairing is
             # view-local, so it works on any theta subset — half the
             # gathers of the plain packed BP without cross-shard pairing
             from ..ops.fbp_fast import (pack_filtered_sym2,

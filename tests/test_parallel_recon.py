@@ -258,3 +258,37 @@ def test_sym8_blocked_pack_matches_table_pack():
         qs, K, thetas[1: nth // 4], t0, dt, nt, N, fov, np.pi / nth)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-6 * float(jnp.abs(a).max()))
+
+
+def test_allgather_sym8_branch_taken():
+    """Round-5: the all_gather fallback must also run the 8-fold kernel
+    (per-shard orbit slices via static axis_size), not the 2-fold."""
+    import dexct_tpu.ops.fbp_fast as ff
+    from dexct_tpu.parallel import shard_arrays, sharded_dect_step, view_mesh
+    from dexct_tpu.system import FanBeamGeometry, water_cylinder_phantom
+
+    ct = FanBeamGeometry(N_channels=96, N_proj=128, gamma_fan=0.8230337,
+                         SID=60.0, SDD=100.0, eid=True)
+    ph = water_cylinder_phantom(N=96, dx=0.25)
+    s1 = linac_spectrum()
+    s1.rescale_counts(ct.A_iso * 9.0 / ct.N_proj)
+    s2 = kramers_spectrum(80.0)
+    s2.rescale_counts(ct.A_iso * 1.0 / ct.N_proj)
+    arrays, meta = pack_dect(ct, ph, s1, s2, 96, 22.0, 0.8, n_iters=10,
+                             recon="parallel", recon_n_theta=128,
+                             recon_nt=256)
+    single = make_jitted_step(meta)(arrays)
+    called = []
+    orig = ff.pack_filtered_sym8_rows
+    ff.pack_filtered_sym8_rows = (
+        lambda q: (called.append(q.shape), orig(q))[1])
+    try:
+        mesh = view_mesh(4)
+        out = sharded_dect_step(mesh, meta, arrays.keys())(
+            shard_arrays(arrays, mesh))
+    finally:
+        ff.pack_filtered_sym8_rows = orig
+    assert called and called[0][2] == 4
+    np.testing.assert_allclose(
+        np.asarray(out["recon_raw"][0]),
+        np.asarray(single["recon_raw"][0]), atol=1e-4)
