@@ -142,6 +142,11 @@ QUICK = {
     "test_tcm.py::TestTcm::test_profile_follows_attenuation",
     "test_truncation.py::TestTruncation::test_severity_flags_truncation",
     "test_xcom.py::TestWaterAnchors::test_water_matches_nist_grid",
+    "test_xcom.py::TestFullPeriodicTable::test_every_element_resolves_from_tables",
+    "test_learn.py::TestDenoiserProduct::test_checkpoint_round_trip",
+    "test_dose.py::TestRound5DoseLevers::test_vox_tap_fold_bit_identical",
+    "test_halo.py::TestPlan::test_sym8_orbit_tables_cover_grid[4]",
+    "test_parallel_iterative.py::TestShardedKatsevich::test_indivisible_rejected",
     "test_zstack.py::test_stack_phantom_varies_slices",
 }
 
