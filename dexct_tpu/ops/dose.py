@@ -625,11 +625,12 @@ def dose_efficiency(d_prime, dose_mGy_ref):
 @functools.partial(
     jax.jit,
     static_argnames=("n_mats", "nx", "ny", "nz", "pixel_block",
-                     "z_window", "pair_mode"))
+                     "z_window", "pair_mode", "vox_tap_fold"))
 def _dose_accumulate_3d(labq3, mu_kE, mu_dep_kE, i0w_E, betas, src_zs,
                         view_w, gammas, ts, rs, vox_xyz, rho_vox,
                         lab_vox, scalars, *, n_mats, nx, ny, nz,
-                        pixel_block, z_window=None, pair_mode=False):
+                        pixel_block, z_window=None, pair_mode=False,
+                        vox_tap_fold=True):
     """Scan over views; returns (dose [vox] keV/g, deposited keV).
 
     Rays are parametrized by (gamma, t, r): gamma the in-plane fan
@@ -765,6 +766,14 @@ def _dose_accumulate_3d(labq3, mu_kE, mu_dep_kE, i0w_E, betas, src_zs,
         # 8 trilinear taps cost 4 row-2K gathers (see the 2-D kernel)
         Tp = jnp.concatenate([Tf, jnp.roll(Tf, -1, axis=0)], axis=-1)
         sg = n_t * n_r
+        if vox_tap_fold:
+            # fold all four (gamma, t) tap rows in too: ONE row-8K
+            # gather per voxel (32 floats at K=4 — count-bound width;
+            # the same lever as the 2-D kernel's row-4K fold)
+            Tq = jnp.concatenate(
+                [Tp, jnp.roll(Tp, -n_r, axis=0),
+                 jnp.roll(Tp, -sg, axis=0),
+                 jnp.roll(Tp, -sg - n_r, axis=0)], axis=-1)
 
         def vox_stage(vox_a, rho_a, lab_a):
             """Per-view energy deposition for a (slab of the) voxel
@@ -793,11 +802,20 @@ def _dose_accumulate_3d(labq3, mu_kE, mu_dep_kE, i0w_E, betas, src_zs,
                 return (rows[:, :n_mats] * (1 - wr)
                         + rows[:, n_mats:] * wr)
 
-            t_vox = (
-                (1 - wg) * ((1 - wt) * lerp_r(Tp[base])
-                            + wt * lerp_r(Tp[base + n_r]))
-                + wg * ((1 - wt) * lerp_r(Tp[base + sg])
-                        + wt * lerp_r(Tp[base + sg + n_r])))  # [n_a, K]
+            if vox_tap_fold:
+                rows8 = Tq[base]
+                m2 = 2 * n_mats
+                t_vox = (
+                    (1 - wg) * ((1 - wt) * lerp_r(rows8[:, :m2])
+                                + wt * lerp_r(rows8[:, m2:2 * m2]))
+                    + wg * ((1 - wt) * lerp_r(rows8[:, 2 * m2:3 * m2])
+                            + wt * lerp_r(rows8[:, 3 * m2:])))
+            else:
+                t_vox = (
+                    (1 - wg) * ((1 - wt) * lerp_r(Tp[base])
+                                + wt * lerp_r(Tp[base + n_r]))
+                    + wg * ((1 - wt) * lerp_r(Tp[base + sg])
+                            + wt * lerp_r(Tp[base + sg + n_r])))  # [n_a, K]
 
             sec_v = jnp.sqrt(1.0 + t_v * t_v)
             in_beam = ((jnp.abs(g_v) <= g_half_fan)

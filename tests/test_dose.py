@@ -618,3 +618,32 @@ class TestRound5DoseLevers:
         with pytest.raises(ValueError, match="divisible"):
             sharded_dose_map(view_mesh(4), ph, ct, s,
                              views=ct.betas[:30])
+
+    def test_vox_tap_fold_3d_bit_identical(self):
+        import dataclasses
+        import functools
+
+        import dexct_tpu.ops.dose as dm
+        from dexct_tpu.ops.dose import dose_map_3d
+        from dexct_tpu.physics import kramers_spectrum
+        from dexct_tpu.system import ConeBeamGeometry
+        from dexct_tpu.system.phantom import water_cylinder_phantom
+
+        ct = ConeBeamGeometry(N_channels=32, N_proj=16, N_rows=8,
+                              gamma_fan=0.8230337, SID=60.0, SDD=100.0,
+                              h_iso=0.25, eid=True)
+        ph2 = water_cylinder_phantom(N=32, dx=0.5)
+        ph = dataclasses.replace(
+            ph2, labels=np.broadcast_to(ph2.labels[0],
+                                        (8, 32, 32)).copy(), dz=0.5)
+        s = kramers_spectrum(120.0)
+        s.rescale_counts(ct.A_iso * 5.0 / ct.N_proj)
+        d1 = np.asarray(dose_map_3d(ph, ct, s).dose_mGy)
+        orig = dm._dose_accumulate_3d
+        dm._dose_accumulate_3d = functools.partial(orig,
+                                                   vox_tap_fold=False)
+        try:
+            d0 = np.asarray(dose_map_3d(ph, ct, s).dose_mGy)
+        finally:
+            dm._dose_accumulate_3d = orig
+        np.testing.assert_array_equal(d0, d1)
