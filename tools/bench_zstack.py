@@ -46,8 +46,8 @@ def main():
     # round-5 A/B: slice-PAIRED trace (two slices per gather; bundled
     # and per-ray pair variants) vs the round-3 per-slice default
     configs = [
-        ("pairs_bundled", dict()),  # round-5 default
-        ("pairs_perray", dict(trace_bundle=0)),
+        ("pairs_perray", dict()),  # round-5 default
+        ("pairs_bundled", dict(trace_bundle=8)),
         ("r3_perray", dict(trace_pairs=False)),
     ]
     if "--quick" in sys.argv:
